@@ -1,0 +1,66 @@
+"""Dimension builders: conformed dims with UNKNOWN members, derived
+calendar dimension.
+
+Reference parity: dim_customer = dedup + UNKNOWN(-1) union
+(src/pipeline.py:98-105, SURVEY.md U1); dim_date derived from the union
+of fact date columns, not an artificial range (src/pipeline.py:142-187,
+defesa.txt:109-115).
+
+Scale notes: dims are small relative to facts — build once, then
+``F.broadcast()`` them into fact joins. dim_date's union/distinct is a
+shuffle over *dates only* (project the single column before the union,
+as the reference does) — a few KB whatever the fact size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_spark_spark.operators.dedup import dedup_latest
+
+
+def build_dimension(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    columns: list[str],
+    unknown_row: dict | None = None,
+    tiebreak: list[str] | str | None = None,
+) -> DataFrame:
+    """Dedup-keep-latest + fixed projection + optional UNKNOWN member
+    appended by name (src/pipeline.py:98-105)."""
+    dim = dedup_latest(df, key, order_col, tiebreak=tiebreak).select(*columns)
+    if unknown_row is not None:
+        unknown = dim.sparkSession.createDataFrame([unknown_row], schema=dim.schema)
+        dim = dim.unionByName(unknown)
+    return dim
+
+
+def build_dim_date(dfs_and_cols: list[tuple[DataFrame, str]]) -> DataFrame:
+    """Calendar dimension from observed fact dates
+    (src/pipeline.py:142-187): project each fact to its date column,
+    union, distinct, derive attributes.
+
+    Column semantics (oracle-compatible choices):
+    - date_id: yyyyMMdd int (src/pipeline.py:163)
+    - day_of_week: 1=Sunday..7=Saturday (Spark ``dayofweek``)
+    - month_name / day_name: full English names
+    - is_weekend: day_of_week in (1, 7) (src/pipeline.py:169-173)
+    """
+    parts = [df.select(F.col(c).cast("date").alias("date")).filter(F.col("date").isNotNull()) for df, c in dfs_and_cols]
+    dates = parts[0]
+    for p in parts[1:]:
+        dates = dates.union(p)
+    dates = dates.distinct()
+    return dates.select(
+        F.date_format("date", "yyyyMMdd").cast("int").alias("date_id"),
+        F.col("date"),
+        F.year("date").alias("year"),
+        F.month("date").alias("month"),
+        F.date_format("date", "MMMM").alias("month_name"),
+        F.dayofmonth("date").alias("day"),
+        F.dayofweek("date").alias("day_of_week"),
+        F.date_format("date", "EEEE").alias("day_name"),
+        F.dayofweek("date").isin(1, 7).alias("is_weekend"),
+    ).orderBy("date")

@@ -1,0 +1,418 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame builder with (where SQL-expressible) an
+ANSI-SQL oracle twin for DuckDB.
+
+The reference's query surface (submission_Amadeu/sql/metrics.sql:1-31 and
+src/pipeline.py silver/gold/dq stages) is transposed onto the driver's
+TPC-H-ish star schema (TESTDATA.md); the LLM-data operators extend it.
+
+Cross-engine determinism rules used throughout (so the driver's
+order-insensitive value hash matches):
+
+- Money/sum aggregates: cast inputs to DECIMAL, sum exactly (decimal sum
+  is order-independent), cast the result to DOUBLE — both engines then
+  emit the identical float64. Never hash a raw double SUM (summation
+  order differs between engines).
+- Per-row double arithmetic (a single expression over stored values) is
+  IEEE-deterministic and safe to hash unrounded.
+- Every computed column is aliased identically in the Spark builder and
+  the oracle SQL (the driver sorts columns by name before hashing).
+- Timestamps: session TZ pinned to UTC (DuckDB is UTC-naive).
+- Dates are emitted as DATE in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_spark_spark.operators import dq as dq_ops
+from lakehouse_spark_spark.operators.dedup import content_hash, dedup_latest, exact_dedup
+from lakehouse_spark_spark.operators.dimensions import build_dim_date, build_dimension
+from lakehouse_spark_spark.operators.facts import fk_stamp, orphan_audit
+from lakehouse_spark_spark.session import tune_for_oracle
+from lakehouse_spark_spark.sources.loaders import load_table
+
+# Reproducible as-of date for the reference's "last 90 days" metric
+# (metrics.sql:11 uses current_date(), which is not oracle-stable;
+# SURVEY.md §7 'hard parts'). Max o_orderdate in the testdata is
+# 2001-08-01 at every sf.
+AS_OF = "2001-08-01"
+
+
+@dataclass(frozen=True)
+class Q:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => not SQL-expressible; rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_for_oracle(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = Q(name, wrapped, oracle, doc)
+        return wrapped
+
+    return deco
+
+
+def registry() -> dict[str, Q]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Reference metric #1: revenue per customer, last 90 days
+# (metrics.sql:2-12; 3-way join J4 + SUM group-by A3). Flagship query.
+# --------------------------------------------------------------------------
+@register(
+    "revenue_by_customer_90d",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= DATE '{AS_OF}' - INTERVAL 90 DAY
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="3-way join + decimal-exact revenue agg (metrics.sql:2-12)",
+)
+def revenue_by_customer_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.date_sub(F.lit(AS_OF).cast("date"), 90))
+    customer = _t(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(revenue).cast("double").alias("total_revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary (A3/A4 aggregations, decimal money math
+# P10/P11 of SURVEY.md §2).
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="scan→filter→hash agg; pushdown of l_shipdate filter to parquet",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.sum(ep * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(ep * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Reference metric #2: orders by status by month (metrics.sql:16-22;
+# date_trunc F4 + 2-key COUNT group-by A4).
+# --------------------------------------------------------------------------
+@register(
+    "orders_by_status_month",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           o_orderstatus,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="month bucketing + 2-key count (metrics.sql:16-22)",
+)
+def orders_by_status_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.col("o_orderstatus"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Reference metric #3: average ticket per order (metrics.sql:26-30; AVG A5).
+# Two-level agg: per-order decimal-exact total, then a global average over
+# those totals emitted at fixed precision.
+# --------------------------------------------------------------------------
+@register(
+    "avg_ticket_per_order",
+    oracle="""
+    WITH order_totals AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS order_total
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(order_total) AS DOUBLE) AS sum_total,
+           ROUND(CAST(SUM(order_total) AS DOUBLE) / COUNT(*), 2) AS avg_ticket
+    FROM order_totals
+    """,
+    doc="nested agg: per-order sum then global avg (metrics.sql:26-30)",
+)
+def avg_ticket_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    totals = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("order_total"))
+    )
+    return totals.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("order_total").cast("double").alias("sum_total"),
+        F.round(F.sum("order_total").cast("double") / F.count(F.lit(1)), 2).alias("avg_ticket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 dedup-keep-latest (src/pipeline.py:50-56) on the events table:
+# latest event per user, deterministic tiebreak on event_id.
+# --------------------------------------------------------------------------
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="dedup-keep-latest window (SURVEY.md W1) with explicit tiebreak",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Epoch-microsecond long is the cross-engine-stable timestamp
+    # representation (both engines floor the parquet NANOS to µs).
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros(F.col("ts")))
+    return dedup_latest(ev, "user_id", "ts_us", tiebreak="event_id").select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )
+
+
+# --------------------------------------------------------------------------
+# Dimension build: dedup + UNKNOWN member union (src/pipeline.py:98-105).
+# --------------------------------------------------------------------------
+@register(
+    "dim_customer_unknown",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM (
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY c_name DESC) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT -1, 'UNKNOWN', 'UNKNOWN', 0.0
+    """,
+    doc="dimension builder with UNKNOWN(-1) member (SURVEY.md U1)",
+)
+def dim_customer_unknown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return build_dimension(
+        cust,
+        key="c_custkey",
+        order_col="c_name",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+        unknown_row={"c_custkey": -1, "c_name": "UNKNOWN", "c_mktsegment": "UNKNOWN", "c_acctbal": 0.0},
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 fk stamp: orders against the customer dim (src/pipeline.py:107-114);
+# null keys → -1, orphans pass through (golden-parity mode).
+# --------------------------------------------------------------------------
+@register(
+    "fk_stamp_orders",
+    oracle="""
+    SELECT COALESCE(o.o_custkey, -1) AS o_custkey,
+           o.o_orderkey, o.o_orderstatus, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           o.o_orderdate, o.o_orderpriority
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    """,
+    doc="FK stamp left join + null→sentinel patch (SURVEY.md J1)",
+)
+def fk_stamp_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # dim key column is named differently from the fact FK: pre-rename.
+    cust_keys = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    return fk_stamp(orders, cust_keys, "o_custkey", sentinel=-1).select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 orphan audit: events whose user_id has no customer row
+# (src/pipeline.py:231-235 left_anti).
+# --------------------------------------------------------------------------
+@register(
+    "orphan_events_audit",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON e.user_id = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+    doc="left_anti orphan detection (SURVEY.md J3)",
+)
+def orphan_events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    return orphan_audit(ev, cust, "user_id").select("event_id", "user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# DQ registry (SURVEY.md §2.11 Q1-Q3, Q5): null-rate + duplicate-rate fused
+# into one aggregation job per table, orphan-rate as one broadcast join job.
+# --------------------------------------------------------------------------
+@register(
+    "dq_summary",
+    oracle="""
+    SELECT 'null_rate_o_custkey' AS check_name, 'orders' AS table_name,
+           CAST(AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS metric_value,
+           CAST(0.01 AS DOUBLE) AS threshold,
+           CASE WHEN AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END) <= 0.01
+                THEN 'PASS' ELSE 'FAIL' END AS status,
+           'null o_custkey' AS details
+    FROM orders
+    UNION ALL
+    SELECT 'duplicate_rate_o_orderkey', 'orders',
+           CAST((COUNT(*) - COUNT(DISTINCT o_orderkey)) AS DOUBLE) / COUNT(*),
+           CAST(0.0 AS DOUBLE),
+           CASE WHEN CAST((COUNT(*) - COUNT(DISTINCT o_orderkey)) AS DOUBLE) / COUNT(*) <= 0.0
+                THEN 'PASS' ELSE 'FAIL' END,
+           'dup o_orderkey'
+    FROM orders
+    UNION ALL
+    SELECT 'orphan_rate_l_orderkey', 'lineitem',
+           CAST(AVG(CASE WHEN o.o_orderkey IS NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE),
+           CAST(0.0 AS DOUBLE),
+           CASE WHEN AVG(CASE WHEN o.o_orderkey IS NULL THEN 1.0 ELSE 0.0 END) <= 0.0
+                THEN 'PASS' ELSE 'FAIL' END,
+           'orphan l_orderkey'
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="declarative DQ checks computed in Spark, one job per table (Q1-Q3)",
+)
+def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    checks = [
+        dq_ops.DQCheck("null_rate_o_custkey", "orders", dq_ops.null_rate("o_custkey"), 0.01, "null o_custkey"),
+        dq_ops.DQCheck("duplicate_rate_o_orderkey", "orders", dq_ops.duplicate_rate("o_orderkey"), 0.0, "dup o_orderkey"),
+    ]
+    base = dq_ops.run_checks(orders, checks)
+    orphan = dq_ops.orphan_rate_df(
+        li, orders, "l_orderkey", "orphan_rate_l_orderkey", "lineitem", 0.0, parent_key="o_orderkey"
+    ).withColumn("details", F.lit("orphan l_orderkey"))
+    return base.unionByName(orphan)
+
+
+# --------------------------------------------------------------------------
+# dim_date derived from observed fact dates (src/pipeline.py:142-187).
+# day_of_week: 1=Sunday..7=Saturday (Spark dayofweek; DuckDB dayofweek+1).
+# --------------------------------------------------------------------------
+@register(
+    "dim_date",
+    oracle="""
+    WITH dates AS (
+      SELECT CAST(o_orderdate AS DATE) AS date FROM orders WHERE o_orderdate IS NOT NULL
+      UNION
+      SELECT CAST(l_shipdate AS DATE) FROM lineitem WHERE l_shipdate IS NOT NULL
+    )
+    SELECT CAST(strftime(date, '%Y%m%d') AS INTEGER) AS date_id,
+           CAST(date AS TIMESTAMP) AS date,
+           CAST(year(date) AS INTEGER) AS year,
+           CAST(month(date) AS INTEGER) AS month,
+           monthname(date) AS month_name,
+           CAST(day(date) AS INTEGER) AS day,
+           CAST(dayofweek(date) + 1 AS INTEGER) AS day_of_week,
+           dayname(date) AS day_name,
+           dayofweek(date) IN (0, 6) AS is_weekend
+    FROM dates
+    """,
+    doc="derived calendar dimension (SURVEY.md §2.6/§2.8, F1-F2)",
+)
+def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # DateType→timestamp for a cross-engine-stable pandas representation.
+    return build_dim_date([(orders, "o_orderdate"), (li, "l_shipdate")]).withColumn(
+        "date", F.col("date").cast("timestamp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Beyond-reference window op: top-3 orders per customer (rank + frame).
+# --------------------------------------------------------------------------
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn AS rank_in_customer
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="top-k per group via ranked window",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.builder for name, q in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,72 @@
+"""Sources: parquet star-schema loaders and schema-pinned CSV ingest.
+
+Reference parity: the reference ingests header CSVs with an all-string
+schema (src/pipeline.py:40-42, SURVEY.md S1). We keep that mode for the
+medallion replay (``read_csv_allstring``) but the primary source is
+columnar parquet with the schema carried by the file — filters and
+column pruning push into the scan (check ``PushedFilters`` /
+``ReadSchema`` in ``df.explain("formatted")``).
+
+Scale notes: one ``spark.read.parquet(dir)`` per table; at 100 TB the
+same call reads a partitioned directory tree and Catalyst does dynamic
+partition pruning — no code change. ``spark.sql.files.maxPartitionBytes``
+(default 128 MB) keeps scan tasks bounded regardless of file sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always be broadcast in joins at any scale.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # Parquet TIMESTAMP(NANOS) surfaced as a ns-epoch long (see
+        # session.tune_for_oracle): keep the exact long as ts_ns (the
+        # cross-engine-stable representation; DuckDB twin: epoch_ns(ts))
+        # and derive a microsecond TimestampType for date/window ops.
+        # Integer `div` — a double division would lose precision at 1e18.
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_star(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in tables}
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES) -> None:
+    """Expose the star schema to the SQL front-end (SURVEY.md S5)."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv_allstring(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-parity CSV ingest: header row, every column StringType
+    (src/pipeline.py:40-42). Types are imposed later by the cleaning
+    operators — this keeps bronze a faithful byte-level landing zone."""
+    return spark.read.option("header", True).csv(path)
+
+
+def read_csv_typed(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-pinned CSV ingest (the upgrade SURVEY.md §1 recommends):
+    malformed cells become nulls (PERMISSIVE) instead of poisoning
+    downstream casts under ANSI mode."""
+    return spark.read.option("header", True).option("mode", "PERMISSIVE").schema(schema).csv(path)

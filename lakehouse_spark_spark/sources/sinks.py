@@ -1,0 +1,43 @@
+"""Sinks: parquet (the scale path) and reference-parity single-file CSV.
+
+Reference parity: src/pipeline.py:21-36 writes every gold table through
+``coalesce(1)`` + driver-side glob/rename (SURVEY.md S3/S4). We keep a
+utility with those semantics for golden-output replay, but the default
+sink is overwrite-mode parquet, optionally partitioned — at 100 TB a
+``coalesce(1)`` CSV write serializes the whole job through one task and
+is exactly what NOT to do.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Idempotent columnar sink (SURVEY.md S4: re-runs don't duplicate).
+
+    ``partition_by`` a low-cardinality column (e.g. a date) to get
+    dynamic partition pruning on downstream scans.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_single_csv(df: DataFrame, out_path: str) -> None:
+    """Reference-parity single-file CSV sink (src/pipeline.py:21-36):
+    write to a temp dir with one task, move the part file into place.
+    For small control-plane outputs (DQ results, run logs) only."""
+    tmp = out_path + "__tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    shutil.move(part, out_path)
+    shutil.rmtree(tmp)

@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registry query on Spark and its oracle SQL on DuckDB at the
+given sf dir, and compares STRICTLY: row count, column names, normalized
+dtypes, and exact cell values after sorting rows order-insensitively.
+Exact-match here implies any reasonable hash-based compare passes.
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def load_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype(bool)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: v if v is None else (v.isoformat() if hasattr(v, "isoformat") else str(v)))
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare_one(name: str, spark_df, oracle: str, con) -> list[str]:
+    issues: list[str] = []
+    sp = spark_df.toPandas()
+    du = con.execute(oracle).df()
+    if sorted(sp.columns) != sorted(du.columns):
+        issues.append(f"columns differ: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}")
+        return issues
+    if len(sp) != len(du):
+        issues.append(f"row count differ: spark={len(sp)} duckdb={len(du)}")
+    nsp, ndu = normalize(sp), normalize(du)
+    for c in nsp.columns:
+        if str(nsp[c].dtype) != str(ndu[c].dtype):
+            issues.append(f"dtype differ on {c}: spark={nsp[c].dtype} duckdb={ndu[c].dtype}")
+    if issues:
+        return issues
+    if len(nsp) == len(ndu):
+        for c in nsp.columns:
+            a, b = nsp[c], ndu[c]
+            if pd.api.types.is_float_dtype(a):
+                eq = (a.values == b.values) | (np.isnan(a.values.astype(float)) & np.isnan(b.values.astype(float)))
+            else:
+                eq = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
+            if not eq.all():
+                bad = int((~eq).sum())
+                i = int(np.argmax(~eq))
+                issues.append(f"{bad} value mismatches in {c}; first at row {i}: spark={a.iloc[i]!r} duckdb={b.iloc[i]!r}")
+    return issues
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    sys.path.insert(0, "/root/repo")
+    from lakehouse_spark_spark.plans.queries import registry
+    from lakehouse_spark_spark.session import get_session
+
+    spark = get_session("compare_oracle")
+    con = load_duckdb(sf_dir)
+    failed = []
+    for name, q in registry().items():
+        if only and name not in only:
+            continue
+        try:
+            df = q.builder(spark, sf_dir)
+            if q.oracle is None:
+                n = df.count()
+                print(f"[rows-only] {name}: {n} rows")
+                continue
+            issues = compare_one(name, df, q.oracle, con)
+        except Exception:
+            issues = [traceback.format_exc(limit=20)]
+        if issues:
+            failed.append(name)
+            print(f"[FAIL] {name}")
+            for i in issues:
+                print(f"    {i}")
+        else:
+            print(f"[OK]   {name}")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
