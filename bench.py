@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the `noop` write format (full
+computation, no driver-side collect bottleneck). Baseline context:
+BASELINE.md — the reference pipeline does ~1.5k rows in 37.8 s wall;
+we aim to process sf0.1 (~600k lineitem rows) in far less.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference's 3 metrics transposed + signature dedup +
+# windowing + a scan-heavy agg. Extensions are benchmarked once stable.
+HEADLINE = [
+    "revenue_by_customer_90d",
+    "pricing_summary",
+    "orders_by_status_month",
+    "avg_ticket_per_order",
+    "latest_event_per_user",
+    "top_orders_per_customer",
+    "dim_date",
+    "dq_summary",
+]
+
+
+def main() -> None:
+    from lakehouse_spark_spark.plans.queries import registry
+    from lakehouse_spark_spark.session import get_session
+
+    spark = get_session("bench")
+    reg = registry()
+    names = [n for n in HEADLINE if n in reg]
+    # warm the JVM/session path once (tiny query, not counted)
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        df = reg[name].builder(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

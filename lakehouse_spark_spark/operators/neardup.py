@@ -1,0 +1,158 @@
+"""Near-duplicate detection: n-gram Jaccard, MinHash+LSH, SimHash.
+
+The training-data dedup suite (BASELINE.json north_star). Design:
+
+- ``ngram_jaccard_pairs``: EXACT Jaccard on word n-gram shingle sets,
+  computed via an inverted-index self-join on shingles (never a cross
+  join): pairs that share no shingle never materialize. The shuffle key
+  is the shingle; hot shingles are the skew risk, so extremely frequent
+  shingles (> ``max_df`` docs) are dropped — standard practice, they
+  carry almost no Jaccard signal. Scales as sum over shingles of df².
+- ``minhash_*``: the approximate scale path. Signatures are k
+  xxhash64 min-hashes per doc (one narrow pass), LSH banding turns
+  near-dup search into an equi-join on (band_id, band_hash) — at 100 TB
+  this is the only shape that works: candidate generation is a hash
+  shuffle whose key cardinality you control via band width.
+- ``simhash``: 64-bit fingerprint whose Hamming distance approximates
+  cosine similarity of token multisets; near-dup candidates via the
+  pigeonhole block trick (distance ≤ d ⟹ some block of d+1 matches
+  exactly), again an equi-join, never a cross join.
+
+All pure DataFrame ops — no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lakehouse_spark_spark.operators.text import norm_text
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+    Documents with fewer than n tokens yield no shingles."""
+    toks = F.split(norm_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets for every pair
+    sharing ≥1 shingle; keep pairs with round(jaccard,6) >= threshold.
+
+    (Thresholding on the ROUNDED value keeps the predicate decision
+    identical across engines despite last-ulp float noise.)
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))), "doc_a")
+        .join(F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared").cast("double") / (F.col("size_a") + F.col("size_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64) -> DataFrame:
+    """k-permutation MinHash signature per document as array<long>:
+    min over shingles of xxhash64(shingle, seed_i). One narrow pass,
+    no shuffle until the signature aggregation on id."""
+    sh = word_shingles(df, id_col, text_col, n)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_candidates(signatures: DataFrame, id_col: str, bands: int = 16, num_hashes: int = 64) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands, hash each
+    band, equi-join on (band, band_hash) → candidate pairs with their
+    estimated Jaccard (fraction of agreeing minhashes)."""
+    rows_per_band = max(1, num_hashes // bands)
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "band_hash")
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1))
+    return pairs.select(
+        "id_a", "id_b", F.round(agree.cast("double") / F.size("sig_a"), 6).alias("est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit position, sum +1/-1
+    votes weighted by token occurrence, sign → bit. Pure expressions:
+    token hash via xxhash64, bit test via shiftright+mask."""
+    toks = df.select(F.col(id_col), F.explode(F.split(norm_text(text_col), " ")).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    # recombine sign bits into one long (bit 63 kept zero to stay positive)
+    fingerprint = None
+    for b in range(63):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_candidates(sim: DataFrame, id_col: str, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """Near-dup candidates by the pigeonhole principle: split the 64-bit
+    fingerprint into ``blocks`` equal-width blocks; any pair with
+    Hamming distance < ``blocks`` must agree exactly on ≥1 block →
+    equi-join per block, then exact Hamming filter via bit_count(xor).
+    (Guarantee holds for max_hamming <= blocks-1; wider distances are
+    found only probabilistically.)"""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    exploded = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[F.shiftright("simhash", width * i).bitwiseAND(F.lit(mask)) for i in range(blocks)])
+        ).alias("block", "block_val"),
+    )
+    a = exploded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "block", "block_val")
+    b = exploded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "block", "block_val")
+    pairs = a.join(b, ["block", "block_val"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sim_a", "sim_b").distinct()
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)

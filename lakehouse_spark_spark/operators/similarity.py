@@ -1,0 +1,100 @@
+"""Embedding similarity search: brute-force cosine top-k (exact
+baseline) and random-hyperplane LSH bucketing (the scale path).
+
+Vector math is expressed with higher-order functions
+(``zip_with``/``aggregate``) over array<float> columns — JVM-side, no
+Python UDFs. Casts to double happen element-wise before multiply so the
+arithmetic is IEEE-deterministic and oracle-comparable.
+
+Scale notes: brute force is O(|Q|·|C|) — correct shape only when the
+query set is small enough to broadcast (it is here: broadcast join, no
+shuffle of the corpus). For corpus×corpus near-dup at 100 TB use the
+LSH variant: signatures are a narrow map, candidate generation is an
+equi-join on (plane-sign bucket), and only in-bucket pairs pay the
+exact-cosine cost. An IVF layout (k-means coarse quantizer) would slot
+in the same way — bucket id join key — once a trained centroid table
+exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ in doubles, summed in array order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(F.col(a) if isinstance(a, str) else a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5, exclude_self: bool = True
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector over the corpus.
+    Queries are broadcast; the corpus is scanned once, never shuffled
+    until the per-query top-k window (keyed by query_id — bounded
+    cardinality)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("__qv", "__cv"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def rp_lsh_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane packed into a
+    long. Planes are a plain Python list (broadcast with the plan)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec_col, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def ann_lsh_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, planes: list[list[float]], k: int = 5
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's hyperplane
+    bucket are scored. Recall improves with fewer planes / multi-probe;
+    the join is an equi-join on the bucket id — the 100 TB shape."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")).withColumn(
+        "bucket", rp_lsh_signature("__cv", planes)
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")).withColumn(
+        "bucket", rp_lsh_signature("__qv", planes)
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select("query_id", "neighbor_id", F.round(cosine("__qv", "__cv"), 6).alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95) -> DataFrame:
+    """Corpus-wide near-duplicate pairs by cosine ≥ threshold.
+    Brute-force O(n²/2) form (exact baseline / oracle-checkable);
+    the LSH bucket join above is the production path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cosine("__va", "__vb"), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

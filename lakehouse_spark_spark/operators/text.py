@@ -1,0 +1,102 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure built-in column expressions (whole-stage codegen, no Python in
+the hot path): tokenization, quality scoring, token counting,
+language-ID heuristic, document fingerprinting. Each has an ANSI-SQL
+twin in plans/queries.py so DuckDB can oracle-check it.
+
+Scale notes: everything here is a narrow per-row projection — no
+shuffle, fully pipelined with the parquet scan, and column pruning means
+only the text column is read. At 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/marker-frequency
+# language-ID heuristic. Deterministic tie-break: the ordering below.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "在", "了", "和"],
+}
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single punctuation.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+PUNCT_PATTERN = r"[^\w\s]"
+
+
+def norm_text(col: Column | str) -> Column:
+    """Lowercase + whitespace-collapse normalization shared by dedup,
+    fingerprinting and shingling."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def tokens(col: Column | str) -> Column:
+    """array<string> of whitespace tokens of the normalized text."""
+    return F.split(norm_text(col), " ")
+
+
+def n_tokens(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Upper-bound token estimate via the BPE-ish pre-tokenizer regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PUNCT_PATTERN), F.lit(0))).cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_MARKERS["en"]
+    arr = F.array(*[F.lit(s) for s in sw])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    """Marker-word hit count for one language."""
+    arr = F.array(*[F.lit(s) for s in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over language marker scores; ties resolved by the fixed
+    LANG_MARKERS ordering; all-zero scores → 'und' (undetermined)."""
+    scores = {lang: lang_score(col, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so the FIRST language in the dict wins ties
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def doc_fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Winnowing-style content fingerprint: min MD5 over all k-char
+    shingles of the normalized text (shorter texts hash whole). Robust
+    to local edits in a way whole-document hashing is not; MD5 keeps it
+    oracle-checkable (identical in DuckDB)."""
+    t = norm_text(col)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    return F.array_min(F.transform(positions, lambda i: F.md5(F.substring(t, i, k))))

@@ -416,3 +416,458 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+
+
+# ==========================================================================
+# Wider relational coverage (beyond the reference's 3 metrics)
+# ==========================================================================
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-shaped 5-way join; dims broadcast, single fact shuffle",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "orders_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    doc="hierarchical ROLLUP aggregate (partial-agg friendly)",
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_totalprice"),
+        )
+    )
+
+
+@register(
+    "inactive_customers_90d",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= DATE '{AS_OF}' - INTERVAL 90 DAY) o
+      ON c.c_custkey = o.o_custkey
+    WHERE o.o_custkey IS NULL
+    """,
+    doc="anti-join with pushed-down date filter (guaranteed non-empty)",
+)
+def inactive_customers_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    active = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.date_sub(F.lit(AS_OF).cast("date"), 90))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return orphan_audit(cust, active, "c_custkey").select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ==========================================================================
+# Batch event windowing + sessionization (SURVEY.md §2.9 extension scope)
+# ==========================================================================
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 1h window aggregation (batch form of the streaming twin)",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.windows import hourly_type_stats
+
+    return hourly_type_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us,
+           CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+    FROM o
+    """,
+    doc="gap-based sessionization: lag → boundary → running sum",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return out.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), F.col("session_seq").cast("long"))
+
+
+@register(
+    "session_stats",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, value, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, value, ts,
+             CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq
+      FROM o
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) AS session_end_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+    doc="per-session aggregates over the sessionized stream",
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return s.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ==========================================================================
+# LLM-data: text analysis (operators/text.py)
+# ==========================================================================
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@register(
+    "exact_dedup_documents",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents)
+    SELECT content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM h GROUP BY content_hash
+    """,
+    doc="exact text dedup on normalized-content hash; group on 16-byte hash, not raw text",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id"), content_hash("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split({_NORM}, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS stopword_ratio
+    FROM t
+    """,
+    doc="per-document quality metrics: pure projections, run at scan speed",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        tx.n_tokens("text").alias("n_tokens"),
+        tx.avg_token_len("text").alias("avg_token_len"),
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@register(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="whitespace + BPE-ish regex token counting",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.n_tokens("text").alias("ws_tokens"),
+        tx.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "lang_id_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['el','la','los','que','es'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['的','是','在','了','和'], x))) AS s_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM s
+    """,
+    doc="marker-frequency language-ID heuristic (argmax, deterministic ties)",
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+                                   i -> md5(substr(nt, CAST(i AS INTEGER), 8)))) AS fingerprint
+    FROM t
+    """,
+    doc="winnowing-style rolling fingerprint: min MD5 over 8-char shingles",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.doc_fingerprint("text", k=8).alias("fingerprint"))
+
+
+# ==========================================================================
+# LLM-data: near-duplicate detection (operators/neardup.py)
+# ==========================================================================
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    elig AS (SELECT * FROM toks WHERE len(w) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS shingle
+      FROM elig, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared, sa.set_size AS size_a, sb.set_size AS size_b,
+           ROUND(shared * 1.0 / (sa.set_size + sb.set_size - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(shared * 1.0 / (sa.set_size + sb.set_size - shared), 6) >= 0.2
+    """,
+    doc="exact n-gram Jaccard via inverted-index self-join (no cross join)",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=None,  # hash-function-specific: not ANSI-SQL-expressible
+    doc="MinHash(64)+LSH(16 bands) candidate pairs with estimated Jaccard",
+)
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.neardup import minhash_lsh_candidates, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64)
+    return minhash_lsh_candidates(sigs, "doc_id", bands=16, num_hashes=64).filter(F.col("est_jaccard") >= 0.2)
+
+
+@register(
+    "simhash_candidates",
+    oracle=None,  # hash-function-specific
+    doc="64-bit SimHash near-dup candidates via pigeonhole block join",
+)
+def simhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.neardup import simhash, simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(simhash(docs, "doc_id", "text"), "doc_id", max_hamming=8, blocks=4)
+
+
+# ==========================================================================
+# LLM-data: embedding similarity (operators/similarity.py)
+# ==========================================================================
+@register(
+    "embedding_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    pairs AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE neighbor_id != query_id),
+    flat AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+             SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE)) AS nq,
+             SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) AS nc
+      FROM pairs, UNNEST(range(1, len(qv) + 1)) AS t(i)
+      GROUP BY query_id, neighbor_id
+    ),
+    scored AS (SELECT query_id, neighbor_id, ROUND(dp / (sqrt(nq) * sqrt(nc)), 6) AS cosine_sim FROM flat),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-5 for 10 query vectors (exact ANN baseline)",
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "cosine_sim", "rank"
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH a AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.embedding AS va, y.embedding AS vb
+      FROM a x JOIN a y ON x.vec_id < y.vec_id
+    ),
+    flat AS (
+      SELECT id_a, id_b,
+             SUM(CAST(va[CAST(i AS INTEGER)] AS DOUBLE) * CAST(vb[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
+             SUM(CAST(va[CAST(i AS INTEGER)] AS DOUBLE) * CAST(va[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
+             SUM(CAST(vb[CAST(i AS INTEGER)] AS DOUBLE) * CAST(vb[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+      FROM pairs, UNNEST(range(1, len(va) + 1)) AS t(i)
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, ROUND(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine_sim
+    FROM flat
+    WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.8
+    """,
+    doc="embedding near-dup pairs (cosine >= 0.8), exact baseline",
+)
+def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.8)
+
+
+def _fixed_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no RNG state)."""
+    planes, x = [], 88172645463325252
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            # xorshift64
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((x % 2000) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+@register(
+    "embedding_ann_lsh",
+    oracle=None,  # approximate by construction
+    doc="ANN via random-hyperplane LSH buckets (8 planes): the scale path",
+)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(emb, queries_df, "vec_id", "embedding", _fixed_planes(), k=5).select(
+        "query_id", "neighbor_id", "cosine_sim", "rank"
+    )
+
+
+# ==========================================================================
+# LLM-data: multimodal decode plumbing (operators/multimodal.py)
+# ==========================================================================
+@register(
+    "multimodal_decode",
+    oracle=None,  # mapInPandas stub — no SQL equivalent
+    doc="binary media column → Arrow-batched decode-stub metadata",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.multimodal import attach_fake_media, decode_images
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_images(attach_fake_media(docs, "doc_id", "text"))

@@ -1,0 +1,80 @@
+"""Structured Streaming surface: windowed event aggregation with
+watermarked late-data handling.
+
+The reference is batch-only (SURVEY.md §2.9); this is the streaming twin
+of operators/windows.hourly_type_stats. The same logical plan serves
+both: readStream instead of read, plus a watermark bounding state.
+
+Scale notes: state size = (#open windows × #keys); the watermark is what
+lets Spark evict closed windows — without it a 100 TB stream grows state
+forever. ``availableNow`` gives batch-like catch-up runs of the same
+query (the lakehouse "incremental refresh" mode the reference lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ts declared as LongType: the testdata parquet stores TIMESTAMP(NANOS),
+# which Spark only reads as a raw int64 (spark.sql.legacy.parquet.
+# nanosAsLong) — the stream derives the µs TimestampType column below,
+# exactly like the batch loader (sources/loaders.load_table).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, directory: str, glob: str | None = None, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+    The source must be a DIRECTORY (new files appearing there become
+    micro-batches); ``glob`` filters filenames within it."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(directory)
+    return df.withColumn("ts_ns", F.col("ts")).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data bound.
+
+    Late events older than the watermark are dropped; everything else
+    lands in its (closed or open) window until eviction.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> None:
+    """Drain everything currently available into an in-memory sink and
+    stop — the incremental-batch execution mode. Results land in the
+    ``query_name`` temp view (spark.table(query_name))."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

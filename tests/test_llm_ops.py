@@ -1,0 +1,165 @@
+"""Unit tests for the LLM-data operator suite (text analysis, near-dup,
+similarity, multimodal plumbing, windowing) on tiny literal data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_text_metrics(spark):
+    from lakehouse_spark_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "The cat, the hat!"), (2, "solo")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            tx.n_tokens("text").alias("nt"),
+            tx.bpe_ish_token_count("text").alias("bpe"),
+            tx.punct_ratio("text").alias("pr"),
+            tx.stopword_ratio("text").alias("sr"),
+        ).collect()
+    }
+    assert out[1]["nt"] == 4
+    # BPE-ish: The cat , the hat ! -> 6
+    assert out[1]["bpe"] == 6
+    assert out[1]["pr"] == pytest.approx(2 / 17)
+    assert out[1]["sr"] == pytest.approx(2 / 4)  # 'the' twice of 4 tokens
+    assert out[2]["nt"] == 1
+
+
+def test_lang_id_markers(spark):
+    from lakehouse_spark_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox is fast"), (2, "der hund und die katze ist da"), (3, "xyzzy plugh")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", tx.lang_id("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    from lakehouse_spark_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "Hello   World Again"), (2, "hello world again")], ["doc_id", "text"])
+    fps = [r["fp"] for r in df.select(tx.doc_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]  # normalization collapses case+whitespace
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    from lakehouse_spark_spark.operators.neardup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),  # identical -> jaccard 1.0
+            (3, "z y x w v u"),  # disjoint -> no pair
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["doc_a"], pairs[0]["doc_b"], pairs[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_identical_docs_estimate_one(spark):
+    from lakehouse_spark_spark.operators.neardup import minhash_lsh_candidates, minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "q r s t u v w x")],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(df, "doc_id", "text", n=3, num_hashes=16)
+    cands = minhash_lsh_candidates(sigs, "doc_id", bands=4, num_hashes=16).collect()
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands}
+    assert est.get((1, 2)) == 1.0
+    assert (1, 3) not in est and (2, 3) not in est
+
+
+def test_simhash_close_and_far(spark):
+    from lakehouse_spark_spark.operators.neardup import simhash, simhash_candidates
+
+    # SimHash needs realistic token counts: with N tokens per doc the
+    # per-bit vote margin is ~sqrt(N), so a one-token edit flips few
+    # bits only when N is large-ish. 60-token docs, one word changed.
+    words = ["w%02d" % (i % 30) for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    far = " ".join("z%02d" % (i % 37) for i in range(60))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    sim = simhash(df, "doc_id", "text")
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert all(v >= 0 for v in vals.values())
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(vals[1], vals[2]) < hamming(vals[1], vals[3])
+    cands = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidates(sim, "doc_id", max_hamming=12, blocks=8).collect()
+    }
+    assert (1, 2) in cands
+    assert (1, 3) not in cands
+
+
+def test_cosine_topk_exact(spark):
+    from lakehouse_spark_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),   # closest to 0
+            (2, [0.0, 1.0]),   # orthogonal to 0
+            (3, [-1.0, 0.0]),  # opposite
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+
+
+def test_ann_lsh_same_bucket_for_identical(spark):
+    from lakehouse_spark_spark.operators.similarity import ann_lsh_topk
+
+    vecs = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)]) for i in range(20)]
+    vecs.append((100, vecs[0][1]))  # exact duplicate of vec 0
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    planes = [[1.0 if j == i else 0.0 for j in range(8)] for i in range(4)]
+    out = ann_lsh_topk(df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", planes, k=5).collect()
+    assert any(r["neighbor_id"] == 100 and r["cosine_sim"] == 1.0 for r in out)
+
+
+def test_multimodal_decode_stub(spark):
+    from lakehouse_spark_spark.operators.multimodal import attach_fake_media, decode_images
+
+    df = spark.createDataFrame([(1, "some text payload"), (2, "other bytes")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in decode_images(attach_fake_media(df, "doc_id", "text")).collect()}
+    assert out[1]["media_size_bytes"] == len("some text payload")
+    assert out[1]["format"] in ("png", "jpeg", "webp")
+    assert out[1]["width"] >= 64 and out[1]["height"] >= 64
+    assert len(out[1]["sha256"]) == 64
+    # determinism: same payload -> same metadata
+    again = {r["doc_id"]: r for r in decode_images(attach_fake_media(df, "doc_id", "text")).collect()}
+    assert again[1] == out[1]
+
+
+def test_sessionize_gap_boundaries(spark):
+    from lakehouse_spark_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00", 1.0),
+            (2, 10, "2024-01-01 10:10:00", 1.0),  # same session (10 min)
+            (3, 10, "2024-01-01 11:00:00", 1.0),  # new session (50 min gap)
+            (4, 20, "2024-01-01 10:00:00", 1.0),  # other user
+        ],
+        ["event_id", "user_id", "ts_s", "value"],
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {r["event_id"]: r["session_seq"] for r in sessionize(df, "user_id", "ts", 30).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
