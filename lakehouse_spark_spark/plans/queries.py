@@ -871,3 +871,222 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decode_images(attach_fake_media(docs, "doc_id", "text"))
+
+
+# ==========================================================================
+# Analytic window functions beyond the reference (lag/lead family)
+# ==========================================================================
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS days_since_prev
+    FROM o WHERE prev_date IS NOT NULL
+    """,
+    doc="lag window: days between consecutive orders per customer",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")).cast("long").alias("days_since_prev"),
+        )
+    )
+
+
+@register(
+    "brand_sales",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="fact ⋈ broadcast part dim, agg by brand",
+)
+def brand_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("gross_revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_volume",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS supplier_revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="supplier-side join chain (lineitem ⋈ supplier ⋈ nation)",
+)
+def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.sum(rev).cast("double").alias("supplier_revenue"),
+        )
+    )
+
+
+@register(
+    "events_daily_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="pivot: one column per event_type, one row per day",
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for absent combos; the FILTER oracle yields 0
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]]
+    )
+
+
+@register(
+    "daily_user_reach",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    doc="distinct-count per day (exact); approx twin below is rows-only",
+)
+def daily_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "daily_user_reach_approx",
+    oracle=None,  # HLL sketch values are engine-specific
+    doc="approx_count_distinct (HLL): the 100TB form of daily reach",
+)
+def daily_user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ==========================================================================
+# Skew-safe aggregation: two-stage salted agg. Result is IDENTICAL to the
+# plain groupBy (the oracle proves it); the shape is what survives a hot
+# key at 100 TB — stage 1 spreads a hot key over `salt_buckets` reducers,
+# stage 2 combines the tiny per-salt partials.
+# ==========================================================================
+@register(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="two-stage salted aggregation == plain groupBy (skew-safe shape)",
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("ps"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.sum("ps").cast("double").alias("sum_value"),
+    )
+
+
+# ==========================================================================
+# SQL front-end entries (SURVEY.md E3/S5): same semantics as the
+# DataFrame builders, entered via spark.sql over registered views — the
+# dual surface the reference keeps (DataFrame API + metrics.sql).
+# ==========================================================================
+@register(
+    "sql_revenue_by_customer_90d",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= DATE '{AS_OF}' - INTERVAL 90 DAY
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="metric #1 through the SQL parser path (temp views)",
+)
+def sql_revenue_by_customer_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.plans.sql_metrics import REVENUE_90D_SQL, run_sql_metric
+
+    return run_sql_metric(spark, sf_dir, REVENUE_90D_SQL)
+
+
+@register(
+    "salted_join_events_customer",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="salted join == plain join (skew-safe shape, oracle-proven)",
+)
+def salted_join_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", F.col("user_id").alias("c_custkey"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = salted_join(ev, cust, on="c_custkey", buckets=8, entropy_col="event_id")
+    return out.select("event_id", F.col("c_custkey").alias("user_id"), "c_mktsegment")

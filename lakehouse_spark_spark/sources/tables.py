@@ -1,0 +1,50 @@
+"""Lakehouse table-format sink: Delta/Iceberg when available, plain
+parquet otherwise.
+
+BASELINE.json's approach line calls for "Spark SQL + Delta/Iceberg ops".
+Neither delta-spark nor an Iceberg catalog is installed in this
+environment, so the writer negotiates: try Delta, fall back to
+overwrite-mode parquet with the same layout semantics. The call sites
+don't change when a real format is installed — idempotent overwrite +
+partition columns are the shared contract (ACID upsert/time-travel are
+Delta-only extras, gated behind ``format_available()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    prefer_format: str = "delta",
+) -> str:
+    """Write a gold table in the best available lakehouse format.
+    Returns the format actually used ('delta' or 'parquet')."""
+    fmt = prefer_format if (prefer_format == "delta" and delta_available()) else "parquet"
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    return fmt
+
+
+def read_table(spark, path: str) -> DataFrame:
+    if delta_available():
+        try:
+            return spark.read.format("delta").load(path)
+        except Exception:
+            pass
+    return spark.read.parquet(path)
