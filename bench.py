@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the reference's 3 metrics transposed + signature dedup +
-# windowing + a scan-heavy agg. Extensions are benchmarked once stable.
+# windowing + the LLM-data and temporal operator suite. The exact
+# brute-force embedding near-dup (O(n²) baseline) is intentionally
+# excluded — its production path is the LSH variant benchmarked below.
 HEADLINE = [
     "revenue_by_customer_90d",
     "pricing_summary",
@@ -31,6 +33,20 @@ HEADLINE = [
     "top_orders_per_customer",
     "dim_date",
     "dq_summary",
+    "revenue_by_nation",
+    "sessionize_events",
+    "asof_purchase_last_view",
+    "click_to_purchase_5min",
+    "exact_dedup_documents",
+    "doc_quality",
+    "lang_id_documents",
+    "doc_fingerprints",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash_candidates",
+    "embedding_topk_cosine",
+    "embedding_ann_lsh",
+    "multimodal_decode",
 ]
 
 

@@ -76,8 +76,12 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64) -> DataFrame:
     """k-permutation MinHash signature per document as array<long>:
-    min over shingles of xxhash64(shingle, seed_i). One narrow pass,
-    no shuffle until the signature aggregation on id."""
+    min over shingles of xxhash64(shingle, seed_i).
+
+    One narrow pass: k inline xxhash64 calls fused into the partial
+    hash-aggregate by whole-stage codegen — measured faster than the
+    hash-a-distinct-shingle-dictionary-then-join alternative (the join
+    breaks codegen into extra stages and loses)."""
     sh = word_shingles(df, id_col, text_col, n)
     mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*mins)

@@ -693,7 +693,7 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents)
     SELECT doc_id,
-           list_min(list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+           list_min(list_transform(range(1, greatest(length(nt) - 7, 1) + 1, 4),
                                    i -> md5(substr(nt, CAST(i AS INTEGER), 8)))) AS fingerprint
     FROM t
     """,
@@ -1090,3 +1090,125 @@ def salted_join_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     out = salted_join(ev, cust, on="c_custkey", buckets=8, entropy_col="event_id")
     return out.select("event_id", F.col("c_custkey").alias("user_id"), "c_mktsegment")
+
+
+# ==========================================================================
+# Temporal joins (operators/temporal.py): as-of + banded range join —
+# operators Spark lacks natively, composed from DataFrame ops, with
+# native DuckDB ASOF JOIN / inequality-join oracles.
+# ==========================================================================
+@register(
+    "asof_purchase_last_view",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, event_id AS view_event_id FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           epoch_us(v.ts) AS asof_ts_us, v.view_event_id
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc="as-of join: each purchase ⟵ latest prior view per user (union+window shape)",
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", F.col("event_id").alias("view_event_id"))
+    out = asof_join(purchases, views, on="user_id", left_ts="ts", right_ts="ts", value_cols=["view_event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        F.col("right_view_event_id").alias("view_event_id"),
+    )
+
+
+@register(
+    "click_to_purchase_5min",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+                 AND b.ts > a.ts
+                 AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    doc="banded range join: purchase within 5min after click, same user",
+)
+def click_to_purchase_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.temporal import banded_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    out = banded_range_join(clicks, purchases, on="user_id", left_ts="click_ts", right_ts="purchase_ts", max_gap_seconds=300)
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "segment_price_percentiles",
+    oracle="""
+    SELECT c.c_mktsegment,
+           ROUND(quantile_cont(o.o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o.o_totalprice, 0.9), 6) AS p90,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="exact interpolated percentiles per segment (sort-based agg)",
+)
+def segment_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "events_props_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="semi-structured JSON column extraction (props -> typed k)",
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+@register(
+    "top100_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="global top-k: TakeOrderedAndProject, no full sort",
+)
+def top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

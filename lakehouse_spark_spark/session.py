@@ -34,6 +34,8 @@ def get_session(app_name: str = "lakehouse_spark_spark", cpus: str | int | None 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed (incl. bucketed) tables land outside the repo
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/lakehouse_spark_warehouse"))
     )
     return builder.getOrCreate()
 

@@ -41,6 +41,25 @@ def write_table(
     return fmt
 
 
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_cols: list[str], buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist as a bucketed (and sorted) managed table: joins and
+    aggregations on the bucket columns then run SHUFFLE-FREE — both
+    sides are already hash-partitioned on disk. This is the 100 TB
+    answer to repeated fact⋈fact joins (e.g. lineitem⋈orders on
+    orderkey): pay one layout write, skip the exchange on every
+    subsequent query. Verified by tests/test_plans.py (no Exchange in
+    the bucketed-join physical plan)."""
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_name)
+    )
+
+
 def read_table(spark, path: str) -> DataFrame:
     if delta_available():
         try:

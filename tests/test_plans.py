@@ -1,0 +1,90 @@
+"""Physical-plan shape assertions: the scale contract of SCALE.md,
+checked automatically. A regression that silently turns a broadcast
+join into a shuffle, or un-pushes a filter, fails here — not in a
+production incident."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from lakehouse_spark_spark.plans.queries import registry
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def tree_of(df) -> str:
+    """Just the operator tree (formatted explain repeats every node in
+    the detail section below the tree)."""
+    return plan_of(df).split("\n\n(")[0]
+
+
+def test_revenue_query_broadcasts_dims_and_pushes_filter(spark):
+    df = registry()["revenue_by_customer_90d"].builder(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert tree_of(df).count("BroadcastHashJoin") == 2  # fact never shuffles for joins
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date filter reached the scan
+    assert "SortMergeJoin" not in plan
+    # column pruning: the lineitem scan reads only the 3 needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_pricing_summary_has_partial_aggregation(spark):
+    df = registry()["pricing_summary"].builder(spark, SF_SMALL)
+    tree = tree_of(df)
+    # partial (map-side) agg before the exchange + final after
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+    assert "LessThanOrEqual(l_shipdate" in plan_of(df)
+
+
+def test_orphan_audit_is_broadcast_anti_join(spark):
+    plan = plan_of(registry()["orphan_events_audit"].builder(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan  # no fact shuffle
+
+
+def test_top100_is_take_ordered_not_full_sort(spark):
+    plan = plan_of(registry()["top100_orders"].builder(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_text_metrics_are_shuffle_free(spark):
+    plan = plan_of(registry()["doc_quality"].builder(spark, SF_SMALL))
+    assert "Exchange" not in plan  # pure projection pipelined with scan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucket both fact tables on the join key -> the join needs no
+    exchange at all (the sources/tables.write_bucketed contract)."""
+    from lakehouse_spark_spark.sources.loaders import load_table
+    from lakehouse_spark_spark.sources.tables import write_bucketed
+
+    write_bucketed(load_table(spark, SF_SMALL, "orders"), "b_orders", ["o_orderkey"], buckets=4)
+    write_bucketed(
+        load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "b_lineitem",
+        ["l_orderkey"],
+        buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the non-broadcast path
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located by bucket layout
+        # and it actually runs
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
