@@ -406,7 +406,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .withColumn("rank_in_customer", F.row_number().over(w))
         .filter(F.col("rank_in_customer") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank_in_customer").cast("long").alias("rank_in_customer"))
     )
 
 
@@ -628,8 +628,8 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        tx.n_tokens("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        tx.n_tokens("text").cast("long").alias("n_tokens"),
         tx.avg_token_len("text").alias("avg_token_len"),
         tx.punct_ratio("text").alias("punct_ratio"),
         tx.stopword_ratio("text").alias("stopword_ratio"),
@@ -652,8 +652,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        tx.n_tokens("text").alias("ws_tokens"),
-        tx.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        tx.n_tokens("text").cast("long").alias("ws_tokens"),
+        tx.bpe_ish_token_count("text").cast("long").alias("bpe_ish_tokens"),
     )
 
 
@@ -795,7 +795,7 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
-        "query_id", "neighbor_id", "cosine_sim", "rank"
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -854,7 +854,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ann_lsh_topk(emb, queries_df, "vec_id", "embedding", _fixed_planes(), k=5).select(
-        "query_id", "neighbor_id", "cosine_sim", "rank"
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
     )
 
 

@@ -52,6 +52,15 @@ def compare_one(name: str, spark_df, oracle: str, con) -> list[str]:
         return issues
     if len(sp) != len(du):
         issues.append(f"row count differ: spark={len(sp)} duckdb={len(du)}")
+    # raw (pre-normalization) dtype drift: int32-vs-int64 and friends.
+    # The driver's schema compare may be stricter than our normalization,
+    # so treat width mismatches as failures too.
+    for c in sorted(sp.columns):
+        a, b = str(sp[c].dtype), str(du[c].dtype)
+        both_datetime = a.startswith("datetime64") and b.startswith("datetime64")
+        if a != b and not both_datetime:  # ns-vs-us pandas units are a
+            # conversion artifact (Spark TIMESTAMP is µs internally)
+            issues.append(f"raw dtype differ on {c}: spark={a} duckdb={b}")
     nsp, ndu = normalize(sp), normalize(du)
     for c in nsp.columns:
         if str(nsp[c].dtype) != str(ndu[c].dtype):
