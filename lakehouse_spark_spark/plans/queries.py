@@ -1212,3 +1212,126 @@ def top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# ==========================================================================
+# Deeper TPC-H-shaped coverage: nation-pair volume (Q7), correlated
+# aggregate decorrelated by hand (Q17), EXISTS subquery through the SQL
+# parser (Catalyst decorrelation).
+# ==========================================================================
+@register(
+    "volume_shipping_by_nation_pair",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7-shaped 6-way join: international trade volume by year",
+)
+def volume_shipping_by_nation_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ns = nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(rev).cast("double").alias("volume"))
+    )
+
+
+@register(
+    "small_quantity_orders",
+    oracle="""
+    WITH part_stats AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_lines,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+    FROM lineitem l JOIN part_stats p ON l.l_partkey = p.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * p.n_lines < CAST(0.5 AS DECIMAL(3,2)) * p.sum_qty
+    """,
+    doc=(
+        "TPC-H Q17-shaped correlated aggregate, hand-decorrelated to a "
+        "groupBy+join; the qty*n < 0.5*sum comparison stays in exact "
+        "decimal arithmetic (an avg-threshold would hash-drift)"
+    ),
+)
+def small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    joined = li.join(F.broadcast(stats), F.col("l_partkey") == F.col("pk"))
+    small = joined.filter(qty * F.col("n_lines") < F.lit(0.5).cast("decimal(3,2)") * F.col("sum_qty"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("small_revenue"),
+    )
+
+
+@register(
+    "customers_with_big_order",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="EXISTS subquery via the SQL parser — Catalyst decorrelates to a semi join",
+)
+def customers_with_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
+@register(
+    "embedding_ann_ivf",
+    oracle=None,  # approximate + k-means-dependent
+    doc=(
+        "IVF ANN: k-means coarse quantizer, probe 4 of 16 cells. NOTE: "
+        "the synthetic embeddings are near-uniform random — IVF's worst "
+        "case — so recall@5 is ~0.5-0.7 here; on real clustered "
+        "embeddings the same shape reaches >0.9"
+    ),
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, "vec_id", "embedding", k=5, n_probe=4).select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
