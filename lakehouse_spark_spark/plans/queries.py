@@ -1335,3 +1335,88 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, "vec_id", "embedding", k=5, n_probe=4).select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
     )
+
+
+# ==========================================================================
+# LLM-data pipeline compositions: the filter→dedup→account flow a
+# training-data pipeline actually runs, end to end.
+# ==========================================================================
+@register(
+    "quality_filter_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, text, string_split({_NORM}, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+               / greatest(len(toks), 1) AS sw_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_tokens > 1000 THEN 'too_long'
+                WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang_filtered'
+                WHEN sw_ratio < 0.01 THEN 'low_quality'
+                ELSE 'keep' END AS verdict
+    FROM m
+    """,
+    doc="training-data quality gate: length/lang/stopword rules → verdict",
+)
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = tx.n_tokens("text")
+    sw = tx.stopword_ratio("text")
+    verdict = (
+        F.when(n_tok < 10, F.lit("too_short"))
+        .when(n_tok > 1000, F.lit("too_long"))
+        .when(~F.col("lang").isin("en", "de", "es", "fr"), F.lit("lang_filtered"))
+        .when(sw < 0.01, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return docs.select("doc_id", verdict.alias("verdict"))
+
+
+@register(
+    "deduped_corpus",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang, source, n_chars,
+                      md5({_NORM}) AS content_hash
+               FROM documents),
+    keep AS (SELECT content_hash, MIN(doc_id) AS doc_id FROM h GROUP BY content_hash)
+    SELECT h.doc_id, h.lang, h.source, h.n_chars
+    FROM h JOIN keep ON h.doc_id = keep.doc_id AND h.content_hash = keep.content_hash
+    """,
+    doc="dedup survivor join-back: the corpus that remains after exact dedup",
+)
+def deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", "lang", "source", "n_chars", content_hash("text").alias("content_hash"))
+    keep = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return hashed.join(keep, ["content_hash", "doc_id"]).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "corpus_token_accounting",
+    oracle=f"""
+    WITH t AS (SELECT source, lang, string_split({_NORM}, ' ') AS toks FROM documents)
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(MAX(len(toks)) AS BIGINT) AS max_doc_tokens
+    FROM t
+    GROUP BY source, lang
+    """,
+    doc="corpus accounting: docs/tokens per (source, lang) — exact int sums",
+)
+def corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = tx.n_tokens("text").cast("long")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.max(n_tok).alias("max_doc_tokens"),
+    )

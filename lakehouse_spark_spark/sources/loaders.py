@@ -70,3 +70,16 @@ def read_csv_typed(spark: SparkSession, path: str, schema: T.StructType) -> Data
     malformed cells become nulls (PERMISSIVE) instead of poisoning
     downstream casts under ANSI mode."""
     return spark.read.option("header", True).option("mode", "PERMISSIVE").schema(schema).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Newline-delimited JSON ingest. Always pin a schema in production:
+    schema inference is a full extra pass over the data."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

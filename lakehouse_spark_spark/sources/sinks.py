@@ -29,6 +29,19 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Newline-delimited JSON sink (interchange format; columnar parquet
+    remains the data-plane default)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_single_csv(df: DataFrame, out_path: str) -> None:
     """Reference-parity single-file CSV sink (src/pipeline.py:21-36):
     write to a temp dir with one task, move the part file into place.
