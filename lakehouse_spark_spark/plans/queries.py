@@ -1420,3 +1420,142 @@ def corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_tok).alias("total_tokens"),
         F.max(n_tok).alias("max_doc_tokens"),
     )
+
+
+# ==========================================================================
+# Set operations + remaining window/grouping shapes (beyond-reference:
+# SURVEY.md §2.7 notes intersect/except absent in the reference).
+# ==========================================================================
+@register(
+    "active_buyers_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+    doc="INTERSECT: users who both clicked and purchased",
+)
+def active_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    return buyers.intersect(clickers)
+
+
+@register(
+    "silent_users_except",
+    oracle="""
+    SELECT user_id FROM events
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type IN ('purchase', 'signup') AND ts < TIMESTAMP '2024-01-08'
+    """,
+    doc="EXCEPT (distinct semantics): users with no conversion in week 1",
+)
+def silent_users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    all_users = ev.select("user_id")
+    converters = ev.filter(
+        F.col("event_type").isin("purchase", "signup") & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    ).select("user_id")
+    return all_users.subtract(converters)
+
+
+@register(
+    "order_quartiles_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderkey,
+           CAST(NTILE(4) OVER (PARTITION BY c.c_mktsegment
+                               ORDER BY o.o_totalprice, o.o_orderkey) AS BIGINT) AS quartile
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="NTILE window: price quartile of every order within its segment",
+)
+def order_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+    )
+
+
+@register(
+    "events_cube",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY CUBE(event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+    """,
+    doc="CUBE over (type, day): all 4 grouping combinations in one pass",
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    )
+    return ev.cube("event_type", "day").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ==========================================================================
+# df-capped Jaccard: the scale variant. Shingles present in > max_df_frac
+# of documents carry ~no signal but dominate the self-join cost (df²) —
+# drop them on BOTH sides and the pair explosion collapses. The oracle
+# applies the identical cap, so this stays value-exact.
+# Measured note: on THIS synthetic corpus the shingle-df distribution is
+# flat (max df ≪ the 5% cap), so the cap removes nothing and its two
+# extra jobs cost ~25% — the technique pays off only on skewed real text
+# (boilerplate, licenses, headers), which is exactly where it's needed.
+# ==========================================================================
+@register(
+    "ngram_jaccard_capped",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    elig AS (SELECT * FROM toks WHERE len(w) >= 3),
+    sh0 AS (
+      SELECT DISTINCT doc_id, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS shingle
+      FROM elig, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh0),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+            HAVING COUNT(*) > 0.05 * (SELECT n FROM ndocs)),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared, sa.set_size AS size_a, sb.set_size AS size_b,
+           ROUND(shared * 1.0 / (sa.set_size + sb.set_size - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(shared * 1.0 / (sa.set_size + sb.set_size - shared), 6) >= 0.2
+    """,
+    doc="Jaccard with stop-shingle cap (df > 5% of docs dropped both sides)",
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.neardup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    n_docs = sh.select("doc_id").distinct().count()
+    hot = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 0.05 * n_docs).select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b")).groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))), "doc_a")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))), "doc_b")
+        .withColumn("jaccard", F.round(F.col("shared").cast("double") / (F.col("size_a") + F.col("size_b") - F.col("shared")), 6))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+    )
