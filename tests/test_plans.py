@@ -88,3 +88,43 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The union+window as-of formulation costs exactly one hash
+    exchange (on the join key) — the SCALE.md contract."""
+    from lakehouse_spark_spark.operators.temporal import asof_join
+    from lakehouse_spark_spark.sources.loaders import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMALL, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts", F.col("event_id").alias("vid"))
+    df = asof_join(left, right, "user_id", "ts", "ts", ["vid"])
+    tree = tree_of(df)
+    assert tree.count("Exchange") == 1
+    assert "Window" in tree
+
+
+def test_dynamic_partition_pruning_on_partitioned_gold(spark, tmp_path):
+    """Gold written partitioned by a date-derived column + a selective
+    dim filter => Catalyst inserts a dynamic pruning subquery so only
+    matching partitions are scanned."""
+    from lakehouse_spark_spark.sources.loaders import load_table
+    from lakehouse_spark_spark.sources.sinks import write_parquet
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_SMALL, "orders").withColumn("order_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["order_year"])
+    fact = spark.read.parquet(path)
+    years = spark.createDataFrame([(1995, "keep")], ["order_year", "tag"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        joined = fact.join(years, "order_year")
+        plan = plan_of(joined)
+        assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(order_year" in plan
+        got_years = {r["order_year"] for r in joined.select("order_year").distinct().collect()}
+        assert got_years == {1995}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
