@@ -1,0 +1,102 @@
+"""Hypothesis property tests for the signature operators (SURVEY.md §5:
+'any duplicate multiset → exactly one row per key, the max-timestamp
+one'), checked against independent pandas implementations."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50), st.integers(0, 1000)),  # (key, ts, id)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_latest_property(spark, rows):
+    """For ANY multiset: one survivor per key = the (max ts, then max id)
+    row — matches a pandas sort+drop_duplicates reference."""
+    from lakehouse_spark_spark.operators.dedup import dedup_latest
+
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "id"]).drop_duplicates()
+    expected = (
+        pdf.sort_values(["ts", "id"], ascending=False, kind="mergesort")
+        .drop_duplicates(subset=["k"], keep="first")
+        .set_index("k")["id"]
+        .to_dict()
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["k"]: r["id"] for r in dedup_latest(df, "k", "ts", tiebreak="id").collect()}
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),  # (user, ts seconds)
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_sessionize_property(spark, rows):
+    """Session numbering == a sequential pandas pass with the same gap."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark_spark.operators.windows import sessionize
+
+    gap_s = 600
+    pdf = pd.DataFrame(rows, columns=["user_id", "t"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["ts"] = pd.to_datetime(pdf["t"], unit="s")
+    expected = {}
+    for uid, grp in pdf.sort_values(["t", "event_id"]).groupby("user_id"):
+        seq, prev = 0, None
+        for r in grp.itertuples():
+            if prev is None or r.t - prev > gap_s:
+                seq += 1
+            prev = r.t
+            expected[r.event_id] = seq
+    df = spark.createDataFrame(pdf[["user_id", "event_id", "ts"]])
+    out = sessionize(df, "user_id", "ts", gap_minutes=gap_s // 60)
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert got == expected
+
+
+def test_neardup_pipeline_candidates_subset_of_exact(spark):
+    """Production dedup flow: LSH candidates + exact verification must
+    find a SUBSET of the brute-force exact pairs (no false positives
+    after verification), and every high-similarity pair the corpus has
+    must surface as a candidate (LSH recall at est>=threshold)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark_spark.operators.neardup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=64)
+    cands = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(sigs, "doc_id", bands=16, num_hashes=64).collect()
+    }
+    # recall: every exact pair at j>=0.5 must be an LSH candidate
+    # (16 bands x 4 rows: P(candidate | j=0.5) = 1-(1-0.5^4)^16 ~ 0.64;
+    # at j>=0.8: ~0.9997 — assert the strong end only)
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    assert strong <= set(cands)
+    # precision after exact verification: candidates verified at >=0.5
+    # must be exactly the exact pairs at >=0.5 restricted to candidates
+    verified = {p for p in cands if p in exact}
+    assert all(exact[p] >= 0.5 for p in verified)
