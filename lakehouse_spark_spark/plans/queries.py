@@ -1559,3 +1559,38 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
     )
+
+
+@register(
+    "embedding_stats_by_label",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(COALESCE((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                            FROM UNNEST(embedding) AS t(x)), 0)) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+    doc=(
+        "array aggregation per label; min/max over per-row deterministic "
+        "doubles are order-independent (an AVG here would hash-drift)"
+    ),
+)
+def embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.similarity import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", l2_norm("embedding").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
