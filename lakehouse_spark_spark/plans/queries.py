@@ -1594,3 +1594,44 @@ def embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+@register(
+    "price_variance_by_segment",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_mktsegment,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
+                      * CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           ROUND((s2 - s1 * s1 / n) / (n - 1), 4) AS price_variance
+    FROM s
+    """,
+    doc=(
+        "sample variance from decimal-exact moment sums (a native STDDEV "
+        "would hash-drift: its accumulation order differs per engine)"
+    ),
+)
+def price_variance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    s = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(p).cast("double").alias("s1"),
+            F.sum(p * p).cast("double").alias("s2"),
+        )
+    )
+    return s.select(
+        "c_mktsegment",
+        "n",
+        F.round((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1), 4).alias("price_variance"),
+    )

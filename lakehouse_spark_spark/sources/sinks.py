@@ -54,3 +54,24 @@ def write_single_csv(df: DataFrame, out_path: str) -> None:
         os.remove(out_path)
     shutil.move(part, out_path)
     shutil.rmtree(tmp)
+
+
+def compact_parquet(spark, path: str, target_file_mb: int = 256) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(bytes / target) files. The lakehouse maintenance op every
+    streaming/incremental sink eventually needs — thousands of KB-scale
+    part files turn scans into metadata storms. Returns the new file
+    count. (Delta/Iceberg do this as OPTIMIZE; this is the plain-parquet
+    form: full rewrite through a temp dir, then atomic-ish swap.)"""
+    import math
+    import os
+    import shutil
+
+    size = sum(os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(path) for f in fs)
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files

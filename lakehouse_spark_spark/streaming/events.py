@@ -78,3 +78,13 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(events: DataFrame, key_cols: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drops rows whose key was
+    already seen within the watermark horizon
+    (dropDuplicatesWithinWatermark). State holds one entry per key seen
+    inside the horizon — bounded, unlike an unwatermarked
+    dropDuplicates which grows forever. The batch twin is
+    operators/dedup.exact_dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
