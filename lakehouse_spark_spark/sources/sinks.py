@@ -62,7 +62,9 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256) -> int:
     streaming/incremental sink eventually needs — thousands of KB-scale
     part files turn scans into metadata storms. Returns the new file
     count. (Delta/Iceberg do this as OPTIMIZE; this is the plain-parquet
-    form: full rewrite through a temp dir, then atomic-ish swap.)"""
+    form: full rewrite through a temp dir, then swap. The rmtree-then-move
+    window is NOT crash-atomic; a real deployment swaps via a
+    transactional table format or a rename into a versioned path.)"""
     import math
     import os
     import shutil
