@@ -86,3 +86,90 @@ def decode_images(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, IMAGE_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stub: emits a (deterministically truncated) payload plus
+    the clamped dimensions a real resampler would produce. Real impl:
+    PIL thumbnail + re-encode inside the same batch loop."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                meta = decode_image_stub(bytes(payload))
+                scale = min(1.0, max_side / max(meta["width"], meta["height"]))
+                w, h = max(1, int(meta["width"] * scale)), max(1, int(meta["height"] * scale))
+                fake_resized = bytes(payload)[: max(1, int(len(payload) * scale * scale))]
+                rows.append((doc_id, fake_resized, w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "width", "height"])
+
+    return media.mapInPandas(do, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling stub: a 'video' payload yields every Nth 'frame'
+    (deterministic byte slices). One input row fans out to many output
+    rows — the mapInPandas iterator shape that matters for real ffmpeg
+    sampling (output batches are NOT 1:1 with input rows)."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload)
+                n_frames = max(1, len(payload) // 16)
+                for i in range(0, n_frames, every_n):
+                    rows.append((doc_id, i, payload[i * 16 : (i + 1) * 16]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(do, FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """Audio feature stub: deterministic pseudo-MFCC vector per payload
+    (byte-derived). Real impl: soundfile/librosa in the same loop; the
+    Arrow-batched array<float> output column is the part that matters —
+    it feeds straight into the embedding similarity operators."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload)
+                dur = len(payload) / 1000.0
+                rms = (sum(b * b for b in payload[:1000]) / max(1, min(len(payload), 1000))) ** 0.5
+                feats = [float((payload[i % len(payload)] - 128) / 128.0) for i in range(n_features)]
+                rows.append((doc_id, dur, rms, feats))
+            yield pd.DataFrame(rows, columns=["doc_id", "duration_s", "rms", "features"])
+
+    return media.mapInPandas(do, AUDIO_FEATURE_SCHEMA)

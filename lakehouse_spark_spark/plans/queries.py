@@ -1635,3 +1635,27 @@ def price_variance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1), 4).alias("price_variance"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # mapInPandas fan-out — no SQL equivalent
+    doc="video-style frame sampling: 1 binary row fans out to N frame rows",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.multimodal import attach_fake_media, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_fake_media(docs, "doc_id", "text"), every_n=10)
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=None,  # mapInPandas stub — no SQL equivalent
+    doc="audio feature extraction into array<float> (feeds similarity ops)",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.multimodal import attach_fake_media, extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_audio_features(attach_fake_media(docs, "doc_id", "text"))

@@ -163,3 +163,36 @@ def test_sessionize_gap_boundaries(spark):
     ).withColumn("ts", F.col("ts_s").cast("timestamp"))
     out = {r["event_id"]: r["session_seq"] for r in sessionize(df, "user_id", "ts", 30).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_multimodal_resize_and_frames_and_audio(spark):
+    from lakehouse_spark_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_audio_features,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x" * 500), (2, "y" * 100)],
+        ["doc_id", "text"],
+    )
+    media = attach_fake_media(df, "doc_id", "text")
+
+    resized = {r["doc_id"]: r for r in resize_images(media, max_side=128).collect()}
+    assert resized[1]["width"] <= 128 and resized[1]["height"] <= 128
+    assert len(resized[1]["media"]) >= 1
+
+    frames = sample_frames(media, every_n=5).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert per_doc[1] == sorted(per_doc[1])  # ordered fan-out
+    assert len(per_doc[1]) > len(per_doc.get(2, []))  # longer payload -> more frames
+
+    audio = {r["doc_id"]: r for r in extract_audio_features(media).collect()}
+    assert audio[1]["duration_s"] == 0.5
+    assert len(audio[1]["features"]) == 8
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in extract_audio_features(media).collect()}
+    assert again[1] == audio[1]
