@@ -1659,3 +1659,70 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_audio_features(attach_fake_media(docs, "doc_id", "text"))
+
+
+@register(
+    "nation_customer_supplier_full",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    doc="FULL OUTER join of per-nation aggregates with zero-fill",
+)
+def nation_customer_supplier_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sup = _t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("nk2")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    joined = cust.join(sup, cust["nk"] == sup["nk2"], "full_outer")
+    return joined.select(
+        F.coalesce(F.col("nk"), F.col("nk2")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "region_priority_grid",
+    oracle="""
+    WITH grid AS (
+      SELECT r.r_name, p.o_orderpriority
+      FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    ),
+    actual AS (
+      SELECT r.r_name, o.o_orderpriority, COUNT(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT g.r_name, g.o_orderpriority, COALESCE(a.n_orders, 0) AS n_orders
+    FROM grid g LEFT JOIN actual a
+      ON g.r_name = a.r_name AND g.o_orderpriority = a.o_orderpriority
+    """,
+    doc="dense reporting grid: CROSS JOIN scaffold + left join + zero-fill",
+)
+def region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    prios = orders.select("o_orderpriority").distinct()
+    grid = region.select("r_name").crossJoin(prios)
+    actual = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", F.col("r_name").alias("a_r_name"))), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("a_r_name"), F.col("o_orderpriority").alias("a_prio"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return grid.join(
+        actual, (grid["r_name"] == actual["a_r_name"]) & (grid["o_orderpriority"] == actual["a_prio"]), "left"
+    ).select("r_name", "o_orderpriority", F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"))
