@@ -14,7 +14,7 @@ as the reference does) — a few KB whatever the fact size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_spark_spark.operators.dedup import dedup_latest
@@ -64,3 +64,29 @@ def build_dim_date(dfs_and_cols: list[tuple[DataFrame, str]]) -> DataFrame:
         F.date_format("date", "EEEE").alias("day_name"),
         F.dayofweek("date").isin(1, 7).alias("is_weekend"),
     ).orderBy("date")
+
+
+def scd2_from_changelog(
+    changelog: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from a change log: each change
+    row opens a version valid until the key's next change
+    (valid_from/valid_to half-open, null valid_to = current).
+
+    Pure window formulation — one shuffle on the key, the LEAD reuses
+    the same sort. At 100 TB this is the standard way to reconstruct
+    dimension history from CDC events without a mutable store.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    out = changelog.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())

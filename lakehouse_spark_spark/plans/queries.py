@@ -1726,3 +1726,57 @@ def region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(
         actual, (grid["r_name"] == actual["a_r_name"]) & (grid["o_orderpriority"] == actual["a_prio"]), "left"
     ).select("r_name", "o_orderpriority", F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"))
+
+
+# ==========================================================================
+# SCD Type 2: dimension history reconstructed from a change log (the
+# events stream as CDC: each event sets the user's 'latest event_type'
+# attribute; versions are valid until the next event).
+# ==========================================================================
+@register(
+    "scd2_user_event_type",
+    oracle="""
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    """,
+    doc="SCD Type 2 via LEAD windows: half-open validity ranges from CDC",
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.dimensions import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    scd = scd2_from_changelog(ev, "user_id", ["event_type"], "ts", tiebreak="event_id")
+    return scd.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@register(
+    "segment_price_percentiles_approx",
+    oracle=None,  # sketch-based (GK algorithm) — engine-specific values
+    doc="approx percentiles: the sketch form of segment_price_percentiles for 100TB",
+)
+def segment_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.9], 10000).alias("p50_p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "c_mktsegment",
+            F.round(F.element_at("p50_p90", 1), 2).alias("p50_approx"),
+            F.round(F.element_at("p50_p90", 2), 2).alias("p90_approx"),
+            "n_orders",
+        )
+    )

@@ -77,3 +77,27 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256) -> int:
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n_files
+
+
+def upsert_parquet(spark, path: str, updates: DataFrame, key_cols: list[str]) -> None:
+    """MERGE-emulation for plain parquet: existing rows whose key appears
+    in ``updates`` are replaced; new keys are appended. Full
+    read-antijoin-union-rewrite — the plain-parquet cost of an upsert,
+    and the reason transactional formats (Delta MERGE INTO) exist: they
+    rewrite only the touched files. Same non-crash-atomic swap caveat as
+    compact_parquet."""
+    import os
+    import shutil
+
+    existing = spark.read.parquet(path) if os.path.exists(path) else None
+    if existing is not None:
+        keys = updates.select(*key_cols).distinct()
+        kept = existing.join(keys, on=key_cols, how="left_anti")
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    tmp = path.rstrip("/") + "__upsert"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.move(tmp, path)
