@@ -1780,3 +1780,42 @@ def segment_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFr
             "n_orders",
         )
     )
+
+
+@register(
+    "user_interarrival_stats",
+    oracle=None,  # grouped-map pandas (numpy percentiles) — no SQL twin
+    doc="applyInPandas grouped map: per-user inter-arrival gap percentiles",
+)
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map form of the Pandas API (one pandas DataFrame per
+    group in, one out) — numpy per-group math that has no tidy
+    column-expression equivalent. Shuffle on the group key, Arrow both
+    ways; per-group data must fit a worker (true here: events per user
+    are bounded)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_gaps", T.LongType()),
+            T.StructField("p50_gap_s", T.DoubleType()),
+            T.StructField("p95_gap_s", T.DoubleType()),
+        ]
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        gaps = pdf.sort_values("ts_us")["ts_us"].diff().dropna() / 1e6
+        if len(gaps) == 0:
+            return pd.DataFrame([[int(pdf["user_id"].iloc[0]), 0, float("nan"), float("nan")]], columns=[f.name for f in schema.fields])
+        return pd.DataFrame(
+            [[int(pdf["user_id"].iloc[0]), len(gaps), round(float(np.percentile(gaps, 50)), 3), round(float(np.percentile(gaps, 95)), 3)]],
+            columns=[f.name for f in schema.fields],
+        )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", F.unix_micros("ts").alias("ts_us"))
+    return ev.groupBy("user_id").applyInPandas(stats, schema)
