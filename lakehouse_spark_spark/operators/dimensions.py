@@ -48,7 +48,11 @@ def build_dim_date(dfs_and_cols: list[tuple[DataFrame, str]]) -> DataFrame:
     - month_name / day_name: full English names
     - is_weekend: day_of_week in (1, 7) (src/pipeline.py:169-173)
     """
-    parts = [df.select(F.col(c).cast("date").alias("date")).filter(F.col("date").isNotNull()) for df, c in dfs_and_cols]
+    # try_cast: malformed date strings in dirty silver data become null
+    # and are filtered (a plain cast would THROW under Spark 4 ANSI mode)
+    parts = [
+        df.select(F.col(c).try_cast("date").alias("date")).filter(F.col("date").isNotNull()) for df, c in dfs_and_cols
+    ]
     dates = parts[0]
     for p in parts[1:]:
         dates = dates.union(p)

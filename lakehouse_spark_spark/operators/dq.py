@@ -42,7 +42,10 @@ def duplicate_rate(key: str) -> Column:
 def run_checks(df: DataFrame, checks: list[DQCheck]) -> DataFrame:
     """Evaluate all checks for one table in a single aggregation job and
     emit the reference's results schema (src/pipeline.py:248-251)."""
-    agg = df.agg(*[c.metric.cast("double").alias(f"m{i}") for i, c in enumerate(checks)])
+    # coalesce: aggregates over an EMPTY table yield null (e.g. avg in
+    # null_rate) — an empty-but-valid input is a 0.0 rate / PASS, not a
+    # null-metric FAIL.
+    agg = df.agg(*[F.coalesce(c.metric.cast("double"), F.lit(0.0)).alias(f"m{i}") for i, c in enumerate(checks)])
     metrics = agg.select(
         F.explode(
             F.array(

@@ -32,6 +32,12 @@ def fk_stamp(fact: DataFrame, dim: DataFrame, key: str, sentinel=None, orphan_to
     - ``orphan_to_unknown=True``: non-null keys missing from the dim are
       *also* rewritten to the sentinel (the reference's documented
       intent; not its behavior).
+
+    NOTE: in the default mode the left join against the deduped key set
+    adds no columns and changes no rows — it is the reference's
+    (intentionally no-effect) "referential stamp", kept for behavioral
+    parity. Callers that only need the null patch should use
+    cleaning.null_to_sentinel directly and skip the join cost.
     """
     keys = dim.select(key).distinct()
     if orphan_to_unknown:

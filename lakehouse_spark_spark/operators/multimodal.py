@@ -168,7 +168,10 @@ def extract_audio_features(media: DataFrame, n_features: int = 8) -> DataFrame:
                 payload = bytes(payload)
                 dur = len(payload) / 1000.0
                 rms = (sum(b * b for b in payload[:1000]) / max(1, min(len(payload), 1000))) ** 0.5
-                feats = [float((payload[i % len(payload)] - 128) / 128.0) for i in range(n_features)]
+                if payload:
+                    feats = [float((payload[i % len(payload)] - 128) / 128.0) for i in range(n_features)]
+                else:  # empty media: zero-vector, consistent with dur/rms guards
+                    feats = [0.0] * n_features
                 rows.append((doc_id, dur, rms, feats))
             yield pd.DataFrame(rows, columns=["doc_id", "duration_s", "rms", "features"])
 

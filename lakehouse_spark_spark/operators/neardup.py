@@ -53,6 +53,8 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # sizes is O(n_docs) — no broadcast hint; AQE broadcasts it when it
+    # actually fits, a forced hint would cap the corpus at driver memory.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -63,8 +65,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
-        shared.join(F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))), "doc_a")
-        .join(F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))), "doc_b")
+        shared.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("shared").cast("double") / (F.col("size_a") + F.col("size_b") - F.col("shared")), 6),
@@ -160,3 +162,28 @@ def simhash_candidates(sim: DataFrame, id_col: str, max_hamming: int = 3, blocks
     pairs = a.join(b, ["block", "block_val"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sim_a", "sim_b").distinct()
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def verify_pairs_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate pairs
+    (id_a, id_b) — the verification stage after LSH candidate
+    generation. Cost is O(|pairs|), never the inverted-index self-join:
+    shingle SETS are attached to each side of the pair and intersected
+    per row with array functions."""
+    shingle_sets = (
+        word_shingles(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__set"))
+    )
+    a = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a"))
+    b = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__set_b"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    union = F.size("__set_a") + F.size("__set_b") - inter
+    return (
+        joined.withColumn("jaccard", F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

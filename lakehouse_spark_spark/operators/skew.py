@@ -46,7 +46,11 @@ def salted_join(
     """Equi-join ``probe ⋈ build on key`` that survives a hot probe-side
     key: probe rows are salted, build rows replicated across all salts,
     and the join runs on (key, salt). Result is row-identical to the
-    plain join."""
+    plain join for inner/left joins; right/full outer would duplicate
+    unmatched build rows once per salt, so they are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins only (got {how!r}): "
+                         "the replicated build side would duplicate unmatched rows in right/full outer")
     entropy = entropy_col or on
     p = add_salt(probe, "__salt", buckets, entropy)
     b = explode_salts(build, "__salt", buckets)

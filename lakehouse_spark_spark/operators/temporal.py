@@ -36,10 +36,11 @@ def asof_join(
     ``right_ts`` <= ``left_ts`` for the same ``on`` key (inclusive,
     pandas.merge_asof semantics).
 
-    Right rows are first deduped to one per (key, ts) — the max over
-    ``value_cols`` ordering col (last added wins deterministically via
-    the union sort). ``tolerance``: optional max lookback interval;
-    matches older than it are nulled out.
+    If the right side has multiple rows per (key, ts), which of them
+    wins is partition-order-dependent — dedup the right side first
+    (e.g. dedup_latest on [on, right_ts]) when that matters.
+    ``tolerance``: optional max lookback interval; matches older than
+    it are nulled out.
     """
     lcols = left.columns
     left_extras = [c for c in lcols if c not in (on, left_ts)]

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from lakehouse_spark_spark.operators import text as tx
 from lakehouse_spark_spark.operators.dedup import content_hash
-from lakehouse_spark_spark.operators.neardup import minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs
+from lakehouse_spark_spark.operators.neardup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    verify_pairs_jaccard,
+)
 
 
 def quality_verdict() -> F.Column:
@@ -51,23 +56,28 @@ def prepare_corpus(
     judged = docs.select("doc_id", "lang", "text", quality_verdict().alias("q"))
     passed = judged.filter(F.col("q") == "keep")
 
-    # exact dedup among quality-passing docs: keep min doc_id per hash
+    # exact dedup among quality-passing docs: keep min doc_id per hash.
+    # keep_ids is O(distinct docs) — no broadcast hint (AQE decides; a
+    # forced hint would cap the corpus at driver memory).
     hashed = passed.select("doc_id", "text", content_hash("text").alias("h"))
     keep_ids = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     exact_kept = hashed.join(
-        F.broadcast(keep_ids), (hashed["h"] == keep_ids["h"]) & (hashed["doc_id"] == keep_ids["keep_id"])
+        keep_ids, (hashed["h"] == keep_ids["h"]) & (hashed["doc_id"] == keep_ids["keep_id"])
     ).select("doc_id", "text")
 
     # near-dup pairs among the exact-dedup survivors
     if neardup_backend == "minhash":
+        # the scale path: LSH candidate generation, then exact Jaccard
+        # computed ONLY on candidate pairs — the inverted-index
+        # all-pairs self-join never runs.
         sigs = minhash_signatures(exact_kept, "doc_id", "text", n=3, num_hashes=64)
         cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, num_hashes=64)
-        cand_pairs = cands.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-        # exact verification of candidates only
-        verified = ngram_jaccard_pairs(exact_kept, "doc_id", "text", n=3, threshold=jaccard_threshold)
-        pairs = verified.join(cand_pairs, ["doc_a", "doc_b"], "left_semi")
+        verified = verify_pairs_jaccard(exact_kept, cands, "doc_id", "text", n=3, threshold=jaccard_threshold)
+        pairs = verified.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     else:
-        pairs = ngram_jaccard_pairs(exact_kept, "doc_id", "text", n=3, threshold=jaccard_threshold)
+        pairs = ngram_jaccard_pairs(exact_kept, "doc_id", "text", n=3, threshold=jaccard_threshold).select(
+            "doc_a", "doc_b"
+        )
     # drop the younger (higher id) of each pair; doc_a < doc_b by construction
     near_dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 

@@ -1363,19 +1363,11 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="training-data quality gate: length/lang/stopword rules → verdict",
 )
 def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_spark_spark.operators import text as tx
+    # single source of truth for the gate rules: plans/corpus.quality_verdict
+    from lakehouse_spark_spark.plans.corpus import quality_verdict
 
     docs = _t(spark, sf_dir, "documents")
-    n_tok = tx.n_tokens("text")
-    sw = tx.stopword_ratio("text")
-    verdict = (
-        F.when(n_tok < 10, F.lit("too_short"))
-        .when(n_tok > 1000, F.lit("too_long"))
-        .when(~F.col("lang").isin("en", "de", "es", "fr"), F.lit("lang_filtered"))
-        .when(sw < 0.01, F.lit("low_quality"))
-        .otherwise(F.lit("keep"))
-    )
-    return docs.select("doc_id", verdict.alias("verdict"))
+    return docs.select("doc_id", quality_verdict().alias("verdict"))
 
 
 @register(

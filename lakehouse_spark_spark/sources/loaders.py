@@ -40,10 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # Parquet TIMESTAMP(NANOS) surfaced as a ns-epoch long (see
-        # session.tune_for_oracle): keep the exact long as ts_ns (the
-        # cross-engine-stable representation; DuckDB twin: epoch_ns(ts))
-        # and derive a microsecond TimestampType for date/window ops.
+        # session.tune_for_oracle): keep the exact long as ts_ns and
+        # derive a microsecond TimestampType for date/window ops.
         # Integer `div` — a double division would lose precision at 1e18.
+        # Cross-engine note: DuckDB's view registration also truncates
+        # this column to µs (measured: epoch_ns(ts) ends in 000), so
+        # oracle comparisons and orderings agree at µs on both sides;
+        # events sub-µs apart would be a (currently impossible) tie.
         df = df.withColumn("ts_ns", F.col("ts")).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
