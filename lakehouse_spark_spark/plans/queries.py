@@ -1896,3 +1896,15 @@ def training_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return corpus_report(docs, prepare_corpus(docs, jaccard_threshold=0.8, neardup_backend="exact"))
+
+
+@register(
+    "doc_sentences_udtf",
+    oracle=None,  # Python UDTF — no SQL twin
+    doc="UDTF lateral join: text → one row per sentence (data-dependent fan-out)",
+)
+def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.pyfuncs import explode_sentences
+
+    docs = _t(spark, sf_dir, "documents")
+    return explode_sentences(spark, docs)
