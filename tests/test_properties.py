@@ -100,3 +100,57 @@ def test_neardup_pipeline_candidates_subset_of_exact(spark):
     # must be exactly the exact pairs at >=0.5 restricted to candidates
     verified = {p for p in cands if p in exact}
     assert all(exact[p] >= 0.5 for p in verified)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_jaccard_matches_python_reference(spark, texts):
+    """Exact Jaccard pairs == a brute-force pure-Python shingle-set
+    computation on ANY random word sequences."""
+    from lakehouse_spark_spark.operators.neardup import ngram_jaccard_pairs
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)} if len(toks) >= 3 else set()
+
+    docs = list(enumerate(texts))
+    expected = {}
+    for i, a in docs:
+        for j, b in docs:
+            if i < j:
+                sa, sb = shingles(a), shingles(b)
+                if sa and sb and sa & sb:
+                    jac = round(len(sa & sb) / len(sa | sb), 6)
+                    if jac >= 0.3:
+                        expected[(i, j)] = jac
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from([f"w{i}" for i in range(20)]), min_size=5, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_simhash_is_deterministic_and_valid(spark, texts):
+    """SimHash fingerprints: stable across runs, 63-bit non-negative."""
+    from lakehouse_spark_spark.operators.neardup import simhash
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    a = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    assert a == b
+    assert all(0 <= v < (1 << 63) for v in a.values())
