@@ -1965,3 +1965,115 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "shipmode_priority_counts",
+    oracle="""
+    SELECT l_linestatus AS group_status,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '2000-01-01' AND l.l_shipdate < DATE '2001-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape: conditional counts split by priority class",
+)
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("date")) & (F.col("l_shipdate") < F.lit("2001-01-01").cast("date"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderpriority"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("group_status"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="TPC-H Q14 shape: conditional revenue share (decimal-exact both branches)",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "rolling_7d_customer_spend",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS day_idx,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY day_idx
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_7d
+    FROM o
+    """,
+    doc="RANGE window frame: per-customer rolling 7-day spend (value-based frame)",
+)
+def rolling_7d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")).alias("day_idx"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_idx").rangeBetween(-6, 0)
+    return orders.select("o_custkey", "o_orderkey", F.sum("price").over(w).cast("double").alias("spend_7d"))
+
+
+@register(
+    "customer_first_last_order",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey)  OVER w AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value with an explicit unbounded ROWS frame",
+)
+def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            F.last("o_orderkey").over(w).alias("last_orderkey"),
+        )
+        .distinct()
+    )
