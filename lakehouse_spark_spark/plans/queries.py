@@ -2077,3 +2077,74 @@ def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(120 AS DECIMAL(18,2))
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="TPC-H Q18 shape: HAVING on an aggregate subquery, joined back",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > F.lit(120).cast("decimal(18,2)"))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "top_supplier_by_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY total_rev DESC, l_suppkey) AS rn FROM rev)
+    SELECT r.l_suppkey, s.s_name, r.total_rev
+    FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rn = 1
+    """,
+    doc="TPC-H Q15 shape: argmax over an aggregate (rank on a derived view)",
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("total_rev")
+        )
+    )
+    w = Window.orderBy(F.col("total_rev").desc(), F.col("l_suppkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_suppkey", "s_name", "total_rev")
+    )
