@@ -66,3 +66,35 @@ def session_stats(events: DataFrame, user_col: str = "user_id", ts_col: str = "t
         F.max(ts_col).alias("session_end"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+def rollup_chain_daily_from_hourly(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous-aggregate chain: the daily rollup is
+    computed FROM the hourly rollup (sums of sums, counts of counts,
+    max of maxes), never from raw — the incremental-maintenance shape
+    where each tier only reads the tier below. Correctness relies on
+    the aggregates being decomposable (sum/count/min/max are; avg and
+    distinct-count are NOT — carry sum+count / a sketch instead).
+
+    The oracle twin in plans/queries computes the same daily numbers
+    straight from raw events, proving the chain loses nothing.
+    """
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.max(F.col("value")).alias("max_value"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour_start")).alias("day_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

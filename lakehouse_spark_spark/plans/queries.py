@@ -2148,3 +2148,25 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_suppkey", "s_name", "total_rev")
     )
+
+
+@register(
+    "daily_rollup_from_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "hypertable rollup chain: daily tier computed FROM the hourly "
+        "tier (decomposable aggregates only); the oracle computes daily "
+        "straight from raw — equality proves the chain is lossless"
+    ),
+)
+def daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.windows import rollup_chain_daily_from_hourly
+
+    return rollup_chain_daily_from_hourly(_t(spark, sf_dir, "events"))
