@@ -86,3 +86,17 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | None = Non
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(spark: SparkSession, directory: str, glob: str | None = None) -> DataFrame:
+    """Real media ingestion: the ``binaryFile`` source reads every file
+    as (path, modificationTime, length, content) — the on-ramp for the
+    multimodal operators (operators/multimodal.decode_images takes the
+    renamed content column). ``pathGlobFilter`` narrows to one media
+    type; ``spark.sql.files.maxPartitionBytes`` still governs task
+    sizing, and at 100 TB of media you partition by directory layout
+    (e.g. date/shard prefixes) exactly like any other source."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(directory)

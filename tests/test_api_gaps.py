@@ -62,3 +62,28 @@ def test_write_table_read_table_roundtrip(spark):
         assert {(r["k"], r["part"]) for r in back.collect()} == {(1, "x"), (2, "y")}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark):
+    """End-to-end media path: files on disk -> binaryFile source ->
+    Arrow-batched decode stub."""
+    from lakehouse_spark_spark.operators.multimodal import decode_images
+    from lakehouse_spark_spark.sources.loaders import read_binary_files
+
+    d = tempfile.mkdtemp(prefix="media_")
+    try:
+        for i in range(3):
+            with open(os.path.join(d, f"img_{i}.bin"), "wb") as f:
+                f.write(bytes([i + 1] * (100 + i)))
+        raw = read_binary_files(spark, d, glob="*.bin")
+        assert set(raw.columns) == {"path", "modificationTime", "length", "content"}
+        assert raw.count() == 3
+        media = raw.select(
+            F.monotonically_increasing_id().alias("doc_id"), F.col("content").alias("media")
+        )
+        meta = decode_images(media).collect()
+        assert len(meta) == 3
+        assert sorted(r["media_size_bytes"] for r in meta) == [100, 101, 102]
+        assert all(len(r["sha256"]) == 64 for r in meta)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
