@@ -863,14 +863,27 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 @register(
     "multimodal_decode",
-    oracle=None,  # mapInPandas stub — no SQL equivalent
-    doc="binary media column → Arrow-batched decode-stub metadata",
+    # The decode is REAL (PNG IHDR / JPEG SOF / GIF screen-descriptor
+    # header parsing): payloads are synthesized with dimensions derived
+    # from the text length, so the oracle predicts exactly what a
+    # correct header parse must recover. A wrong parse hash-mismatches.
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+           1 + length(text) % 512 AS width,
+           1 + (7 * length(text)) % 512 AS height
+    FROM documents
+    """,
+    doc="binary media column → real PNG/JPEG/GIF header decode via mapInPandas",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_spark_spark.operators.multimodal import attach_fake_media, decode_images
+    from lakehouse_spark_spark.operators.multimodal import attach_synthetic_media, decode_images
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_images(attach_fake_media(docs, "doc_id", "text"))
+    meta = decode_images(attach_synthetic_media(docs, "doc_id", "text"))
+    return meta.select(
+        "doc_id", "format", F.col("width").cast("long").alias("width"), F.col("height").cast("long").alias("height")
+    )
 
 
 # ==========================================================================

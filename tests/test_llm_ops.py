@@ -135,18 +135,68 @@ def test_ann_lsh_same_bucket_for_identical(spark):
     assert any(r["neighbor_id"] == 100 and r["cosine_sim"] == 1.0 for r in out)
 
 
-def test_multimodal_decode_stub(spark):
+def test_multimodal_decode_unknown_format_fallback(spark):
     from lakehouse_spark_spark.operators.multimodal import attach_fake_media, decode_images
 
+    # attach_fake_media produces raw text bytes — not a recognized image
+    # container, so the decode must tag 'unknown' and stay deterministic.
     df = spark.createDataFrame([(1, "some text payload"), (2, "other bytes")], ["doc_id", "text"])
     out = {r["doc_id"]: r for r in decode_images(attach_fake_media(df, "doc_id", "text")).collect()}
     assert out[1]["media_size_bytes"] == len("some text payload")
-    assert out[1]["format"] in ("png", "jpeg", "webp")
+    assert out[1]["format"] == "unknown"
     assert out[1]["width"] >= 64 and out[1]["height"] >= 64
     assert len(out[1]["sha256"]) == 64
     # determinism: same payload -> same metadata
     again = {r["doc_id"]: r for r in decode_images(attach_fake_media(df, "doc_id", "text")).collect()}
     assert again[1] == out[1]
+
+
+def test_parse_image_header_real_containers():
+    import struct
+    import zlib
+
+    from lakehouse_spark_spark.operators.multimodal import (
+        make_gif,
+        make_jpeg,
+        make_png,
+        parse_image_header,
+    )
+
+    for w, h in [(1, 1), (17, 9), (511, 512), (640, 480)]:
+        png, jpg, gif = make_png(w, h), make_jpeg(w, h), make_gif(w, h)
+        assert parse_image_header(png) == {"format": "png", "width": w, "height": h}
+        assert parse_image_header(jpg) == {"format": "jpeg", "width": w, "height": h}
+        assert parse_image_header(gif) == {"format": "gif", "width": w, "height": h}
+
+    # the PNG is a genuinely valid file: IHDR CRC checks out and the
+    # IDAT inflates to exactly h scanlines of (filter byte + w pixels)
+    png = make_png(17, 9)
+    ihdr_crc = struct.unpack(">I", png[29:33])[0]
+    assert ihdr_crc == zlib.crc32(png[12:29])
+    idat_len = struct.unpack(">I", png[33:37])[0]
+    raw = zlib.decompress(png[41 : 41 + idat_len])
+    assert len(raw) == 9 * (17 + 1)
+
+    # truncated / garbage payloads refuse cleanly
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_image_header(b"\xff\xd8\x00\x00") is None
+    assert parse_image_header(b"not an image at all") is None
+    # JPEG parse must skip leading segments (APP0 sits before SOF0)
+    assert parse_image_header(make_jpeg(300, 200))["width"] == 300
+
+
+def test_multimodal_synthetic_roundtrip(spark):
+    from lakehouse_spark_spark.operators.multimodal import attach_synthetic_media, decode_images
+
+    df = spark.createDataFrame(
+        [(0, "a" * 100), (1, "b" * 530), (2, "c" * 48), (3, "d" * 513)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in decode_images(attach_synthetic_media(df, "doc_id", "text")).collect()}
+    for doc_id, n in [(0, 100), (1, 530), (2, 48), (3, 513)]:
+        r = out[doc_id]
+        assert r["format"] == ("png", "jpeg", "gif")[doc_id % 3]
+        assert r["width"] == 1 + n % 512
+        assert r["height"] == 1 + (7 * n) % 512
 
 
 def test_sessionize_gap_boundaries(spark):
