@@ -24,6 +24,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # windowing + the LLM-data and temporal operator suite. The exact
 # brute-force embedding near-dup (O(n²) baseline) is intentionally
 # excluded — its production path is the LSH variant benchmarked below.
+# Likewise the UNCAPPED exact Jaccard is the verification-only baseline;
+# the benched entry is the df-capped variant (the shape you'd run at
+# scale, where hot boilerplate shingles otherwise explode the df² join).
 HEADLINE = [
     "revenue_by_customer_90d",
     "pricing_summary",
@@ -41,7 +44,7 @@ HEADLINE = [
     "doc_quality",
     "lang_id_documents",
     "doc_fingerprints",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
     "minhash_lsh_candidates",
     "simhash_candidates",
     "embedding_topk_cosine",

@@ -41,15 +41,29 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5, max_df: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets for every pair
     sharing ≥1 shingle; keep pairs with round(jaccard,6) >= threshold.
 
     (Thresholding on the ROUNDED value keeps the predicate decision
     identical across engines despite last-ulp float noise.)
+
+    The (id, shingle) relation feeds four plan branches (df cap, sizes,
+    both self-join sides); ``materialize`` (default) lazily
+    localCheckpoints it so normalization+shingling runs once instead of
+    per branch — the in-plan stand-in for persisting the shingle table
+    between pipeline stages at scale.
     """
     sh = word_shingles(df, id_col, text_col, n)
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
@@ -90,14 +104,28 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, nu
     return sig.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"))
 
 
-def minhash_lsh_candidates(signatures: DataFrame, id_col: str, bands: int = 16, num_hashes: int = 64) -> DataFrame:
+def minhash_lsh_candidates(
+    signatures: DataFrame, id_col: str, bands: int = 16, num_hashes: int = 64, materialize: bool = True
+) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, hash each
     band, equi-join on (band, band_hash) → candidate pairs with their
-    estimated Jaccard (fraction of agreeing minhashes)."""
+    estimated Jaccard (fraction of agreeing minhashes).
+
+    Shuffle discipline (the 100 TB part): the band join and the
+    pair-dedup carry ONLY (id, band, band_hash) — 24 bytes/row — never
+    the ~0.5 KB signature arrays; signatures are re-attached to the
+    deduped pairs afterwards. ``materialize`` (default) lazily
+    localCheckpoints the signature table so the three plan references
+    (band explode + two re-attach joins) compute the expensive
+    shingle→minhash pass exactly once — the single-query stand-in for
+    what a production pipeline does by persisting the signature table
+    between stages. Pass False when the caller's ``signatures`` is
+    already a cheap scan of a materialized table."""
     rows_per_band = max(1, num_hashes // bands)
+    if materialize:
+        signatures = signatures.localCheckpoint(eager=False)
     banded = signatures.select(
         F.col(id_col),
-        F.col("signature"),
         F.posexplode(
             F.array(
                 *[
@@ -107,16 +135,14 @@ def minhash_lsh_candidates(signatures: DataFrame, id_col: str, bands: int = 16, 
             )
         ).alias("band", "band_hash"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "band_hash")
-    pairs = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    pairs = a.join(b, ["band", "band_hash"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    withsigs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1))
-    return pairs.select(
+    return withsigs.select(
         "id_a", "id_b", F.round(agree.cast("double") / F.size("sig_a"), 6).alias("est_jaccard")
     )
 
@@ -141,13 +167,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
-def simhash_candidates(sim: DataFrame, id_col: str, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+def simhash_candidates(
+    sim: DataFrame, id_col: str, max_hamming: int = 3, blocks: int = 4, materialize: bool = True
+) -> DataFrame:
     """Near-dup candidates by the pigeonhole principle: split the 64-bit
     fingerprint into ``blocks`` equal-width blocks; any pair with
     Hamming distance < ``blocks`` must agree exactly on ≥1 block →
     equi-join per block, then exact Hamming filter via bit_count(xor).
-    (Guarantee holds for max_hamming <= blocks-1; wider distances are
-    found only probabilistically.)"""
+
+    RECALL GUARANTEE: complete only for max_hamming <= blocks - 1;
+    pairs at wider distances surface only if they happen to share a
+    block. Size ``blocks = max_hamming + 1`` for full recall.
+    ``materialize`` localCheckpoints the fingerprint table so the
+    64-column vote aggregation inside ``simhash`` runs once, not once
+    per self-join side."""
+    if materialize:
+        sim = sim.localCheckpoint(eager=False)
     width = 64 // blocks
     mask = (1 << width) - 1
     exploded = sim.select(
@@ -176,6 +211,7 @@ def verify_pairs_jaccard(
         word_shingles(df, id_col, text_col, n)
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("__set"))
+        .localCheckpoint(eager=False)  # one shingling pass, two join sides
     )
     a = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a"))
     b = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__set_b"))

@@ -756,13 +756,15 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_candidates",
     oracle=None,  # hash-function-specific
-    doc="64-bit SimHash near-dup candidates via pigeonhole block join",
+    doc="64-bit SimHash near-dups, pigeonhole blocks = max_hamming+1 (FULL recall ≤ 8)",
 )
 def simhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.neardup import simhash, simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_candidates(simhash(docs, "doc_id", "text"), "doc_id", max_hamming=8, blocks=4)
+    # blocks = max_hamming + 1: the pigeonhole guarantee covers the full
+    # advertised distance — every pair at Hamming <= 8 is returned.
+    return simhash_candidates(simhash(docs, "doc_id", "text"), "doc_id", max_hamming=8, blocks=9)
 
 
 # ==========================================================================
@@ -1522,9 +1524,9 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS shingle
       FROM elig, UNNEST(range(1, len(w) - 1)) AS t(i)
     ),
-    ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh0),
+    ndocs AS (SELECT COUNT(*) AS n FROM documents),
     hot AS (SELECT shingle FROM sh0 GROUP BY shingle
-            HAVING COUNT(*) > 0.05 * (SELECT n FROM ndocs)),
+            HAVING COUNT(*) > CAST(FLOOR(0.05 * (SELECT n FROM ndocs)) AS BIGINT)),
     sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
     shared AS (
@@ -1542,28 +1544,13 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Jaccard with stop-shingle cap (df > 5% of docs dropped both sides)",
 )
 def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_spark_spark.operators.neardup import word_shingles
+    from lakehouse_spark_spark.operators.neardup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", 3)
-    n_docs = sh.select("doc_id").distinct().count()
-    hot = (
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 0.05 * n_docs).select("shingle")
-    )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b")).groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("shared"))
-    )
-    return (
-        shared.join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))), "doc_a")
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))), "doc_b")
-        .withColumn("jaccard", F.round(F.col("shared").cast("double") / (F.col("size_a") + F.col("size_b") - F.col("shared")), 6))
-        .filter(F.col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
-    )
+    # Doc count from the base table (parquet row-group stats — no
+    # shingling job); the operator applies the absolute cap both sides.
+    max_df = int(0.05 * docs.count())
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, max_df=max_df)
 
 
 @register(
