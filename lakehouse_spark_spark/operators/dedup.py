@@ -35,18 +35,24 @@ def dedup_latest(df: DataFrame, key: list[str] | str, order_col: str, tiebreak: 
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def exact_dedup(df: DataFrame, on: list[str] | str, keep_min: str | None = None) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, on: list[str] | str, keep_min: str | None = None, tiebreak: list[str] | str | None = None
+) -> DataFrame:
     """Exact duplicate removal on a column set via hash-groupBy.
 
     When ``keep_min`` is given, the surviving row is the one with the
-    minimal value of that column (deterministic representative —
-    the 'canonical doc id' pattern for training-data dedup); all other
-    columns are taken from that representative row.
+    minimal value of that column (deterministic representative — the
+    'canonical doc id' pattern for training-data dedup); all other
+    columns are taken from that representative row. The representative
+    is only deterministic if ``keep_min`` is unique within each group —
+    otherwise pass ``tiebreak`` columns (ascending) to pin it, the same
+    contract ``dedup_latest`` enforces.
     """
     on = [on] if isinstance(on, str) else list(on)
     if keep_min is None:
         return df.dropDuplicates(on)
-    w = Window.partitionBy(*on).orderBy(F.col(keep_min).asc())
+    tiebreak = [] if tiebreak is None else ([tiebreak] if isinstance(tiebreak, str) else list(tiebreak))
+    w = Window.partitionBy(*on).orderBy(F.col(keep_min).asc(), *[F.col(c).asc() for c in tiebreak])
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 

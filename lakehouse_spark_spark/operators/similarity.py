@@ -100,6 +100,37 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold:
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> list[list[float]]:
+    """Fit the IVF coarse quantizer on a BOUNDED sample of the corpus
+    and return the centroid table (n_cells × dim plain floats).
+
+    The fit job never reads more than ~``max_train_rows`` vectors: the
+    sampling fraction comes from the corpus row count (parquet
+    row-group stats — no data scan), with 20% headroom then a hard
+    ``limit``. k-means centroid quality is statistically insensitive to
+    fitting on a sample this size, while fitting on the full corpus at
+    100 TB would be a full MLlib job before the first candidate is
+    generated. Train once, reuse: pass the result to ``ivf_topk``'s
+    ``centroids`` argument across queries (the production layout keeps
+    it as a tiny table next to the corpus)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    sampled = corpus
+    if n > max_train_rows:
+        sampled = corpus.sample(fraction=min(1.0, 1.2 * max_train_rows / n), seed=seed).limit(max_train_rows)
+    train = sampled.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,6 +140,8 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
     corpus vector to a cell; each query scores only vectors in its
@@ -117,16 +150,13 @@ def ivf_topk(
     The trained centroid table is tiny (n_cells × dim) and broadcasts
     with the plan; candidate generation is an equi-join on cell id —
     the same scale shape as the LSH variant, but data-adaptive.
-    Training cost is one MLlib k-means fit over (a sample of) the
-    corpus; at 100 TB you fit on a ~1% sample, which k-means quality
-    barely notices.
+    Pass a pre-trained ``centroids`` table to skip training entirely
+    (the recommended shape for repeated queries); otherwise one bounded
+    sample-fit runs via ``train_ivf_centroids`` (≤ ``max_train_rows``
+    vectors regardless of corpus size).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_cells=n_cells, seed=seed, max_train_rows=max_train_rows)
 
     def cell_scores(vec: Column) -> Column:
         # negative squared L2 distance to each centroid (argmax = nearest)

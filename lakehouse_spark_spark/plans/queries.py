@@ -1336,9 +1336,10 @@ def customers_with_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_ann_ivf",
     oracle=None,  # approximate + k-means-dependent
     doc=(
-        "IVF ANN: k-means coarse quantizer, probe 4 of 16 cells. NOTE: "
-        "the synthetic embeddings are near-uniform random — IVF's worst "
-        "case — so recall@5 is ~0.5-0.7 here; on real clustered "
+        "IVF ANN: k-means coarse quantizer (fit on a bounded <=100k-row "
+        "sample; accepts pre-trained centroids), probe 4 of 16 cells. "
+        "NOTE: the synthetic embeddings are near-uniform random — IVF's "
+        "worst case — so recall@5 is ~0.5-0.7 here; on real clustered "
         "embeddings the same shape reaches >0.9"
     ),
 )
@@ -2170,3 +2171,109 @@ def daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.windows import rollup_chain_daily_from_hourly
 
     return rollup_chain_daily_from_hourly(_t(spark, sf_dir, "events"))
+
+
+# ==========================================================================
+# Storage-layout queries: partition pruning and bucketed co-located joins
+# exercised END-TO-END (write the layout, read it back, verify the same
+# numbers come out). The reference reads flat CSVs (src/pipeline.py:40-42)
+# — these layouts are this engine's scale upgrade: a date-partitioned
+# gold table lets a year-filtered scan skip every other partition's
+# files; bucketed fact tables make repeated orderkey joins shuffle-free.
+# ==========================================================================
+def _sf_tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+
+
+@register(
+    "partition_pruned_monthly_revenue",
+    oracle="""
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+    GROUP BY 1
+    """,
+    doc=(
+        "orders written as a year-partitioned gold table, read back with "
+        "a partition filter (scan prunes to the 1995 directories — "
+        "PartitionFilters, asserted in tests/test_plans.py); oracle "
+        "recomputes from the unpartitioned base table"
+    ),
+)
+def partition_pruned_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.sources.sinks import write_parquet
+
+    gold = f"/tmp/lakehouse_gold/{_sf_tag(sf_dir)}/orders_by_year"
+    orders = _t(spark, sf_dir, "orders")
+    write_parquet(orders.withColumn("order_year", F.year("o_orderdate")), gold, partition_by=["order_year"])
+    fact = spark.read.parquet(gold)
+    return (
+        fact.filter(F.col("order_year") == 1995)  # directory-level prune
+        .groupBy(F.month("o_orderdate").cast("long").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "bucketed_join_order_revenue",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc=(
+        "lineitem⋈orders on orderkey over BUCKETED managed tables: both "
+        "sides pre-hash-partitioned on disk, so the sort-merge join runs "
+        "with zero exchange (asserted in tests/test_plans.py); oracle is "
+        "the identical join on the plain parquet"
+    ),
+)
+def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _bucketed_join_df(spark, sf_dir)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _bucketed_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joined (pre-aggregation) bucketed DataFrame — split out so
+    tests can assert the join itself carries no Exchange."""
+    import os
+    import shutil
+
+    from lakehouse_spark_spark.sources.tables import write_bucketed
+
+    tag = _sf_tag(sf_dir)
+    t_li, t_ord = f"lakehouse_b_lineitem_{tag}", f"lakehouse_b_orders_{tag}"
+    # Orphaned warehouse dirs (catalog lost, files left) break saveAsTable
+    # overwrite — clear them first.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for name in (t_li, t_ord):
+        if wh and not spark.catalog.tableExists(name):
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        t_li,
+        ["l_orderkey"],
+        buckets=8,
+    )
+    write_bucketed(_t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"), t_ord, ["o_orderkey"], buckets=8)
+    # hint pins the sort-merge strategy (broadcast would also be
+    # exchange-free but wouldn't demonstrate the bucket co-location)
+    return spark.table(t_li).hint("merge").join(spark.table(t_ord), F.col("l_orderkey") == F.col("o_orderkey"))

@@ -44,15 +44,15 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None, m
 
 def write_single_csv(df: DataFrame, out_path: str) -> None:
     """Reference-parity single-file CSV sink (src/pipeline.py:21-36):
-    write to a temp dir with one task, move the part file into place.
-    For small control-plane outputs (DQ results, run logs) only."""
+    write to a temp dir with one task, then atomically publish the part
+    file with os.replace (same filesystem, so a crash leaves either the
+    old file or the new one — never a missing/partial one). For small
+    control-plane outputs (DQ results, run logs) only."""
     tmp = out_path + "__tmp"
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    if os.path.exists(out_path):
-        os.remove(out_path)
-    shutil.move(part, out_path)
+    os.replace(part, out_path)
     shutil.rmtree(tmp)
 
 
@@ -62,21 +62,38 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256) -> int:
     streaming/incremental sink eventually needs — thousands of KB-scale
     part files turn scans into metadata storms. Returns the new file
     count. (Delta/Iceberg do this as OPTIMIZE; this is the plain-parquet
-    form: full rewrite through a temp dir, then swap. The rmtree-then-move
-    window is NOT crash-atomic; a real deployment swaps via a
-    transactional table format or a rename into a versioned path.)"""
+    form: full rewrite through a temp dir, then a two-rename swap — the
+    old data is moved ASIDE first, so every crash window leaves a
+    complete copy on disk for recovery; only the final cleanup deletes
+    it. Single-directory renames are not one atomic op, so concurrent
+    READERS still need a transactional table format — this protects
+    against data loss, not reader isolation.)"""
     import math
     import os
-    import shutil
 
     size = sum(os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(path) for f in fs)
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    _swap_dirs(tmp, path)
     return n_files
+
+
+def _swap_dirs(tmp: str, path: str) -> None:
+    """Publish ``tmp`` at ``path`` without a data-loss window: rename the
+    old directory aside, rename tmp into place, then delete the
+    set-aside copy. A crash between the renames leaves the dataset
+    recoverable at ``path + '__old'``."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)  # stale leftover from a prior crash
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def upsert_parquet(spark, path: str, updates: DataFrame, key_cols: list[str]) -> None:
@@ -84,10 +101,9 @@ def upsert_parquet(spark, path: str, updates: DataFrame, key_cols: list[str]) ->
     in ``updates`` are replaced; new keys are appended. Full
     read-antijoin-union-rewrite — the plain-parquet cost of an upsert,
     and the reason transactional formats (Delta MERGE INTO) exist: they
-    rewrite only the touched files. Same non-crash-atomic swap caveat as
-    compact_parquet."""
+    rewrite only the touched files. Publishes via the same
+    rename-aside swap as compact_parquet (no data-loss window)."""
     import os
-    import shutil
 
     existing = spark.read.parquet(path) if os.path.exists(path) else None
     if existing is not None:
@@ -98,6 +114,4 @@ def upsert_parquet(spark, path: str, updates: DataFrame, key_cols: list[str]) ->
         merged = updates
     tmp = path.rstrip("/") + "__upsert"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    shutil.move(tmp, path)
+    _swap_dirs(tmp, path)

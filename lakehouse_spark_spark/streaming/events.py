@@ -65,14 +65,23 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> None:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+) -> None:
     """Drain everything currently available into an in-memory sink and
     stop — the incremental-batch execution mode. Results land in the
-    ``query_name`` temp view (spark.table(query_name))."""
+    ``query_name`` temp view (spark.table(query_name)).
+
+    ``output_mode``: 'complete' (default) suits aggregations but keeps
+    ALL window state resident — the watermark cannot evict because every
+    window stays addressable; use 'append' for non-aggregating streams
+    (dedup, joins — 'complete' would raise AnalysisException for those)
+    and for watermark-evicted windowed aggs where only finalized windows
+    should be emitted."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -25,16 +25,11 @@ def test_dedup_stream_drops_duplicates(spark):
         stream = (
             spark.readStream.schema("event_id long, ts timestamp, value double").parquet(src)
         )
-        q = (
-            dedup_stream(stream, ["event_id"])
-            .writeStream.format("memory")
-            .queryName("dedup_stream_t")
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from lakehouse_spark_spark.streaming.events import run_available_now
+
+        # append mode: the right drain mode for non-aggregating streams
+        # ('complete' would raise AnalysisException here)
+        run_available_now(dedup_stream(stream, ["event_id"]), "dedup_stream_t", ck, output_mode="append")
         out = spark.table("dedup_stream_t")
         assert out.count() == 5  # one survivor per event_id
         assert out.select("event_id").distinct().count() == 5

@@ -40,6 +40,17 @@ def test_exact_dedup_keep_min(spark):
     assert out == {"x": 2, "y": 9}
 
 
+def test_exact_dedup_tiebreak_pins_representative(spark):
+    # keep_min ties within the group: the tiebreak column must pick the
+    # survivor deterministically regardless of partition order
+    rows = [("x", 1, "b"), ("x", 1, "a"), ("x", 2, "z"), ("y", 1, "q")]
+    df = spark.createDataFrame(rows, ["t", "rank", "src"]).repartition(8)
+    out = {(r["t"]): (r["rank"], r["src"]) for r in exact_dedup(df, "t", keep_min="rank", tiebreak="src").collect()}
+    assert out == {"x": (1, "a"), "y": (1, "q")}
+    again = {(r["t"]): (r["rank"], r["src"]) for r in exact_dedup(df, "t", keep_min="rank", tiebreak="src").collect()}
+    assert again == out
+
+
 def test_typed_cast_policies(spark):
     df = spark.createDataFrame([("1",), ("oops",), (None,)], ["v"])
     kept = typed_cast(df, "v", "int", "keep")

@@ -128,3 +128,30 @@ def test_dynamic_partition_pruning_on_partitioned_gold(spark, tmp_path):
         assert got_years == {1995}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_registered_partition_pruned_query_prunes(spark):
+    """The registered partition_pruned_monthly_revenue query's scan must
+    carry a PartitionFilters entry on order_year — i.e. the year filter
+    prunes directories, it doesn't read-then-filter."""
+    df = registry()["partition_pruned_monthly_revenue"].builder(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters", 1)[1][:200]
+    assert df.count() > 0
+
+
+def test_registered_bucketed_join_query_is_shuffle_free_join(spark):
+    """bucketed_join_order_revenue: the fact-fact join runs on the
+    bucket layout with ZERO exchange; only the final status aggregation
+    shuffles (bounded-cardinality key)."""
+    from lakehouse_spark_spark.plans.queries import _bucketed_join_df
+
+    joined = _bucketed_join_df(spark, SF_SMALL)
+    jtree = tree_of(joined)
+    assert "SortMergeJoin" in jtree
+    assert "Exchange" not in jtree  # co-located by bucket layout
+
+    full = registry()["bucketed_join_order_revenue"].builder(spark, SF_SMALL)
+    ftree = tree_of(full)
+    # exactly one exchange in the whole query: the 3-key status agg
+    assert ftree.count("Exchange") == 1

@@ -29,6 +29,49 @@ def test_salt_distribution_spreads_hot_key(spark):
     assert max(r["count"] for r in salts) < 3 * (1000 / 8)
 
 
+def test_salted_shuffle_avoids_straggler_partition(spark):
+    """Deliberately skewed key (one user owns 50% of events): the plain
+    key-partitioned shuffle funnels the hot key into one straggler
+    partition, the salted layout bounds every partition near the mean —
+    the task-size proof behind SCALE.md's salting contract."""
+    from lakehouse_spark_spark.operators.skew import add_salt, salted_join
+
+    n, parts = 20_000, 16
+    rows = [(i, 1 if i % 2 == 0 else (i % 50) + 2, float(i % 97)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    mean = n / parts
+
+    plain_sizes = [
+        r["count"]
+        for r in df.repartition(parts, "user_id").groupBy(F.spark_partition_id().alias("p")).count().collect()
+    ]
+    salted_sizes = [
+        r["count"]
+        for r in add_salt(df, "__salt", parts, "event_id")
+        .repartition(parts, "user_id", "__salt")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    ]
+    assert max(plain_sizes) >= 0.5 * n  # the straggler: hot key in one task
+    assert max(salted_sizes) <= 2.5 * mean  # salted: bounded near the mean
+    assert sum(salted_sizes) == n  # nothing lost
+
+    # and the salted JOIN stays row-identical to the plain join on the
+    # same skewed data (round-1 only proved this on uniform keys)
+    users = spark.createDataFrame([(u, f"u{u}") for u in range(1, 52)], ["user_id", "name"])
+    plain_join = {
+        (r["event_id"], r["name"]) for r in df.join(users, "user_id").select("event_id", "name").collect()
+    }
+    salted_join_rows = {
+        (r["event_id"], r["name"])
+        for r in salted_join(df, users, on="user_id", buckets=8, entropy_col="event_id")
+        .select("event_id", "name")
+        .collect()
+    }
+    assert salted_join_rows == plain_join
+
+
 def test_sql_entry_matches_dataframe_entry(spark):
     from lakehouse_spark_spark.plans.queries import registry
 
