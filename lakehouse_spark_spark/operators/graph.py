@@ -1,0 +1,130 @@
+"""Connected components over a pair graph: dedup CLUSTER formation.
+
+Near-dup detection (operators/neardup.py) emits PAIRS; production dedup
+at 100 TB needs CLUSTERS — transitively-closed groups with one kept
+representative per group. A pairwise drop rule ("drop the greater id of
+each pair") keeps every local minimum of the pair graph; the cluster
+rule keeps exactly one doc per connected component. Both are
+deterministic, but the cluster rule is the standard corpus-dedup
+semantics (MinHash-dedup as described in the Lee et al. 2021
+"Deduplicating Training Data Makes Language Models Better" setup).
+
+Algorithm: iterative min-label propagation with pointer jumping.
+
+- state: ``(node, component)``, initialized component = node.
+- each round: component(v) ← min(component(v), min over neighbours u of
+  component(u)), then one pointer-jump round
+  component(v) ← min(component(v), component(component(v))) which
+  collapses chains logarithmically (the chain a-b-c-d-… converges in
+  O(log diameter) rounds instead of O(diameter)).
+- convergence: stop when no label changed (an `Any changed?` aggregate
+  per round — a distributed action, not a data collect; the loop is
+  driver-side CONTROL only, all data movement is joins/groupBys).
+- every round ends in ``localCheckpoint`` to truncate lineage (the
+  standard Spark idiom for iterative algorithms; at scale this is a
+  checkpoint to the cluster store).
+
+Scale design: each round is two shuffles (neighbour min groupBy + the
+pointer-jump self-join) keyed by node id — uniform unless one component
+is huge, and the min-label representative acts as the natural combiner
+(partial aggregation). For graphs with billions of edges the
+alternating large-star/small-star scheme (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) halves round count; the
+min+jump loop here matches its asymptotics for the near-dup graphs this
+engine targets (components are small — dup clusters, not social graphs).
+
+The fixpoint is EXACT and unique (min reachable id per node), so the
+result is oracle-checkable with a recursive CTE — no hash-seed or
+ordering sensitivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the
+    minimum node id reachable from it: ``(node, component)``.
+
+    Deterministic: the fixpoint (min reachable id) does not depend on
+    iteration order or partitioning. ``max_iter`` bounds the loop; with
+    pointer jumping, 25 rounds covers any component diameter up to
+    ~2^25 — raise only for pathological chain graphs.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    # cache the (static) symmetric edge list across rounds
+    sym = sym.distinct().localCheckpoint(eager=False)
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .select(F.col("v").alias("node"), F.col("component").alias("nmin"))
+            .groupBy("node")
+            .agg(F.min("nmin").alias("nmin"))
+        )
+        relaxed = labels.join(neigh_min, "node", "left").select(
+            "node",
+            F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
+        )
+        # pointer jump: follow the label's own label one hop
+        parents = relaxed.select(F.col("node").alias("pnode"), F.col("component").alias("pcomp"))
+        jumped = (
+            relaxed.join(parents, relaxed["component"] == parents["pnode"], "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))).alias("component"),
+            )
+            .localCheckpoint()  # eager: materialize the round, truncate lineage
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("component", "old_component"), "node")
+            .filter(F.col("component") != F.col("old_component"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def components_with_singletons(
+    all_nodes: DataFrame, components: DataFrame, id_col: str
+) -> DataFrame:
+    """Extend a component labelling to the full node universe: nodes
+    with no edge become their own singleton component.
+    Returns ``(id_col, component)`` for every row of ``all_nodes``."""
+    return (
+        all_nodes.select(id_col)
+        .join(components, all_nodes[id_col] == components["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+
+
+def cluster_representatives(components: DataFrame) -> DataFrame:
+    """Per-cluster dedup decision from a ``(node, component)`` labelling:
+    keep the component minimum (== the component id itself), drop the
+    rest. Returns ``(node, component, is_representative)``."""
+    return components.select(
+        "node",
+        "component",
+        (F.col("node") == F.col("component")).alias("is_representative"),
+    )

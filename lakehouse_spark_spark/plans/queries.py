@@ -2277,3 +2277,86 @@ def _bucketed_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hint pins the sort-merge strategy (broadcast would also be
     # exchange-free but wouldn't demonstrate the bucket co-location)
     return spark.table(t_li).hint("merge").join(spark.table(t_ord), F.col("l_orderkey") == F.col("o_orderkey"))
+
+
+# ==========================================================================
+# LLM-data: dedup CLUSTER formation — connected components over the
+# exact near-dup pair graph (operators/graph.py). Pairs → transitive
+# clusters → one representative per cluster, the standard corpus-dedup
+# semantics. Oracle: DuckDB recursive CTE (min reachable id), exact.
+# ==========================================================================
+_JACCARD_PAIRS_CTES = f"""
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    elig AS (SELECT * FROM toks WHERE len(w) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS shingle
+      FROM elig, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(shared * 1.0 / (sa.set_size + sb.set_size - shared), 6) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+"""
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).select("doc_a", "doc_b")
+
+
+@register(
+    "neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES}
+    SELECT doc_id, component FROM comp
+    """,
+    doc="connected components over the exact Jaccard>=0.2 pair graph; every doc labelled (singletons = own id)",
+)
+def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.graph import components_with_singletons, connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = connected_components(_jaccard_edges(spark, sf_dir), src="doc_a", dst="doc_b")
+    return components_with_singletons(docs, comp, "doc_id")
+
+
+@register(
+    "neardup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES}
+    SELECT component, COUNT(*) AS n_docs, COUNT(*) - 1 AS n_dropped
+    FROM comp GROUP BY component HAVING COUNT(*) > 1
+    """,
+    doc="multi-doc dedup clusters: size and docs-to-drop under keep-representative policy",
+)
+def neardup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.graph import connected_components
+
+    comp = connected_components(_jaccard_edges(spark, sf_dir), src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"), (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"))
+        .filter(F.col("n_docs") > 1)
+    )

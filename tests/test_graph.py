@@ -1,0 +1,82 @@
+"""Connected components (operators/graph.py): hand graphs + randomized
+equivalence against a pure-Python union-find reference."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from lakehouse_spark_spark.operators.graph import (
+    cluster_representatives,
+    components_with_singletons,
+    connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in got}
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min member per component
+    comp = {}
+    members = {}
+    for x in parent:
+        members.setdefault(find(x), []).append(x)
+    for root, ms in members.items():
+        m = min(ms)
+        for x in ms:
+            comp[x] = m
+    return comp
+
+
+def test_cc_chain_star_isolated(spark):
+    # chain 1-2-3-4, star 10-{11,12,13}, pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_cc_long_chain_converges_via_pointer_jumping(spark):
+    # diameter 40 chain must converge well inside max_iter=25 rounds
+    edges = [(i, i + 1) for i in range(40)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc(spark, edges) == _union_find(edges)
+
+
+def test_singletons_and_representatives(spark):
+    edges_df = spark.createDataFrame([(5, 9)], "src long, dst long")
+    comp = connected_components(edges_df)
+    universe = spark.createDataFrame([(5,), (9,), (42,)], "doc_id long")
+    full = components_with_singletons(universe, comp, "doc_id")
+    got = {r["doc_id"]: r["component"] for r in full.collect()}
+    assert got == {5: 5, 9: 5, 42: 42}
+
+    reps = cluster_representatives(comp).collect()
+    by_node = {r["node"]: r["is_representative"] for r in reps}
+    assert by_node == {5: True, 9: False}
