@@ -14,8 +14,14 @@ Two near-dup backends with identical downstream semantics:
   (the 100 TB path — same results whenever LSH recall holds at the
   threshold, which the banding parameters are chosen for).
 
-Drop policy for a near-dup pair: keep the LOWER doc_id (stable,
-deterministic, matches the exact-dedup keep-min rule).
+Two drop policies for near-dups, both deterministic:
+- ``pairwise`` (default): drop the HIGHER doc_id of every pair — keeps
+  every local minimum of the pair graph.
+- ``cluster``: connected components over the pair graph
+  (operators/graph.py), keep exactly ONE doc (the min id) per
+  transitive cluster — the standard corpus-dedup semantics (one
+  representative per dup group), and the policy you want at 100 TB
+  where chains a~b~c are common near the threshold.
 """
 
 from __future__ import annotations
@@ -49,6 +55,7 @@ def prepare_corpus(
     docs: DataFrame,
     jaccard_threshold: float = 0.8,
     neardup_backend: str = "exact",
+    drop_policy: str = "pairwise",
 ) -> DataFrame:
     """Returns every input doc_id with its final disposition:
     ``verdict`` ∈ {kept, too_short, too_long, lang_filtered,
@@ -78,8 +85,17 @@ def prepare_corpus(
         pairs = ngram_jaccard_pairs(exact_kept, "doc_id", "text", n=3, threshold=jaccard_threshold).select(
             "doc_a", "doc_b"
         )
-    # drop the younger (higher id) of each pair; doc_a < doc_b by construction
-    near_dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    if drop_policy == "cluster":
+        # transitive closure: one representative (min id) per dup cluster
+        from lakehouse_spark_spark.operators.graph import connected_components
+
+        comp = connected_components(pairs, src="doc_a", dst="doc_b")
+        near_dropped = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+    else:
+        # drop the younger (higher id) of each pair; doc_a < doc_b by construction
+        near_dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
     disposition = (
         judged.select("doc_id", "q")

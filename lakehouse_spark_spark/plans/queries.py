@@ -2360,3 +2360,75 @@ def neardup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "training_corpus_disposition_cc",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lang, text, {_NORM} AS norm,
+             string_split({_NORM}, ' ') AS toks
+      FROM documents
+    ),
+    judged AS (
+      SELECT doc_id, lang, norm, toks,
+             CASE WHEN len(toks) < 10 THEN 'too_short'
+                  WHEN len(toks) > 1000 THEN 'too_long'
+                  WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang_filtered'
+                  WHEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+                       / greatest(len(toks), 1) < 0.01 THEN 'low_quality'
+                  ELSE 'keep' END AS q
+      FROM base
+    ),
+    hashed AS (SELECT doc_id, norm, toks, md5(norm) AS h FROM judged WHERE q = 'keep'),
+    keepids AS (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h),
+    exact_kept AS (
+      SELECT hashed.doc_id, hashed.toks FROM hashed
+      JOIN keepids ON hashed.h = keepids.h AND hashed.doc_id = keepids.keep_id
+    ),
+    elig AS (SELECT doc_id, toks AS w FROM exact_kept WHERE len(toks) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS shingle
+      FROM elig, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(shared * 1.0 / (sa.set_size + sb.set_size - shared), 6) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM exact_kept
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    near_dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+    SELECT j.doc_id,
+           CASE WHEN j.q <> 'keep' THEN j.q
+                WHEN ek.doc_id IS NULL THEN 'exact_dup'
+                WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS verdict
+    FROM judged j
+    LEFT JOIN exact_kept ek ON j.doc_id = ek.doc_id
+    LEFT JOIN near_dropped nd ON j.doc_id = nd.doc_id
+    """,
+    doc="composed pipeline with CLUSTER drop policy: one representative per transitive dup group",
+)
+def training_corpus_disposition_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.plans.corpus import prepare_corpus
+
+    return prepare_corpus(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.8, neardup_backend="exact", drop_policy="cluster"
+    )

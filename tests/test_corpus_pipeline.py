@@ -54,3 +54,46 @@ def test_synthetic_dups_are_dropped(spark):
     assert got[3] == "near_dup"
     assert got[4] == "kept"
     assert got[5] == "too_short"
+
+
+def test_cluster_policy_drops_superset_of_pairwise(spark):
+    """If v is pairwise-dropped (some neighbour u < v) then
+    component(v) <= u < v, so the cluster policy drops it too:
+    cluster-dropped must be a superset of pairwise-dropped. On data
+    where the pair graph has no chains the two policies coincide."""
+    from lakehouse_spark_spark.plans.corpus import prepare_corpus
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pw = {r["doc_id"] for r in prepare_corpus(docs, 0.8).filter("verdict = 'near_dup'").collect()}
+    cc = {
+        r["doc_id"]
+        for r in prepare_corpus(docs, 0.8, drop_policy="cluster").filter("verdict = 'near_dup'").collect()
+    }
+    assert pw <= cc
+
+
+def test_cluster_policy_keeps_one_per_transitive_group(spark):
+    """Planted chain a~b, b~c with a!~c: pairwise drops b and c;
+    cluster also drops b and c (one representative for {a,b,c}).
+    Planted fork 1~3, 2~3 with 1!~2: pairwise keeps {1,2}, cluster
+    keeps only 1 — the transitive semantics."""
+    from lakehouse_spark_spark.plans.corpus import prepare_corpus
+
+    filler = " the a of and is"
+    # fork: doc 3 is half doc-1 tokens, half doc-2 tokens; 1 and 2 share nothing
+    one = " ".join(f"aa{i}" for i in range(60)) + filler
+    two = " ".join(f"bb{i}" for i in range(60)) + filler
+    # 3 = one with a tail of two's tokens, tuned so J(1,3)>=t, J(2,3)<t at t=0.3... use t low
+    three = " ".join(f"aa{i}" for i in range(40)) + " " + " ".join(f"bb{i}" for i in range(40)) + filler
+    docs = spark.createDataFrame([(1, "en", one), (2, "en", two), (3, "en", three)], ["doc_id", "lang", "text"])
+    pw = {r["doc_id"]: r["verdict"] for r in prepare_corpus(docs, 0.3).collect()}
+    cc = {r["doc_id"]: r["verdict"] for r in prepare_corpus(docs, 0.3, drop_policy="cluster").collect()}
+    # pair graph: (1,3) and (2,3) — 3 dropped under both policies
+    assert pw[3] == "near_dup" and cc[3] == "near_dup"
+    assert pw[1] == "kept" and cc[1] == "kept"
+    # 2 survives pairwise (never the greater of an edge with a smaller id
+    # ... it is: edge (2,3) has smaller id 2, so 2 is the keeper there);
+    # cluster merges {1,2,3} via 3 and keeps only the min, dropping 2.
+    assert pw[2] == "kept"
+    assert cc[2] == "near_dup"
