@@ -2432,3 +2432,72 @@ def training_corpus_disposition_cc(spark: SparkSession, sf_dir: str) -> DataFram
     return prepare_corpus(
         _t(spark, sf_dir, "documents"), jaccard_threshold=0.8, neardup_backend="exact", drop_policy="cluster"
     )
+
+
+# ==========================================================================
+# LLM-data: PII scan + redaction (operators/pii.py). The documents table
+# has no organic PII, so the query INJECTS deterministic PII derived
+# from doc_id (identically in Spark and the oracle) and then proves the
+# scanner finds exactly it and the redactor removes exactly it.
+# ==========================================================================
+_PII_AUGMENT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.' || "
+    "CAST(doc_id % 200 AS VARCHAR) || '.0.1 call +1 555 ' || "
+    "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' 1234'"
+)
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.1 call +1 555 "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" 1234"),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+@register(
+    "pii_scan",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUGMENT_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INTEGER) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\+\\d{{1,2}} \\d{{3}} \\d{{3}} \\d{{4}}')) AS INTEGER) AS n_phones
+    FROM aug
+    """,
+    doc="PII match counts per doc over deterministically-injected emails/IPs/phones",
+)
+def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.pii import pii_counts
+
+    aug = _pii_augmented(spark, sf_dir)
+    counts = pii_counts("text")
+    return aug.select("doc_id", *[col.alias(name) for name, col in counts.items()])
+
+
+@register(
+    "pii_redacted",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUGMENT_SQL} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g'),
+             '\\+\\d{{1,2}} \\d{{3}} \\d{{3}} \\d{{4}}', '[PHONE]', 'g') AS clean_text
+    FROM aug
+    """,
+    doc="typed-placeholder PII redaction; exact string compare vs oracle",
+)
+def pii_redacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.pii import redact_pii
+
+    aug = _pii_augmented(spark, sf_dir)
+    return aug.select("doc_id", redact_pii("text").alias("clean_text"))
