@@ -1,0 +1,79 @@
+"""Deterministic corpus sampling and splitting.
+
+Training pipelines need REPRODUCIBLE splits and samples — re-running
+the pipeline on the same corpus (or an append-only grown version of
+it) must assign unchanged rows to unchanged splits. Random-number
+sampling (``df.sample``) can't promise that across runs/partitionings,
+so everything here keys off a content-stable hash of the row id:
+
+- ``hash_split``: md5-hex-prefix range bucketing into named splits with
+  given weights. A row's split depends only on its id — stable under
+  re-partitioning, appends, and engine choice (md5 is identical in
+  DuckDB, which is what makes the oracle exact).
+- ``stratified_sample``: deterministic n-per-stratum sample — the
+  first n rows per stratum in md5(id) order (a uniform-but-frozen
+  order). Window row_number per stratum; at scale this is one shuffle
+  keyed by the stratum column.
+
+Scale notes: ``hash_split`` is a pure projection (no shuffle, scan
+speed). ``stratified_sample`` shuffles by stratum; for heavily skewed
+strata sizes the window is still fine because row_number needs no
+global sort — each stratum sorts independently, and n-per-stratum
+output keeps result size bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_HEX_SPACE = 16**4  # we bucket on the first 4 hex chars of md5 → 65536 buckets
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """[(split_name, exclusive-upper-bound-as-4-hex-chars)] in weight
+    order; the last split absorbs rounding remainder. Lowercase hex
+    compares lexicographically == numerically, so both Spark and any
+    SQL oracle can use plain string comparison."""
+    total = sum(weights.values())
+    acc = 0.0
+    out: list[tuple[str, str]] = []
+    for name, w in weights.items():
+        acc += w / total
+        out.append((name, format(min(int(acc * _HEX_SPACE), _HEX_SPACE - 1), "04x")))
+    return out
+
+
+def split_column(id_col: str, weights: dict[str, float]) -> F.Column:
+    """The split-name column: bucket = first 4 hex chars of
+    md5(CAST(id AS STRING)) compared against the cumulative-weight
+    thresholds."""
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    pairs = split_thresholds(weights)
+    if len(pairs) == 1:
+        return F.lit(pairs[0][0])
+    # first-match chain over ascending thresholds; last split is the tail
+    chain = None
+    for name, ub in pairs[:-1]:
+        cond = prefix < ub
+        chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
+    return chain.otherwise(F.lit(pairs[-1][0]))
+
+
+def hash_split(df: DataFrame, id_col: str, weights: dict[str, float]) -> DataFrame:
+    """Append a deterministic ``split`` column."""
+    return df.withColumn("split", split_column(id_col, weights))
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, n_per_stratum: int
+) -> DataFrame:
+    """First ``n_per_stratum`` rows per stratum in md5(id) order —
+    a frozen uniform sample, reproducible across runs and engines.
+    md5 ties are broken by the id itself (ids are unique)."""
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -2501,3 +2501,109 @@ def pii_redacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aug = _pii_augmented(spark, sf_dir)
     return aug.select("doc_id", redact_pii("text").alias("clean_text"))
+
+
+# ==========================================================================
+# LLM-data: deterministic splits, stratified samples, sequence packing
+# (operators/sampling.py, operators/packing.py).
+# ==========================================================================
+def _split_case_sql(id_expr: str, weights: dict[str, float]) -> str:
+    from lakehouse_spark_spark.operators.sampling import split_thresholds
+
+    pairs = split_thresholds(weights)
+    prefix = f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4)"
+    whens = " ".join(f"WHEN {prefix} < '{ub}' THEN '{name}'" for name, ub in pairs[:-1])
+    return f"CASE {whens} ELSE '{pairs[-1][0]}' END"
+
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@register(
+    "corpus_split_assignment",
+    oracle=f"""
+    SELECT doc_id, {_split_case_sql("doc_id", _SPLIT_WEIGHTS)} AS split
+    FROM documents
+    """,
+    doc="reproducible hash-based train/val/test assignment (md5-prefix range bucketing)",
+)
+def corpus_split_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.sampling import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id", _SPLIT_WEIGHTS)
+
+
+@register(
+    "stratified_sample_documents",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) <= 20
+    """,
+    doc="frozen uniform sample: first 20 docs per language in md5(id) order",
+)
+def stratified_sample_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", "doc_id", 20)
+
+
+_PACK_TOK_SQL = f"CAST(len(string_split({_NORM}, ' ')) AS BIGINT)"
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_PACK_TOK_SQL} AS n_tokens FROM documents),
+    packed AS (
+      SELECT doc_id, lang AS shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
+           FLOOR((cum - 1) / 2048) <> FLOOR((cum - n_tokens) / 2048) AS straddles
+    FROM packed
+    """,
+    doc="concatenate-and-chunk sequence packing, budget 2048 tokens, per-language shards",
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators import text as tx
+    from lakehouse_spark_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", tx.n_tokens("text").alias("n_tokens"))
+    return pack_sequences(docs, "doc_id", "n_tokens", 2048, "lang")
+
+
+@register(
+    "sequence_packing_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_PACK_TOK_SQL} AS n_tokens FROM documents),
+    packed AS (
+      SELECT doc_id, lang AS shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    ),
+    lay AS (SELECT shard, n_tokens, CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id FROM packed)
+    SELECT shard, MAX(seq_id) + 1 AS n_sequences, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_tokens) * 1.0 / ((MAX(seq_id) + 1) * 2048), 6) AS fill_ratio
+    FROM lay GROUP BY shard
+    """,
+    doc="per-shard packing efficiency: sequences, docs, tokens, fill ratio",
+)
+def sequence_packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators import text as tx
+    from lakehouse_spark_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", tx.n_tokens("text").alias("n_tokens"))
+    packed = pack_sequences(docs, "doc_id", "n_tokens", 2048, "lang")
+    stats = packing_stats(packed, 2048)
+    return stats.select(
+        "shard", "n_sequences", "n_docs", "total_tokens", F.round(F.col("fill_ratio"), 6).alias("fill_ratio")
+    )
