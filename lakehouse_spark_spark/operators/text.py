@@ -102,3 +102,53 @@ def doc_fingerprint(col: Column | str, k: int = 8, stride: int = 4) -> Column:
     t = norm_text(col)
     positions = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)), F.lit(stride))
     return F.array_min(F.transform(positions, lambda i: F.md5(F.substring(t, i, k))))
+
+
+def bigrams(col: Column | str) -> Column:
+    """array<string> of word bigrams of the normalized text (empty for
+    docs with fewer than 2 tokens)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)))
+    )
+
+
+def repetition_signals(df, id_col: str, text_col: str):
+    """Gopher-style within-document repetition signals over word
+    bigrams: total/distinct bigram counts, duplicate-bigram fraction
+    (1 - distinct/total) and top-bigram fraction (most frequent bigram's
+    share). High values flag boilerplate/spam for quality filtering.
+
+    Shape: explode → two keyed aggregations (both combiner-friendly;
+    the shuffle key is (doc, bigram) then doc — no hot keys beyond
+    document size, which the corpus quality gate already bounds). Docs
+    with < 2 tokens have no bigrams and are excluded (no signal).
+    """
+    per_bigram = (
+        df.select(F.col(id_col), F.explode(bigrams(text_col)).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_bigram.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("distinct_bigrams"),
+        F.round(F.lit(1) - F.count(F.lit(1)) / F.sum("n"), 6).alias("dup_bigram_frac"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_bigram_frac"),
+    )
+
+
+def top_ngrams(df, text_col: str, k: int = 50):
+    """Corpus-wide top-k bigrams by document-weighted occurrence count,
+    deterministic total order (count desc, bigram asc). The groupBy
+    partially aggregates map-side, so the shuffle carries one row per
+    distinct bigram per partition — at 100 TB this is the standard
+    vocabulary-count shape; the final top-k is a TakeOrdered, no global
+    sort materialization."""
+    return (
+        df.select(F.explode(bigrams(text_col)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
+    )

@@ -2607,3 +2607,52 @@ def sequence_packing_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "shard", "n_sequences", "n_docs", "total_tokens", F.round(F.col("fill_ratio"), 6).alias("fill_ratio")
     )
+
+
+# ==========================================================================
+# LLM-data: repetition signals + corpus n-gram statistics
+# (operators/text.py bigrams/repetition_signals/top_ngrams).
+# ==========================================================================
+_BIGRAMS_SQL = f"""
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS bigram
+      FROM toks, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    )
+"""
+
+
+@register(
+    "doc_repetition",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL},
+    per AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           COUNT(*) AS distinct_bigrams,
+           ROUND(1 - COUNT(*) * 1.0 / SUM(n), 6) AS dup_bigram_frac,
+           ROUND(MAX(n) * 1.0 / SUM(n), 6) AS top_bigram_frac
+    FROM per GROUP BY doc_id
+    """,
+    doc="Gopher-style within-doc repetition: duplicate-bigram and top-bigram fractions",
+)
+def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "top_bigrams",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL}
+    SELECT bigram, COUNT(*) AS n FROM bg
+    GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50
+    """,
+    doc="corpus-wide top-50 bigram vocabulary counts (deterministic tiebreak)",
+)
+def top_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), "text", k=50)

@@ -278,3 +278,28 @@ def test_ivf_sampled_fit_bounded_and_recall(spark):
     # uniform-random vectors are IVF's worst case; sampled fit must stay
     # within noise of the full fit
     assert r_sampled >= r_full - 0.15, (r_sampled, r_full)
+
+
+def test_bigrams_and_repetition_signals(spark):
+    from lakehouse_spark_spark.operators.text import bigrams, repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "solo"), (4, "w w w w")], ["doc_id", "text"]
+    )
+    bg = {r["doc_id"]: r["bg"] for r in df.select("doc_id", bigrams("text").alias("bg")).collect()}
+    assert bg[1] == ["a b", "b a", "a b", "b a"]
+    assert bg[2] == ["x y", "y z"]
+    assert bg[3] == []
+    sig = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    assert 3 not in sig  # no bigrams, no signal row
+    assert sig[1]["n_bigrams"] == 4 and sig[1]["distinct_bigrams"] == 2
+    assert sig[1]["dup_bigram_frac"] == 0.5 and sig[1]["top_bigram_frac"] == 0.5
+    assert sig[4]["dup_bigram_frac"] == round(1 - 1 / 3, 6) and sig[4]["top_bigram_frac"] == 1.0
+
+
+def test_top_ngrams_deterministic_tiebreak(spark):
+    from lakehouse_spark_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame([(1, "b c"), (2, "a b"), (3, "a b")], ["doc_id", "text"])
+    got = [(r["bigram"], r["n"]) for r in top_ngrams(df, "text", k=2).collect()]
+    assert got == [("a b", 2), ("b c", 1)]
