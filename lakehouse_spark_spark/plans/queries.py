@@ -2656,3 +2656,95 @@ def top_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.text import top_ngrams
 
     return top_ngrams(_t(spark, sf_dir, "documents"), "text", k=50)
+
+
+# ==========================================================================
+# Remaining TPC-H query shapes adapted to the testdata schema:
+# Q13 (left-join count histogram), Q19 (disjunctive multi-clause
+# predicate), Q22 (scalar-subquery threshold + anti join).
+# ==========================================================================
+@register(
+    "customer_order_histogram",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left join preserving zero-order customers, then count-of-counts histogram",
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ords = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(ords, cust["c_custkey"] == ords["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "disjunctive_promo_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: three OR'd brand/size/quantity clauses across a join (pushdown of the common disjuncts)",
+)
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    return joined.filter(clause).agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@register(
+    "wealthy_inactive_customers",
+    oracle=f"""
+    WITH threshold AS (
+      SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS avg_bal
+      FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, threshold t
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '{AS_OF}' - INTERVAL 365 DAY)
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: scalar-subquery balance threshold + anti join on recent orders",
+)
+def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").withColumn("bal", F.col("c_acctbal").cast("decimal(18,2)"))
+    # scalar threshold: computed distributed, joined back as a 1-row broadcast
+    thresh = cust.filter(F.col("bal") > 0).agg(F.avg("bal").alias("avg_bal"))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.date_sub(F.lit(AS_OF).cast("date"), 365)
+    )
+    wealthy = cust.join(F.broadcast(thresh)).filter(F.col("bal") > F.col("avg_bal"))
+    inactive = wealthy.join(recent, wealthy["c_custkey"] == recent["o_custkey"], "left_anti")
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal").cast("double").alias("totacctbal"),
+    )

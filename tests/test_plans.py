@@ -155,3 +155,15 @@ def test_registered_bucketed_join_query_is_shuffle_free_join(spark):
     ftree = tree_of(full)
     # exactly one exchange in the whole query: the 3-key status agg
     assert ftree.count("Exchange") == 1
+
+
+def test_disjunctive_predicate_pushes_common_clauses(spark):
+    """Q19 shape: Catalyst must extract the disjunction's common
+    conjuncts and push them into the part scan (p_size >= 1 plus the
+    brand OR), rather than filtering only after the join."""
+    df = registry()["disjunctive_promo_revenue"].builder(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "part.parquet" in plan
+    after_scan = plan.split("part.parquet", 1)[1]
+    assert "p_size" in after_scan[:800], after_scan[:800]
+    assert df.count() == 1
