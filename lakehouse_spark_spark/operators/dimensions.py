@@ -32,7 +32,12 @@ def build_dimension(
     appended by name (src/pipeline.py:98-105)."""
     dim = dedup_latest(df, key, order_col, tiebreak=tiebreak).select(*columns)
     if unknown_row is not None:
-        unknown = dim.sparkSession.createDataFrame([unknown_row], schema=dim.schema)
+        from lakehouse_spark_spark.sources.loaders import local_rows_df
+
+        # JVM-side literal row (see local_rows_df: a Python
+        # LocalRelation costs seconds per downstream write action)
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in dim.schema.fields)
+        unknown = local_rows_df(dim.sparkSession, [tuple(unknown_row[c] for c in dim.columns)], schema)
         dim = dim.unionByName(unknown)
     return dim
 

@@ -132,7 +132,11 @@ def run_pipeline(spark: SparkSession, data_dir: str, orphan_to_unknown: bool = F
 
 
 def run_log(spark: SparkSession, result: PipelineResult, run_id: str, started_at, ended_at) -> DataFrame:
-    """One-row observability record (src/pipeline.py:333-366)."""
+    """One-row observability record (src/pipeline.py:333-366). Built
+    JVM-side (local_rows_df) — a Python LocalRelation costs seconds per
+    write action in Spark 4, absurd for a 1-row control record."""
+    from lakehouse_spark_spark.sources.loaders import local_rows_df
+
     dur = (ended_at - started_at).total_seconds()
     row = [
         (
@@ -145,7 +149,8 @@ def run_log(spark: SparkSession, result: PipelineResult, run_id: str, started_at
             result.row_counts.get("fact_parts_sales", -1),
         )
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         row,
         "run_id string, started_at string, ended_at string, duration_seconds double, "
         "rows_dim_customer long, rows_fact_work_order long, rows_fact_parts_sales long",

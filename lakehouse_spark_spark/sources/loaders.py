@@ -100,3 +100,29 @@ def read_binary_files(spark: SparkSession, directory: str, glob: str | None = No
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(directory)
+
+
+def local_rows_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """JVM-native in-memory row source (SURVEY.md S2) for small
+    control-plane tables (run logs, synthetic dimension members).
+
+    ``spark.createDataFrame(rows)`` builds a Python-side LocalRelation
+    that Spark 4 re-ships through a several-second py4j/serialization
+    handshake on EVERY write action (measured ~4 s for ONE row, vs
+    0.2 s for the same data built from ``spark.range``). This helper
+    keeps the literals entirely JVM-side: each column is an array
+    literal indexed by ``range(n)``, so writes of control tables cost
+    milliseconds. Use for driver-known constants only — data rows come
+    from real sources.
+
+    ``schema``: "name type, name type, …" (the createDataFrame DDL
+    subset; values are cast to the declared types).
+    """
+    fields = [f.strip().split(None, 1) for f in schema.split(",")]
+    # one select so user column names can never collide with range's id
+    return spark.range(len(rows)).select(
+        *[
+            F.array(*[F.lit(r[i]).cast(typ) for r in rows])[F.col("id").cast("int")].alias(name)
+            for i, (name, typ) in enumerate(fields)
+        ]
+    )
