@@ -50,6 +50,8 @@ HEADLINE = [
     "embedding_topk_cosine",
     "embedding_ann_lsh",
     "multimodal_decode",
+    "decontaminated_corpus",
+    "doc_unigram_logprob",
 ]
 
 

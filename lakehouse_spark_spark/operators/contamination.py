@@ -1,0 +1,87 @@
+"""Eval-set decontamination: flag training documents that share word
+n-grams with a benchmark/eval set.
+
+The standard LLM training-data hygiene pass (the reference has no
+analog; this extends the corpus suite in operators/neardup.py /
+plans/corpus.py): before training, every document that contains a long
+n-gram from an evaluation benchmark is flagged or dropped so the
+benchmark stays uncontaminated.
+
+Design (the 100 TB shape): the eval set is tiny (thousands of docs)
+next to the training corpus, so its shingle table is BROADCAST — the
+training corpus is scanned once, shingled in-line (narrow projection,
+no shuffle), and the contamination join is a broadcast hash join. The
+only shuffle is the final per-document aggregation, keyed by doc id
+(uniform — no skew). Never a self-join, never a corpus shuffle.
+
+n=8 word-grams is the common published choice (long enough that
+coincidental overlap is negligible, short enough to catch paraphrased
+splices); it is a parameter here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_spark_spark.operators.neardup import word_shingles
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-training-document contamination evidence against the eval set:
+
+    (id, n_shared_ngrams, n_eval_docs) — the number of distinct eval
+    n-grams the doc contains and how many distinct eval documents those
+    n-grams came from. Only contaminated docs appear (inner join);
+    ``decontaminate`` turns this into the full keep/drop disposition.
+
+    The eval shingle table is broadcast: at scale the training side
+    streams through a broadcast hash join at scan speed.
+    """
+    t = word_shingles(train, id_col, text_col, n)
+    e = (
+        word_shingles(eval_df, id_col, text_col, n)
+        .select(F.col(id_col).alias("__eval_id"), "shingle")
+    )
+    return (
+        t.join(F.broadcast(e), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct(F.col("shingle")).alias("n_shared_ngrams"),
+            F.count_distinct(F.col("__eval_id")).alias("n_eval_docs"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Full decontamination disposition: every training doc annotated
+    with its contamination evidence and a ``keep`` flag
+    (n_shared_ngrams <= max_shared; default 0 = any overlap drops).
+
+    Left join keeps clean docs (hit columns null → 0), so the output is
+    a row per input doc — the shape a pipeline writes back as the
+    training-set manifest."""
+    hits = contamination_hits(train, eval_df, id_col, text_col, n)
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) <= max_shared).alias("keep"),
+        )
+    )

@@ -1,0 +1,67 @@
+"""Corpus unigram language-model scoring — the CCNet-style "perplexity
+bucket" quality signal, computed from the corpus itself (no external
+model): documents whose tokens are improbable under the corpus unigram
+distribution are outliers (gibberish, boilerplate, wrong language);
+documents that are too probable are template spam.
+
+Two passes, both scan-shaped:
+  1. vocab: explode tokens → groupBy token → counts (map-side combine
+     collapses each partition to its distinct tokens before the
+     shuffle; the shuffle carries the vocabulary, not the corpus).
+  2. score: re-explode tokens, equi-join the vocab on token, aggregate
+     per doc. The vocab is Zipf-skewed but the join is a hash join on
+     the token — at 100 TB you'd broadcast the top-K head of the vocab
+     and shuffle only the tail (the head covers ~95% of token mass).
+
+Determinism contract (the reason for the decimal dance): per-token
+log-probs are ROUNDED to 6 decimals and cast DECIMAL(18,6) BEFORE the
+per-document sum, so the aggregation is exact integer arithmetic —
+order-independent and bit-identical across Spark and the DuckDB oracle.
+Raw double summation would differ in the last ulp by partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_spark_spark.operators.text import norm_text
+
+
+def unigram_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(token, n, logp): corpus unigram counts and natural-log
+    probability rounded to 6 decimals (see module determinism note)."""
+    toks = df.select(F.explode(F.split(norm_text(text_col), " ")).alias("token")).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.select(F.sum("n").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        "n",
+        F.round(F.log(F.col("n").cast("double") / F.col("__total")), 6)
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+
+
+def doc_logprob(df: DataFrame, id_col: str, text_col: str, vocab: DataFrame | None = None) -> DataFrame:
+    """Per-document unigram log-likelihood stats under the corpus vocab:
+
+    (id, n_scored, sum_logp, avg_logp) — avg_logp is the mean per-token
+    natural-log probability (more negative = more surprising). Pass a
+    pre-computed ``vocab`` (from ``unigram_vocab``, possibly persisted)
+    to skip the counting pass; by default it is built from ``df``
+    itself, so every token is in-vocabulary and n_scored = n_tokens.
+
+    The decimal per-token rounding makes sum/avg exact and
+    order-independent (module docstring)."""
+    if vocab is None:
+        vocab = unigram_vocab(df, text_col)
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(norm_text(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    scored = toks.join(vocab.select("token", "logp"), "token")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("logp").cast("decimal(20,6)").cast("double").alias("sum_logp"),
+        F.round(F.sum("logp").cast("decimal(20,6)").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
+    )

@@ -152,3 +152,31 @@ def top_ngrams(df, text_col: str, k: int = 50):
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(k)
     )
+
+
+def doc_chunks(df, id_col: str, text_col: str, chunk_tokens: int = 256, overlap: int = 32):
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window packing precursor (embedding indexing, long-doc
+    training): chunk i covers tokens [1 + i*(chunk-overlap), …+chunk).
+
+    Pure array expressions + one posexplode — no shuffle, no Python;
+    the chunk windows are slices of the token array computed in-row, so
+    the operator runs at scan speed and parallelism follows the input
+    partitioning (one doc never spans partitions, so there is no
+    reassembly problem at 100 TB). The final (possibly short) chunk is
+    kept; a doc shorter than one chunk yields exactly one chunk.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    # last start s.t. start <= max(n - overlap, 1): guarantees the tail
+    # chunk has > overlap fresh tokens (except the single-chunk case).
+    starts = F.sequence(F.lit(1), F.greatest(n - chunk_tokens + step, F.lit(1)), F.lit(step))
+    chunks = F.transform(starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " "))
+    return (
+        df.filter(n >= 1)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn("chunk_tokens", F.size(F.split("chunk_text", " ")))
+    )

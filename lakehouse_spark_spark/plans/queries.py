@@ -34,7 +34,7 @@ from lakehouse_spark_spark.operators.dedup import content_hash, dedup_latest, ex
 from lakehouse_spark_spark.operators.dimensions import build_dim_date, build_dimension
 from lakehouse_spark_spark.operators.facts import fk_stamp, orphan_audit
 from lakehouse_spark_spark.session import tune_for_oracle
-from lakehouse_spark_spark.sources.loaders import load_table
+from lakehouse_spark_spark.sources.loaders import load_table, parallelize_scan
 
 # Reproducible as-of date for the reference's "last 90 days" metric
 # (metrics.sql:11 uses current_date(), which is not oracle-stable;
@@ -72,6 +72,21 @@ def registry() -> dict[str, Q]:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parallelized scan for CPU-bound pure-JVM projections (hashing,
+    regex, per-row array math): redistributes a degenerate (fewer
+    splits than cores) scan so the expression work uses every core —
+    measured 8.6x on doc_fingerprints at sf0.1. Use ONLY for operators
+    whose hot path is JVM expressions: shuffle-first operators gain
+    nothing (their first exchange already spreads the work), and
+    mapInPandas operators LOSE locally — the repartition fans one warm
+    Python worker into N cold ones, each paying the interpreter+import
+    startup, which swamps the sf0.1 compute (measured 4 s -> 14 s on
+    multimodal decode). At 100 TB parallelize_scan is a no-op either
+    way (real scans have plenty of splits)."""
+    return parallelize_scan(load_table(spark, sf_dir, name))
 
 
 # --------------------------------------------------------------------------
@@ -625,7 +640,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators import text as tx
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -649,7 +664,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators import text as tx
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         tx.n_tokens("text").cast("long").alias("ws_tokens"),
@@ -684,7 +699,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators import text as tx
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", tx.lang_id("text").alias("lang_pred"))
 
 
@@ -702,7 +717,7 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators import text as tx
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", tx.doc_fingerprint("text", k=8).alias("fingerprint"))
 
 
@@ -2448,7 +2463,7 @@ _PII_AUGMENT_SQL = (
 
 
 def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -2747,4 +2762,339 @@ def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inactive.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
         F.sum("bal").cast("double").alias("totacctbal"),
+    )
+
+
+# ==========================================================================
+# LLM-data: eval-set decontamination (operators/contamination.py).
+# The eval set is a deterministic slice of the corpus (doc_id % 97 = 0,
+# ~1%) so the oracle can rebuild it; eval docs flag themselves plus any
+# near-verbatim copies — exactly the published n-gram-overlap protocol.
+# ==========================================================================
+_SHINGLE8_SQL = f"""
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    elig AS (SELECT * FROM toks WHERE len(w) >= 8),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 7), ' ') AS shingle
+      FROM elig, UNNEST(range(1, len(w) - 6)) AS t(i)
+    )
+"""
+
+
+@register(
+    "decontaminated_corpus",
+    oracle=f"""
+    WITH {_SHINGLE8_SQL},
+    ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT t.doc_id,
+             COUNT(DISTINCT t.shingle) AS n_shared_ngrams,
+             COUNT(DISTINCT e.eval_id) AS n_eval_docs
+      FROM sh t JOIN ev e ON t.shingle = e.shingle GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+           COALESCE(h.n_eval_docs, 0) AS n_eval_docs,
+           COALESCE(h.n_shared_ngrams, 0) <= 0 AS keep
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    doc="eval-set 8-gram decontamination: broadcast eval shingles, per-doc keep/drop",
+)
+def decontaminated_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, eval_df, "doc_id", "text", n=8)
+
+
+# ==========================================================================
+# LLM-data: corpus unigram LM scoring (operators/lm.py) — the CCNet-style
+# perplexity-bucket quality signal. Decimal per-token rounding makes the
+# per-doc sums exact and order-independent (see operators/lm.py).
+# ==========================================================================
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH tk0 AS (SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS token FROM documents),
+    tok AS (SELECT doc_id, token FROM tk0 WHERE token <> ''),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    vocab AS (
+      SELECT token, CAST(ROUND(LN(n * 1.0 / total), 6) AS DECIMAL(18,6)) AS logp
+      FROM counts, tot
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_scored,
+           CAST(CAST(SUM(logp) AS DECIMAL(20,6)) AS DOUBLE) AS sum_logp,
+           ROUND(CAST(CAST(SUM(logp) AS DECIMAL(20,6)) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+    FROM tok t JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+    doc="corpus unigram LM per-doc log-likelihood (CCNet-style quality signal)",
+)
+def doc_unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.lm import doc_logprob
+
+    return doc_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ==========================================================================
+# LLM-data: fixed-size token chunking with overlap (operators/text.py
+# doc_chunks) — context-window preparation. Registered with 32/8 so the
+# synthetic docs (<= ~100 tokens) produce real multi-chunk fan-out.
+# ==========================================================================
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w, CAST(i AS INTEGER) AS s
+      FROM toks, UNNEST(range(1, GREATEST(len(w) - 32 + 24, 1) + 1, 24)) AS t(i)
+      WHERE len(w) >= 1
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 24 AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text,
+           CAST(LEAST(len(w) - s + 1, 32) AS INTEGER) AS chunk_tokens
+    FROM starts
+    """,
+    doc="fixed 32-token chunks, 8-token overlap: in-row slicing, no shuffle",
+)
+def doc_chunking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import doc_chunks
+
+    return doc_chunks(_t(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+# ==========================================================================
+# LLM-data: source-level reputation — aggregate the quality gate per
+# source, join the rate back to every document (C4/RefinedWeb-style
+# domain filtering). Rates are exact rationals rounded at 6, so the
+# cross-engine hash is stable.
+# ==========================================================================
+@register(
+    "source_reputation",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, lang, string_split({_NORM}, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) < 10 THEN 0
+                  WHEN len(toks) > 1000 THEN 0
+                  WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 0
+                  WHEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+                       / greatest(len(toks), 1) < 0.01 THEN 0
+                  ELSE 1 END AS keep
+      FROM t
+    ),
+    rep AS (
+      SELECT source, COUNT(*) AS n_docs,
+             ROUND(SUM(keep) * 1.0 / COUNT(*), 6) AS keep_rate
+      FROM m GROUP BY source
+    )
+    SELECT m.doc_id, m.source, rep.n_docs AS source_docs, rep.keep_rate AS source_keep_rate,
+           rep.keep_rate >= 0.5 AS source_ok
+    FROM m JOIN rep USING (source)
+    """,
+    doc="per-source quality reputation joined back to each doc (domain filtering)",
+)
+def source_reputation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.plans.corpus import quality_verdict
+
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id", "source", F.when(quality_verdict() == "keep", 1).otherwise(0).alias("keep")
+    )
+    rep = m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("keep") / F.count(F.lit(1)), 6).alias("keep_rate"),
+    )
+    # per-source reputation is tiny (|sources| rows) → broadcast join-back
+    return m.join(F.broadcast(rep), "source").select(
+        "doc_id",
+        "source",
+        F.col("n_docs").alias("source_docs"),
+        F.col("keep_rate").alias("source_keep_rate"),
+        (F.col("keep_rate") >= 0.5).alias("source_ok"),
+    )
+
+
+# ==========================================================================
+# TPC-H Q3 shape (shipping priority): segment-filtered 3-way join, fact
+# filters pushed to both scans, top-10 by revenue. o_orderpriority
+# stands in for the missing o_shippriority column.
+# ==========================================================================
+@register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: filtered join + top-10 by aggregated revenue",
+)
+def shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("date"))
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ==========================================================================
+# TPC-H Q10 shape (returned items): who returned the most revenue in a
+# quarter — date-windowed orders, returnflag-filtered lineitems, dims
+# broadcast, top-20.
+# ==========================================================================
+@register(
+    "returned_item_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '2000-10-01' AND o.o_orderdate < DATE '2001-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, one quarter, top-20",
+)
+def returned_item_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ==========================================================================
+# TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+# testdata's columns: a lineitem is LATE if it shipped > 60 days after
+# the order date (no commit/receipt dates exist). For each supplier:
+# late lineitems on multi-supplier orders where THEY were the only late
+# supplier — the classic EXISTS / NOT-EXISTS double-correlation, done as
+# semi + anti joins with equi-keys plus a != residual.
+# ==========================================================================
+@register(
+    "waiting_suppliers",
+    oracle="""
+    WITH sl AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    l1 AS (SELECT l_orderkey, l_suppkey FROM sl WHERE late)
+    SELECT s.s_name,
+           COUNT(*) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM sl l2 WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM sl l3 WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 25
+    """,
+    doc="TPC-H Q21 shape: sole-late-supplier via semi + anti join double correlation",
+)
+def waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sl = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+        )
+        .distinct()
+    )
+    l1 = sl.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = sl.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = sl.filter(F.col("late")).select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
+# ==========================================================================
+# Explicit GROUPING SETS (completes the CUBE / ROLLUP family): the two
+# marginal aggregations plus the grand total in ONE pass over events —
+# Spark expands to a single Expand + hash aggregate, no re-scan per set.
+# ==========================================================================
+@register(
+    "events_grouping_sets",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(date_trunc('day', ts) AS TIMESTAMP)), ())
+    """,
+    doc="GROUPING SETS marginals + grand total in one Expand pass",
+)
+def events_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, day, COUNT(*) AS n_events,
+               CAST(ROUND(SUM(v), 6) AS DOUBLE) AS sum_value
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (day), ())
+        """
     )
