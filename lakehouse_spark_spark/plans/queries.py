@@ -3098,3 +3098,347 @@ def events_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (day), ())
         """
     )
+
+
+# ==========================================================================
+# TPC-H Q2 shape (minimum-cost supplier): the testdata has no partsupp
+# table, so the supply relationship is DERIVED from lineitem — the cost
+# supplier s charges for part p is MIN(l_extendedprice / l_quantity)
+# over their shipments (per-row IEEE division, deterministic in both
+# engines). The correlated min-cost subquery becomes a groupBy + equi-
+# join on (part, cost); the supplier/nation/region side (100 rows) is
+# broadcast. Completes the 22/22 TPC-H shape coverage together with
+# Q8/Q9/Q11/Q16/Q20 below.
+# ==========================================================================
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    pc AS (
+      SELECT c.l_partkey, c.cost, e.s_name, e.s_acctbal, e.n_name
+      FROM cost c
+      JOIN eu e ON c.l_suppkey = e.s_suppkey
+      JOIN part p ON c.l_partkey = p.p_partkey
+      WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+    ),
+    mn AS (SELECT l_partkey, MIN(cost) AS mincost FROM pc GROUP BY l_partkey)
+    SELECT pc.s_acctbal, pc.s_name, pc.n_name,
+           pc.l_partkey AS p_partkey, p.p_name,
+           ROUND(pc.cost, 6) AS supply_cost
+    FROM pc
+    JOIN mn ON pc.l_partkey = mn.l_partkey AND pc.cost = mn.mincost
+    JOIN part p ON pc.l_partkey = p.p_partkey
+    """,
+    doc="TPC-H Q2 shape: min-cost supplier per part via derived supply costs",
+)
+def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    part = _t(spark, sf_dir, "part").filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pc = (
+        cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_name")), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "cost", "s_name", "s_acctbal", "n_name", "p_name")
+    )
+    mn = pc.groupBy(F.col("l_partkey").alias("__pk")).agg(F.min("cost").alias("mincost"))
+    return (
+        pc.join(
+            F.broadcast(mn),
+            (F.col("l_partkey") == F.col("__pk")) & (F.col("cost") == F.col("mincost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.round("cost", 6).alias("supply_cost"),
+        )
+    )
+
+
+# ==========================================================================
+# TPC-H Q8 shape (national market share): share of one supplier nation
+# in an entire region's customer market, per order year. Decimal-exact
+# volumes in both branches; the share division is double/double over
+# identical inputs, so it hashes identically.
+# ==========================================================================
+@register(
+    "nation_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: supplier-nation market share within a customer region, by year",
+)
+def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    cust_region = (
+        cust.join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    nat_vol = F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(nat_vol).cast("double").alias("nation_volume"),
+            F.sum(volume).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias("mkt_share"),
+        )
+    )
+
+
+# ==========================================================================
+# TPC-H Q9 shape (product-type profit): no partsupp.ps_supplycost, so
+# cost-of-goods is modeled as half the part's retail price (0.5 is a
+# power of two — p_retailprice * 0.5 is IEEE-exact, and the cast to
+# DECIMAL(18,4) then rounds the identical double identically in both
+# engines). amount = revenue - unit_cost * qty, all-decimal, summed
+# exactly, grouped by supplier nation x order year.
+# ==========================================================================
+@register(
+    "product_type_profit",
+    oracle="""
+    WITH amt AS (
+      SELECT n.n_name AS supp_nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             - CAST(p.p_retailprice * 0.5 AS DECIMAL(18,4))
+               * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%bolt%'
+    )
+    SELECT supp_nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM amt GROUP BY supp_nation, o_year
+    """,
+    doc="TPC-H Q9 shape: profit by supplier nation x year, derived unit cost",
+)
+def product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select("p_partkey", "p_retailprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    ) - (F.col("p_retailprice") * F.lit(0.5)).cast("decimal(18,4)") * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+# ==========================================================================
+# TPC-H Q11 shape (important stock value): per-part revenue from ASIA
+# suppliers, kept where the part's value exceeds a fixed fraction of
+# the whole — the scalar-subquery threshold becomes a broadcast cross
+# join of a 1-row total. Decimal-vs-decimal comparison keeps the
+# boundary exact across engines.
+# ==========================================================================
+@register(
+    "important_part_value",
+    oracle="""
+    WITH pv AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(val) AS total FROM pv)
+    SELECT pv.l_partkey AS p_partkey, CAST(pv.val AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE pv.val > tot.total * CAST(0.001 AS DECIMAL(10,6))
+    """,
+    doc="TPC-H Q11 shape: parts above a scalar-subquery share threshold",
+)
+def important_part_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    asia_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pv = (
+        li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(revenue).alias("val"))
+    )
+    tot = pv.select(F.sum("val").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > F.col("total") * F.lit(0.001).cast("decimal(10,6)"))
+        .select(F.col("l_partkey").alias("p_partkey"), F.col("val").cast("double").alias("part_value"))
+    )
+
+
+# ==========================================================================
+# TPC-H Q16 shape (parts/supplier relationship count): the partsupp
+# relation is the DISTINCT (l_partkey, l_suppkey) projection of
+# lineitem; "complaint" suppliers (name contains '5') are removed with
+# an anti join (keys are non-null, so NOT IN == anti join here).
+# ==========================================================================
+@register(
+    "supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%5%')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape: distinct supplier counts per (brand, type, size)",
+)
+def supplier_part_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    complaints = _t(spark, sf_dir, "supplier").filter(F.col("s_name").like("%5%")).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(complaints), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ==========================================================================
+# TPC-H Q20 shape (potential promotion suppliers): suppliers who shipped
+# a surge (>30% of their all-time quantity of a 'small %' part) during
+# year 2000 — the nested IN-subquery chain done as groupBy + semi joins.
+# Quantities are integral doubles but are cast DECIMAL anyway so the
+# 0.3x threshold compares exactly in both engines.
+# ==========================================================================
+@register(
+    "promotion_suppliers",
+    oracle="""
+    WITH q AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CASE WHEN EXTRACT(year FROM l_shipdate) = 2000
+                      THEN CAST(l_quantity AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_2000,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    good AS (
+      SELECT DISTINCT q.l_suppkey
+      FROM q
+      JOIN part p ON q.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND q.qty_2000 > q.qty_all * CAST(0.3 AS DECIMAL(4,2))
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM good)
+    """,
+    doc="TPC-H Q20 shape: surge-shipping suppliers of promo parts via semi joins",
+)
+def promotion_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    q = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(F.year("l_shipdate") == 2000, qty).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("qty_2000"),
+        F.sum(qty).alias("qty_all"),
+    )
+    good = (
+        q.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .filter(F.col("qty_2000") > F.col("qty_all") * F.lit(0.3).cast("decimal(4,2)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(good, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
