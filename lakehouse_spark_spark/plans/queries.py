@@ -776,7 +776,7 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.neardup import simhash, simhash_candidates
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     # blocks = max_hamming + 1: the pigeonhole guarantee covers the full
     # advertised distance — every pair at Hamming <= 8 is returned.
     return simhash_candidates(simhash(docs, "doc_id", "text"), "doc_id", max_hamming=8, blocks=9)
