@@ -64,3 +64,42 @@ def content_hash(col: Column | str, normalize: bool = True) -> Column:
     if normalize:
         c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     return F.md5(c)
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental (cross-corpus) exact dedup: disposition of a NEW
+    batch against an already-indexed corpus — the shape every periodic
+    ingestion run needs (yesterday's crawl vs the accumulated corpus).
+
+    Output: one row per batch doc — (id, content_hash,
+    dup_of_corpus, dup_in_batch, keep) where ``keep`` means the doc is
+    the first copy (min id) of a hash that does not exist in the corpus.
+
+    Scale shape: the corpus side reduces to its DISTINCT 16-byte hash
+    set before the join (shuffle carries hashes, not documents — and in
+    a real pipeline that hash set is the persisted dedup index, so the
+    corpus text is never re-read); the membership test is a left join
+    on the hash; within-batch winners come from one windowed
+    row_number over the (small) batch. Batch >> corpus skew is absorbed
+    by AQE; the corpus hash set is reusable across runs.
+    """
+    bh = batch.select(F.col(id_col), content_hash(text_col).alias("content_hash"))
+    corpus_hashes = (
+        corpus.select(content_hash(text_col).alias("content_hash"))
+        .distinct()
+        .withColumn("__in_corpus", F.lit(True))
+    )
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        bh.join(corpus_hashes, "content_hash", "left")
+        .withColumn("dup_of_corpus", F.coalesce("__in_corpus", F.lit(False)))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_in_batch", F.col("__rn") > 1)
+        .withColumn("keep", ~F.col("dup_of_corpus") & ~F.col("dup_in_batch"))
+        .select(id_col, "content_hash", "dup_of_corpus", "dup_in_batch", "keep")
+    )

@@ -3442,3 +3442,195 @@ def promotion_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+# ==========================================================================
+# Time-series repair: dense hourly grid + forward fill
+# (operators/timeseries.py gap_fill_ffill). The grid is generated
+# in-executor (sequence + explode), never collected; forward fill is a
+# per-key running last(ignorenulls).
+# ==========================================================================
+@register(
+    "events_gapfill_ffill",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx FROM h),
+    grid AS (
+      SELECT t.event_type, g.bucket_ts
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts FROM b) g
+    ),
+    j AS (
+      SELECT grid.event_type, grid.bucket_ts,
+             COALESCE(h.n_events, 0) AS n_events, h.sum_value
+      FROM grid LEFT JOIN h ON grid.event_type = h.event_type AND grid.bucket_ts = h.bucket_ts
+    )
+    SELECT event_type, bucket_ts, n_events, sum_value,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM j
+    """,
+    doc="dense hourly grid per event_type with forward-filled values (gap repair)",
+)
+def events_gapfill_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.timeseries import gap_fill_ffill
+
+    return gap_fill_ffill(_t(spark, sf_dir, "events"))
+
+
+# ==========================================================================
+# Cohort retention (operators/timeseries.py cohort_retention): first-
+# active-month cohorts x activity month, distinct users and share.
+# ==========================================================================
+@register(
+    "monthly_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS activity_month
+      FROM events
+    ),
+    first AS (SELECT user_id, MIN(activity_month) AS cohort_month FROM act GROUP BY user_id),
+    pairs AS (
+      SELECT f.cohort_month, a.activity_month, COUNT(DISTINCT a.user_id) AS n_users
+      FROM act a JOIN first f USING (user_id)
+      GROUP BY f.cohort_month, a.activity_month
+    ),
+    size_ AS (
+      SELECT cohort_month AS c2, n_users AS cohort_size FROM pairs
+      WHERE cohort_month = activity_month
+    )
+    SELECT p.cohort_month, p.activity_month,
+           CAST((EXTRACT(year FROM p.activity_month) - EXTRACT(year FROM p.cohort_month)) * 12
+                + EXTRACT(month FROM p.activity_month) - EXTRACT(month FROM p.cohort_month) AS INTEGER) AS months_since,
+           p.n_users, s.cohort_size,
+           ROUND(p.n_users * 1.0 / s.cohort_size, 6) AS retention
+    FROM pairs p JOIN size_ s ON p.cohort_month = s.c2
+    """,
+    doc="monthly cohort retention matrix (first-activity cohorts, distinct users)",
+)
+def monthly_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.timeseries import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+# ==========================================================================
+# Rolling anomaly detection (operators/timeseries.py rolling_anomaly):
+# z-score vs the trailing 7 days, mean/variance derived CLOSED-FORM from
+# integer window sums so both engines do identical IEEE arithmetic
+# (never a native stddev aggregate — accumulation order is
+# engine-specific).
+# ==========================================================================
+@register(
+    "daily_event_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             COUNT(n) OVER win AS cnt,
+             SUM(n) OVER win AS s1,
+             SUM(n * n) OVER win AS s2
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n,
+           ROUND(CAST(s1 AS DOUBLE) / cnt, 6) AS mean_prev,
+           ROUND(CASE WHEN cnt >= 3
+                       AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / cnt) / (cnt - 1) > 0
+                      THEN (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+                           / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / cnt) / (cnt - 1))
+                 END, 6) AS z,
+           COALESCE(ABS(CASE WHEN cnt >= 3
+                              AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / cnt) / (cnt - 1) > 0
+                             THEN (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+                                  / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / cnt) / (cnt - 1))
+                        END) > 2.0, FALSE) AS is_anomaly
+    FROM w
+    """,
+    doc="daily-count z-score anomalies vs trailing 7d (closed-form variance)",
+)
+def daily_event_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.timeseries import rolling_anomaly
+
+    return rolling_anomaly(_t(spark, sf_dir, "events"))
+
+
+# ==========================================================================
+# Incremental cross-corpus dedup (operators/dedup.py
+# dedup_against_corpus): a "new batch" (doc_id % 10 = 0) deduped
+# against the already-indexed remainder — the periodic-ingestion shape.
+# ==========================================================================
+@register(
+    "incremental_dedup_batch",
+    oracle=f"""
+    WITH batch AS (
+      SELECT doc_id, md5({_NORM}) AS content_hash FROM documents WHERE doc_id % 10 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT md5({_NORM}) AS content_hash FROM documents WHERE doc_id % 10 <> 0
+    ),
+    r AS (
+      SELECT b.doc_id, b.content_hash,
+             c.content_hash IS NOT NULL AS dup_of_corpus,
+             ROW_NUMBER() OVER (PARTITION BY b.content_hash ORDER BY b.doc_id) > 1 AS dup_in_batch
+      FROM batch b LEFT JOIN corpus c USING (content_hash)
+    )
+    SELECT doc_id, content_hash, dup_of_corpus, dup_in_batch,
+           NOT dup_of_corpus AND NOT dup_in_batch AS keep
+    FROM r
+    """,
+    doc="incremental exact dedup: new batch vs indexed corpus hash set",
+)
+def incremental_dedup_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.dedup import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup_against_corpus(batch, corpus, "doc_id", "text")
+
+
+# ==========================================================================
+# UNPIVOT / melt (DataFrame.unpivot → Expand): the wide daily per-type
+# aggregate melted into (day, event_type, metric, value) — one pass,
+# no re-scan per metric.
+# ==========================================================================
+@register(
+    "events_metrics_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, 'n_events' AS metric, n_events AS value FROM wide
+    UNION ALL
+    SELECT event_type, day, 'sum_value' AS metric, sum_value AS value FROM wide
+    UNION ALL
+    SELECT event_type, day, 'n_users' AS metric, n_users AS value FROM wide
+    """,
+    doc="UNPIVOT of the wide daily aggregate into long (metric, value) rows",
+)
+def events_metrics_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+    )
+    return wide.unpivot(
+        ["event_type", "day"], ["n_events", "sum_value", "n_users"], "metric", "value"
+    )
