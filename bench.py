@@ -62,8 +62,11 @@ def main() -> None:
     spark = get_session("bench")
     reg = registry()
     names = [n for n in HEADLINE if n in reg]
-    # warm the JVM/session path once (tiny query, not counted)
+    # warm the JVM/session path once (tiny query, not counted), plus the
+    # Arrow Python-worker pool — the first mapInPandas otherwise pays
+    # ~2s of interpreter+import startup inside the measured query
     spark.range(1).count()
+    spark.range(64).mapInPandas(lambda it: it, "id long").write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

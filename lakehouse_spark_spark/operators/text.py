@@ -180,3 +180,35 @@ def doc_chunks(df, id_col: str, text_col: str, chunk_tokens: int = 256, overlap:
         .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
         .withColumn("chunk_tokens", F.size(F.split("chunk_text", " ")))
     )
+
+
+def fast_sigmoid(z: Column) -> Column:
+    """0.5 + 0.5·z/(1+|z|) — the algebraic sigmoid. Used instead of
+    1/(1+exp(-z)) because it needs only +,*,/,abs, which are exactly
+    IEEE-specified: the score hashes identically on any engine,
+    whereas exp() is library-specific in the last ulp."""
+    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Model-based quality score in (0,1): a fixed-weight linear
+    classifier over the quality features (length, stopword density,
+    punctuation density, token-length shape) squashed by fast_sigmoid —
+    the engine-side stand-in for a fastText/logreg quality model
+    (weights would come from training; these are hand-set to order
+    documents sensibly on the synthetic corpus).
+
+    z = -2 + 2·min(toks,500)/500 + 8·stopword_ratio
+        - 6·punct_ratio - 0.4·|avg_token_len - 5|
+
+    Every term is +,*,/,abs over exact counts — deterministic across
+    engines (see fast_sigmoid)."""
+    t = n_tokens(col).cast("double")
+    z = (
+        F.lit(-2.0)
+        + F.lit(2.0) * F.least(t, F.lit(500.0)) / F.lit(500.0)
+        + F.lit(8.0) * stopword_ratio(col)
+        - F.lit(6.0) * punct_ratio(col)
+        - F.lit(0.4) * F.abs(avg_token_len(col) - F.lit(5.0))
+    )
+    return fast_sigmoid(z)

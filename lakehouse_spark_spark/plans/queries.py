@@ -3634,3 +3634,116 @@ def events_metrics_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["event_type", "day"], ["n_events", "sum_value", "n_users"], "metric", "value"
     )
+
+
+# ==========================================================================
+# Model-based quality scoring (operators/text.py quality_score): a
+# fixed-weight linear classifier squashed by the ALGEBRAIC sigmoid
+# (0.5 + z/2(1+|z|)) — only +,*,/,abs, so the score hashes identically
+# across engines, unlike exp()-based logistic whose last ulp is
+# libm-specific. The engine-side stand-in for a fastText quality model.
+# ==========================================================================
+@register(
+    "doc_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split({_NORM}, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             -2.0 + 2.0 * least(CAST(len(toks) AS DOUBLE), 500.0) / 500.0
+                  + 8.0 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+                           / greatest(len(toks), 1))
+                  - 6.0 * (CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                           / greatest(length(text), 1))
+                  - 0.4 * abs(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                              / greatest(len(toks), 1) - 5.0) AS z
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(0.5 + 0.5 * z / (1.0 + abs(z)), 6) AS q_score,
+           z >= 0 AS keep
+    FROM f
+    """,
+    doc="fixed-weight linear quality classifier with engine-exact algebraic sigmoid",
+)
+def doc_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import quality_score
+
+    docs = _tp(spark, sf_dir, "documents")
+    score = quality_score("text")
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("q_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+# ==========================================================================
+# Training-mixture planning (operators/mixture.py): per-source token
+# inventory -> target tokens, sampling rate, oversampling epochs for a
+# weighted token budget. The corpus reduces to |sources| rows before
+# any arithmetic.
+# ==========================================================================
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 100_000
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH inv AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *,
+             CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                         WHEN 'src2' THEN 0.2 ELSE 0.0 END AS weight_raw
+      FROM inv
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(weight_raw, 6) AS weight,
+           CAST(ROUND(weight_raw * 100000.0) AS BIGINT) AS target_tokens,
+           ROUND(least(1.0, CAST(CAST(ROUND(weight_raw * 100000.0) AS BIGINT) AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE)), 6) AS sampling_rate,
+           ROUND(CAST(CAST(ROUND(weight_raw * 100000.0) AS BIGINT) AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM w
+    """,
+    doc="per-source mixture plan: weights + token budget -> rates and epochs",
+)
+def corpus_mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.mixture import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(docs, "source", "text", _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+# ==========================================================================
+# Token-budget sampling (operators/mixture.py token_budget_sample):
+# md5-ordered greedy prefix cut at 2000 tokens per source — the
+# reproducible "take ~N tokens per source" primitive.
+# ==========================================================================
+@register(
+    "token_budget_sample_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS doc_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, doc_tokens,
+           CAST(SUM(doc_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+           CAST(SUM(doc_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= 2000 AS keep
+    FROM t
+    """,
+    doc="deterministic md5-ordered token-budget cut per source",
+)
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.mixture import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(docs, "doc_id", "source", "text", budget_per_source=2000)
