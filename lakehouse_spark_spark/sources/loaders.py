@@ -38,16 +38,36 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # Parquet TIMESTAMP(NANOS) surfaced as a ns-epoch long (see
-        # session.tune_for_oracle): keep the exact long as ts_ns and
-        # derive a microsecond TimestampType for date/window ops.
-        # Integer `div` — a double division would lose precision at 1e18.
-        # Cross-engine note: DuckDB's view registration also truncates
-        # this column to µs (measured: epoch_ns(ts) ends in 000), so
-        # oracle comparisons and orderings agree at µs on both sides;
-        # events sub-µs apart would be a (currently impossible) tie.
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Stable contract for the events table regardless of how the parquet
+    encodes its timestamp: ``ts`` is session-TZ TimestampType (µs) and
+    ``ts_ns`` is the exact ns-epoch long.
+
+    - parquet TIMESTAMP(NANOS) surfaces as a raw int64 under
+      spark.sql.legacy.parquet.nanosAsLong (session.tune_for_oracle):
+      keep the exact long, derive µs with integer `div` (double division
+      would lose precision at 1e18).
+    - parquet TIMESTAMP(MICROS) surfaces as TimestampNTZ: cast to
+      session-TZ timestamp (identical values under the pinned UTC
+      session) so downstream unions/joins with computed TimestampType
+      columns don't mix ntz/ltz.
+    Cross-engine note: DuckDB registers the same column at µs either
+    way, so oracle comparisons and orderings agree at µs on both sides.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts_ns", F.col("ts")).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+        )
+    if isinstance(dt, T.TimestampType):
+        return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df
 
 

@@ -17,14 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ts declared as LongType: the testdata parquet stores TIMESTAMP(NANOS),
-# which Spark only reads as a raw int64 (spark.sql.legacy.parquet.
-# nanosAsLong) — the stream derives the µs TimestampType column below,
-# exactly like the batch loader (sources/loaders.load_table).
+# ts declared as TimestampNTZType to match the testdata parquet's
+# TIMESTAMP(MICROS); normalize_event_ts (shared with the batch loader)
+# derives the session-TZ ts + exact ns long, so the stream and batch
+# sides of every join agree on types.
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -45,7 +45,9 @@ def read_event_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(directory)
-    return df.withColumn("ts_ns", F.col("ts")).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from lakehouse_spark_spark.sources.loaders import normalize_event_ts
+
+    return normalize_event_ts(df)
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
