@@ -1,0 +1,100 @@
+"""Mergeable sketches: HLL distinct-count tiers and approximate heavy
+hitters.
+
+The 100 TB pattern for COUNT(DISTINCT) over rolling/overlapping windows
+is NOT to re-scan the raw data per window — it is to materialize a
+small sketch tier (one row per day/key holding a binary HLL sketch) and
+answer every coarser window by MERGING sketches (`hll_union_agg`),
+touching only the tier. Spark 4 ships Apache DataSketches HLL natively
+(`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`), so the
+whole path stays JVM-side, no UDFs.
+
+Key algebraic property (tested in tests/test_sketches.py): an HLL
+sketch's state depends only on the SET of hashed values it absorbed —
+so union(daily sketches over a month) is EXACTLY the sketch of the
+month, and the rolled-up estimate equals the direct estimate, not
+merely approximates it. That is what makes the tier safe to build
+incrementally (yesterday's sketches never recomputed) and to serve any
+window shape from.
+
+The reference has no sketch surface (SURVEY.md §2 has exact
+distinct-count only, A2); this is a scale extension. `approx_top_k`
+(also DataSketches) covers heavy hitters: when the tracked-item budget
+exceeds the true cardinality its counts are EXACT, which is what lets
+the registry give it a DuckDB oracle despite being an "approximate"
+operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^12 buckets: ~1.6% relative standard error, 4 KB dense sketch.
+DEFAULT_LG_K = 12
+
+
+def sketch_tier(
+    df: DataFrame, ts_col: str, value_col: str, grain: str = "day", keys: list[str] | None = None, lg_k: int = DEFAULT_LG_K
+) -> DataFrame:
+    """Materialize the finest sketch tier: one row per (grain bucket,
+    *keys) carrying a binary HLL sketch of ``value_col`` plus an exact
+    row count. This is the table you'd persist (partitioned by the
+    bucket) and append to incrementally — at 100 TB the tier is ~5
+    orders of magnitude smaller than the raw data."""
+    keys = keys or []
+    bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket")
+    return df.groupBy(bucket, *[F.col(k) for k in keys]).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def rollup_sketches(tier: DataFrame, grain: str, keys: list[str] | None = None) -> DataFrame:
+    """Answer a coarser grain purely from the tier: merge sketches with
+    hll_union_agg (a few KB per group through the shuffle — the raw
+    data is never touched) and estimate. ``n_rows`` sums exactly."""
+    keys = keys or []
+    coarse = F.date_trunc(grain, F.col("bucket")).alias("bucket")
+    merged = tier.groupBy(coarse, *[F.col(k) for k in keys]).agg(
+        F.expr("hll_union_agg(sketch)").alias("sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return merged.select(
+        "bucket",
+        *keys,
+        F.expr("cast(hll_sketch_estimate(sketch) as long)").alias("approx_distinct"),
+        F.col("n_rows"),
+    )
+
+
+def estimate_tier(tier: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Read the tier at its own grain: estimate each sketch in place."""
+    keys = keys or []
+    return tier.select(
+        "bucket",
+        *keys,
+        F.expr("cast(hll_sketch_estimate(sketch) as long)").alias("approx_distinct"),
+        "n_rows",
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int, max_items_tracked: int = 10000) -> DataFrame:
+    """Top-k most frequent values of ``col`` via DataSketches frequent
+    items, exploded to (item, est_count) rows ordered by count desc.
+
+    Counts are EXACT whenever the true distinct cardinality fits within
+    ``max_items_tracked`` (no evictions happen); beyond that they are
+    upper-bound estimates within the sketch's documented error. Either
+    way the result is one pass, map-side combinable, and the shuffle
+    carries one sketch per partition — the 100 TB alternative to a full
+    groupBy + global top-k when only the head matters."""
+    topk = df.agg(F.expr(f"approx_top_k({col}, {k}, {max_items_tracked})").alias("tk"))
+    return (
+        topk.select(F.posexplode("tk").alias("rank", "entry"))
+        .select(
+            (F.col("rank") + 1).alias("rank"),
+            F.col("entry.item").alias("item"),
+            F.col("entry.count").alias("est_count"),
+        )
+    )

@@ -68,6 +68,33 @@ def session_stats(events: DataFrame, user_col: str = "user_id", ts_col: str = "t
     )
 
 
+def session_window_stats(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts", gap_minutes: int = 30
+) -> DataFrame:
+    """Per-session aggregates via the NATIVE session_window operator —
+    the engine merges events whose gaps are < the timeout into one
+    window per group, inside the aggregation itself (no lag/cumsum
+    window-function pass, no second sort). Semantics match
+    ``session_stats`` exactly (same gap rule; proven by the shared
+    DuckDB oracle), but this physical form is also the one that runs
+    under Structured Streaming with a watermark (streaming/events.
+    streaming_session_stats), so batch and stream share one definition.
+
+    session_window.end is last_event + gap by definition; we emit
+    min/max event times instead so the output is gap-independent and
+    comparable with the window-function formulation."""
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), f"{gap_minutes} minutes"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .drop("session_window")
+    )
+
+
 def rollup_chain_daily_from_hourly(events: DataFrame) -> DataFrame:
     """Hypertable-style continuous-aggregate chain: the daily rollup is
     computed FROM the hourly rollup (sums of sums, counts of counts,

@@ -144,7 +144,9 @@ def revenue_by_customer_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="scan→filter→hash agg; pushdown of l_shipdate filter to parquet",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+    # _tp: four decimal aggregates per row dominate; the filter still
+    # reaches the scan (pushdown passes through the round-robin exchange).
+    li = _tp(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
     qty = F.col("l_quantity").cast("decimal(18,2)")
     ep = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
@@ -612,7 +614,7 @@ _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
     doc="exact text dedup on normalized-content hash; group on 16-byte hash, not raw text",
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")  # md5+normalize per row is the hot path
     return (
         docs.select(F.col("doc_id"), content_hash("text").alias("content_hash"))
         .groupBy("content_hash")
@@ -2837,6 +2839,10 @@ def decontaminated_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.lm import doc_logprob
 
+    # NOT _tp: the operator is shuffle-first (explode tokens -> groupBy),
+    # and its vocab branch re-reads the input — a repartition ahead of it
+    # doubles as a second exchange on the wide text column (measured 5x
+    # slower at sf0.1).
     return doc_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -3747,3 +3753,131 @@ def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return token_budget_sample(docs, "doc_id", "source", "text", budget_per_source=2000)
+
+
+# ==========================================================================
+# Mergeable-sketch tier (operators/sketches.py): the 100 TB shape for
+# COUNT(DISTINCT) over many window sizes — materialize daily HLL
+# sketches once, answer every coarser window by hll_union_agg over the
+# tier, never re-reading raw data. Union-of-daily == direct-monthly
+# EXACTLY (sketch state is a per-bucket max over hashed values), which
+# tests/test_sketches.py asserts; estimates are engine-specific, so the
+# driver row is rows-only like the other sketch queries.
+# ==========================================================================
+@register(
+    "user_reach_sketch_rollup",
+    oracle=None,  # DataSketches HLL estimates are engine-specific
+    doc="monthly reach served from a daily HLL sketch tier (hll_union_agg)",
+)
+def user_reach_sketch_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.sketches import rollup_sketches, sketch_tier
+
+    ev = _t(spark, sf_dir, "events")
+    tier = sketch_tier(ev, "ts", "user_id", grain="day", keys=["event_type"])
+    return rollup_sketches(tier, "week", keys=["event_type"]).select(
+        F.unix_micros("bucket").alias("week_us"), "event_type", "approx_distinct", "n_rows"
+    )
+
+
+# ==========================================================================
+# Approximate heavy hitters (operators/sketches.py heavy_hitters):
+# one-pass DataSketches frequent-items. Tracked-item budget (10k) far
+# exceeds the true cardinality here, so counts are EXACT and the DuckDB
+# group-by oracle hash-matches — an approximate operator with an exact
+# correctness gate. Rank is dropped from the output (tie order at equal
+# counts is engine-specific); the driver's compare is order-insensitive.
+# ==========================================================================
+@register(
+    "top_event_types_approx",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS est_count
+    FROM events GROUP BY event_type
+    ORDER BY est_count DESC LIMIT 5
+    """,
+    doc="approx_top_k heavy hitters; exact while cardinality fits the sketch",
+)
+def top_event_types_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", k=5).select("item", "est_count")
+
+
+# ==========================================================================
+# Native session windows (operators/windows.session_window_stats): the
+# engine-level session merge, same physical operator that runs under
+# Structured Streaming with a watermark (streaming/events.
+# streaming_session_stats). Boundary semantics differ from the
+# lag/cumsum formulation at EXACTLY the gap: session_window starts a
+# new session when diff >= gap (window is [start, start+gap)), the lag
+# form when diff > gap — the oracle encodes >=.
+# ==========================================================================
+@register(
+    "session_window_stats",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, value, ts,
+             SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) AS session_end_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+    doc="native session_window aggregation (streaming-shared operator)",
+)
+def session_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.windows import session_window_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_window_stats(ev, "user_id", "ts", gap_minutes=30)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "sum_value",
+    )
+
+
+# ==========================================================================
+# Z-order layout (sources/layout.py): multi-column file skipping. The
+# lineitem fact is rewritten clustered along the Z-curve of
+# (l_partkey, l_suppkey); a two-sided range predicate then reads it
+# back. Correctness gate: identical rows to the same predicate on the
+# plain table (the layout must be a pure re-ordering). The file-
+# skipping effect itself — per-file min/max spans of BOTH columns
+# collapsing — is asserted from parquet footers in tests/test_layout.py.
+# ==========================================================================
+@register(
+    "zorder_pruned_read",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+    GROUP BY 1, 2, 3
+    """,
+    doc="Z-ordered lineitem copy read with a 2-column range predicate",
+)
+def zorder_pruned_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.sources.layout import write_zordered
+
+    path = f"/tmp/lakehouse_gold/{_sf_tag(sf_dir)}/lineitem_zorder"
+    li = _t(spark, sf_dir, "lineitem")
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], bits=8, files=16)
+    z = spark.read.parquet(path)
+    return (
+        z.filter(F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 40))
+        .groupBy("l_orderkey", "l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("price"))
+    )

@@ -67,6 +67,29 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def streaming_session_stats(
+    events: DataFrame, user_col: str = "user_id", gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked session-window aggregation: the native streaming form
+    of operators/windows.session_window_stats (same session_window call,
+    same aggregates — one definition across batch and stream). Sessions
+    merge as events arrive; a session finalizes — and its state is
+    evicted — once the watermark passes its close. State size is
+    bounded by (#open sessions), i.e. by activity inside the watermark
+    horizon, not by history."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), f"{gap_minutes} minutes"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum("value").alias("sum_value"),
+        )
+        .drop("session_window")
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ) -> None:

@@ -1,0 +1,78 @@
+"""Mergeable-sketch operators: HLL tier algebra and heavy hitters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_hll_rollup_equals_direct_sketch(spark):
+    """Union-of-daily-sketches must EQUAL the direct monthly sketch —
+    not approximately: HLL state is a per-bucket max over hashed
+    values, so merge order/grouping cannot change it."""
+    from lakehouse_spark_spark.operators.sketches import rollup_sketches, sketch_tier
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = sketch_tier(ev, "ts", "user_id", grain="day")
+    rolled = {r["bucket"]: r["approx_distinct"] for r in rollup_sketches(daily, "month").collect()}
+
+    direct_tier = sketch_tier(ev, "ts", "user_id", grain="month")
+    from lakehouse_spark_spark.operators.sketches import estimate_tier
+
+    direct = {r["bucket"]: r["approx_distinct"] for r in estimate_tier(direct_tier).collect()}
+    assert rolled == direct and len(rolled) > 0
+
+
+def test_hll_estimate_close_to_exact(spark):
+    from lakehouse_spark_spark.operators.sketches import rollup_sketches, sketch_tier
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    tier = sketch_tier(ev, "ts", "user_id", grain="day")
+    est = {r["bucket"]: r["approx_distinct"] for r in rollup_sketches(tier, "month").collect()}
+    exact = {
+        r["bucket"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("month", "ts").alias("bucket"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for b, e in est.items():
+        assert abs(e - exact[b]) / exact[b] < 0.05, (b, e, exact[b])
+
+
+def test_hll_rollup_counts_exact(spark):
+    """n_rows flows through the tier exactly (plain sums)."""
+    from lakehouse_spark_spark.operators.sketches import rollup_sketches, sketch_tier
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    tier = sketch_tier(ev, "ts", "user_id", grain="day")
+    total = rollup_sketches(tier, "year").agg(F.sum("n_rows")).collect()[0][0]
+    assert total == ev.count()
+
+
+def test_heavy_hitters_exact_when_cardinality_fits(spark):
+    from lakehouse_spark_spark.operators.sketches import heavy_hitters
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    got = {(r["item"], r["est_count"]) for r in heavy_hitters(ev, "event_type", k=5).collect()}
+    want = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_heavy_hitters_rank_ordered(spark):
+    from lakehouse_spark_spark.operators.sketches import heavy_hitters
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    rows = heavy_hitters(ev, "event_type", k=3).orderBy("rank").collect()
+    assert len(rows) == 3
+    counts = [r["est_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
