@@ -128,3 +128,65 @@ def cluster_representatives(components: DataFrame) -> DataFrame:
         "component",
         (F.col("node") == F.col("component")).alias("is_representative"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank with DETERMINISTIC decimal arithmetic.
+
+    Returns ``(node, rank)`` where rank is the N-NORMALIZED PageRank
+    (classic rank x number-of-nodes): init 1, update
+    rank(v) <- (1-d) + d * sum over in-edges of rank(u)/out_degree(u).
+    Normalizing by N makes every constant an EXACT decimal literal (no
+    1/N rounding), so the only inexact step is the per-edge quotient —
+    computed in IEEE double and ROUNDED to ``scale`` decimals BEFORE
+    the sum. Per-node sums are then exact integer (decimal) arithmetic:
+    partition/merge-order independent and bit-identical across engines,
+    which is what lets the registry unroll the same iterations into a
+    DuckDB oracle (same determinism contract as operators/lm.py).
+
+    Dangling nodes (no out-edges) leak their mass — the convention that
+    keeps the recurrence local; they still RECEIVE rank. The iteration
+    count is fixed, not convergence-probed: PageRank contracts
+    geometrically at rate d, so k iterations bound the error at d^k
+    without paying a distributed action per round.
+
+    Scale: each iteration is one groupBy(dst) shuffle of (dst, contrib)
+    pairs plus a join against the (small) per-node degree table;
+    lineage is truncated per round (localCheckpoint) exactly like
+    connected_components above.
+    """
+    dec = f"decimal(28,{scale})"
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("out_degree"))
+    base = F.lit(1.0 - damping).cast(dec)
+    ranks = nodes.select("node", F.lit(1).cast(dec).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", src), src)
+            .join(out_deg.withColumnRenamed("node", src), src)
+            .select(
+                F.col(dst).alias("node"),
+                F.round(F.col("rank").cast("double") * F.lit(damping) / F.col("out_degree"), scale)
+                .cast(dec)
+                .alias("contrib"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("contrib").cast(dec).alias("in_rank"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select("node", (base + F.coalesce(F.col("in_rank"), F.lit(0).cast(dec))).cast(dec).alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -3881,3 +3881,100 @@ def zorder_pruned_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("price"))
     )
+
+
+# ==========================================================================
+# Deterministic PageRank (operators/graph.pagerank): an ITERATIVE
+# algorithm under the exact-oracle gate. The bipartite graph is
+# customer -> supplier purchase edges (suppliers namespaced +1_000_000);
+# suppliers are dangling sinks that accumulate importance from the
+# customers who buy from them weighted by how concentrated those
+# customers' purchasing is. The decimal-rounded update (see operator
+# docstring) makes 5 iterations a fixed function of the graph, so the
+# oracle just UNROLLS the same recurrence as 5 chained CTEs.
+# ==========================================================================
+def _pagerank_oracle(iters: int = 5, scale: int = 9) -> str:
+    sql = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS out_degree FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST(1 AS DECIMAL(28,9)) AS pr FROM nodes)"""
+    for i in range(iters):
+        sql += f""",
+    r{i + 1} AS (
+      SELECT n.node,
+             CAST(CAST(0.15 AS DECIMAL(28,9))
+                  + COALESCE(s.in_rank, CAST(0 AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(ROUND(CAST(r.pr AS DOUBLE) * 0.85 / d.out_degree, {scale})
+                             AS DECIMAL(28,{scale}))) AS DECIMAL(28,{scale})) AS in_rank
+        FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg d ON e.src = d.node
+        GROUP BY e.dst) s ON n.node = s.node)"""
+    sql += f"\n    SELECT node, CAST(pr AS DOUBLE) AS pr FROM r{iters}"
+    return sql
+
+
+@register(
+    "supplier_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="5-iteration decimal-deterministic PageRank over customer->supplier edges",
+)
+def supplier_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, "src", "dst", iterations=5).select(
+        "node", F.col("rank").cast("double").alias("pr")
+    )
+
+
+# ==========================================================================
+# Snapshot time travel (sources/snapshots.py): two versions of a gold
+# aggregate are published, the table is rolled BACK, and the query reads
+# through the pointer — proving publish/rollback are pure pointer flips
+# over immutable version dirs. The oracle recomputes what v0 contained
+# (the pre-revision aggregate) straight from the base table.
+# ==========================================================================
+@register(
+    "snapshot_time_travel_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="versioned snapshot table: publish v0, publish revised v1, rollback, read v0",
+)
+def snapshot_time_travel_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from lakehouse_spark_spark.sources.snapshots import read_snapshot, rollback, write_snapshot
+
+    path = f"/tmp/lakehouse_gold/{_sf_tag(sf_dir)}/status_revenue_snap"
+    shutil.rmtree(path, ignore_errors=True)  # deterministic version numbering per run
+    gold = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+    write_snapshot(gold, path)  # v0: the correct aggregate
+    write_snapshot(gold.withColumn("revenue", F.col("revenue") * 2), path)  # v1: a bad revision
+    rollback(path, 0)  # one pointer flip undoes it
+    return read_snapshot(spark, path)
