@@ -108,6 +108,20 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet datasets written at
+    different schema versions (columns added over time), reconciling by
+    name with ``mergeSchema`` — missing columns surface as nulls, the
+    standard additive-evolution contract (renames/type-changes need a
+    real table format's evolution log).
+
+    Scale note: mergeSchema footer reconciliation reads one footer per
+    file on executors — fine for a bounded set of schema generations;
+    production tables pin the merged schema in a catalog instead of
+    re-deriving it per query."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
 def read_binary_files(spark: SparkSession, directory: str, glob: str | None = None) -> DataFrame:
     """Real media ingestion: the ``binaryFile`` source reads every file
     as (path, modificationTime, length, content) — the on-ramp for the

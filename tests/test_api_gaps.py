@@ -87,3 +87,19 @@ def test_binary_file_source_feeds_multimodal_decode(spark):
         assert all(len(r["sha256"]) == 64 for r in meta)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_parquet_evolving_merges_added_column(spark):
+    from lakehouse_spark_spark.sources.loaders import read_parquet_evolving
+
+    d = tempfile.mkdtemp(prefix="evolve_")
+    try:
+        spark.range(3).write.parquet(f"{d}/gen1")
+        spark.range(3, 6).withColumn("score", F.col("id") * 2).write.parquet(f"{d}/gen2")
+        df = read_parquet_evolving(spark, f"{d}/gen1", f"{d}/gen2")
+        assert set(df.columns) == {"id", "score"}
+        assert df.count() == 6
+        # old-generation rows surface the new column as null
+        assert df.filter(F.col("score").isNull()).count() == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
