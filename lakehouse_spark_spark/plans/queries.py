@@ -1650,25 +1650,25 @@ def price_variance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_frame_sample",
     oracle=None,  # mapInPandas fan-out — no SQL equivalent
-    doc="video-style frame sampling: 1 binary row fans out to N frame rows",
+    doc="REAL frame sampling: FSTK containers of valid PNGs parsed, every Nth frame emitted",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_spark_spark.operators.multimodal import attach_fake_media, sample_frames
+    from lakehouse_spark_spark.operators.multimodal import attach_synthetic_video, sample_frames
 
     docs = _t(spark, sf_dir, "documents")
-    return sample_frames(attach_fake_media(docs, "doc_id", "text"), every_n=10)
+    return sample_frames(attach_synthetic_video(docs, "doc_id"), every_n=10)
 
 
 @register(
     "multimodal_audio_features",
-    oracle=None,  # mapInPandas stub — no SQL equivalent
-    doc="audio feature extraction into array<float> (feeds similarity ops)",
+    oracle=None,  # mapInPandas DSP — no SQL equivalent
+    doc="REAL audio decode: PCM WAV parse, exact duration/RMS + FFT band spectrum",
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_spark_spark.operators.multimodal import attach_fake_media, extract_audio_features
+    from lakehouse_spark_spark.operators.multimodal import attach_synthetic_wav, extract_audio_features
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_audio_features(attach_fake_media(docs, "doc_id", "text"))
+    return extract_audio_features(attach_synthetic_wav(docs, "doc_id"))
 
 
 @register(

@@ -1,0 +1,128 @@
+"""Real multimodal codecs: PNG pixel round-trip + resize, WAV DSP
+features, FSTK frame containers — no imaging/audio library involved."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """decode handles every scanline filter type; encode(decode(x)) == x."""
+    import struct
+    import zlib
+
+    from lakehouse_spark_spark.operators.multimodal import decode_png_pixels, encode_png_pixels
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    assert (decode_png_pixels(encode_png_pixels(arr)) == arr).all()
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert (decode_png_pixels(encode_png_pixels(rgb)) == rgb).all()
+
+    # hand-build a PNG using Sub/Up/Average/Paeth filtered scanlines and
+    # check the unfilter reconstructs the plain image
+    plain = np.arange(4 * 6, dtype=np.uint8).reshape(4, 6) * 3
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", zlib.crc32(tag + body))
+
+    lines = []
+    prev = np.zeros(6, dtype=np.uint8)
+    for y, ftype in enumerate([1, 2, 3, 4]):  # Sub, Up, Average, Paeth
+        row = plain[y]
+        if ftype == 1:
+            enc = row.copy()
+            enc[1:] = (row[1:] - row[:-1]) & 0xFF
+        elif ftype == 2:
+            enc = (row - prev) & 0xFF
+        elif ftype == 3:
+            enc = row.copy()
+            for x in range(6):
+                left = int(row[x - 1]) if x else 0
+                enc[x] = (int(row[x]) - ((left + int(prev[x])) >> 1)) & 0xFF
+        else:
+            enc = row.copy()
+            for x in range(6):
+                a = int(row[x - 1]) if x else 0
+                b, c = int(prev[x]), (int(prev[x - 1]) if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(row[x]) - pred) & 0xFF
+        lines.append(bytes([ftype]) + enc.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png_pixels(png) == plain).all()
+
+
+def test_resize_real_png_pixels(spark):
+    """Resize on PNG is a true pixel pipeline: the output payload is a
+    valid PNG whose decoded content is the nearest-neighbor resample."""
+    from lakehouse_spark_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_pixels,
+        resize_images,
+    )
+
+    grad = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))  # 32x64 gradient
+    df = spark.createDataFrame([(1, bytearray(encode_png_pixels(grad)))], "doc_id long, media binary")
+    out = resize_images(df, max_side=16).collect()[0]
+    assert (out["width"], out["height"]) == (16, 8)
+    px = decode_png_pixels(bytes(out["media"]))
+    assert px.shape == (8, 16)
+    ys = (np.arange(8) * (32 / 8)).astype(int)
+    xs = (np.arange(16) * (64 / 16)).astype(int)
+    assert (px == grad[ys][:, xs]).all()
+
+
+def test_wav_features_recover_tone_frequency(spark):
+    """The FFT band energies localize the synthesized tone: the band
+    containing the tone frequency dominates — real DSP, not a stub."""
+    from lakehouse_spark_spark.operators.multimodal import extract_audio_features, make_wav
+
+    rate, dur, freq = 8000, 0.1, 1000.0
+    df = spark.createDataFrame([(1, bytearray(make_wav(freq, dur, rate)))], "doc_id long, media binary")
+    row = extract_audio_features(df, n_features=8).collect()[0]
+    assert row["duration_s"] == pytest.approx(dur, abs=1e-9)
+    assert row["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=0.01)  # sine amp 0.5
+    feats = row["features"]
+    # rfft of 800 samples -> 401 bins spanning 0..4000 Hz; the tone sits
+    # at bin 100, which array_split(401, 8) places in band 1 (band 0
+    # holds bins 0..50, band 1 bins 51..101)
+    assert int(np.argmax(feats)) == 1
+    assert feats[1] > 0.9
+    assert sum(feats) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_frame_sampling_parses_real_container(spark):
+    from lakehouse_spark_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_framestack,
+        make_png,
+        sample_frames,
+    )
+
+    frames = [make_png(4 + f, 4, gray=f * 9) for f in range(23)]
+    df = spark.createDataFrame([(1, bytearray(make_framestack(frames)))], "doc_id long, media binary")
+    out = sorted(sample_frames(df, every_n=10).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 10, 20]
+    for r in out:
+        px = decode_png_pixels(bytes(r["frame"]))
+        assert px is not None and px.shape == (4, 4 + r["frame_idx"])
+        assert (px == (r["frame_idx"] * 9) % 256).all()
+
+
+def test_wav_parse_rejects_non_wav():
+    from lakehouse_spark_spark.operators.multimodal import parse_wav
+
+    assert parse_wav(b"not audio at all") is None
+    assert parse_wav(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
