@@ -42,8 +42,9 @@ def test_pricing_summary_has_partial_aggregation(spark):
     # partial (map-side) agg before the exchange + final after
     assert tree.count("HashAggregate") == 2
     # exactly ONE key shuffle (the group-by); the parallelize_scan
-    # round-robin redistribution of a degenerate local scan is allowed
-    assert plan.count("Exchange hashpartitioning") == 1
+    # round-robin redistribution of a degenerate local scan is allowed.
+    # (formatted mode puts the partitioning on the Arguments line)
+    assert plan.count("hashpartitioning(") == 1
     assert "LessThanOrEqual(l_shipdate" in plan
 
 
