@@ -52,6 +52,10 @@ HEADLINE = [
     "multimodal_decode",
     "decontaminated_corpus",
     "doc_unigram_logprob",
+    "session_window_stats",
+    "top_event_types_approx",
+    "user_reach_sketch_rollup",
+    "supplier_pagerank",
 ]
 
 
