@@ -121,3 +121,38 @@ def corpus_report(docs: DataFrame, disposition: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def _main() -> None:
+    """CLI: run the composed corpus pipeline (quality gate -> exact
+    dedup -> near-dup -> disposition + report) over a documents parquet
+    and write both outputs as parquet."""
+    import argparse
+    import time
+
+    from lakehouse_spark_spark.session import get_session
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    ap = argparse.ArgumentParser(description="training-corpus preparation pipeline")
+    ap.add_argument("--sf-dir", required=True, help="directory holding documents.parquet")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--backend", default="minhash", choices=["exact", "minhash"], help="near-dup backend")
+    ap.add_argument("--drop-policy", default="pairwise", choices=["pairwise", "cluster"])
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    args = ap.parse_args()
+
+    spark = get_session("corpus_cli")
+    t0 = time.perf_counter()
+    docs = load_table(spark, args.sf_dir, "documents")
+    disposition = prepare_corpus(
+        docs, jaccard_threshold=args.jaccard, neardup_backend=args.backend, drop_policy=args.drop_policy
+    )
+    disposition.write.mode("overwrite").parquet(f"{args.out}/disposition")
+    report = corpus_report(docs, spark.read.parquet(f"{args.out}/disposition"))
+    report.write.mode("overwrite").parquet(f"{args.out}/report")
+    n = spark.read.parquet(f"{args.out}/disposition").count()
+    print(f"corpus pipeline done in {time.perf_counter() - t0:.1f}s -> {args.out} ({n} docs)")
+
+
+if __name__ == "__main__":
+    _main()

@@ -155,3 +155,43 @@ def run_log(spark: SparkSession, result: PipelineResult, run_id: str, started_at
         "run_id string, started_at string, ended_at string, duration_seconds double, "
         "rows_dim_customer long, rows_fact_work_order long, rows_fact_parts_sales long",
     )
+
+
+def _main() -> None:
+    """CLI parity with the reference's ``python src/pipeline.py``
+    (src/pipeline.py:255,372): run the full medallion pipeline over a
+    directory of the reference-format CSVs and write the six gold CSVs
+    plus the run log."""
+    import argparse
+    import datetime
+    import time
+    import uuid
+
+    from lakehouse_spark_spark.session import get_session
+    from lakehouse_spark_spark.sources.sinks import write_single_csv
+
+    ap = argparse.ArgumentParser(description="medallion pipeline: bronze CSVs -> gold CSVs + DQ + run log")
+    ap.add_argument("--data-dir", required=True, help="directory of reference-format input CSVs")
+    ap.add_argument("--out", required=True, help="output directory for the gold CSVs")
+    ap.add_argument("--orphan-to-unknown", action="store_true", help="J1 intent mode (remap orphans to UNKNOWN)")
+    args = ap.parse_args()
+
+    spark = get_session("pipeline_cli")
+    started = datetime.datetime.now(datetime.timezone.utc)
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, args.data_dir, orphan_to_unknown=args.orphan_to_unknown)
+    for name, df in [
+        ("dim_customer", res.dim_customer),
+        ("fact_work_order", res.fact_work_order),
+        ("fact_parts_sales", res.fact_parts_sales),
+        ("dim_date", res.dim_date),
+        ("dq_results", res.dq_results),
+    ]:
+        write_single_csv(df, f"{args.out}/{name}.csv")
+    ended = datetime.datetime.now(datetime.timezone.utc)
+    write_single_csv(run_log(spark, res, str(uuid.uuid4()), started, ended), f"{args.out}/pipeline_runs.csv")
+    print(f"pipeline done in {time.perf_counter() - t0:.1f}s -> {args.out}")
+
+
+if __name__ == "__main__":
+    _main()
