@@ -3978,3 +3978,119 @@ def snapshot_time_travel_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_snapshot(gold.withColumn("revenue", F.col("revenue") * 2), path)  # v1: a bad revision
     rollback(path, 0)  # one pointer flip undoes it
     return read_snapshot(spark, path)
+
+
+# ==========================================================================
+# SQL-surface gap fillers: bag-semantics set ops, null-safe equality
+# join, rank-distribution windows, and outer explode — each the
+# DataFrame form beside its exact SQL twin.
+# ==========================================================================
+@register(
+    "event_type_bag_ops",
+    oracle="""
+    WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    i AS (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b),
+    e AS (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b)
+    SELECT 'intersect_all' AS op, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users FROM i
+    UNION ALL
+    SELECT 'except_all' AS op, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users FROM e
+    """,
+    doc="INTERSECT ALL / EXCEPT ALL (bag semantics — multiplicity-aware set ops)",
+)
+def event_type_bag_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+
+    def stats(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        ).select("op", "n", "n_users")
+
+    return stats(a.intersectAll(b), "intersect_all").unionByName(stats(a.exceptAll(b), "except_all"))
+
+
+@register(
+    "nullsafe_value_match",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM (SELECT event_id, CASE WHEN value < 0.05 THEN NULL ELSE ROUND(value, 1) END AS v
+          FROM events WHERE event_id % 101 = 0) a
+    JOIN (SELECT event_id, CASE WHEN value < 0.05 THEN NULL ELSE ROUND(value, 1) END AS v
+          FROM events WHERE event_id % 103 = 0) b
+      ON a.v IS NOT DISTINCT FROM b.v
+    """,
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL matches NULL",
+)
+def nullsafe_value_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.when(F.col("value") < 0.05, F.lit(None)).otherwise(F.round("value", 1))
+    a = ev.filter(F.col("event_id") % 101 == 0).select(F.col("event_id").alias("id_a"), bucket.alias("va"))
+    b = ev.filter(F.col("event_id") % 103 == 0).select(F.col("event_id").alias("id_b"), bucket.alias("vb"))
+    return a.join(b, a["va"].eqNullSafe(b["vb"])).select("id_a", "id_b")
+
+
+@register(
+    "customer_spend_distribution",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           total,
+           CAST(DENSE_RANK() OVER (ORDER BY total DESC) AS BIGINT) AS spend_rank,
+           ROUND(PERCENT_RANK() OVER (ORDER BY total), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY total), 6) AS cume
+    FROM spend
+    """,
+    doc="rank-distribution windows: dense_rank + percent_rank + cume_dist",
+)
+def customer_spend_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"))
+    )
+    w_desc = Window.orderBy(F.col("total").desc())
+    w_asc = Window.orderBy(F.col("total"))
+    return spend.select(
+        "o_custkey",
+        "total",
+        F.dense_rank().over(w_desc).cast("long").alias("spend_rank"),
+        F.round(F.percent_rank().over(w_asc), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_asc), 6).alias("cume"),
+    )
+
+
+@register(
+    "doc_tokens_outer_explode",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < 30 THEN NULL
+                  ELSE string_split({_NORM}, ' ')[1:3] END AS toks
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id, t.toks[u.i] AS tok, CAST(u.i - 1 AS BIGINT) AS pos
+    FROM t LEFT JOIN LATERAL (
+      SELECT CAST(i AS INTEGER) AS i FROM UNNEST(range(1, len(t.toks) + 1)) AS r(i)
+    ) u ON TRUE
+    """,
+    doc="posexplode_outer: rows with NULL arrays survive (LEFT LATERAL UNNEST twin)",
+)
+def doc_tokens_outer_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    toks = F.when(F.length("text") < 30, F.lit(None)).otherwise(
+        F.slice(F.split(norm_text("text"), " "), 1, 3)
+    )
+    return docs.select("doc_id", F.posexplode_outer(toks).alias("pos", "tok")).select(
+        "doc_id", "tok", F.col("pos").cast("long").alias("pos")
+    )
