@@ -4094,3 +4094,27 @@ def doc_tokens_outer_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.posexplode_outer(toks).alias("pos", "tok")).select(
         "doc_id", "tok", F.col("pos").cast("long").alias("pos")
     )
+
+
+# ==========================================================================
+# WordPiece token accounting (operators/tokenizer.py): corpus-trained
+# vocab (pure DataFrame training pass) + greedy longest-match inference
+# (the one genuinely Python-shaped loop, Arrow-batched with an explicit
+# broadcast vocab). rows-only: per-position backtracking has no SQL
+# twin; correctness is pinned by tests/test_tokenizer.py (distributed
+# == pure-Python replay, totality: zero [UNK] with in-corpus alphabet).
+# ==========================================================================
+@register(
+    "wordpiece_token_stats",
+    oracle=None,  # greedy longest-match loop — no SQL equivalent
+    doc="token accounting under a corpus-trained WordPiece vocab",
+)
+def wordpiece_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.tokenizer import build_vocab, wordpiece_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    # K chosen BELOW the corpus's distinct-word count (the synthetic
+    # documents draw from only ~31 words) so the long tail actually
+    # splits into subword pieces instead of degenerating to whole-word
+    vocab = build_vocab(docs, "text", top_k_words=12)
+    return wordpiece_token_stats(docs, "doc_id", "text", vocab)
