@@ -43,7 +43,9 @@ def unigram_vocab(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def doc_logprob(df: DataFrame, id_col: str, text_col: str, vocab: DataFrame | None = None) -> DataFrame:
+def doc_logprob(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame | None = None, head_k: int | None = None
+) -> DataFrame:
     """Per-document unigram log-likelihood stats under the corpus vocab:
 
     (id, n_scored, sum_logp, avg_logp) — avg_logp is the mean per-token
@@ -52,6 +54,16 @@ def doc_logprob(df: DataFrame, id_col: str, text_col: str, vocab: DataFrame | No
     to skip the counting pass; by default it is built from ``df``
     itself, so every token is in-vocabulary and n_scored = n_tokens.
 
+    ``head_k`` enables the 100 TB skew technique the module docstring
+    describes: the vocab is Zipf-distributed, so its top-K head covers
+    ~95% of TOKEN MASS while being broadcast-tiny. With ``head_k`` set,
+    head tokens are scored via a broadcast join (the heavy, skewed
+    traffic never shuffles — 'the' alone would otherwise hammer one
+    reducer) and only the long-tail tokens take the shuffle join; the
+    union feeds one aggregation. Result is IDENTICAL to the plain join
+    (tests + the shared oracle prove it); only the physical traffic
+    changes.
+
     The decimal per-token rounding makes sum/avg exact and
     order-independent (module docstring)."""
     if vocab is None:
@@ -59,7 +71,14 @@ def doc_logprob(df: DataFrame, id_col: str, text_col: str, vocab: DataFrame | No
     toks = df.select(
         F.col(id_col), F.explode(F.split(norm_text(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
-    scored = toks.join(vocab.select("token", "logp"), "token")
+    if head_k is None:
+        scored = toks.join(vocab.select("token", "logp"), "token")
+    else:
+        vocab = vocab.localCheckpoint(eager=False)  # one counting pass, two consumers
+        head = vocab.orderBy(F.col("n").desc(), F.col("token")).limit(head_k).select("token", "logp")
+        # left_anti against the SAME head set keeps the split exact
+        tail = vocab.join(F.broadcast(head.select("token")), "token", "left_anti").select("token", "logp")
+        scored = toks.join(F.broadcast(head), "token").unionByName(toks.join(tail, "token"))
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.sum("logp").cast("decimal(20,6)").cast("double").alias("sum_logp"),

@@ -4118,3 +4118,22 @@ def wordpiece_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # splits into subword pieces instead of degenerating to whole-word
     vocab = build_vocab(docs, "text", top_k_words=12)
     return wordpiece_token_stats(docs, "doc_id", "text", vocab)
+
+
+# ==========================================================================
+# Head/tail split vocab scoring: IDENTICAL semantics to
+# doc_unigram_logprob (literally the same oracle object) — only the
+# physical traffic changes: the Zipf head of the vocab is broadcast so
+# the heavy skewed token traffic never shuffles; the long tail takes
+# the shuffle join. The technique operators/lm.py's docstring promises
+# for 100 TB, demonstrated and gated.
+# ==========================================================================
+@register(
+    "doc_unigram_logprob_headtail",
+    oracle=_REGISTRY["doc_unigram_logprob"].oracle,
+    doc="unigram scoring with broadcast vocab head + shuffled tail (skew-safe form)",
+)
+def doc_unigram_logprob_headtail_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.lm import doc_logprob
+
+    return doc_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text", head_k=16)
