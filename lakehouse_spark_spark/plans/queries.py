@@ -4137,3 +4137,34 @@ def doc_unigram_logprob_headtail_q(spark: SparkSession, sf_dir: str) -> DataFram
     from lakehouse_spark_spark.operators.lm import doc_logprob
 
     return doc_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text", head_k=16)
+
+
+# ==========================================================================
+# Rolling 7-day reach FROM the sketch tier: hll_union_agg as a WINDOW
+# aggregate over daily sketches — every overlapping window answered by
+# merging 7 tier rows (4 KB each), the raw events never re-read. The
+# naive form re-scans and re-shuffles the raw data once per window
+# offset; this form's cost is O(tier size) regardless of how many
+# window shapes you serve. rows-only (sketch estimates are
+# engine-specific); accuracy vs exact rolling distinct is asserted in
+# tests/test_sketches.py.
+# ==========================================================================
+@register(
+    "rolling_7d_reach_sketch",
+    oracle=None,  # DataSketches estimates are engine-specific
+    doc="rolling 7-day distinct reach via windowed hll_union_agg over the daily tier",
+)
+def rolling_7d_reach_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.sketches import sketch_tier
+
+    ev = _t(spark, sf_dir, "events")
+    sketch_tier(ev, "ts", "user_id", grain="day").createOrReplaceTempView("__daily_tier")
+    return spark.sql(
+        """
+        SELECT unix_micros(bucket) AS day_us,
+               CAST(hll_sketch_estimate(hll_union_agg(sketch) OVER w) AS LONG) AS reach_7d,
+               SUM(n_rows) OVER w AS events_7d
+        FROM __daily_tier
+        WINDOW w AS (ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """
+    )

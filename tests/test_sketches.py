@@ -76,3 +76,40 @@ def test_heavy_hitters_rank_ordered(spark):
     assert len(rows) == 3
     counts = [r["est_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_rolling_sketch_reach_close_to_exact(spark):
+    """Windowed hll_union_agg over the daily tier tracks the exact
+    rolling 7-day distinct count within sketch error."""
+    from pyspark.sql import Window
+
+    from lakehouse_spark_spark.operators.sketches import sketch_tier
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    tier = sketch_tier(ev, "ts", "user_id", grain="day")
+    tier.createOrReplaceTempView("__t")
+    est = {
+        r["bucket"]: r["reach"]
+        for r in spark.sql(
+            """SELECT bucket, CAST(hll_sketch_estimate(hll_union_agg(sketch) OVER
+               (ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS LONG) AS reach
+               FROM __t"""
+        ).collect()
+    }
+    days = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    a, b = days.alias("a"), days.alias("b")
+    exact = {
+        r["d"]: r["n"]
+        for r in a.join(
+            b,
+            (F.col("b.d") <= F.col("a.d"))
+            & (F.col("b.d") >= F.col("a.d") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.count_distinct("b.user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact) and len(est) > 3
+    for d, e in est.items():
+        assert abs(e - exact[d]) / exact[d] < 0.05, (d, e, exact[d])
