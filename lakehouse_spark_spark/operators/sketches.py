@@ -98,3 +98,44 @@ def heavy_hitters(df: DataFrame, col: str, k: int, max_items_tracked: int = 1000
             F.col("entry.count").alias("est_count"),
         )
     )
+
+
+# --- Theta sketches: distinct-count SET ALGEBRA (union/intersect/diff) ---
+
+def theta_tier(df: DataFrame, key_col: str, value_col: str, lg_k: int = 18) -> DataFrame:
+    """One theta sketch of ``value_col`` per ``key_col`` group. Unlike
+    HLL, theta sketches support INTERSECTION and DIFFERENCE — the
+    audience-overlap algebra. Below ~2^lg_k distinct values per group
+    the sketch is in exact mode (it retains every hashed value), so
+    estimates — including intersections — are exact up to 64-bit hash
+    collisions; beyond that they carry the documented sampling error.
+    lg_k=18 keeps the local scales exact while bounding any sketch at a
+    few MB; at 100 TB you drop lg_k and accept the error bars."""
+    return df.groupBy(key_col).agg(
+        F.expr(f"theta_sketch_agg({value_col}, {lg_k})").alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def audience_overlap(tier: DataFrame, key_col: str) -> DataFrame:
+    """Pairwise audience overlap between groups from their theta
+    sketches alone: |A|, |B|, |A∪B|, |A∩B|, |A∖B| and Jaccard. The
+    join input is ONE ROW PER GROUP (sketches, not members) — the
+    pairwise comparison costs O(groups²) sketch merges regardless of
+    how many members each audience has; raw data is never re-read."""
+    a = tier.select(F.col(key_col).alias("key_a"), F.col("sketch").alias("sk_a"))
+    b = tier.select(F.col(key_col).alias("key_b"), F.col("sketch").alias("sk_b"))
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    est = lambda e: F.expr(e).cast("long")
+    return pairs.select(
+        "key_a",
+        "key_b",
+        est("theta_sketch_estimate(sk_a)").alias("n_a"),
+        est("theta_sketch_estimate(sk_b)").alias("n_b"),
+        est("theta_sketch_estimate(theta_union(sk_a, sk_b))").alias("n_union"),
+        est("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").alias("n_intersect"),
+        est("theta_sketch_estimate(theta_difference(sk_a, sk_b))").alias("n_only_a"),
+    ).withColumn(
+        "jaccard",
+        F.round(F.col("n_intersect").cast("double") / F.col("n_union"), 6),
+    )

@@ -4168,3 +4168,44 @@ def rolling_7d_reach_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """
     )
+
+
+# ==========================================================================
+# Audience overlap via theta sketches (operators/sketches.theta_tier /
+# audience_overlap): the set-ALGEBRA sketch — intersections and
+# differences, which HLL cannot answer. One sketch row per event_type;
+# every pairwise overlap is computed from sketches alone. Below 2^18
+# distinct users per type the sketches are in exact mode, so the DuckDB
+# set-arithmetic oracle matches EXACTLY at the driver's scales (the
+# docstring documents where the exactness window ends).
+# ==========================================================================
+@register(
+    "event_type_audience_overlap",
+    oracle="""
+    WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n FROM m GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS key_a, b.event_type AS key_b, COUNT(*) AS n_intersect
+      FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.key_a, i.key_b,
+           sa.n AS n_a, sb.n AS n_b,
+           sa.n + sb.n - i.n_intersect AS n_union,
+           i.n_intersect,
+           sa.n - i.n_intersect AS n_only_a,
+           ROUND(i.n_intersect * 1.0 / (sa.n + sb.n - i.n_intersect), 6) AS jaccard
+    FROM inter i
+    JOIN s sa ON sa.event_type = i.key_a
+    JOIN s sb ON sb.event_type = i.key_b
+    """,
+    doc="pairwise audience overlap from theta sketches (set algebra on sketches)",
+)
+def event_type_audience_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.sketches import audience_overlap, theta_tier
+
+    ev = _t(spark, sf_dir, "events")
+    tier = theta_tier(ev, "event_type", "user_id")
+    # overlapping pairs only — mirrors the oracle's inner join; a pair
+    # with an empty intersection is not an "overlap" row
+    return audience_overlap(tier, "event_type").filter(F.col("n_intersect") > 0)

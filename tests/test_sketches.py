@@ -113,3 +113,31 @@ def test_rolling_sketch_reach_close_to_exact(spark):
     assert set(est) == set(exact) and len(est) > 3
     for d, e in est.items():
         assert abs(e - exact[d]) / exact[d] < 0.05, (d, e, exact[d])
+
+
+def test_theta_overlap_exact_below_capacity(spark):
+    """In exact mode (distinct < 2^lg_k) the theta set algebra —
+    including INTERSECTION, which HLL cannot express — reproduces the
+    exact member-level overlap numbers."""
+    from lakehouse_spark_spark.operators.sketches import audience_overlap, theta_tier
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    got = {
+        (r["key_a"], r["key_b"]): (r["n_a"], r["n_b"], r["n_union"], r["n_intersect"], r["n_only_a"])
+        for r in audience_overlap(theta_tier(ev, "event_type", "user_id"), "event_type").collect()
+    }
+    members = {
+        r["event_type"]: set()
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        members[r["event_type"]].add(r["user_id"])
+    keys = sorted(members)
+    want = {}
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            A, B = members[a], members[b]
+            if A & B:
+                want[(a, b)] = (len(A), len(B), len(A | B), len(A & B), len(A - B))
+    assert got == want and len(got) > 0
