@@ -1612,38 +1612,48 @@ def embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT c.c_mktsegment,
              COUNT(*) AS n,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
-                      * CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                 * CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS s2
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment
     )
     SELECT c_mktsegment, n,
-           ROUND((s2 - s1 * s1 / n) / (n - 1), 4) AS price_variance
+           CAST((2 * (n * s2 - s1 * s1) + (n * (n - 1))) // (2 * (n * (n - 1))) AS DOUBLE)
+             / 10000 AS price_variance
     FROM s
     """,
     doc=(
-        "sample variance from decimal-exact moment sums (a native STDDEV "
-        "would hash-drift: its accumulation order differs per engine)"
+        "sample variance from integer cent moments with half-up rounding done "
+        "in INTEGER arithmetic — a native STDDEV would hash-drift (per-engine "
+        "accumulation order), and rounding a double at a tie diverges between "
+        "engines (Java shortest-repr vs scaled multiply); integer div cannot"
     ),
 )
 def price_variance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    p = F.col("o_totalprice").cast("decimal(18,2)")
+    # exact integer cents: double -> ROUND (integer-valued double) -> BIGINT
+    pc = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
     s = (
         orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(p).cast("double").alias("s1"),
-            F.sum(p * p).cast("double").alias("s2"),
+            F.sum(pc).alias("s1"),
+            F.sum((pc * pc).cast("decimal(38,0)")).alias("s2"),  # sum of squares overflows int64
         )
     )
+    # variance = (n*s2 - s1^2) / (1e4 * n * (n-1)); ROUND(x,4) in exact
+    # integer arithmetic: half_up(A/B) = (2A+B) div (2B) for A,B > 0
     return s.select(
         "c_mktsegment",
         "n",
-        F.round((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1), 4).alias("price_variance"),
+        F.expr(
+            """CAST((2 * (CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))
+                     + CAST(n AS DECIMAL(38,0)) * (n - 1))
+                    div (2 * CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DOUBLE) / 10000"""
+        ).alias("price_variance"),
     )
 
 
@@ -3120,7 +3130,15 @@ def events_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min_cost_supplier",
     oracle="""
     WITH cost AS (
-      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+      -- per-row unit cost half-up rounded to 6 decimals IN INTEGER
+      -- arithmetic (price cents P, qty q: round(P*1e6/(100q)) =
+      -- (2*P*1e6 + 100q) // (200q)), then MIN per (part, supplier) —
+      -- rounding a double quotient at 6 decimals hits REAL ties (2-adic
+      -- quantities make P/q terminate) where engines round differently
+      SELECT l_partkey, l_suppkey,
+             MIN((2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1000000
+                  + 100 * CAST(ROUND(l_quantity) AS BIGINT))
+                 // (200 * CAST(ROUND(l_quantity) AS BIGINT))) AS cost_micros
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     eu AS (
@@ -3130,18 +3148,18 @@ def events_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'EUROPE'
     ),
     pc AS (
-      SELECT c.l_partkey, c.cost, e.s_name, e.s_acctbal, e.n_name
+      SELECT c.l_partkey, c.cost_micros, e.s_name, e.s_acctbal, e.n_name
       FROM cost c
       JOIN eu e ON c.l_suppkey = e.s_suppkey
       JOIN part p ON c.l_partkey = p.p_partkey
       WHERE p.p_type = 'LARGE' AND p.p_size <= 10
     ),
-    mn AS (SELECT l_partkey, MIN(cost) AS mincost FROM pc GROUP BY l_partkey)
+    mn AS (SELECT l_partkey, MIN(cost_micros) AS mincost FROM pc GROUP BY l_partkey)
     SELECT pc.s_acctbal, pc.s_name, pc.n_name,
            pc.l_partkey AS p_partkey, p.p_name,
-           ROUND(pc.cost, 6) AS supply_cost
+           CAST(pc.cost_micros AS DOUBLE) / 1000000 AS supply_cost
     FROM pc
-    JOIN mn ON pc.l_partkey = mn.l_partkey AND pc.cost = mn.mincost
+    JOIN mn ON pc.l_partkey = mn.l_partkey AND pc.cost_micros = mn.mincost
     JOIN part p ON pc.l_partkey = p.p_partkey
     """,
     doc="TPC-H Q2 shape: min-cost supplier per part via derived supply costs",
@@ -3152,9 +3170,14 @@ def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    # unit cost in exact integer micros (see oracle comment): the min and
+    # the equality join both run on integers, immune to double-tie drift
+    cost_micros = F.expr(
+        """(2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1000000
+            + 100 * CAST(ROUND(l_quantity) AS BIGINT))
+           div (200 * CAST(ROUND(l_quantity) AS BIGINT))"""
     )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min(cost_micros).alias("cost_micros"))
     eu = (
         supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -3163,13 +3186,13 @@ def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (
         cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(part.select("p_partkey", "p_name")), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_partkey", "cost", "s_name", "s_acctbal", "n_name", "p_name")
+        .select("l_partkey", "cost_micros", "s_name", "s_acctbal", "n_name", "p_name")
     )
-    mn = pc.groupBy(F.col("l_partkey").alias("__pk")).agg(F.min("cost").alias("mincost"))
+    mn = pc.groupBy(F.col("l_partkey").alias("__pk")).agg(F.min("cost_micros").alias("mincost"))
     return (
         pc.join(
             F.broadcast(mn),
-            (F.col("l_partkey") == F.col("__pk")) & (F.col("cost") == F.col("mincost")),
+            (F.col("l_partkey") == F.col("__pk")) & (F.col("cost_micros") == F.col("mincost")),
         )
         .select(
             "s_acctbal",
@@ -3177,7 +3200,7 @@ def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.col("l_partkey").alias("p_partkey"),
             "p_name",
-            F.round("cost", 6).alias("supply_cost"),
+            (F.col("cost_micros").cast("double") / 1000000).alias("supply_cost"),
         )
     )
 
