@@ -4232,3 +4232,51 @@ def event_type_audience_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame
     # overlapping pairs only — mirrors the oracle's inner join; a pair
     # with an empty intersection is not an "overlap" row
     return audience_overlap(tier, "event_type").filter(F.col("n_intersect") > 0)
+
+
+# ==========================================================================
+# Weekly retention from theta sketches: audiences per week as sketches,
+# returning users = INTERSECTION of adjacent weeks' sketches — the
+# retention curve computed entirely from the sketch tier (one row per
+# week), never re-reading events. Exact below 2^lg_k members per week,
+# hence the exact DuckDB oracle at the driver's scales.
+# ==========================================================================
+@register(
+    "weekly_retention_sketch",
+    oracle="""
+    WITH m AS (SELECT DISTINCT date_trunc('week', ts) AS wk, user_id FROM events),
+    s AS (SELECT wk, COUNT(*) AS n FROM m GROUP BY wk),
+    ret AS (
+      SELECT a.wk AS wk, COUNT(*) AS n_retained
+      FROM m a JOIN m b ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+      GROUP BY a.wk
+    )
+    SELECT epoch_us(s.wk) AS week_us,
+           s.n AS n_active,
+           COALESCE(r.n_retained, 0) AS n_retained,
+           ROUND(COALESCE(r.n_retained, 0) * 1.0 / s.n, 6) AS retention_rate
+    FROM s LEFT JOIN ret r ON r.wk = s.wk
+    WHERE EXISTS (SELECT 1 FROM s s2 WHERE s2.wk = s.wk + INTERVAL 7 DAY)
+    """,
+    doc="week-over-week retention via theta-sketch intersections on the audience tier",
+)
+def weekly_retention_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tier = (
+        ev.groupBy(F.date_trunc("week", "ts").alias("wk"))
+        .agg(F.expr("theta_sketch_agg(user_id, 18)").alias("sk"))
+        .localCheckpoint(eager=False)  # one sketch pass, both join sides
+    )
+    nxt = tier.select((F.col("wk") - F.expr("INTERVAL 7 DAYS")).alias("wk"), F.col("sk").alias("sk_next"))
+    return (
+        tier.join(nxt, "wk")  # inner: only weeks that HAVE a following week
+        .select(
+            F.unix_micros("wk").alias("week_us"),
+            F.expr("theta_sketch_estimate(sk)").cast("long").alias("n_active"),
+            F.expr("theta_sketch_estimate(theta_intersection(sk, sk_next))").cast("long").alias("n_retained"),
+        )
+        .withColumn(
+            "retention_rate",
+            F.round(F.col("n_retained").cast("double") / F.col("n_active"), 6),
+        )
+    )
