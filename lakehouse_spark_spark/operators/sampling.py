@@ -77,3 +77,47 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, n: int, strata: list[str] | None = None
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws a frozen uniform
+    u ∈ (0, 1) from the md5 of its id and gets priority u^(1/w); the
+    top-n priorities per stratum are the sample. Higher weight ⇒
+    priority closer to 1 ⇒ more likely sampled — exactly the
+    weighted-without-replacement distribution, but REPRODUCIBLE: the
+    draw depends only on the row id, so re-runs, appends elsewhere in
+    the corpus, and engine choice cannot change a row's fate (the same
+    frozen-randomness contract as hash_split/stratified_sample, and an
+    exact-SQL-oracle-able one, unlike rand()).
+
+    Weights must be > 0 (caller filters). One window shuffle per
+    stratum; at 100 TB strata sort independently, no global sort.
+    u is the first 13 md5 hex chars (52 bits) scaled — exact in a
+    double, identical in every engine. The A-ES key u^(1/w) is ranked
+    in LOG space — priority ln(u)/w, a strictly monotone transform, so
+    the sample is identical — because pow() differs across libms by
+    ulps while ln is the already-proven-stable primitive here
+    (operators/lm.py rounds ln the same way). Priorities are rounded
+    to 6 decimals; id ascending breaks ties.
+    """
+    strata = strata or []
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast("double")
+        / F.lit(float(16**13))
+    )
+    # guard the open interval: u=0 would make ln blow up
+    u = F.greatest(u, F.lit(2.0**-53))
+    priority = F.round(F.log(u) / F.col(weight_col), 6)
+    w = Window.partitionBy(*[F.col(s) for s in strata]).orderBy(
+        F.col("__priority").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__priority", priority)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+        .withColumnRenamed("__priority", "sample_priority")
+    )

@@ -4280,3 +4280,39 @@ def weekly_retention_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_retained").cast("double") / F.col("n_active"), 6),
         )
     )
+
+
+# ==========================================================================
+# Deterministic weighted sampling (operators/sampling.weighted_sample):
+# Efraimidis–Spirakis without replacement, randomness frozen into
+# md5(id) — reproducible across runs/engines and therefore exactly
+# oracle-able, unlike rand(). Ranked in log space (ln(u)/w, monotone in
+# u^(1/w)) with the repo's proven ln-rounding contract. Weight = doc
+# length, so longer documents are proportionally more likely sampled —
+# the "sample by token budget" shape.
+# ==========================================================================
+@register(
+    "weighted_doc_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(LN(GREATEST(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                               / 4503599627370496.0, POWER(2.0, -53)))
+                   / n_chars, 6) AS sample_priority
+      FROM documents
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY sample_priority DESC, doc_id ASC) AS rk
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, sample_priority
+    FROM r WHERE rk <= 20
+    """,
+    doc="frozen-randomness weighted sample (A-ES): top-20 per source, weight = length",
+)
+def weighted_doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    return weighted_sample(docs, "doc_id", "n_chars", n=20, strata=["source"])

@@ -64,3 +64,31 @@ def test_pack_sequences_shards_independent(spark):
     df = spark.createDataFrame(rows, ["doc_id", "sh", "n_tokens"])
     got = {r["doc_id"]: r["start_offset"] for r in pack_sequences(df, "doc_id", "n_tokens", 100, "sh").collect()}
     assert got == {1: 0, 2: 0, 3: 5, 4: 5}
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-ES sample: reproducible, exactly n per stratum, and weight
+    actually biases inclusion (heavy rows overrepresented vs uniform)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark_spark.operators.sampling import weighted_sample
+
+    # weights 1 vs 100 in one stratum of 200 rows; sample 50
+    df = spark.range(200).select(
+        F.col("id"),
+        F.lit("s").alias("g"),
+        F.when(F.col("id") < 100, 1.0).otherwise(100.0).alias("w"),
+    )
+    s1 = weighted_sample(df, "id", "w", n=50, strata=["g"])
+    s2 = weighted_sample(df, "id", "w", n=50, strata=["g"])
+    ids1 = {r["id"] for r in s1.collect()}
+    ids2 = {r["id"] for r in s2.collect()}
+    assert ids1 == ids2 and len(ids1) == 50
+    heavy = sum(1 for i in ids1 if i >= 100)
+    assert heavy > 40  # weight-100 rows dominate the sample
+
+    # multi-strata: exactly n from each
+    df2 = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"), F.lit(1.0).alias("w"))
+    out = weighted_sample(df2, "id", "w", n=10, strata=["g"])
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 10, 1: 10, 2: 10}
