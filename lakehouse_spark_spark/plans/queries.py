@@ -4316,3 +4316,33 @@ def weighted_doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
     return weighted_sample(docs, "doc_id", "n_chars", n=20, strata=["source"])
+
+
+# ==========================================================================
+# Fixed-bin histogram via floor binning: the deterministic histogram
+# (native histogram_numeric is approximate AND engine-specific). Bin
+# boundaries are constants, so the binning is a pure projection fused
+# into the scan; one partial-agg shuffle of at most n_bins rows.
+# ==========================================================================
+@register(
+    "order_price_histogram",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 11) AS bin,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="deterministic fixed-bin price histogram (floor binning, exact aggregates)",
+)
+def order_price_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(11))
+    return orders.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
