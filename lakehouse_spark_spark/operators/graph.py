@@ -138,18 +138,31 @@ def pagerank(
     damping: float = 0.85,
     scale: int = 9,
 ) -> DataFrame:
-    """Fixed-iteration PageRank with DETERMINISTIC decimal arithmetic.
+    """Fixed-iteration PageRank with DETERMINISTIC integer arithmetic.
 
     Returns ``(node, rank)`` where rank is the N-NORMALIZED PageRank
     (classic rank x number-of-nodes): init 1, update
     rank(v) <- (1-d) + d * sum over in-edges of rank(u)/out_degree(u).
     Normalizing by N makes every constant an EXACT decimal literal (no
-    1/N rounding), so the only inexact step is the per-edge quotient —
-    computed in IEEE double and ROUNDED to ``scale`` decimals BEFORE
-    the sum. Per-node sums are then exact integer (decimal) arithmetic:
-    partition/merge-order independent and bit-identical across engines,
-    which is what lets the registry unroll the same iterations into a
-    DuckDB oracle (same determinism contract as operators/lm.py).
+    1/N rounding). The per-edge quotient rank(u)*d/out_degree(u) is
+    half-up rounded to ``scale`` decimals ENTIRELY IN INTEGER
+    ARITHMETIC: ranks are carried as BIGINT units of 10^-scale and,
+    with damping = num/den expressed as an exact rational,
+    ``half_up(R*num/(den*deg)) = (2*num*R + den*deg) div (2*den*deg)``
+    for positive operands — Spark's ``div`` and DuckDB's ``//`` both
+    truncate identically there, so the recurrence is bit-identical
+    across engines. (Rounding the IEEE-double quotient with each
+    engine's native ROUND diverges at true .5 ties — rank/out_degree
+    quotients of small integers DO terminate — which was the exact
+    failure class fixed for min_cost_supplier.) Per-node sums of
+    integer units are partition/merge-order independent, which is what
+    lets the registry unroll the same iterations into a DuckDB oracle
+    (same determinism contract as operators/lm.py).
+
+    Overflow headroom: unit values are bounded by N*10^scale (total
+    rank mass is N), so the 2*num*R numerator fits BIGINT up to
+    N ~ 5*10^8 nodes at scale=9; beyond that, widen the expression to
+    DECIMAL(38,0) — the identity is unchanged.
 
     Dangling nodes (no out-edges) leak their mass — the convention that
     keeps the recurrence local; they still RECEIVE rank. The iteration
@@ -162,7 +175,15 @@ def pagerank(
     lineage is truncated per round (localCheckpoint) exactly like
     connected_components above.
     """
+    from fractions import Fraction
+
     dec = f"decimal(28,{scale})"
+    unit = 10**scale
+    frac = Fraction(damping).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    base_units = round((1 - frac) * unit)  # exact: (den-num)*unit/den must be integral
+    if (1 - frac) * unit != base_units:
+        raise ValueError(f"damping {damping} not representable at scale {scale}")
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -170,23 +191,28 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("out_degree"))
-    base = F.lit(1.0 - damping).cast(dec)
-    ranks = nodes.select("node", F.lit(1).cast(dec).alias("rank"))
+    ranks = nodes.select("node", F.lit(unit).cast("bigint").alias("rank_units"))
+    contrib_units = F.expr(
+        f"({2 * num} * rank_units + {den} * out_degree) div ({2 * den} * out_degree)"
+    )
     for _ in range(iterations):
         contribs = (
             edges.join(ranks.withColumnRenamed("node", src), src)
             .join(out_deg.withColumnRenamed("node", src), src)
-            .select(
-                F.col(dst).alias("node"),
-                F.round(F.col("rank").cast("double") * F.lit(damping) / F.col("out_degree"), scale)
-                .cast(dec)
-                .alias("contrib"),
-            )
+            .select(F.col(dst).alias("node"), contrib_units.alias("contrib"))
         )
-        summed = contribs.groupBy("node").agg(F.sum("contrib").cast(dec).alias("in_rank"))
+        summed = contribs.groupBy("node").agg(F.sum("contrib").alias("in_rank"))
         ranks = (
             nodes.join(summed, "node", "left")
-            .select("node", (base + F.coalesce(F.col("in_rank"), F.lit(0).cast(dec))).cast(dec).alias("rank"))
+            .select(
+                "node",
+                (F.lit(base_units) + F.coalesce(F.col("in_rank"), F.lit(0))).cast("bigint").alias("rank_units"),
+            )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    # exact decimal reconstruction: units/10^scale has <= `scale` decimals,
+    # and Spark's decimal-division result scale (>= scale here) preserves it
+    return ranks.select(
+        "node",
+        (F.col("rank_units").cast("decimal(29,9)") / F.lit(unit)).cast(dec).alias("rank"),
+    )

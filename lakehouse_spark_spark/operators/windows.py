@@ -69,7 +69,11 @@ def session_stats(events: DataFrame, user_col: str = "user_id", ts_col: str = "t
 
 
 def session_window_stats(
-    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts", gap_minutes: int = 30
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    value_col: str = "value",
 ) -> DataFrame:
     """Per-session aggregates via the NATIVE session_window operator —
     the engine merges events whose gaps are < the timeout into one
@@ -89,7 +93,7 @@ def session_window_stats(
             F.count(F.lit(1)).alias("n_events"),
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .drop("session_window")
     )

@@ -3813,17 +3813,32 @@ def user_reach_sketch_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_event_types_approx",
     oracle="""
-    SELECT event_type AS item, COUNT(*) AS est_count
-    FROM events GROUP BY event_type
-    ORDER BY est_count DESC LIMIT 5
+    SELECT item, est_count FROM (
+      SELECT event_type AS item, COUNT(*) AS est_count,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY event_type
+    ) WHERE rn <= 5
     """,
     doc="approx_top_k heavy hitters; exact while cardinality fits the sketch",
 )
 def top_event_types_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from lakehouse_spark_spark.operators.sketches import heavy_hitters
 
     ev = _t(spark, sf_dir, "events")
-    return heavy_hitters(ev, "event_type", k=5).select("item", "est_count")
+    # Overfetch from the sketch, then cut at k=5 with a DETERMINISTIC
+    # tiebreak (count DESC, item ASC) mirrored in the oracle: if counts
+    # tie across the rank-5/6 boundary, approx_top_k's own choice among
+    # equals is unspecified and each engine could pick different items.
+    # The final window runs over <=50 rows — driver-trivial.
+    hh = heavy_hitters(ev, "event_type", k=50)
+    w = Window.orderBy(F.col("est_count").desc(), F.col("item").asc())
+    return (
+        hh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("item", "est_count")
+    )
 
 
 # ==========================================================================
@@ -3909,35 +3924,39 @@ def zorder_pruned_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 # Deterministic PageRank (operators/graph.pagerank): an ITERATIVE
 # algorithm under the exact-oracle gate. The bipartite graph is
-# customer -> supplier purchase edges (suppliers namespaced +1_000_000);
-# suppliers are dangling sinks that accumulate importance from the
-# customers who buy from them weighted by how concentrated those
-# customers' purchasing is. The decimal-rounded update (see operator
-# docstring) makes 5 iterations a fixed function of the graph, so the
-# oracle just UNROLLS the same recurrence as 5 chained CTEs.
+# customer -> supplier purchase edges (suppliers namespaced +10^12 — far
+# above any TPC-H customer key at any SF, so the two sides can never
+# collide); suppliers are dangling sinks that accumulate importance from
+# the customers who buy from them weighted by how concentrated those
+# customers' purchasing is. Ranks are BIGINT units of 1e-9 and the
+# per-edge rounding is pure integer div (see operator docstring) —
+# half_up(R*17/(20*deg)) = (34*R + 20*deg) // (40*deg) — so 5
+# iterations are a fixed function of the graph, bit-identical across
+# engines, and the oracle just UNROLLS the same recurrence as 5 chained
+# CTEs in the same integer arithmetic (Spark `div` == DuckDB `//` for
+# positive operands).
 # ==========================================================================
 def _pagerank_oracle(iters: int = 5, scale: int = 9) -> str:
-    sql = """
+    unit = 10**scale
+    sql = f"""
     WITH edges AS (
-      SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+      SELECT DISTINCT o_custkey AS src, 1000000000000 + l_suppkey AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
     nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
     deg AS (SELECT src AS node, COUNT(*) AS out_degree FROM edges GROUP BY 1),
-    r0 AS (SELECT node, CAST(1 AS DECIMAL(28,9)) AS pr FROM nodes)"""
+    r0 AS (SELECT node, CAST({unit} AS BIGINT) AS pr_units FROM nodes)"""
     for i in range(iters):
         sql += f""",
     r{i + 1} AS (
       SELECT n.node,
-             CAST(CAST(0.15 AS DECIMAL(28,9))
-                  + COALESCE(s.in_rank, CAST(0 AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS pr
+             CAST({unit * 3 // 20} + COALESCE(s.in_units, 0) AS BIGINT) AS pr_units
       FROM nodes n LEFT JOIN (
         SELECT e.dst AS node,
-               CAST(SUM(CAST(ROUND(CAST(r.pr AS DOUBLE) * 0.85 / d.out_degree, {scale})
-                             AS DECIMAL(28,{scale}))) AS DECIMAL(28,{scale})) AS in_rank
+               SUM((34 * r.pr_units + 20 * d.out_degree) // (40 * d.out_degree)) AS in_units
         FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg d ON e.src = d.node
         GROUP BY e.dst) s ON n.node = s.node)"""
-    sql += f"\n    SELECT node, CAST(pr AS DOUBLE) AS pr FROM r{iters}"
+    sql += f"\n    SELECT node, CAST(pr_units AS DOUBLE) / {unit} AS pr FROM r{iters}"
     return sql
 
 
@@ -3955,7 +3974,7 @@ def supplier_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
             F.col("o_custkey").alias("src"),
-            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+            (F.lit(1000000000000) + F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )

@@ -18,7 +18,8 @@ Implementation is pure DataFrame ops + one bounded driver action:
 1. per column: approxQuantile computes 2^bits bucket boundaries (a
    bounded-size driver result, same contract as IVF centroid training —
    at 100 TB you'd sample; approxQuantile already bounds its error),
-2. width_bucket assigns each value its bucket ordinal (JVM expression),
+2. a binary-search CASE tree assigns each value its QUANTILE bucket
+   ordinal (JVM expression, O(log buckets) comparisons per row),
 3. bit-interleave the ordinals into the Z-value with shiftleft/bitwise
    OR folded in a single expression tree,
 4. repartitionByRange(z) + sortWithinPartitions(z) and write parquet.
@@ -36,18 +37,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket_ordinal(col: str, boundaries: list[float]) -> F.Column:
-    """0-based bucket ordinal of ``col`` against sorted boundaries via
-    the built-in width_bucket (JVM-side, codegen-friendly)."""
-    lo, hi = boundaries[0], boundaries[-1]
-    n = len(boundaries) - 1
-    # width_bucket needs strictly increasing bounds; constant columns
-    # degenerate to ordinal 0 (they contribute nothing to the curve).
-    if hi <= lo:
+def _bucket_ordinal(col: str, boundaries: list[float], bits: int) -> F.Column:
+    """``bits``-wide QUANTILE bucket ordinal of ``col``: the count of
+    distinct interior quantile boundaries <= value — computed by a
+    binary-search CASE tree (O(log n) comparisons per row, pure JVM
+    expression) — then rescaled onto the full [0, 2^bits) ordinal space.
+
+    Binning against the ACTUAL quantile boundaries — not an equal-width
+    grid over [min, max] — is what makes the curve skew-proof: on a
+    skewed column equal-width binning collapses most rows into a few
+    buckets and the z-curve loses that dimension entirely. Duplicate
+    boundaries (heavy discrete values) are deduped, which compacts a
+    low-cardinality column's buckets into 0..n_buckets-1; the final
+    ``(ordinal * 2^bits) div n_buckets`` stretch spreads those compact
+    ordinals across the HIGH bits too, so the column still steers the
+    curve's coarse structure instead of only its low-order wiggles.
+    Constant columns degenerate to ordinal 0 and contribute nothing to
+    the curve. Nulls land in bucket 0."""
+    interior = sorted(set(boundaries[1:-1]))
+    if not interior:
         return F.lit(0)
-    b = F.width_bucket(F.col(col).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n))
-    # width_bucket: 0 below range, n+1 above; clamp into [0, n-1]
-    return F.greatest(F.least(b - 1, F.lit(n - 1)), F.lit(0))
+    v = F.col(col).cast("double")
+
+    def search(lo: int, hi: int) -> F.Column:
+        # invariant: all interior[< lo] <= v and (hi+1 < n implies v < interior[hi+1]);
+        # at lo > hi, lo == count of boundaries <= v == the bucket ordinal
+        if lo > hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(v >= F.lit(float(interior[mid])), search(mid + 1, hi)).otherwise(
+            search(lo, mid - 1)
+        )
+
+    n_buckets = len(interior) + 1
+    return F.floor(search(0, len(interior) - 1) * F.lit(2**bits) / F.lit(n_buckets)).cast("int")
 
 
 def zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
@@ -60,7 +83,7 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
     ordinals = []
     for c in cols:
         bounds = df.stat.approxQuantile(c, quantiles, 0.001)
-        ordinals.append(_bucket_ordinal(c, bounds))
+        ordinals.append(_bucket_ordinal(c, bounds, bits))
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, ordinal in enumerate(ordinals):

@@ -68,7 +68,11 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 
 
 def streaming_session_stats(
-    events: DataFrame, user_col: str = "user_id", gap_minutes: int = 30, watermark: str = "2 hours"
+    events: DataFrame,
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    value_col: str = "value",
 ) -> DataFrame:
     """Watermarked session-window aggregation: the native streaming form
     of operators/windows.session_window_stats (same session_window call,
@@ -76,7 +80,12 @@ def streaming_session_stats(
     merge as events arrive; a session finalizes — and its state is
     evicted — once the watermark passes its close. State size is
     bounded by (#open sessions), i.e. by activity inside the watermark
-    horizon, not by history."""
+    horizon, not by history.
+
+    sum_value is accumulated in decimal(18,2) exactly like the batch
+    twin — a raw double sum is accumulation-order dependent, so the
+    stream could drift from the batch/oracle result by ulps depending
+    on arrival order; the decimal sum makes stream==batch exact."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window(F.col("ts"), f"{gap_minutes} minutes"), F.col(user_col))
@@ -84,7 +93,7 @@ def streaming_session_stats(
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .drop("session_window")
     )

@@ -19,17 +19,19 @@ def test_pagerank_star_graph(spark):
     e = _edges(spark, [(1, 3), (2, 3), (3, 1)])
     got = {r["node"]: float(r["rank"]) for r in pagerank(e, iterations=5).collect()}
 
-    # reference: pure-Python replay of the identical recurrence
+    # reference: pure-Python replay of the identical INTEGER recurrence
+    # (BIGINT units of 1e-9; half_up(R*17/(20*deg)) = (34R+20deg)//(40deg))
     nodes = {1, 2, 3}
     deg = {1: 1, 2: 1, 3: 1}
-    rank = {n: 1.0 for n in nodes}
+    unit = 10**9
+    rank = {n: unit for n in nodes}
     for _ in range(5):
-        contrib = {n: 0.0 for n in nodes}
+        contrib = {n: 0 for n in nodes}
         for s, d in [(1, 3), (2, 3), (3, 1)]:
-            contrib[d] += round(rank[s] * 0.85 / deg[s], 9)
-        rank = {n: 0.15 + round(contrib[n], 9) for n in nodes}
+            contrib[d] += (34 * rank[s] + 20 * deg[s]) // (40 * deg[s])
+        rank = {n: 150_000_000 + contrib[n] for n in nodes}
     for n in nodes:
-        assert got[n] == pytest.approx(rank[n], abs=1e-9), (n, got[n], rank[n])
+        assert got[n] == pytest.approx(rank[n] / unit, abs=1e-12), (n, got[n], rank[n] / unit)
     assert got[3] > got[1] > got[2]
 
 
