@@ -49,9 +49,18 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     materialize: bool = True,
     hash_shingles: bool = True,
+    allow_bruteforce: bool = False,
+    max_rows_uncapped: int = 1_000_000,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets for every pair
     sharing ≥1 shingle; keep pairs with round(jaccard,6) >= threshold.
+
+    The UNCAPPED form (``max_df=None``) is a VERIFICATION-ONLY exact
+    baseline: a single hot shingle of document frequency df costs df²
+    join rows, so on a real corpus the df cap (or the MinHash path) is
+    the production shape. Uncapped runs fail fast above
+    ``max_rows_uncapped`` input documents unless
+    ``allow_bruteforce=True``.
 
     (Thresholding on the ROUNDED value keeps the predicate decision
     identical across engines despite last-ulp float noise.)
@@ -71,6 +80,10 @@ def ngram_jaccard_pairs(
     collisions (P ≈ d²/2⁶⁴ over d distinct shingles — at 10¹² shingles
     that's ~5%, at 10⁹ negligible; set False for exact strings).
     """
+    if max_df is None:
+        from lakehouse_spark_spark.operators.guards import guard_bruteforce
+
+        guard_bruteforce(df, max_rows_uncapped, "ngram_jaccard_pairs (uncapped)", allow_bruteforce)
     sh = word_shingles(df, id_col, text_col, n)
     if hash_shingles:
         sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))

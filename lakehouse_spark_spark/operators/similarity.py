@@ -87,15 +87,91 @@ def ann_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95) -> DataFrame:
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    allow_bruteforce: bool = False,
+    max_rows: int = 100_000,
+) -> DataFrame:
     """Corpus-wide near-duplicate pairs by cosine ≥ threshold.
-    Brute-force O(n²/2) form (exact baseline / oracle-checkable);
-    the LSH bucket join above is the production path."""
+
+    VERIFICATION-ONLY brute-force O(n²/2) theta-join: its sole purpose
+    is proving the scale path (``embedding_neardup_lsh_verified``)
+    exact at oracle scale. It fails fast above ``max_rows`` input rows
+    unless ``allow_bruteforce=True`` — a 100 TB corpus pointed here by
+    accident would otherwise plan a quadratic broadcast nested loop."""
+    from lakehouse_spark_spark.operators.guards import guard_bruteforce
+
+    guard_bruteforce(df, max_rows, "embedding_neardup_pairs", allow_bruteforce)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select("id_a", "id_b", F.round(cosine("__va", "__vb"), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_neardup_lsh_verified(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    band_planes: list[list[list[float]]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Corpus-wide near-duplicate pairs at scale: banded random-
+    hyperplane LSH candidate generation + EXACT cosine verification.
+
+    The production twin of ``embedding_neardup_pairs`` — same output
+    contract (id_a, id_b, cosine_sim), linear-shaped plan:
+
+    1. each vector gets one sign-bucket per band (``band_planes`` is a
+       list of bands, each a list of hyperplanes — an OR-of-ANDs
+       construction: a pair is a candidate if ALL plane signs agree in
+       ANY band, P[candidate] = 1-(1-(1-θ/π)^r)^b, so r planes/band
+       sets precision and b bands sets recall);
+    2. candidates come from a self-equi-join on (band, bucket) —
+       controlled-cardinality key, never a cross join — deduped on
+       (id_a, id_b);
+    3. only candidates pay the exact-cosine cost, and the emitted
+       similarity is EXACT (LSH only gates candidate generation), so
+       output equality with the brute-force baseline is provable at
+       oracle scale (driver-gated at sf0.01) up to the documented
+       band-miss probability.
+
+    The per-band explode multiplies the shuffled signature table by b
+    (rows are (band, bucket, id) — 24 bytes), not the vectors: vectors
+    are re-attached to the surviving candidate pairs only.
+    """
+    bands = len(band_planes)
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    sig_rows = v.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), rp_lsh_signature("__v", planes).alias("bucket"))
+                    for b, planes in enumerate(band_planes)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = sig_rows.select(F.col("__id").alias("id_a"), "band", "bucket")
+    b = sig_rows.select(F.col("__id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = v.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine("__va", "__vb"), 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 

@@ -748,7 +748,11 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE ROUND(shared * 1.0 / (sa.set_size + sb.set_size - shared), 6) >= 0.2
     """,
-    doc="exact n-gram Jaccard via inverted-index self-join (no cross join)",
+    doc=(
+        "exact n-gram Jaccard via inverted-index self-join, UNCAPPED — "
+        "VERIFICATION-ONLY exact baseline (hot-shingle df^2 risk; guarded "
+        "above 1M docs); the production path is ngram_jaccard_capped / minhash"
+    ),
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.neardup import ngram_jaccard_pairs
@@ -818,9 +822,11 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_neardup_pairs",
-    oracle="""
+# Shared oracle for the brute-force baseline AND its production twin:
+# both must emit the identical pair set, which is the equivalence proof.
+# Threshold 0.45 sits where the fixture has REAL pairs (14 @ sf0.01,
+# 144 @ sf0.1) — a higher cutoff would make the gate vacuously empty.
+_EMB_NEARDUP_ORACLE = """
     WITH a AS (SELECT vec_id, embedding FROM embeddings),
     pairs AS (
       SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.embedding AS va, y.embedding AS vb
@@ -836,15 +842,43 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, ROUND(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine_sim
     FROM flat
-    WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.8
-    """,
-    doc="embedding near-dup pairs (cosine >= 0.8), exact baseline",
+    WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.45
+    """
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=_EMB_NEARDUP_ORACLE,
+    doc=(
+        "embedding near-dup pairs (cosine >= 0.45), VERIFICATION-ONLY "
+        "O(n^2/2) exact baseline — guarded above 100k rows; the production "
+        "path is embedding_neardup_lsh_verified (same oracle = equivalence proof)"
+    ),
 )
 def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.8)
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+@register(
+    "embedding_neardup_lsh_verified",
+    oracle=_EMB_NEARDUP_ORACLE,
+    doc=(
+        "PRODUCTION embedding near-dup: banded RP-LSH candidates (48 bands x "
+        "4 planes) + exact cosine verify; same oracle as the brute-force "
+        "baseline, so a driver pass IS the scale-path equivalence proof "
+        "(per-pair band-miss probability <= ~1e-4 at the 0.45 cutoff)"
+    ),
+)
+def embedding_neardup_lsh_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.similarity import embedding_neardup_lsh_verified
+
+    emb = _t(spark, sf_dir, "embeddings")
+    all_planes = _fixed_planes(n_planes=192, dim=64)
+    band_planes = [all_planes[i : i + 4] for i in range(0, 192, 4)]
+    return embedding_neardup_lsh_verified(emb, "vec_id", "embedding", band_planes, threshold=0.45)
 
 
 def _fixed_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
