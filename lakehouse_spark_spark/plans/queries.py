@@ -1222,6 +1222,71 @@ def click_to_purchase_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ==========================================================================
+# Streaming-join semantics under the oracle gate: stream_stream_within
+# and stream_static_enrich (streaming/joins.py) are plain DataFrame
+# transforms, so running them on BATCH inputs (withWatermark is a no-op
+# in batch) oracle-gates the exact join conditions the streaming tests
+# assert stream==batch on — giving the streaming surface driver-attested
+# correctness rows without needing a stream inside the gate.
+# ==========================================================================
+@register(
+    "stream_stream_within_batch",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+                 AND b.ts > a.ts
+                 AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    doc=(
+        "batch twin of streaming/joins.stream_stream_within: identical "
+        "interval condition (l.ts, l.ts + 5min], same code path the "
+        "stream==batch test drives"
+    ),
+)
+def stream_stream_within_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.streaming.joins import stream_stream_within
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    j = stream_stream_within(clicks, purchases, "user_id", "click_ts", "purchase_ts", within="5 minutes")
+    return j.select(
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "stream_static_enrich_batch",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc=(
+        "batch twin of streaming/joins.stream_static_enrich: broadcast "
+        "left join against the customer dim, the stateless per-micro-batch "
+        "enrichment shape"
+    ),
+)
+def stream_static_enrich_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.streaming.joins import stream_static_enrich
+
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return stream_static_enrich(ev, dim, "user_id", "c_custkey").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+
+
 @register(
     "segment_price_percentiles",
     oracle="""
