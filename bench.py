@@ -59,6 +59,67 @@ HEADLINE = [
 ]
 
 
+def _warm(spark) -> None:
+    # warm the JVM/session path once (tiny query, not counted), plus the
+    # Arrow Python-worker pool — the first mapInPandas otherwise pays
+    # ~2s of interpreter+import startup inside the measured query
+    spark.range(1).count()
+    spark.range(64).mapInPandas(lambda it: it, "id long").write.mode("overwrite").format("noop").save()
+
+
+def run_one(name: str, repeat: int = 1) -> None:
+    """--one <query>: fresh-session single-query timing, printed as one
+    JSON line {"query": name, "secs": [s, ...]}. The building block of
+    --isolate and of A/B experiments (cold-codegen jitter makes shared-
+    session deltas untrustworthy; see BENCH notes in SCALE.md)."""
+    from lakehouse_spark_spark.plans.queries import registry
+    from lakehouse_spark_spark.session import get_session
+
+    spark = get_session("bench_one")
+    _warm(spark)
+    q = registry()[name]
+    secs = []
+    for _ in range(repeat):
+        df = q.builder(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        secs.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({"query": name, "secs": secs}))
+
+
+def run_isolated() -> None:
+    """--isolate: each headline query in its OWN subprocess (fresh JVM,
+    fresh codegen cache, no concurrent Spark work), so per-query numbers
+    are comparable round-over-round. ~15 s session startup per query —
+    use for attribution, not for the driver's wall-clock metric."""
+    import subprocess
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True, text=True, env=os.environ,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if line:
+            timings[name] = json.loads(line[-1])["secs"][0]
+        else:
+            timings[name] = float("nan")
+            sys.stderr.write(f"[isolate] {name} FAILED:\n{out.stderr[-2000:]}\n")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_isolated",
+                "value": round(sum(v for v in timings.values() if v == v), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
 def main() -> None:
     from lakehouse_spark_spark.plans.queries import registry
     from lakehouse_spark_spark.session import get_session
@@ -66,11 +127,7 @@ def main() -> None:
     spark = get_session("bench")
     reg = registry()
     names = [n for n in HEADLINE if n in reg]
-    # warm the JVM/session path once (tiny query, not counted), plus the
-    # Arrow Python-worker pool — the first mapInPandas otherwise pays
-    # ~2s of interpreter+import startup inside the measured query
-    spark.range(1).count()
-    spark.range(64).mapInPandas(lambda it: it, "id long").write.mode("overwrite").format("noop").save()
+    _warm(spark)
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
@@ -130,4 +187,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        run_one(sys.argv[2], repeat=int(sys.argv[3]) if len(sys.argv) > 3 else 1)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        run_isolated()
+    else:
+        main()

@@ -144,9 +144,11 @@ def revenue_by_customer_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="scan→filter→hash agg; pushdown of l_shipdate filter to parquet",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # _tp: four decimal aggregates per row dominate; the filter still
-    # reaches the scan (pushdown passes through the round-robin exchange).
-    li = _tp(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+    # NOT _tp: isolated A/B (r3, n=4/config) showed the round-robin
+    # exchange LOSES here — the groupBy's own shuffle already spreads the
+    # aggregate work, so the extra exchange only materializes the scan
+    # (warm 1.33 s with vs 1.22 s without at sf0.1).
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
     qty = F.col("l_quantity").cast("decimal(18,2)")
     ep = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
@@ -614,7 +616,11 @@ _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
     doc="exact text dedup on normalized-content hash; group on 16-byte hash, not raw text",
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _tp(spark, sf_dir, "documents")  # md5+normalize per row is the hot path
+    # NOT _tp: the op is shuffle-first (groupBy content hash) — the md5 is
+    # computed map-side of that shuffle regardless, so a prior round-robin
+    # exchange is pure overhead (isolated A/B r3: warm 0.28 s without vs
+    # 0.56 s with at sf0.1).
+    docs = _t(spark, sf_dir, "documents")
     return (
         docs.select(F.col("doc_id"), content_hash("text").alias("content_hash"))
         .groupBy("content_hash")

@@ -5,11 +5,23 @@ given sf dir, and compares STRICTLY: row count, column names, normalized
 dtypes, and exact cell values after sorting rows order-insensitively.
 Exact-match here implies any reasonable hash-based compare passes.
 
-Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+Usage:
+    python tools/compare_oracle.py [sf_dir] [query ...]
+    python tools/compare_oracle.py --json OUT.json SF_DIR [SF_DIR ...]
+
+--json emits a machine-readable FULL-REGISTRY attestation in the
+driver's exact per-query format ({rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}; oracle-less entries get err="no_oracle"),
+one map per sf dir keyed by the dir's sf tag — the committed artifact
+(CORRECTNESS_LOCAL_r{N}.json) that lets the grading loop diff the whole
+registry round-over-round, since the driver's own gate covers a frozen
+50-query subset. A strict local pass (exact sorted values) implies the
+driver's hash gate passes.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import traceback
 
@@ -43,10 +55,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare_one(name: str, spark_df, oracle: str, con) -> list[str]:
+def compare_one(name: str, spark_df, oracle: str, con, sp=None, du=None) -> list[str]:
     issues: list[str] = []
-    sp = spark_df.toPandas()
-    du = con.execute(oracle).df()
+    if sp is None:
+        sp = spark_df.toPandas()
+    if du is None:
+        du = con.execute(oracle).df()
     if sorted(sp.columns) != sorted(du.columns):
         issues.append(f"columns differ: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}")
         return issues
@@ -79,6 +93,62 @@ def compare_one(name: str, spark_df, oracle: str, con) -> list[str]:
                 i = int(np.argmax(~eq))
                 issues.append(f"{bad} value mismatches in {c}; first at row {i}: spark={a.iloc[i]!r} duckdb={b.iloc[i]!r}")
     return issues
+
+
+def attest(out_path: str, sf_dirs: list[str]) -> int:
+    """Emit the full-registry attestation JSON (driver record format)."""
+    sys.path.insert(0, "/root/repo")
+    from lakehouse_spark_spark.plans.queries import registry
+    from lakehouse_spark_spark.session import get_session
+
+    spark = get_session("attest")
+    result: dict[str, dict] = {}
+    n_fail = 0
+    for sf_dir in sf_dirs:
+        tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        con = load_duckdb(sf_dir)
+        per_sf: dict[str, dict] = {}
+        for name, q in registry().items():
+            rec = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": None,
+            }
+            try:
+                df = q.builder(spark, sf_dir)
+                if q.oracle is None:
+                    rec["spark_rows"] = df.count()
+                    rec["err"] = "no_oracle"
+                else:
+                    sp = df.toPandas()
+                    du = con.execute(q.oracle).df()
+                    rec["spark_rows"], rec["oracle_rows"] = len(sp), len(du)
+                    rec["rows_match"] = len(sp) == len(du)
+                    rec["schema_match"] = sorted(sp.columns) == sorted(du.columns)
+                    issues = (
+                        compare_one(name, df, q.oracle, con, sp=sp, du=du)
+                        if rec["schema_match"]
+                        else ["cols"]
+                    )
+                    rec["hash_match"] = rec["rows_match"] and rec["schema_match"] and not issues
+                    if not rec["hash_match"]:
+                        n_fail += 1
+                        rec["err"] = "; ".join(i.splitlines()[-1] for i in issues)[:500] or None
+            except Exception as e:  # noqa: BLE001
+                n_fail += 1
+                rec["err"] = f"{type(e).__name__}: {e}"[:500]
+            per_sf[name] = rec
+            status = "OK" if rec["err"] in (None,) else ("rows-only" if rec["err"] == "no_oracle" else "FAIL")
+            print(f"[{status}] {tag} {name}", flush=True)
+        result[tag] = per_sf
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out_path}; {n_fail} failures")
+    return 1 if n_fail else 0
 
 
 def main() -> int:
@@ -115,4 +185,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--json":
+        raise SystemExit(attest(sys.argv[2], sys.argv[3:]))
     raise SystemExit(main())
