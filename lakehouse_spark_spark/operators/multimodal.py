@@ -390,14 +390,46 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _pil_resize(payload: bytes, max_side: int) -> tuple[bytes, int, int] | None:
+    """Optional-dependency seam: decode/resize/re-encode via Pillow when
+    it is installed (JPEG/GIF/WebP real pixels), else None. Kept OUTSIDE
+    the hot loop's imports: the probe caches a module-level result so
+    absent-PIL costs one failed import per Python worker, total."""
+    global _PIL_IMAGE  # noqa: PLW0603 — per-worker memoized probe
+    try:
+        probe = _PIL_IMAGE
+    except NameError:
+        try:
+            from PIL import Image as probe  # type: ignore[import-not-found]
+        except ImportError:
+            probe = None
+        _PIL_IMAGE = probe
+    if probe is None:
+        return None
+    import io
+
+    try:
+        img = probe.open(io.BytesIO(payload))
+        fmt = img.format
+        w0, h0 = img.size
+        scale = min(1.0, max_side / max(w0, h0))
+        w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+        out = io.BytesIO()
+        img.resize((w, h), probe.NEAREST).save(out, format=fmt)
+        return out.getvalue(), w, h
+    except Exception:  # noqa: BLE001 — undecodable payload falls through
+        return None
+
+
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize. For PNG payloads this is a REAL pixel pipeline: decode
     (decode_png_pixels), nearest-neighbor resample via numpy index
     maps, re-encode a valid PNG (encode_png_pixels) — bytes in, smaller
-    real image out, no external libraries. Formats without an
-    uncompressed pixel codec here (JPEG/GIF) keep the header-true
-    dimension math with a truncation stand-in body (production swaps in
-    PIL inside the same batch loop; the Arrow plumbing is identical)."""
+    real image out, no external libraries. Other formats go through the
+    optional Pillow seam (``_pil_resize``) when the library is present;
+    without it they keep the header-true dimension math with a
+    truncation stand-in body — the Arrow plumbing is identical in all
+    three paths, so swapping codecs never touches the Spark side."""
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -415,6 +447,10 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                     xs = (np.arange(w) * (w0 / w)).astype(int)
                     resized = px[ys][:, xs]
                     rows.append((doc_id, encode_png_pixels(resized), w, h))
+                    continue
+                pil = _pil_resize(payload, max_side)
+                if pil is not None:
+                    rows.append((doc_id, *pil))
                     continue
                 meta = decode_image(payload)
                 scale = min(1.0, max_side / max(meta["width"], meta["height"]))

@@ -97,12 +97,16 @@ spark = (
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.driver.memory", "48g")
     .config("spark.eventLog.enabled", "true")
+    .config("spark.eventLog.compress", "false")
     .config("spark.eventLog.dir", event_dir)
     .config("spark.sql.session.timeZone", "UTC")
     .appName("scale_stress_run")
     .getOrCreate()
 )
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+# t0 BEFORE prepare_corpus: the cluster drop policy's connected-components
+# loop executes per-round actions during plan construction
+t0 = time.perf_counter()
 disp = prepare_corpus(docs, jaccard_threshold=0.8, neardup_backend="minhash", drop_policy="cluster")
 plan = disp._jdf.queryExecution().executedPlan().toString()
 shape = {
@@ -111,7 +115,6 @@ shape = {
     "sort_merge_joins": plan.count("SortMergeJoin"),
     "broadcast_joins": plan.count("BroadcastHashJoin"),
 }
-t0 = time.perf_counter()
 counts = {r["verdict"]: r["n"] for r in disp.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}
 wall = round(time.perf_counter() - t0, 2)
 print("RESULT " + json.dumps({"wall_sec": wall, "verdicts": counts, "plan_shape": shape}), flush=True)
@@ -121,7 +124,10 @@ spark.stop()
 
 def shuffle_bytes_from_eventlog(event_dir: str) -> dict[str, int]:
     rd = wr = 0
-    for p in glob.glob(f"{event_dir}/*"):
+    files = [p for p in glob.glob(f"{event_dir}/**", recursive=True) if os.path.isfile(p)]
+    for p in files:
+        if os.path.basename(p).startswith("appstatus"):
+            continue
         opener = gzip.open if p.endswith(".gz") else open
         with opener(p, "rt", errors="replace") as f:
             for line in f:
