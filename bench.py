@@ -49,6 +49,7 @@ HEADLINE = [
     "simhash_candidates",
     "embedding_topk_cosine",
     "embedding_ann_lsh",
+    "embedding_neardup_lsh_verified",
     "multimodal_decode",
     "decontaminated_corpus",
     "doc_unigram_logprob",
