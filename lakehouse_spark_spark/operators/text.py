@@ -212,3 +212,49 @@ def quality_score(col: Column | str) -> Column:
         - F.lit(0.4) * F.abs(avg_token_len(col) - F.lit(5.0))
     )
     return fast_sigmoid(z)
+
+
+def tfidf_topk_terms(docs, id_col: str, text_col: str, k: int = 3, min_term_len: int = 3):
+    """Per-document top-k terms by TF-IDF: ``(id, term, tf, score, rank)``.
+
+    Classic smoothed formulation: score = tf · (ln((N+1)/(df+1)) + 1),
+    with df = number of documents containing the term. Determinism
+    contract (the operators/lm.py pattern): the irrational ln is rounded
+    to 6 decimals and CAST TO DECIMAL before the multiply, so scores are
+    exact decimals and the (score DESC, term ASC) ranking — and its
+    DuckDB-oracle twin — cannot diverge on last-ulp float noise
+    (irrational values never sit on a rounding boundary; when the
+    argument is exactly 1 the idf is exactly 1.0 and the score is an
+    integer — also tie-free across engines).
+
+    Scale shape: tokens explode → (doc, term) hash aggregate with
+    map-side combine; df is a second aggregate over the (doc, term)
+    pairs; N joins in as a broadcast scalar; the final top-k is a
+    window partitioned by doc id — every shuffle keyed by doc or term,
+    no global sort, no driver state.
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401 — DataFrame for type context
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.length("term") >= min_term_len)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf6",
+            F.round(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0), 6
+            ).cast("decimal(12,6)"),
+        )
+        .withColumn("score", (F.col("tf").cast("decimal(12,0)") * F.col("idf6")).cast("decimal(18,6)"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", F.col("score").cast("double").alias("score"), "rank")
+    )

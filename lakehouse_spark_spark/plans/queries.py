@@ -729,6 +729,41 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tx.doc_fingerprint("text", k=8).alias("fingerprint"))
 
 
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    t AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE length(term) >= 3 GROUP BY 1, 2),
+    d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+      SELECT t.doc_id, t.term, t.tf,
+             CAST(CAST(t.tf AS DECIMAL(12,0))
+                  * CAST(ROUND(ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0, 6) AS DECIMAL(12,6))
+                  AS DECIMAL(18,6)) AS score
+      FROM t JOIN d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, CAST(score AS DOUBLE) AS score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM s
+    ) WHERE rank <= 3
+    """,
+    doc=(
+        "per-document top-3 TF-IDF terms (smoothed idf, decimal-exact "
+        "scores via the lm.py round-then-decimal pattern, deterministic "
+        "rank tiebreak)"
+    ),
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import tfidf_topk_terms
+
+    docs = _tp(spark, sf_dir, "documents")
+    out = tfidf_topk_terms(docs, "doc_id", "text", k=3, min_term_len=3)
+    return out.select("doc_id", "term", "tf", "score", F.col("rank").cast("long").alias("rank"))
+
+
 # ==========================================================================
 # LLM-data: near-duplicate detection (operators/neardup.py)
 # ==========================================================================

@@ -54,7 +54,11 @@ def _bucket_ordinal(col: str, boundaries: list[float], bits: int) -> F.Column:
     curve's coarse structure instead of only its low-order wiggles.
     Constant columns degenerate to ordinal 0 and contribute nothing to
     the curve. Nulls land in bucket 0."""
-    interior = sorted(set(boundaries[1:-1]))
+    # a boundary equal to the global min is below-or-equal to EVERY value:
+    # it would shift all ordinals uniformly (wasting a bucket) and make a
+    # constant column — whose quantiles all equal its min — emit nonzero
+    # ordinals instead of dropping out of the curve
+    interior = sorted({b for b in boundaries[1:-1] if b > boundaries[0]})
     if not interior:
         return F.lit(0)
     v = F.col(col).cast("double")

@@ -48,15 +48,19 @@ def test_tokenize_word_unk_without_alphabet(word):
 )
 def test_pagerank_invariants_random_graphs(spark, edges):
     """Any digraph (self-loops and duplicates included): every node
-    scores >= 1-d, total mass never exceeds N, result deterministic."""
+    scores >= 1-d, total mass never exceeds N (plus the documented
+    half-up rounding slack: each per-edge contrib rounds UP by at most
+    0.5e-9, per iteration), result deterministic."""
     from lakehouse_spark_spark.operators.graph import pagerank
 
+    iters = 3
     e = spark.createDataFrame(list(set(edges)), ["src", "dst"])
-    got = {r["node"]: float(r["rank"]) for r in pagerank(e, iterations=3).collect()}
+    got = {r["node"]: float(r["rank"]) for r in pagerank(e, iterations=iters).collect()}
     n = len({x for pair in set(edges) for x in pair})
     assert len(got) == n
     assert all(v >= 0.15 - 1e-12 for v in got.values())
-    assert sum(got.values()) <= n + 1e-9
+    rounding_slack = 0.5e-9 * len(set(edges)) * iters
+    assert sum(got.values()) <= n + rounding_slack + 1e-12
     again = {r["node"]: float(r["rank"]) for r in pagerank(e, iterations=3).collect()}
     assert got == again
 
