@@ -18,6 +18,8 @@ exists.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type hints here
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,6 +116,36 @@ def embedding_neardup_pairs(
     )
 
 
+def band_signatures(df: DataFrame, id_col: str, vec_col: str, band_planes: list[list[list[float]]]) -> DataFrame:
+    """``(id, band, bucket)`` rows: one sign-bucket per band per vector.
+
+    Signatures are computed by a VECTORIZED pandas_udf (one numpy matmul
+    per Arrow batch against the (b·r × dim) plane matrix) rather than an
+    expression tree — b·r·dim literal nodes would dwarf codegen limits
+    at production band counts (64 bands × 12 planes × 64 dims ≈ 49k
+    literals). Signatures never need cross-engine agreement: they only
+    GATE candidate generation; the verify stage recomputes exact cosine
+    with the engine-deterministic sequential-sum expression.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.array([p for band in band_planes for p in band], dtype=np.float64)
+    b, r = len(band_planes), len(band_planes[0])
+    weights = 1 << np.arange(r, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (X @ P.T >= 0).astype(np.int64).reshape(len(vs), b, r)
+        return pd.Series(list(bits @ weights))
+
+    return (
+        df.select(F.col(id_col).alias("__id"), sig(F.col(vec_col)).alias("__bk"))
+        .select("__id", F.posexplode("__bk").alias("band", "bucket"))
+    )
+
+
 def embedding_neardup_lsh_verified(
     df: DataFrame,
     id_col: str,
@@ -131,33 +163,28 @@ def embedding_neardup_lsh_verified(
        list of bands, each a list of hyperplanes — an OR-of-ANDs
        construction: a pair is a candidate if ALL plane signs agree in
        ANY band, P[candidate] = 1-(1-(1-θ/π)^r)^b, so r planes/band
-       sets precision and b bands sets recall);
+       sets precision and b bands sets recall — r must be LARGE enough
+       that unrelated pairs rarely collide: at r=12, a random
+       orthogonal-ish pair shares a band w.p. 2^-12, so even 64 bands
+       admit only ~1.6% of all pairs as candidates);
     2. candidates come from a self-equi-join on (band, bucket) —
        controlled-cardinality key, never a cross join — deduped on
        (id_a, id_b);
-    3. only candidates pay the exact-cosine cost, and the emitted
-       similarity is EXACT (LSH only gates candidate generation), so
-       output equality with the brute-force baseline is provable at
-       oracle scale (driver-gated at sf0.01) up to the documented
-       band-miss probability.
+    3. only candidates pay the exact-cosine cost — per-vector norms are
+       precomputed ONCE and carried as scalars, so each candidate pair
+       costs a single dot product — and the emitted similarity is EXACT
+       (LSH only gates candidate generation), so output equality with
+       the brute-force baseline is provable at oracle scale
+       (driver-gated) up to the documented band-miss probability.
 
     The per-band explode multiplies the shuffled signature table by b
     (rows are (band, bucket, id) — 24 bytes), not the vectors: vectors
     are re-attached to the surviving candidate pairs only.
     """
-    bands = len(band_planes)
-    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    sig_rows = v.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), rp_lsh_signature("__v", planes).alias("bucket"))
-                    for b, planes in enumerate(band_planes)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).withColumn(
+        "__n", l2_norm("__v")
+    )
+    sig_rows = band_signatures(df, id_col, vec_col, band_planes).localCheckpoint(eager=False)
     a = sig_rows.select(F.col("__id").alias("id_a"), "band", "bucket")
     b = sig_rows.select(F.col("__id").alias("id_b"), "band", "bucket")
     cand = (
@@ -166,12 +193,16 @@ def embedding_neardup_lsh_verified(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    vb = v.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    va = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    vb = v.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cosine("__va", "__vb"), 6).alias("cosine_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
 

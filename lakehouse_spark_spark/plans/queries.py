@@ -865,61 +865,104 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle for the brute-force baseline AND its production twin:
 # both must emit the identical pair set, which is the equivalence proof.
-# Threshold 0.45 sits where the fixture has REAL pairs (14 @ sf0.01,
-# 144 @ sf0.1) — a higher cutoff would make the gate vacuously empty.
+# The fixture's organic vectors never exceed cosine ~0.6, so the corpus
+# is AUGMENTED with deterministic planted near-dups (every 5th vector
+# re-scaled element-wise by 1 + ((vec_id+i)%7-3)/20 — pure rational IEEE
+# arithmetic, expressed identically in both engines, landing at cosine
+# ~0.99). At the realistic 0.9 near-dup threshold the expected output is
+# exactly the planted pairs — non-vacuous, and the regime where banded
+# LSH actually wins (random pairs collide w.p. 2^-12 per band).
 _EMB_NEARDUP_ORACLE = """
-    WITH a AS (SELECT vec_id, embedding FROM embeddings),
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+    ),
+    planted AS (
+      -- src renames vec_id to v so the lambda can NEVER bind to the
+      -- +10000000 lateral alias (DuckDB resolves same-SELECT aliases)
+      SELECT v + 10000000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+                            i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                 * (1.0 + ((v + i - 1) % 7 - 3) / 20.0)) AS embedding
+      FROM (SELECT vec_id AS v, embedding FROM embeddings WHERE vec_id % 5 = 0)
+    ),
+    a AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
     pairs AS (
       SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.embedding AS va, y.embedding AS vb
       FROM a x JOIN a y ON x.vec_id < y.vec_id
     ),
     flat AS (
       SELECT id_a, id_b,
-             SUM(CAST(va[CAST(i AS INTEGER)] AS DOUBLE) * CAST(vb[CAST(i AS INTEGER)] AS DOUBLE)) AS dp,
-             SUM(CAST(va[CAST(i AS INTEGER)] AS DOUBLE) * CAST(va[CAST(i AS INTEGER)] AS DOUBLE)) AS na,
-             SUM(CAST(vb[CAST(i AS INTEGER)] AS DOUBLE) * CAST(vb[CAST(i AS INTEGER)] AS DOUBLE)) AS nb
+             SUM(va[CAST(i AS INTEGER)] * vb[CAST(i AS INTEGER)]) AS dp,
+             SUM(va[CAST(i AS INTEGER)] * va[CAST(i AS INTEGER)]) AS na,
+             SUM(vb[CAST(i AS INTEGER)] * vb[CAST(i AS INTEGER)]) AS nb
       FROM pairs, UNNEST(range(1, len(va) + 1)) AS t(i)
       GROUP BY id_a, id_b
     )
     SELECT id_a, id_b, ROUND(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine_sim
     FROM flat
-    WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.45
+    WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.9
     """
+
+
+def _emb_corpus_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings (as array<double>) ∪ planted near-dups — the Spark twin
+    of the oracle's base/planted CTEs (identical rational arithmetic)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select(F.col("vec_id").alias("v"), "embedding")  # unambiguous source id
+        .select(
+            (F.col("v") + F.lit(10000000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                * (F.lit(1.0) + ((F.col("v") + i) % 7 - 3) / F.lit(20.0)),
+            ).alias("embedding"),
+        )
+    )
+    return emb.unionByName(planted)
 
 
 @register(
     "embedding_neardup_pairs",
     oracle=_EMB_NEARDUP_ORACLE,
     doc=(
-        "embedding near-dup pairs (cosine >= 0.45), VERIFICATION-ONLY "
-        "O(n^2/2) exact baseline — guarded above 100k rows; the production "
-        "path is embedding_neardup_lsh_verified (same oracle = equivalence proof)"
+        "embedding near-dup pairs (cosine >= 0.9, planted-dup corpus), "
+        "VERIFICATION-ONLY O(n^2/2) exact baseline — guarded above 100k "
+        "rows; the production path is embedding_neardup_lsh_verified "
+        "(same oracle = equivalence proof)"
     ),
 )
 def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.similarity import embedding_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    corpus = _emb_corpus_with_planted(spark, sf_dir)
+    return embedding_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.9)
 
 
 @register(
     "embedding_neardup_lsh_verified",
     oracle=_EMB_NEARDUP_ORACLE,
     doc=(
-        "PRODUCTION embedding near-dup: banded RP-LSH candidates (48 bands x "
-        "4 planes) + exact cosine verify; same oracle as the brute-force "
-        "baseline, so a driver pass IS the scale-path equivalence proof "
-        "(per-pair band-miss probability <= ~1e-4 at the 0.45 cutoff)"
+        "PRODUCTION embedding near-dup: banded RP-LSH candidates (64 bands x "
+        "12 planes, numpy-vectorized signatures) + exact cosine verify on "
+        "candidates only; same oracle as the brute-force baseline, so a "
+        "driver pass IS the scale-path equivalence proof (planted-pair "
+        "band-miss probability ~1e-24 at cosine 0.99; random pairs collide "
+        "w.p. 64/2^12 ≈ 1.6%)"
     ),
 )
 def embedding_neardup_lsh_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.similarity import embedding_neardup_lsh_verified
 
-    emb = _t(spark, sf_dir, "embeddings")
-    all_planes = _fixed_planes(n_planes=192, dim=64)
-    band_planes = [all_planes[i : i + 4] for i in range(0, 192, 4)]
-    return embedding_neardup_lsh_verified(emb, "vec_id", "embedding", band_planes, threshold=0.45)
+    corpus = _emb_corpus_with_planted(spark, sf_dir)
+    all_planes = _fixed_planes(n_planes=768, dim=64)
+    band_planes = [all_planes[i : i + 12] for i in range(0, 768, 12)]
+    return embedding_neardup_lsh_verified(corpus, "vec_id", "embedding", band_planes, threshold=0.9)
 
 
 def _fixed_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
