@@ -61,11 +61,39 @@ HEADLINE = [
 
 
 def _warm(spark) -> None:
-    # warm the JVM/session path once (tiny query, not counted), plus the
-    # Arrow Python-worker pool — the first mapInPandas otherwise pays
-    # ~2s of interpreter+import startup inside the measured query
+    # Warm the JVM/session path once (tiny queries, not counted): the
+    # Arrow Python-worker pool (the first mapInPandas otherwise pays ~2s
+    # of interpreter+import startup inside the measured query) and the
+    # whole-stage-codegen compiler paths the headline queries hit —
+    # decimal aggregation, window functions, shuffle + broadcast joins.
+    # On a cold JVM the FIRST Janino compile of a decimal-agg stage
+    # costs seconds of JIT warmup that has nothing to do with the query
+    # being measured (observed 5.8s cold vs 1.5s warm for the same
+    # plan); warming generic shapes here keeps per-query numbers about
+    # the queries. No testdata is touched and no headline plan is
+    # pre-run — these are synthetic spark.range inputs only.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
     spark.range(1).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").write.mode("overwrite").format("noop").save()
+    base = spark.range(0, 10_000).select(
+        (SF.col("id") % 7).alias("k"),
+        SF.col("id").cast("decimal(18,2)").alias("d"),
+        (SF.col("id") % 13).alias("j"),
+    )
+    agg = base.groupBy("k").agg(
+        SF.sum(SF.col("d") * (SF.lit(1) - SF.col("d") / 1000)).alias("s"),
+        SF.count(SF.lit(1)).alias("c"),
+    )
+    small = spark.range(0, 13).select(SF.col("id").alias("j"), SF.lit("x").alias("tag"))
+    win = Window.partitionBy("k").orderBy("d")
+    warmed = (
+        base.join(SF.broadcast(small), "j")
+        .withColumn("rn", SF.row_number().over(win))
+        .join(agg, "k")
+    )
+    warmed.write.mode("overwrite").format("noop").save()
 
 
 def run_one(name: str, repeat: int = 1) -> None:
