@@ -53,6 +53,9 @@ HEADLINE = [
     "multimodal_decode",
     "decontaminated_corpus",
     "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "duplicated_span_stats",
+    "bm25_doc_search",
     "session_window_stats",
     "top_event_types_approx",
     "user_reach_sketch_rollup",

@@ -22,7 +22,7 @@ Raw double summation would differ in the last ulp by partition order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_spark_spark.operators.text import norm_text
@@ -83,4 +83,85 @@ def doc_logprob(
         F.count(F.lit(1)).alias("n_scored"),
         F.sum("logp").cast("decimal(20,6)").cast("double").alias("sum_logp"),
         F.round(F.sum("logp").cast("decimal(20,6)").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
+    )
+
+
+def positioned_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, token): whitespace tokens with their 0-based position
+    (the order key for n-gram context). Empty documents emit nothing."""
+    return (
+        df.select(F.col(id_col), F.posexplode(F.split(norm_text(text_col), " ")).alias("pos", "token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def doc_bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document bigram language-model score with stupid backoff
+    (Brants et al., "Large Language Models in Machine Translation",
+    EMNLP 2007): token i scores
+
+      - ln(c(w_{i-1}, w_i) / c(w_{i-1}))      if the bigram survives
+        pruning (corpus count ≥ ``min_count``),
+      - ln(backoff · c(w_i) / T)              otherwise (backed-off,
+        discounted unigram),
+      - ln(c(w_i) / T)                        for the first token.
+
+    Returns (id, n_scored, n_backoff, sum_logp, avg_logp). A lower
+    avg_logp than the unigram model on the same doc means its local
+    word order is unusual for the corpus — a sharper fluency/quality
+    signal than bag-of-words perplexity.
+
+    Determinism: per-token log-probs are rounded to 6 decimals and cast
+    DECIMAL(18,6) before the per-doc sum (module contract). Scale: the
+    pruned bigram table is the only wide artifact; both scoring joins
+    are token-keyed equi-joins, and the ``lag`` window partitions by
+    document — state bounded by the longest doc, never the corpus.
+    """
+    toks = positioned_tokens(df, id_col, text_col).localCheckpoint(eager=False)
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.select(F.sum("c1").alias("__t"))
+    unil = uni.crossJoin(F.broadcast(total)).select(
+        "token",
+        "c1",
+        F.round(F.log(F.col("c1").cast("double") / F.col("__t")), 6).cast("decimal(18,6)").alias("lp_uni"),
+        F.round(F.log(F.lit(backoff) * F.col("c1") / F.col("__t")), 6).cast("decimal(18,6)").alias("lp_back"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("token").over(w))
+    big = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    bigl = big.join(uni.select(F.col("token").alias("prev"), "c1"), "prev").select(
+        "prev",
+        "token",
+        F.round(F.log(F.col("c2").cast("double") / F.col("c1")), 6).cast("decimal(18,6)").alias("lp_big"),
+    )
+    scored = (
+        pairs.join(unil.select("token", "lp_uni", "lp_back"), "token")
+        .join(bigl, ["prev", "token"], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("prev").isNull(), F.col("lp_uni"))
+            .when(F.col("lp_big").isNotNull(), F.col("lp_big"))
+            .otherwise(F.col("lp_back"))
+            .alias("lp"),
+            F.when(F.col("prev").isNotNull() & F.col("lp_big").isNull(), 1).otherwise(0).alias("__back"),
+        )
+    )
+    from lakehouse_spark_spark.operators.stats import decimal_avg6
+
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.count(F.when(F.col("__back") == 1, 1)).alias("n_backoff"),
+        F.sum("lp").cast("decimal(20,6)").cast("double").alias("sum_logp"),
+        decimal_avg6(F.sum("lp").cast("decimal(20,6)"), F.count(F.lit(1))).alias("avg_logp"),
     )

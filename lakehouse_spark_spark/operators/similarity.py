@@ -294,3 +294,88 @@ def ivf_topk(
     scored = pairs.select("query_id", "neighbor_id", F.round(cosine("__qv", "__cv"), 6).alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): embedding-space
+    near-duplicate pruning via a k-means partition.
+
+    Every vector is assigned to its nearest coarse centroid (same
+    quantizer as IVF — pass pre-trained ``centroids`` to skip the
+    bounded sample-fit); exact pairwise cosine runs ONLY within a cell.
+    A document is dropped when some LOWER-id document in its cell has
+    cosine ≥ ``threshold`` (a deterministic pairwise-witness rule — no
+    iterative clustering, so the result is reproducible and testable;
+    the paper's keep-one-per-group semantics differ only on chains
+    a~b~c where a̸~c).
+
+    Returns every corpus row as (id, cell, kept, dup_of): ``dup_of`` is
+    the smallest qualifying witness (NULL when kept).
+
+    Scale: the O(m²) cosine work is per-cell (m = cell size, controlled
+    by n_cells — at 100 TB you size n_cells so cells fit the executor,
+    exactly like IVF); the join is an equi-join on cell id, vectors
+    re-attached by id, norms computed once. The quadratic term never
+    sees the corpus, only a cell.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_cells=n_cells, seed=seed, max_train_rows=max_train_rows)
+
+    def nearest_cell(vec: Column) -> Column:
+        d = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in centroids
+            ]
+        )
+        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        pairs = F.zip_with(d, idx, lambda dist, i: F.struct(dist.alias("d"), i.alias("i")))
+        return F.element_at(F.transform(F.array_sort(pairs), lambda s: s["i"]), 1)
+
+    assigned = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("cell", nearest_cell(F.col("__v"))).withColumn("__n", l2_norm("__v")).localCheckpoint(
+        eager=False
+    )
+    a = assigned.select(F.col("__id").alias("id_a"), "cell", F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = assigned.select(F.col("__id").alias("id_b"), "cell", F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    witnesses = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6)).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.select(F.col("__id"), "cell")
+        .join(witnesses.select(F.col("id_b").alias("__id"), "dup_of"), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )

@@ -1,0 +1,102 @@
+"""Substring-level (span) deduplication statistics — the ExactSubstr
+idea of Lee et al., "Deduplicating Training Data Makes Language Models
+Better" (ACL 2022), re-expressed as a Spark-native fixed-k shingle
+pipeline instead of a suffix array.
+
+A token span is *duplicated* when the k-token shingle starting there
+occurs ≥ ``min_count`` times corpus-wide (within-doc repeats count,
+matching the suffix-array formulation). Per document, overlapping /
+adjacent duplicated shingle windows are merged into maximal spans
+(gaps-and-islands over window functions), yielding the span inventory
+and the duplicated-token fraction — the signal used to drop or trim
+boilerplate-heavy documents in RefinedWeb/SlimPajama-style curation.
+
+Scale design (100 TB):
+- Shingling is pure array expressions over the scan — no shuffle, no
+  Python.
+- The global shingle count groups by ``xxhash64(shingle)`` (8-byte
+  shuffle key) instead of the raw k-token string — the shuffle carries
+  hashes, not text. A 64-bit collision would need ~2^32 distinct
+  shingles in flight to become likely (birthday bound); the oracle
+  groups by the string itself, and the driver-gated hash-match at two
+  scale factors is the empirical collision check.
+- The merge step windows PER DOCUMENT ordered by span start — the
+  partition key is the document id, so state is bounded by the longest
+  document, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_spark_spark.operators.text import tokens
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __w array<string>, n_tokens): non-empty documents only."""
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__w"))
+        .withColumn("n_tokens", F.size("__w").cast("long"))
+        .filter(~((F.col("n_tokens") == 1) & (F.element_at("__w", 1) == "")))
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """(id, n_tokens, start_pos, shingle): every k-token shingle with its
+    1-based start position. Documents shorter than k tokens emit no
+    rows; empty documents are excluded entirely."""
+    base = _tokenized(df, id_col, text_col)
+    sh = base.filter(F.col("n_tokens") >= k).select(
+        F.col(id_col),
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_tokens") - k).cast("int")),
+                lambda i: F.array_join(F.slice("__w", i + 1, k), " "),
+            )
+        ).alias("__i", "shingle"),
+    )
+    return sh.select(F.col(id_col), "n_tokens", (F.col("__i") + 1).alias("start_pos"), "shingle")
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span inventory:
+
+    (id, n_tokens, n_dup_spans, dup_tokens, dup_frac) — dup_tokens is
+    the number of token positions covered by some corpus-duplicated
+    k-shingle, after merging overlapping/adjacent windows into maximal
+    spans. Every non-empty document appears (zeros when clean)."""
+    base = _tokenized(df, id_col, text_col)
+    sh = doc_shingles(df, id_col, text_col, k)
+    sh = sh.withColumn("__h", F.xxhash64("shingle")).localCheckpoint(eager=False)
+    dup = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__c")).filter(F.col("__c") >= min_count).select("__h")
+    occ = sh.join(dup, "__h").select(
+        F.col(id_col), "start_pos", (F.col("start_pos") + k - 1).alias("end_pos")
+    )
+    w_prev = Window.partitionBy(id_col).orderBy("start_pos").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.partitionBy(id_col).orderBy("start_pos").rowsBetween(Window.unboundedPreceding, 0)
+    isl = (
+        occ.withColumn("__prev_max", F.max("end_pos").over(w_prev))
+        .withColumn(
+            "__new",
+            F.when(F.col("__prev_max").isNull() | (F.col("start_pos") > F.col("__prev_max") + 1), 1).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w_run))
+    )
+    spans = isl.groupBy(id_col, "__island").agg(
+        F.min("start_pos").alias("__s"), F.max("end_pos").alias("__e")
+    )
+    perdoc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("dup_tokens"),
+    )
+    return base.select(id_col, "n_tokens").join(perdoc, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(F.coalesce(F.col("dup_tokens"), F.lit(0)) * 1.0 / F.col("n_tokens"), 6).alias("dup_frac"),
+    )

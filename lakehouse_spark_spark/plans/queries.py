@@ -4548,3 +4548,372 @@ def order_price_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+# ==========================================================================
+# LLM-data: substring-level (span) dedup stats — the ExactSubstr idea of
+# Lee et al. (ACL 2022) as a fixed-k shingle pipeline
+# (operators/spandedup.py). Spark groups the global shingle count by
+# xxhash64 (8-byte shuffle key); the oracle groups by the raw string —
+# the two-scale hash-match is the empirical collision check.
+# ==========================================================================
+@register(
+    "duplicated_span_stats",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    docs AS (
+      SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM raw
+      WHERE NOT (len(w) = 1 AND w[1] = '')
+    ),
+    sh AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS start_pos,
+             CAST(s + 7 AS BIGINT) AS end_pos,
+             array_to_string(list_slice(w, s, s + 7), ' ') AS shingle
+      FROM docs, UNNEST(range(1, n_tokens - 6)) AS t(s)
+      WHERE n_tokens >= 8
+    ),
+    dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 2),
+    occ AS (SELECT doc_id, start_pos, end_pos FROM sh JOIN dup USING (shingle)),
+    isl0 AS (
+      SELECT doc_id, start_pos, end_pos,
+             MAX(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM occ
+    ),
+    isl AS (
+      SELECT doc_id, start_pos, end_pos,
+             SUM(CASE WHEN prev_max IS NULL OR start_pos > prev_max + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start_pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl0
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(start_pos) AS s, MAX(end_pos) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_dup_spans, CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_tokens,
+           CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(p.dup_tokens, 0) * 1.0 / d.n_tokens, 6) AS dup_frac
+    FROM docs d LEFT JOIN perdoc p USING (doc_id)
+    """,
+    doc="span-level dedup (ExactSubstr via k=8 shingles): merged duplicated spans per doc",
+)
+def duplicated_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.spandedup import duplicated_span_stats
+
+    return duplicated_span_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2)
+
+
+# ==========================================================================
+# LLM-data: bigram LM with stupid backoff (operators/lm.py
+# doc_bigram_logprob) — the word-order-aware sibling of
+# doc_unigram_logprob. Bigrams pruned below count 2; backed-off tokens
+# score ln(0.4·p_unigram).
+# ==========================================================================
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    tok0 AS (
+      SELECT doc_id, unnest(w) AS token, unnest(range(1, len(w) + 1)) AS pos FROM raw
+    ),
+    tok AS (SELECT doc_id, pos, token FROM tok0 WHERE token <> ''),
+    uni AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t FROM uni),
+    unil AS (
+      SELECT token, c1,
+             CAST(ROUND(LN(c1 * 1.0 / t), 6) AS DECIMAL(18,6)) AS lp_uni,
+             CAST(ROUND(LN(0.4 * c1 / t), 6) AS DECIMAL(18,6)) AS lp_back
+      FROM uni, tot
+    ),
+    pairs AS (
+      SELECT doc_id, pos, token,
+             LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM tok
+    ),
+    big AS (
+      SELECT prev, token, COUNT(*) AS c2 FROM pairs
+      WHERE prev IS NOT NULL GROUP BY prev, token HAVING COUNT(*) >= 2
+    ),
+    bigl AS (
+      SELECT b.prev, b.token,
+             CAST(ROUND(LN(b.c2 * 1.0 / u.c1), 6) AS DECIMAL(18,6)) AS lp_big
+      FROM big b JOIN uni u ON u.token = b.prev
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CASE WHEN p.prev IS NULL THEN u.lp_uni
+                  WHEN bl.lp_big IS NOT NULL THEN bl.lp_big
+                  ELSE u.lp_back END AS lp,
+             CASE WHEN p.prev IS NOT NULL AND bl.lp_big IS NULL THEN 1 ELSE 0 END AS is_back
+      FROM pairs p
+      JOIN unil u USING (token)
+      LEFT JOIN bigl bl ON bl.prev = p.prev AND bl.token = p.token
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS cnt,
+             COUNT(*) FILTER (WHERE is_back = 1) AS nb,
+             CAST(SUM(lp) AS DECIMAL(20,6)) AS s
+      FROM scored GROUP BY doc_id
+    ),
+    m AS (SELECT doc_id, cnt, nb, s, CAST(s * 1000000 AS BIGINT) AS micro FROM agg)
+    SELECT doc_id, cnt AS n_scored, nb AS n_backoff,
+           CAST(s AS DOUBLE) AS sum_logp,
+           CAST(CASE WHEN micro >= 0 THEN FLOOR((2 * micro + cnt) / (2 * cnt))
+                     ELSE -FLOOR((2 * (-micro) + cnt) / (2 * cnt)) END AS DOUBLE)
+             / 1000000.0 AS avg_logp
+    FROM m
+    """,
+    doc="pruned-bigram LM with stupid backoff (Brants 2007): word-order-aware fluency signal",
+)
+def doc_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.lm import doc_bigram_logprob
+
+    return doc_bigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text", min_count=2, backoff=0.4)
+
+
+# ==========================================================================
+# LLM-data: BM25 top-k retrieval (operators/retrieval.py bm25_topk) —
+# Lucene-variant idf, per-term contributions decimal-rounded before the
+# per-doc sum, top-k via TakeOrderedAndProject.
+# ==========================================================================
+@register(
+    "bm25_doc_search",
+    oracle=f"""
+    WITH tk0 AS (SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS token FROM documents),
+    tok AS (SELECT doc_id, token FROM tk0 WHERE token <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    qt AS (SELECT doc_id, token FROM tok WHERE token IN ('hash', 'join', 'vector', 'scan')),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY token),
+    idf AS (
+      SELECT token,
+             CAST(ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS DECIMAL(18,6)) AS idf,
+             avgdl
+      FROM dfreq, stats
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qt GROUP BY doc_id, token),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(ROUND(CAST(i.idf AS DOUBLE) * (t.tf * 2.2)
+                        / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / i.avgdl)), 6)
+                  AS DECIMAL(18,6)) AS c
+      FROM tf t JOIN dl d USING (doc_id) JOIN idf i USING (token)
+    ),
+    scored AS (
+      SELECT doc_id, CAST(CAST(SUM(c) AS DECIMAL(20,6)) AS DOUBLE) AS score
+      FROM contrib GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 25
+    """,
+    doc="BM25 top-25 for query {hash, join, vector, scan} (k1=1.2, b=0.75, Lucene idf)",
+)
+def bm25_doc_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ["hash", "join", "vector", "scan"], k=25
+    )
+
+
+# ==========================================================================
+# LLM-data: DSIR importance weights (operators/retrieval.py
+# dsir_logweights; Xie et al. 2023) — target distribution = the English
+# slice, raw = whole corpus; per-token smoothed log-ratio summed per doc.
+# ==========================================================================
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tk0 AS (SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS token FROM documents),
+    tok AS (SELECT doc_id, token FROM tk0 WHERE token <> ''),
+    raw AS (SELECT token, COUNT(*) AS c_raw FROM tok GROUP BY token),
+    tgt0 AS (
+      SELECT t.token, COUNT(*) AS c_tgt
+      FROM tok t JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY t.token
+    ),
+    vocab AS (
+      SELECT r.token, r.c_raw, COALESCE(g.c_tgt, 0) AS c_tgt
+      FROM raw r LEFT JOIN tgt0 g USING (token)
+    ),
+    totals AS (
+      SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw, CAST(SUM(c_tgt) AS BIGINT) AS t_tgt,
+             COUNT(*) AS v
+      FROM vocab
+    ),
+    lw AS (
+      SELECT token,
+             CAST(ROUND(LN(CAST((c_tgt + 1) * (t_raw + v) AS DOUBLE)
+                           / CAST((c_raw + 1) * (t_tgt + v) AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lw
+      FROM vocab, totals
+    ),
+    agg AS (
+      SELECT t.doc_id, COUNT(*) AS cnt, CAST(SUM(l.lw) AS DECIMAL(20,6)) AS s
+      FROM tok t JOIN lw l USING (token)
+      GROUP BY t.doc_id
+    ),
+    m AS (SELECT doc_id, cnt, s, CAST(s * 1000000 AS BIGINT) AS micro FROM agg)
+    SELECT doc_id, cnt AS n_tokens,
+           CAST(s AS DOUBLE) AS log_weight,
+           CAST(CASE WHEN micro >= 0 THEN FLOOR((2 * micro + cnt) / (2 * cnt))
+                     ELSE -FLOOR((2 * (-micro) + cnt) / (2 * cnt)) END AS DOUBLE)
+             / 1000000.0 AS avg_logratio
+    FROM m
+    """,
+    doc="DSIR importance log-weights: target = lang='en' slice vs raw corpus (add-1 smoothed)",
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.retrieval import dsir_logweights
+
+    return dsir_logweights(_t(spark, sf_dir, "documents"), "doc_id", "text", F.col("lang") == "en")
+
+
+# ==========================================================================
+# Deterministic Pearson correlation per group (operators/stats.py):
+# exact decimal sufficient statistics, closed-form r in one fixed double
+# dag — hashable cross-engine, unlike the builtin streaming corr.
+# ==========================================================================
+@register(
+    "brand_qty_price_corr",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand,
+             CAST(l.l_quantity AS DECIMAL(18,2)) AS x,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    agg AS (
+      SELECT p_brand,
+             COUNT(*) AS n_rows,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM j GROUP BY p_brand
+    )
+    SELECT p_brand, n_rows,
+           ROUND((CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                 / (SQRT(CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                    * SQRT(CAST(n_rows AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+    FROM agg
+    """,
+    doc="exact-sufficient-statistic Pearson r of quantity vs price per brand",
+)
+def brand_qty_price_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.stats import corr_by_group
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select("p_brand", "x", "y")
+    return corr_by_group(j, ["p_brand"], "x", "y", out_col="corr_qty_price")
+
+
+# ==========================================================================
+# LLM-data: SemDeDup (operators/similarity.semantic_dedup; Abbas et al.
+# 2023) — k-means cells + exact within-cell cosine, pairwise-witness
+# drop rule. Rows-only: the quantizer (MLlib k-means on a bounded
+# sample) is not SQL-expressible; soundness (every dropped doc has a
+# true cosine>=τ witness) and planted-pair recall are pinned by
+# tests/test_retrieval_spandedup.py::TestSemanticDedup.
+# ==========================================================================
+@register(
+    "semantic_dedup_kept",
+    oracle=None,
+    doc="SemDeDup: k-means cell partition + exact in-cell cosine, drop-higher-id rule (rows-only)",
+)
+def semantic_dedup_kept_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.similarity import semantic_dedup
+
+    corpus = _emb_corpus_with_planted(spark, sf_dir)
+    return semantic_dedup(corpus, "vec_id", "embedding", threshold=0.9, n_cells=8)
+
+
+# ==========================================================================
+# LLM-data: CCNet-style perplexity buckets — the head/middle/tail
+# tercile split of the corpus by unigram-LM average log-prob (CCNet,
+# Wenzek et al. 2020). Exact terciles need a global order; NTILE over
+# one row PER DOCUMENT (not per token). At 100 TB you'd replace the
+# exact tercile with approx-quantile thresholds + a scan-shaped CASE —
+# same output contract; the exact form is the oracle-checkable one.
+# ==========================================================================
+@register(
+    "doc_perplexity_buckets",
+    oracle=f"""
+    WITH tk0 AS (SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS token FROM documents),
+    tok AS (SELECT doc_id, token FROM tk0 WHERE token <> ''),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    vocab AS (
+      SELECT token, CAST(ROUND(LN(n * 1.0 / total), 6) AS DECIMAL(18,6)) AS logp
+      FROM counts, tot
+    ),
+    agg AS (
+      SELECT t.doc_id, COUNT(*) AS cnt, CAST(SUM(logp) AS DECIMAL(20,6)) AS s
+      FROM tok t JOIN vocab v USING (token) GROUP BY t.doc_id
+    ),
+    m AS (
+      SELECT doc_id, cnt, CAST(s * 1000000 AS BIGINT) AS micro FROM agg
+    ),
+    avgd AS (
+      SELECT doc_id,
+             CAST(CASE WHEN micro >= 0 THEN FLOOR((2 * micro + cnt) / (2 * cnt))
+                       ELSE -FLOOR((2 * (-micro) + cnt) / (2 * cnt)) END AS DOUBLE)
+               / 1000000.0 AS avg_logp
+      FROM m
+    ),
+    bucketed AS (
+      SELECT doc_id, avg_logp,
+             NTILE(3) OVER (ORDER BY avg_logp DESC, doc_id) AS tercile
+      FROM avgd
+    )
+    SELECT doc_id, avg_logp,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM bucketed
+    """,
+    doc="CCNet perplexity terciles (head/middle/tail) from the unigram LM avg log-prob",
+)
+def doc_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.lm import doc_logprob
+    from lakehouse_spark_spark.operators.stats import decimal_avg6
+
+    from lakehouse_spark_spark.operators.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(F.split(norm_text("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.select(F.sum("n").alias("__total"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("n").cast("double") / F.col("__total")), 6).cast("decimal(18,6)").alias("logp"),
+    )
+    avgd = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(decimal_avg6(F.sum("logp").cast("decimal(20,6)"), F.count(F.lit(1))).alias("avg_logp"))
+    )
+    w = Window.orderBy(F.col("avg_logp").desc(), F.col("doc_id"))
+    return avgd.withColumn("tercile", F.ntile(3).over(w)).select(
+        "doc_id",
+        "avg_logp",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -1,0 +1,251 @@
+"""Unit semantics for the round-3 operators: span-level dedup
+(ExactSubstr-style), BM25 retrieval, DSIR importance weights, the
+stupid-backoff bigram LM, and exact-sufficient-statistic correlation.
+
+Hand-computed fixtures pin the math; the registry oracles pin the
+cross-engine determinism at sf0.01/sf0.1 (tools/compare_oracle.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDuplicatedSpans:
+    def test_planted_duplicate_span_found(self, spark):
+        from lakehouse_spark_spark.operators.spandedup import duplicated_span_stats
+
+        dup8 = "a b c d e f g h"  # 8 tokens, shared between docs 1 and 2
+        rows = [
+            (1, dup8 + " x y z w q r s t"),
+            (2, "m n o p " + dup8),
+            (3, "u v unique tokens only here now ok fine"),
+        ]
+        out = {r["doc_id"]: r for r in duplicated_span_stats(_docs(spark, rows), "doc_id", "text", k=8).collect()}
+        assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 8
+        assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 8
+        assert out[3]["n_dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+        assert out[1]["dup_frac"] == round(8 / 16, 6)
+
+    def test_overlapping_windows_merge_into_one_span(self, spark):
+        from lakehouse_spark_spark.operators.spandedup import duplicated_span_stats
+
+        # 9-token duplicated run => two overlapping 8-windows in each doc,
+        # must merge into ONE maximal span of 9 tokens.
+        run = "a b c d e f g h i"
+        rows = [(1, run + " tail1 tail2 tail3"), (2, "head0 " + run + " other stuff here")]
+        out = {r["doc_id"]: r for r in duplicated_span_stats(_docs(spark, rows), "doc_id", "text", k=8).collect()}
+        assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 9
+        assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 9
+
+    def test_within_doc_repeat_counts(self, spark):
+        from lakehouse_spark_spark.operators.spandedup import duplicated_span_stats
+
+        # the same 8-gram twice INSIDE one doc is a duplicate too
+        # (suffix-array semantics), and the two disjoint occurrences
+        # stay two spans.
+        run = "p q r s t u v w"
+        rows = [(1, run + " mid1 mid2 " + run)]
+        out = duplicated_span_stats(_docs(spark, rows), "doc_id", "text", k=8).collect()[0]
+        assert out["n_dup_spans"] == 2 and out["dup_tokens"] == 16
+
+    def test_short_and_clean_docs_report_zero(self, spark):
+        from lakehouse_spark_spark.operators.spandedup import duplicated_span_stats
+
+        rows = [(1, "too short"), (2, "eight completely distinct tokens right here ok yes")]
+        out = {r["doc_id"]: r for r in duplicated_span_stats(_docs(spark, rows), "doc_id", "text", k=8).collect()}
+        assert out[1]["dup_tokens"] == 0 and out[2]["dup_tokens"] == 0
+
+
+class TestBM25:
+    def test_matches_hand_computed_score(self, spark):
+        from lakehouse_spark_spark.operators.retrieval import bm25_topk
+
+        rows = [
+            (1, "spark query engine"),
+            (2, "spark spark runtime"),
+            (3, "totally unrelated words here"),
+        ]
+        out = bm25_topk(_docs(spark, rows), "doc_id", "text", ["spark"], k=3, k1=1.2, b=0.75).collect()
+        n, df = 3, 2
+        idf = round(math.log(1 + (n - df + 0.5) / (df + 0.5)), 6)
+        avgdl = (3 + 3 + 4) / 3
+        def s(tf, dl):
+            return round(idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+        got = {r["doc_id"]: r["score"] for r in out}
+        assert got[2] == pytest.approx(s(2, 3), abs=1e-9)
+        assert got[1] == pytest.approx(s(1, 3), abs=1e-9)
+        assert 3 not in got
+        assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 1]
+
+    def test_rare_term_outweighs_common(self, spark):
+        from lakehouse_spark_spark.operators.retrieval import bm25_topk
+
+        rows = [(i, "common filler words " + ("rare" if i == 1 else "common")) for i in range(1, 8)]
+        out = bm25_topk(_docs(spark, rows), "doc_id", "text", ["rare", "common"], k=7).collect()
+        assert sorted(out, key=lambda r: r["rank"])[0]["doc_id"] == 1
+
+
+class TestDSIR:
+    def test_target_like_docs_weigh_higher(self, spark):
+        from lakehouse_spark_spark.operators.retrieval import dsir_logweights
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha alpha beta", "tgt"),
+                (2, "alpha beta beta", "tgt"),
+                (3, "gamma gamma delta", "other"),
+                (4, "alpha beta gamma", "other"),
+            ],
+            "doc_id long, text string, src string",
+        )
+        out = {r["doc_id"]: r for r in dsir_logweights(df, "doc_id", "text", F.col("src") == "tgt").collect()}
+        # docs made of target-distribution tokens score above the
+        # out-of-target doc; weights of target docs are positive
+        assert out[1]["log_weight"] > out[3]["log_weight"]
+        assert out[4]["log_weight"] > out[3]["log_weight"]
+
+    def test_logweight_is_sum_of_token_ratios(self, spark):
+        from lakehouse_spark_spark.operators.retrieval import dsir_logweights
+
+        df = spark.createDataFrame(
+            [(1, "a a b", "t"), (2, "b c c", "r")], "doc_id long, text string, src string"
+        )
+        out = {r["doc_id"]: r for r in dsir_logweights(df, "doc_id", "text", F.col("src") == "t").collect()}
+        # vocab: a(c_raw=2,c_tgt=2) b(2,1) c(2,0); t_raw=6,t_tgt=3,v=3
+        def lw(ct, cr):
+            return round(math.log(((ct + 1) * (6 + 3)) / ((cr + 1) * (3 + 3))), 6)
+        assert out[1]["log_weight"] == pytest.approx(2 * lw(2, 2) + lw(1, 2), abs=1e-9)
+        assert out[2]["log_weight"] == pytest.approx(lw(1, 2) + 2 * lw(0, 2), abs=1e-9)
+        assert out[1]["n_tokens"] == 3
+
+
+class TestBigramLM:
+    def test_backoff_and_bigram_paths(self, spark):
+        from lakehouse_spark_spark.operators.lm import doc_bigram_logprob
+
+        # "a b" occurs twice (kept); "b z" once (pruned -> backoff); first
+        # tokens score unigram.
+        rows = [(1, "a b z"), (2, "a b")]
+        out = {r["doc_id"]: r for r in doc_bigram_logprob(_docs(spark, rows), "doc_id", "text", min_count=2).collect()}
+        # counts: a=2 b=2 z=1, T=5; bigram (a,b)=2 kept
+        lp_uni_a = round(math.log(2 / 5), 6)
+        lp_big_ab = round(math.log(2 / 2), 6)
+        lp_back_z = round(math.log(0.4 * 1 / 5), 6)
+        assert out[1]["n_backoff"] == 1 and out[2]["n_backoff"] == 0
+        assert out[2]["sum_logp"] == pytest.approx(lp_uni_a + lp_big_ab, abs=1e-9)
+        assert out[1]["sum_logp"] == pytest.approx(lp_uni_a + lp_big_ab + lp_back_z, abs=1e-9)
+
+    def test_repetitive_doc_scores_higher_than_shuffled(self, spark):
+        from lakehouse_spark_spark.operators.lm import doc_bigram_logprob
+
+        base = [(i, "the cat sat on the mat") for i in range(10)]
+        rows = base + [(100, "the cat sat on the mat"), (101, "mat the on sat cat the")]
+        out = {r["doc_id"]: r for r in doc_bigram_logprob(_docs(spark, rows), "doc_id", "text").collect()}
+        assert out[100]["avg_logp"] > out[101]["avg_logp"]
+        assert out[101]["n_backoff"] > out[100]["n_backoff"]
+
+
+class TestCorr:
+    def test_perfect_and_anti_correlation(self, spark):
+        from lakehouse_spark_spark.operators.stats import corr_by_group
+
+        df = spark.createDataFrame(
+            [("g1", i, 2 * i + 1) for i in range(1, 6)] + [("g2", i, 10 - i) for i in range(1, 6)],
+            "g string, x long, y long",
+        )
+        df = df.select("g", F.col("x").cast("decimal(18,2)").alias("x"), F.col("y").cast("decimal(18,2)").alias("y"))
+        out = {r["g"]: r["corr_xy"] for r in corr_by_group(df, ["g"], "x", "y").collect()}
+        assert out["g1"] == pytest.approx(1.0, abs=1e-6)
+        assert out["g2"] == pytest.approx(-1.0, abs=1e-6)
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from lakehouse_spark_spark.operators.stats import corr_by_group
+
+        xs = [1.25, 2.5, 3.75, 7.0, 9.5, 11.25]
+        ys = [2.0, 1.5, 4.25, 6.5, 8.0, 7.75]
+        df = spark.createDataFrame([("g", x, y) for x, y in zip(xs, ys)], "g string, x double, y double")
+        df = df.select("g", F.col("x").cast("decimal(18,2)").alias("x"), F.col("y").cast("decimal(18,2)").alias("y"))
+        out = corr_by_group(df, ["g"], "x", "y").collect()[0]
+        assert out["corr_xy"] == pytest.approx(round(float(np.corrcoef(xs, ys)[0, 1]), 6), abs=2e-6)
+
+
+class TestDecimalAvg6:
+    def test_exact_half_ties_round_away_from_zero(self, spark):
+        from lakehouse_spark_spark.operators.stats import decimal_avg6
+
+        # -0.088309 / 26 = -0.0033965 exactly: the documented cross-engine
+        # trap. Away-from-zero => -0.003397.
+        df = spark.createDataFrame([(1,)], "id long")
+        row = df.select(
+            decimal_avg6(F.lit("-0.088309").cast("decimal(20,6)"), F.lit(26)).alias("a"),
+            decimal_avg6(F.lit("0.088309").cast("decimal(20,6)"), F.lit(26)).alias("b"),
+            decimal_avg6(F.lit("1.000001").cast("decimal(20,6)"), F.lit(2)).alias("c"),
+        ).collect()[0]
+        assert row["a"] == -0.003397
+        assert row["b"] == 0.003397
+        assert row["c"] == 0.500001  # 0.5000005 rounds up
+
+
+class TestSemanticDedup:
+    def _clustered(self, spark):
+        # 3 tight Gaussian-ish blobs built deterministically; ids
+        # interleave blobs so min-id witnesses cross blob boundaries
+        # only if cosine actually qualifies.
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(3, 16))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        for i in range(90):
+            c = centers[i % 3]
+            v = c + 0.01 * rng.normal(size=16)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_soundness_every_drop_has_true_witness(self, spark):
+        from lakehouse_spark_spark.operators.similarity import (
+            embedding_neardup_pairs,
+            semantic_dedup,
+        )
+
+        df = self._clustered(spark)
+        out = semantic_dedup(df, "vec_id", "embedding", threshold=0.999, n_cells=3, seed=1)
+        dropped = {(r["vec_id"], r["dup_of"]) for r in out.filter(~F.col("kept")).collect()}
+        truth = {
+            (r["id_b"], r["id_a"])
+            for r in embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.999).collect()
+        }
+        for vid, dup_of in dropped:
+            assert (vid, dup_of) in truth, f"drop {vid}<-{dup_of} lacks a true cosine witness"
+
+    def test_tight_blobs_collapse_to_one_representative_each(self, spark):
+        from lakehouse_spark_spark.operators.similarity import semantic_dedup
+
+        df = self._clustered(spark)
+        out = semantic_dedup(df, "vec_id", "embedding", threshold=0.99, n_cells=3, seed=1)
+        kept = [r["vec_id"] for r in out.filter(F.col("kept")).collect()]
+        # 0.01-sigma noise => in-blob cosine ~0.999; with one cell per
+        # blob each blob keeps exactly its min id
+        assert sorted(kept) == [0, 1, 2]
+        assert out.count() == 90
+
+    def test_distinct_vectors_all_kept(self, spark):
+        from lakehouse_spark_spark.operators.similarity import semantic_dedup
+
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, "vec_id", "embedding", threshold=0.95, n_cells=4, seed=2)
+        assert out.filter(~F.col("kept")).count() == 0
