@@ -112,3 +112,43 @@ def token_budget_sample(
         "doc_tokens",
         F.sum("doc_tokens").over(w).alias("cum_tokens"),
     ).withColumn("keep", F.col("cum_tokens") <= budget_per_source)
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    alpha: float,
+    budget_tokens: int,
+) -> DataFrame:
+    """Temperature-scaled mixture weights computed FROM the corpus:
+    w_s ∝ p_s^α where p_s is the source's token share (α=1 reproduces
+    natural proportions, α→0 approaches uniform — the multilingual
+    rebalancing standard, cf. mT5/UniMax).
+
+    (source, n_docs, n_tokens, p_raw, weight, target_tokens, epochs).
+
+    Determinism: p_raw and each pow(p, α) are rounded to 6 decimals and
+    the pow values summed as exact decimals (order-independent), so the
+    normalized weights hash-match cross-engine. Scale: the corpus is
+    reduced to |sources| rows before any of this arithmetic."""
+    inv = source_token_counts(df, source_col, text_col)
+    tot = inv.select(F.sum("n_tokens").alias("__tot"))
+    p = inv.crossJoin(F.broadcast(tot)).withColumn(
+        "p_raw", F.round(F.col("n_tokens").cast("double") / F.col("__tot"), 6)
+    )
+    p = p.withColumn("__pa", F.round(F.pow(F.col("p_raw"), F.lit(alpha)), 6).cast("decimal(18,6)"))
+    z = p.select(F.sum("__pa").cast("decimal(20,6)").alias("__z"))
+    out = p.crossJoin(F.broadcast(z)).withColumn(
+        "weight", F.round(F.col("__pa").cast("double") / F.col("__z").cast("double"), 6)
+    )
+    target = F.round(F.col("weight") * F.lit(float(budget_tokens))).cast("long")
+    return out.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "p_raw",
+        "weight",
+        target.alias("target_tokens"),
+        F.round(target.cast("double") / F.col("n_tokens").cast("double"), 6).alias("epochs"),
+    )

@@ -4917,3 +4917,125 @@ def doc_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ==========================================================================
+# Temperature-scaled mixture (operators/mixture.temperature_mixture_plan)
+# — w_s ∝ p_s^α from the corpus itself (mT5/UniMax rebalancing). pow
+# values pre-rounded to decimals so the normalizing sum is exact.
+# ==========================================================================
+@register(
+    "temperature_mixture_plan",
+    oracle=f"""
+    WITH inv AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM inv),
+    p AS (
+      SELECT source, n_docs, n_tokens,
+             ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS p_raw
+      FROM inv, tot
+    ),
+    pa AS (SELECT *, CAST(ROUND(POWER(p_raw, 0.5), 6) AS DECIMAL(18,6)) AS pav FROM p),
+    z AS (SELECT CAST(SUM(pav) AS DECIMAL(20,6)) AS z FROM pa),
+    w AS (
+      SELECT source, n_docs, n_tokens, p_raw,
+             ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
+      FROM pa, z
+    )
+    SELECT source, n_docs, n_tokens, p_raw, weight,
+           CAST(ROUND(weight * 100000.0) AS BIGINT) AS target_tokens,
+           ROUND(CAST(CAST(ROUND(weight * 100000.0) AS BIGINT) AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM w
+    """,
+    doc="temperature mixture α=0.5: corpus-derived source weights, budget 100k tokens",
+)
+def temperature_mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.mixture import temperature_mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture_plan(docs, "source", "text", alpha=0.5, budget_tokens=100_000)
+
+
+# ==========================================================================
+# Best-fit-decreasing bin packing (operators/packing.pack_bins_bfd) —
+# padding-free packing where docs never straddle (Ding et al. 2024).
+# Rows-only: the bin-assignment loop is iterative (applyInPandas per
+# shard); invariants are pinned in tests/test_retrieval_spandedup.py.
+# ==========================================================================
+@register(
+    "sequence_packing_bfd",
+    oracle=None,
+    doc="best-fit-decreasing non-straddling packing, 512-token bins per source shard (rows-only)",
+)
+def sequence_packing_bfd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.packing import pack_bins_bfd
+    from lakehouse_spark_spark.operators.text import n_tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source"), n_tokens("text").cast("long").alias("doc_tokens")
+    )
+    return pack_bins_bfd(docs, "doc_id", "doc_tokens", budget=512, shard_col="source")
+
+
+# ==========================================================================
+# Dynamic partition pruning: the year-partitioned orders fact joined to
+# a data-dependent dim (years whose revenue beats the yearly mean —
+# not constant-foldable), so Catalyst injects a dynamicpruning
+# subquery into the fact scan (asserted in tests). The oracle
+# recomputes from the unpartitioned base table with an IN-subquery.
+# ==========================================================================
+@register(
+    "dpp_selective_year_revenue",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS yr_rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(yr_rev) AS t, COUNT(*) AS ny FROM yearly),
+    qual AS (SELECT order_year FROM yearly, tot WHERE yr_rev * ny > t)
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE CAST(year(o_orderdate) AS INT) IN (SELECT order_year FROM qual)
+    GROUP BY 1
+    """,
+    doc="DPP: partitioned fact scan pruned at runtime by an above-mean-revenue year dim",
+)
+def dpp_selective_year_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.sources.sinks import write_parquet
+
+    gold = f"/tmp/lakehouse_gold/{_sf_tag(sf_dir)}/orders_by_year"
+    base = _t(spark, sf_dir, "orders")
+    write_parquet(base.withColumn("order_year", F.year("o_orderdate")), gold, partition_by=["order_year"])
+    fact = spark.read.parquet(gold)
+
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    yearly = base.groupBy(F.year("o_orderdate").alias("order_year")).agg(F.sum(dec).alias("yr_rev"))
+    # totals via a global window over the ~|years| aggregate rows (NOT a
+    # cross join: a pushed-into-join predicate doesn't count as a
+    # selective Filter for the DPP planner rule, a Filter-over-Window
+    # does; the window input is already reduced to one row per year)
+    wall = Window.partitionBy()
+    qual = (
+        yearly.withColumn("t", F.sum("yr_rev").over(wall))
+        .withColumn("ny", F.count(F.lit(1)).over(wall))
+        .filter(F.col("yr_rev") * F.col("ny") > F.col("t"))
+        .select("order_year")
+    )
+    return (
+        # broadcast the tiny year dim: DPP's default reuseBroadcastOnly
+        # path then reuses the broadcast result as the fact scan's
+        # dynamicpruning subquery — pruning is free, no extra job
+        fact.join(F.broadcast(qual), "order_year")
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )

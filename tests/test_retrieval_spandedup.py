@@ -249,3 +249,79 @@ class TestSemanticDedup:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         out = semantic_dedup(df, "vec_id", "embedding", threshold=0.95, n_cells=4, seed=2)
         assert out.filter(~F.col("kept")).count() == 0
+
+
+class TestBFDPacking:
+    def _pack(self, spark, rows, budget=100):
+        from lakehouse_spark_spark.operators.packing import pack_bins_bfd
+
+        df = spark.createDataFrame(rows, "doc_id long, shard string, toks long")
+        return pack_bins_bfd(df, "doc_id", "toks", budget=budget, shard_col="shard").collect()
+
+    def test_no_bin_exceeds_budget_and_fills_are_consistent(self, spark):
+        rows = [(i, "s", 10 + (i * 17) % 73) for i in range(50)]
+        out = self._pack(spark, rows, budget=100)
+        import collections
+
+        fills = collections.defaultdict(int)
+        declared = {}
+        for r in out:
+            assert not r["overflow"]
+            fills[r["bin_id"]] += r["n_tokens"]
+            declared[r["bin_id"]] = r["bin_fill"]
+        for b, f in fills.items():
+            assert f == declared[b] and f <= 100
+
+    def test_oversized_doc_gets_flagged_singleton(self, spark):
+        rows = [(1, "s", 250), (2, "s", 40), (3, "s", 60)]
+        out = {r["doc_id"]: r for r in self._pack(spark, rows, budget=100)}
+        assert out[1]["overflow"] and out[1]["bin_fill"] == 250
+        assert not out[2]["overflow"] and not out[3]["overflow"]
+        # 40+60 fit one bin exactly
+        assert out[2]["bin_id"] == out[3]["bin_id"] and out[2]["bin_fill"] == 100
+
+    def test_bfd_beats_or_matches_sequential_fill(self, spark):
+        # classic BFD win: sizes that straddle badly in arrival order
+        rows = [(i, "s", t) for i, t in enumerate([60, 50, 40, 30, 20, 60, 50, 40, 30, 20])]
+        out = self._pack(spark, rows, budget=100)
+        n_bins = len({r["bin_id"] for r in out})
+        assert n_bins == 4  # total 400 tokens / 100 => optimal 4 bins
+
+    def test_shards_pack_independently(self, spark):
+        rows = [(1, "a", 80), (2, "a", 30), (3, "b", 80), (4, "b", 30)]
+        out = {r["doc_id"]: r for r in self._pack(spark, rows, budget=100)}
+        assert out[1]["shard"] == "a" and out[3]["shard"] == "b"
+        # 80 and 30 cannot share a 100 bin: 2 bins per shard
+        assert out[1]["bin_id"] != out[2]["bin_id"]
+
+
+class TestTemperatureMixture:
+    def test_alpha_one_is_natural_and_alpha_zero_uniform(self, spark):
+        from lakehouse_spark_spark.operators.mixture import temperature_mixture_plan
+
+        rows = [(i, "big", "w " * 90) for i in range(9)] + [(100, "small", "w " * 10)]
+        df = spark.createDataFrame([(i, s, t.strip()) for i, s, t in rows], "doc_id long, source string, text string")
+        nat = {r["source"]: r for r in temperature_mixture_plan(df, "source", "text", 1.0, 1000).collect()}
+        uni = {r["source"]: r for r in temperature_mixture_plan(df, "source", "text", 0.0, 1000).collect()}
+        assert nat["big"]["weight"] == pytest.approx(810 / 820, abs=1e-4)
+        assert uni["big"]["weight"] == pytest.approx(0.5, abs=1e-6)
+        assert uni["small"]["target_tokens"] == 500
+
+    def test_intermediate_alpha_upsamples_small_sources(self, spark):
+        from lakehouse_spark_spark.operators.mixture import temperature_mixture_plan
+
+        rows = [(i, "big", "w " * 90) for i in range(9)] + [(100, "small", "w " * 10)]
+        df = spark.createDataFrame([(i, s, t.strip()) for i, s, t in rows], "doc_id long, source string, text string")
+        out = {r["source"]: r for r in temperature_mixture_plan(df, "source", "text", 0.5, 1000).collect()}
+        nat_small = 10 / 820
+        assert out["small"]["weight"] > nat_small  # flattened toward uniform
+        assert out["small"]["weight"] < 0.5
+
+
+class TestDPPPlan:
+    def test_fact_scan_gets_dynamic_pruning_subquery(self, spark):
+        from lakehouse_spark_spark.plans.queries import registry
+
+        df = registry()["dpp_selective_year_revenue"].builder(spark, "/root/testdata/sf0.001")
+        s = df._jdf.queryExecution().toString().lower()
+        assert "dynamicpruning" in s
