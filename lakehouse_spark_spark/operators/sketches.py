@@ -139,3 +139,53 @@ def audience_overlap(tier: DataFrame, key_col: str) -> DataFrame:
         "jaccard",
         F.round(F.col("n_intersect").cast("double") / F.col("n_union"), 6),
     )
+
+
+def histogram_tier(
+    df: DataFrame,
+    day_col: Column | str,
+    value_col: Column | str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """(day, bin, n): the mergeable QUANTILE tier — a fixed-grid daily
+    histogram. Like the HLL tier, coarser windows are answered by
+    summing bin counts (integer addition is exact and associative, so
+    rollup == direct BY CONSTRUCTION, not approximately), and the tier
+    is ~n_bins rows/day regardless of raw volume. Quantile error is
+    bounded by one bin width — sized by the caller, unlike streaming
+    t-digest/KLL whose state is data-dependent and engine-specific.
+    Values below ``lo`` clamp to bin 0; above the grid to the last bin."""
+    d = F.col(day_col) if isinstance(day_col, str) else day_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    bin_ = F.greatest(F.least(F.floor((v - lo) / width), F.lit(n_bins - 1)), F.lit(0)).cast("long")
+    return df.groupBy(d.alias("day"), bin_.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def quantiles_from_tier(
+    tier: DataFrame,
+    grain: str,
+    qs: list[float],
+    lo: float,
+    width: float,
+) -> DataFrame:
+    """Quantile estimates served FROM the tier (never the raw data):
+    per ``grain`` window (a date_trunc unit), the q-quantile estimate is
+    the UPPER EDGE of the bin containing the ceil(q·n)-th value —
+    deterministic integer arithmetic on exact counts, so the result is
+    oracle-hashable. One row per window: (window, n_rows, q_<q> ...)."""
+    from pyspark.sql import Window as W
+
+    g = tier.groupBy(F.date_trunc(grain, F.col("day")).alias("window"), "bin").agg(
+        F.sum("n").alias("n")
+    )
+    w_cum = W.partitionBy("window").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy("window")
+    cum = g.withColumn("cum", F.sum("n").over(w_cum)).withColumn("tot", F.sum("n").over(w_all))
+    aggs = [F.max("tot").alias("n_rows")]
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("tot"))
+        qbin = F.min(F.when(F.col("cum") >= rank, F.col("bin")))
+        aggs.append(((qbin + 1) * width + lo).alias(f"q_{str(q).replace('.', '_')}"))
+    return cum.groupBy("window").agg(*aggs)

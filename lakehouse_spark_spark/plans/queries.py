@@ -5039,3 +5039,50 @@ def dpp_selective_year_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
         )
     )
+
+
+# ==========================================================================
+# Mergeable quantile tier (operators/sketches.histogram_tier /
+# quantiles_from_tier): daily fixed-grid histograms merged to monthly
+# windows; quantile = upper edge of the bin holding the ceil(q·n)-th
+# value. Exact integer bin counts => rollup == direct by construction
+# and the estimates are oracle-hashable (unlike t-digest/KLL state).
+# ==========================================================================
+@register(
+    "price_quantiles_monthly_tier",
+    oracle="""
+    WITH tier AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(GREATEST(LEAST(FLOOR((o_totalprice - 0.0) / 5000.0), 127), 0) AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month_start, bin,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM tier GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT month_start, bin, n,
+             CAST(SUM(n) OVER (PARTITION BY month_start ORDER BY bin
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(n) OVER (PARTITION BY month_start) AS BIGINT) AS tot
+      FROM g
+    )
+    SELECT month_start, MAX(tot) AS n_rows,
+           (MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN bin END) + 1) * 5000.0 + 0.0 AS q_0_5,
+           (MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN bin END) + 1) * 5000.0 + 0.0 AS q_0_9,
+           (MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN bin END) + 1) * 5000.0 + 0.0 AS q_0_99
+    FROM c GROUP BY month_start
+    """,
+    doc="monthly p50/p90/p99 of order price served from the mergeable daily histogram tier",
+)
+def price_quantiles_monthly_tier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.sketches import histogram_tier, quantiles_from_tier
+
+    orders = _t(spark, sf_dir, "orders")
+    tier = histogram_tier(
+        orders, F.col("o_orderdate").cast("date"), "o_totalprice", lo=0.0, width=5000.0, n_bins=128
+    )
+    out = quantiles_from_tier(tier, "month", [0.5, 0.9, 0.99], lo=0.0, width=5000.0)
+    return out.withColumnRenamed("window", "month_start")

@@ -141,3 +141,51 @@ def test_theta_overlap_exact_below_capacity(spark):
             if A & B:
                 want[(a, b)] = (len(A), len(B), len(A | B), len(A & B), len(A - B))
     assert got == want and len(got) > 0
+
+
+class TestHistogramTier:
+    def test_rollup_equals_direct_histogram(self, spark):
+        from lakehouse_spark_spark.operators.sketches import histogram_tier
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(f"2001-01-{d:02d}", float(v)) for d in (1, 15, 28) for v in range(0, 1000, 7)],
+            "day string, v double",
+        ).select(F.col("day").cast("date").alias("day"), "v")
+        tier = histogram_tier(df, "day", "v", lo=0.0, width=100.0, n_bins=10)
+        monthly_from_tier = (
+            tier.groupBy("bin").agg(F.sum("n").alias("n")).orderBy("bin").collect()
+        )
+        direct = (
+            df.groupBy(F.floor(F.col("v") / 100).cast("long").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bin")
+            .collect()
+        )
+        assert [(r["bin"], r["n"]) for r in monthly_from_tier] == [(r["bin"], r["n"]) for r in direct]
+
+    def test_quantile_within_one_bin_of_exact(self, spark):
+        from lakehouse_spark_spark.operators.sketches import histogram_tier, quantiles_from_tier
+        from pyspark.sql import functions as F
+
+        vals = [float(v) for v in range(1, 1001)]  # uniform 1..1000
+        df = spark.createDataFrame([("2001-03-05", v) for v in vals], "day string, v double").select(
+            F.col("day").cast("date").alias("day"), "v"
+        )
+        tier = histogram_tier(df, "day", "v", lo=0.0, width=50.0, n_bins=20)
+        out = quantiles_from_tier(tier, "month", [0.5, 0.9], lo=0.0, width=50.0).collect()[0]
+        import numpy as np
+
+        assert out["n_rows"] == 1000
+        assert abs(out["q_0_5"] - float(np.percentile(vals, 50))) <= 50.0
+        assert abs(out["q_0_9"] - float(np.percentile(vals, 90))) <= 50.0
+
+    def test_out_of_grid_values_clamp(self, spark):
+        from lakehouse_spark_spark.operators.sketches import histogram_tier
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("2001-01-01", -5.0), ("2001-01-01", 1e9)], "day string, v double"
+        ).select(F.col("day").cast("date").alias("day"), "v")
+        rows = {r["bin"]: r["n"] for r in histogram_tier(df, "day", "v", 0.0, 10.0, 4).collect()}
+        assert rows == {0: 1, 3: 1}
