@@ -60,16 +60,12 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataF
     return sh.select(F.col(id_col), "n_tokens", (F.col("__i") + 1).alias("start_pos"), "shingle")
 
 
-def duplicated_span_stats(
+def duplicated_spans(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, min_count: int = 2
 ) -> DataFrame:
-    """Per-document duplicated-span inventory:
-
-    (id, n_tokens, n_dup_spans, dup_tokens, dup_frac) — dup_tokens is
-    the number of token positions covered by some corpus-duplicated
-    k-shingle, after merging overlapping/adjacent windows into maximal
-    spans. Every non-empty document appears (zeros when clean)."""
-    base = _tokenized(df, id_col, text_col)
+    """(id, __s, __e): maximal merged duplicated spans per document
+    (1-based inclusive token positions) — the shared core of the stats
+    and trimming operators."""
     sh = doc_shingles(df, id_col, text_col, k)
     sh = sh.withColumn("__h", F.xxhash64("shingle")).localCheckpoint(eager=False)
     dup = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__c")).filter(F.col("__c") >= min_count).select("__h")
@@ -86,9 +82,22 @@ def duplicated_span_stats(
         )
         .withColumn("__island", F.sum("__new").over(w_run))
     )
-    spans = isl.groupBy(id_col, "__island").agg(
+    return isl.groupBy(id_col, "__island").agg(
         F.min("start_pos").alias("__s"), F.max("end_pos").alias("__e")
-    )
+    ).drop("__island")
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span inventory:
+
+    (id, n_tokens, n_dup_spans, dup_tokens, dup_frac) — dup_tokens is
+    the number of token positions covered by some corpus-duplicated
+    k-shingle, after merging overlapping/adjacent windows into maximal
+    spans. Every non-empty document appears (zeros when clean)."""
+    base = _tokenized(df, id_col, text_col)
+    spans = duplicated_spans(df, id_col, text_col, k, min_count)
     perdoc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("__e") - F.col("__s") + 1).alias("dup_tokens"),
@@ -99,4 +108,44 @@ def duplicated_span_stats(
         F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
         F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
         F.round(F.coalesce(F.col("dup_tokens"), F.lit(0)) * 1.0 / F.col("n_tokens"), 6).alias("dup_frac"),
+    )
+
+
+def span_trimmed_corpus(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """The REMOVAL form of ExactSubstr dedup: rebuild each document with
+    every corpus-duplicated maximal span excised (the treatment Lee et
+    al. apply to the training copy; the stats form is the audit view).
+
+    (id, n_tokens, kept_tokens, clean_text) for every non-empty doc —
+    clean_text is the kept tokens rejoined in order ('' when the whole
+    doc was duplicated boilerplate).
+
+    Scale: the kept/cut decision is a LEFT ANTI join of token positions
+    against the span table — hash-keyed by document id (the range
+    predicate is a residual filter on the id-matched rows, bounded by
+    spans-per-doc), then one per-doc ordered reassembly."""
+    base = _tokenized(df, id_col, text_col)
+    spans = duplicated_spans(df, id_col, text_col, k, min_count)
+    toks = base.select(
+        F.col(id_col), F.posexplode("__w").alias("__p0", "token")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "token")
+    sp = spans.select(F.col(id_col).alias("__sid"), "__s", "__e")
+    kept = toks.join(
+        sp,
+        (toks[id_col] == sp["__sid"]) & (F.col("pos") >= F.col("__s")) & (F.col("pos") <= F.col("__e")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "token"))), lambda s: s["token"]), " "
+        ).alias("clean_text"),
+    )
+    return base.select(id_col, "n_tokens").join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )

@@ -5086,3 +5086,68 @@ def price_quantiles_monthly_tier_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = quantiles_from_tier(tier, "month", [0.5, 0.9, 0.99], lo=0.0, width=5000.0)
     return out.withColumnRenamed("window", "month_start")
+
+
+# ==========================================================================
+# ExactSubstr REMOVAL form (operators/spandedup.span_trimmed_corpus):
+# documents rebuilt with every corpus-duplicated maximal span excised —
+# the training-copy treatment; duplicated_span_stats is the audit view.
+# ==========================================================================
+@register(
+    "span_trimmed_corpus",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    docs AS (
+      SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM raw
+      WHERE NOT (len(w) = 1 AND w[1] = '')
+    ),
+    sh AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS start_pos,
+             CAST(s + 7 AS BIGINT) AS end_pos,
+             array_to_string(list_slice(w, s, s + 7), ' ') AS shingle
+      FROM docs, UNNEST(range(1, n_tokens - 6)) AS t(s)
+      WHERE n_tokens >= 8
+    ),
+    dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 2),
+    occ AS (SELECT doc_id, start_pos, end_pos FROM sh JOIN dup USING (shingle)),
+    isl0 AS (
+      SELECT doc_id, start_pos, end_pos,
+             MAX(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM occ
+    ),
+    isl AS (
+      SELECT doc_id, start_pos, end_pos,
+             SUM(CASE WHEN prev_max IS NULL OR start_pos > prev_max + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start_pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl0
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(start_pos) AS s, MAX(end_pos) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(w) AS token, unnest(range(1, len(w) + 1)) AS pos FROM docs
+    ),
+    kept AS (
+      SELECT t.doc_id, t.token, t.pos FROM tokpos t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS kept_tokens,
+             string_agg(token, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_tokens,
+           CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="ExactSubstr removal: corpus rebuilt with duplicated spans excised (k=8)",
+)
+def span_trimmed_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.spandedup import span_trimmed_corpus
+
+    return span_trimmed_corpus(_t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2)

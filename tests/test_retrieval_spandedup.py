@@ -325,3 +325,36 @@ class TestDPPPlan:
         df = registry()["dpp_selective_year_revenue"].builder(spark, "/root/testdata/sf0.001")
         s = df._jdf.queryExecution().toString().lower()
         assert "dynamicpruning" in s
+
+
+class TestSpanTrimming:
+    def test_duplicated_run_is_excised_everywhere(self, spark):
+        from lakehouse_spark_spark.operators.spandedup import span_trimmed_corpus
+
+        run = "a b c d e f g h"
+        rows = [(1, run + " keep1 keep2 keep3"), (2, "pre1 pre2 " + run)]
+        out = {r["doc_id"]: r for r in span_trimmed_corpus(_docs(spark, rows), "doc_id", "text", k=8).collect()}
+        assert out[1]["clean_text"] == "keep1 keep2 keep3" and out[1]["kept_tokens"] == 3
+        assert out[2]["clean_text"] == "pre1 pre2" and out[2]["kept_tokens"] == 2
+
+    def test_fully_duplicated_doc_becomes_empty(self, spark):
+        from lakehouse_spark_spark.operators.spandedup import span_trimmed_corpus
+
+        run = "a b c d e f g h"
+        rows = [(1, run), (2, run), (3, "all unique words in this one stay put")]
+        out = {r["doc_id"]: r for r in span_trimmed_corpus(_docs(spark, rows), "doc_id", "text", k=8).collect()}
+        assert out[1]["clean_text"] == "" and out[1]["kept_tokens"] == 0
+        assert out[3]["kept_tokens"] == out[3]["n_tokens"]
+
+    def test_trim_consistent_with_stats(self, spark):
+        from lakehouse_spark_spark.operators.spandedup import (
+            duplicated_span_stats,
+            span_trimmed_corpus,
+        )
+
+        run = "x y z w q r s t"
+        rows = [(i, f"u{i} v{i} " + run + f" m{i} n{i}") for i in range(4)]
+        stats = {r["doc_id"]: r for r in duplicated_span_stats(_docs(spark, rows), "doc_id", "text", k=8).collect()}
+        trim = {r["doc_id"]: r for r in span_trimmed_corpus(_docs(spark, rows), "doc_id", "text", k=8).collect()}
+        for i in range(4):
+            assert trim[i]["kept_tokens"] == stats[i]["n_tokens"] - stats[i]["dup_tokens"]
