@@ -70,3 +70,62 @@ def test_stream_upsert_sink_idempotent_on_redrain(spark):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(tbl.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_streaming_histogram_tier_matches_batch_tier(spark):
+    """The quantile tier is maintained INCREMENTALLY from the stream:
+    each micro-batch's (day, bin) partial counts are merged into the
+    tier table by keyed upsert of summed counts — after the drain the
+    tier equals the batch-built tier bin-for-bin, so every quantile
+    served from it is identical. (This is the 100 TB refresh path: the
+    raw stream is never re-scanned, the tier absorbs deltas.)"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark_spark.operators.sketches import histogram_tier
+    from lakehouse_spark_spark.sources.loaders import load_table
+    from lakehouse_spark_spark.sources.sinks import upsert_parquet
+    from lakehouse_spark_spark.streaming.events import read_event_stream
+
+    ckpt, tbl = tempfile.mkdtemp(prefix="ck_"), tempfile.mkdtemp(prefix="tbl_") + "/tier"
+    try:
+        stream = read_event_stream(spark, SF_SMALL, glob="events.parquet")
+
+        def merge_tier(batch, _batch_id):
+            delta = histogram_tier(
+                batch, F.col("ts").cast("date"), "value", lo=0.0, width=10.0, n_bins=64
+            )
+            try:
+                existing = batch.sparkSession.read.parquet(tbl)
+                merged = (
+                    existing.unionByName(delta)
+                    .groupBy("day", "bin")
+                    .agg(F.sum("n").alias("n"))
+                )
+            except Exception:
+                merged = delta
+            upsert_parquet(batch.sparkSession, tbl, merged, ["day", "bin"])
+
+        (
+            stream.writeStream.foreachBatch(merge_tier)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        got = {
+            (str(r["day"]), r["bin"]): r["n"] for r in spark.read.parquet(tbl).collect()
+        }
+        ev = load_table(spark, SF_SMALL, "events")
+        want = {
+            (str(r["day"]), r["bin"]): r["n"]
+            for r in histogram_tier(
+                ev, F.col("ts").cast("date"), "value", lo=0.0, width=10.0, n_bins=64
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(tbl.rsplit("/", 1)[0], ignore_errors=True)
