@@ -147,3 +147,79 @@ def dsir_logweights(
             decimal_avg6(F.sum("lw").cast("decimal(20,6)"), F.count(F.lit(1))).alias("avg_logratio"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str] | None = None,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Document-pair cosine similarity over TF-IDF weighted bag-of-words
+    via a sparse dot-product self-join (the inverted-index formulation
+    MLlib's DIMSUM optimizes): pairs materialize ONLY through shared
+    terms, never a cross join.
+
+    ``block_cols`` restricts candidate pairs to equal blocking keys
+    (classic entity-resolution blocking — at 100 TB you block, cap, or
+    both; this corpus's tiny synthetic vocabulary makes every token a
+    stop word, so blocking is what keeps the join linear here).
+    ``df_cap`` additionally drops terms whose document frequency
+    exceeds the cap (the Jaccard df-cap treatment).
+
+    Determinism: idf is 6-decimal-rounded, per-term weights are
+    6-decimal decimals, norms and dots are exact decimal sums of
+    decimal products — the emitted cosine is bit-stable cross-engine.
+
+    Output: (id_a, id_b, cosine_sim) for pairs ≥ threshold."""
+    block_cols = block_cols or []
+    toks = _toks_keep(df, id_col, text_col, block_cols)
+    n_docs = df.select(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "__n")
+    dfreq = toks.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    if df_cap is not None:
+        dfreq = dfreq.filter(F.col("__df") <= df_cap)
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        F.round(F.log(F.col("__n").cast("double") / F.col("__df")), 6).cast("decimal(18,6)").alias("__idf"),
+    )
+    tf = toks.groupBy(id_col, "token", *block_cols).agg(F.count(F.lit(1)).alias("__tf"))
+    w = tf.join(idf, "token").select(
+        id_col,
+        "token",
+        *block_cols,
+        F.round(F.col("__tf") * F.col("__idf").cast("double"), 6).cast("decimal(18,6)").alias("__w"),
+    ).localCheckpoint(eager=False)
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum((F.col("__w") * F.col("__w")).cast("decimal(30,12)")).cast("double")).alias("__nrm")
+    )
+    a = w.select(F.col(id_col).alias("id_a"), "token", *block_cols, F.col("__w").alias("__wa"))
+    b = w.select(F.col(id_col).alias("id_b"), "token", *block_cols, F.col("__w").alias("__wb"))
+    dots = (
+        a.join(b, ["token", *block_cols])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("__wa") * F.col("__wb")).cast("decimal(30,12)")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__nrm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__nrm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__dot").cast("double") / (F.col("__na") * F.col("__nb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _toks_keep(df: DataFrame, id_col: str, text_col: str, keep_cols: list[str]) -> DataFrame:
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")

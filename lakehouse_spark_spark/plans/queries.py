@@ -5151,3 +5151,67 @@ def span_trimmed_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.spandedup import span_trimmed_corpus
 
     return span_trimmed_corpus(_t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2)
+
+
+# ==========================================================================
+# TF-IDF cosine near-dup pairs via the sparse dot-product self-join
+# (operators/retrieval.tfidf_cosine_pairs) — the inverted-index
+# formulation MLlib's DIMSUM approximates, blocked by (lang, source)
+# (classic ER blocking: this corpus's tiny synthetic vocabulary makes
+# every token a stop word, so blocking keeps the join linear).
+# ==========================================================================
+@register(
+    "tfidf_cosine_pairs_blocked",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, UNNEST(string_split({_NORM}, ' ')) AS token
+      FROM documents
+    ),
+    tk AS (SELECT * FROM tok WHERE token <> ''),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    dfreq AS (
+      SELECT token, COUNT(*) AS dfq
+      FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token
+    ),
+    idf AS (
+      SELECT token, CAST(ROUND(LN(CAST(n AS DOUBLE) / dfq), 6) AS DECIMAL(18,6)) AS idf
+      FROM dfreq, nd
+    ),
+    tf AS (
+      SELECT doc_id, token, lang, source, COUNT(*) AS tf
+      FROM tk GROUP BY doc_id, token, lang, source
+    ),
+    w AS (
+      SELECT doc_id, token, lang, source,
+             CAST(ROUND(tf * CAST(idf AS DOUBLE), 6) AS DECIMAL(18,6)) AS w
+      FROM tf JOIN idf USING (token)
+    ),
+    norms AS (
+      SELECT doc_id, SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             SUM(CAST(a.w * b.w AS DECIMAL(30,12))) AS dot
+      FROM w a JOIN w b
+        ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine_sim
+      FROM dots
+      JOIN norms na ON na.doc_id = id_a
+      JOIN norms nb ON nb.doc_id = id_b
+    )
+    SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.8
+    """,
+    doc="TF-IDF cosine pairs >= 0.8 within (lang, source) blocks — inverted-index sparse dot product",
+)
+def tfidf_cosine_pairs_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.retrieval import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", block_cols=["lang", "source"], threshold=0.8
+    )

@@ -358,3 +358,44 @@ class TestSpanTrimming:
         trim = {r["doc_id"]: r for r in span_trimmed_corpus(_docs(spark, rows), "doc_id", "text", k=8).collect()}
         for i in range(4):
             assert trim[i]["kept_tokens"] == stats[i]["n_tokens"] - stats[i]["dup_tokens"]
+
+
+class TestTfidfCosinePairs:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    def test_identical_docs_in_block_score_one(self, spark):
+        from lakehouse_spark_spark.operators.retrieval import tfidf_cosine_pairs
+
+        rows = [
+            (1, "alpha beta gamma", "en", "s1"),
+            (2, "alpha beta gamma", "en", "s1"),
+            (3, "alpha beta gamma", "en", "s2"),  # other block: never paired
+            (4, "delta epsilon zeta", "en", "s1"),
+        ]
+        out = tfidf_cosine_pairs(
+            self._df(spark, rows), "doc_id", "text", block_cols=["lang", "source"], threshold=0.0
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out}
+        assert pairs[(1, 2)] == pytest.approx(1.0, abs=1e-6)
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+        assert (1, 4) not in pairs  # no shared terms => never materialized
+
+    def test_df_cap_drops_stopwords(self, spark):
+        from lakehouse_spark_spark.operators.retrieval import tfidf_cosine_pairs
+
+        # 'the' appears in all 4 docs; with df_cap=3 it contributes nothing
+        rows = [
+            (1, "the alpha", "en", "s"),
+            (2, "the alpha", "en", "s"),
+            (3, "the beta", "en", "s"),
+            (4, "the gamma", "en", "s"),
+        ]
+        out = tfidf_cosine_pairs(
+            self._df(spark, rows), "doc_id", "text", block_cols=["lang", "source"],
+            threshold=0.0, df_cap=3,
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out}
+        assert pairs[(1, 2)] == pytest.approx(1.0, abs=1e-6)
+        # docs sharing ONLY the capped stop word form no pair at all
+        assert (3, 4) not in pairs and (1, 3) not in pairs
