@@ -90,3 +90,30 @@ def orphan_rate_df(
         F.when(F.coalesce(F.col("metric_value"), F.lit(0.0)) <= threshold, F.lit("PASS")).otherwise(F.lit("FAIL")).alias("status"),
         F.lit(f"orphan {key}").alias("details"),
     )
+
+
+def profile_columns(df, columns: list[str]) -> "DataFrame":
+    """Generic per-column profile in LONG format — one row per column:
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value), values
+    rendered as strings so heterogeneous columns stack. One pass per
+    profiled column fused into a single job (the aggregates union);
+    each branch is a map-side-combined scan aggregate, no joins."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for c in columns:
+        col = F.col(c)
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(col.isNull(), 1)).alias("n_nulls"),
+                F.count_distinct(col).alias("n_distinct"),
+                F.min(col).cast("string").alias("min_value"),
+                F.max(col).cast("string").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

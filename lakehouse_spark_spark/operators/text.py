@@ -258,3 +258,33 @@ def tfidf_topk_terms(docs, id_col: str, text_col: str, k: int = 3, min_term_len:
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", F.col("score").cast("double").alias("score"), "rank")
     )
+
+
+def blocklist_flags(
+    df, id_col: str, text_col: str, blocked_terms: list[str], blocked_phrases: list[str] | None = None
+):
+    """C4/LDNOOBW-style blocklist filtering: flag documents containing
+    any blocked TERM (exact token match on the normalized text) or
+    PHRASE (substring match on the normalized text).
+
+    (id, n_blocked_terms, has_blocked_phrase, blocked) — keep the
+    complement downstream. Terms are matched via array_intersect on the
+    token array (set semantics, scan-speed, no shuffle, no regex
+    blowup); phrases via `contains` on the normalized string. Both
+    lists ship as plan literals — at 100 TB a large blocklist becomes a
+    broadcast join against exploded tokens, same result, same
+    zero-shuffle scan shape."""
+    blocked_phrases = blocked_phrases or []
+    toks = tokens(text_col)
+    nrm = norm_text(text_col)
+    terms = F.array(*[F.lit(t) for t in blocked_terms])
+    n_terms = F.size(F.array_intersect(toks, terms))
+    phrase_hit = F.lit(False)
+    for p in blocked_phrases:
+        phrase_hit = phrase_hit | nrm.contains(p)
+    return df.select(
+        F.col(id_col),
+        n_terms.cast("long").alias("n_blocked_terms"),
+        phrase_hit.alias("has_blocked_phrase"),
+        ((n_terms > 0) | phrase_hit).alias("blocked"),
+    )

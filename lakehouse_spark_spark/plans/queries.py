@@ -5215,3 +5215,75 @@ def tfidf_cosine_pairs_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", block_cols=["lang", "source"], threshold=0.8
     )
+
+
+# ==========================================================================
+# Blocklist filtering (operators/text.blocklist_flags) — the C4/LDNOOBW
+# curation stage: exact-token hits via array_intersect (set semantics,
+# scan-speed) + phrase hits via substring containment.
+# ==========================================================================
+@register(
+    "blocklist_flagged_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_intersect(string_split({_NORM}, ' '),
+                                   ['slow', 'gibberish'])) AS BIGINT) AS n_blocked_terms,
+           contains({_NORM}, 'hash join') AS has_blocked_phrase,
+           (len(list_intersect(string_split({_NORM}, ' '), ['slow', 'gibberish'])) > 0
+            OR contains({_NORM}, 'hash join')) AS blocked
+    FROM documents
+    """,
+    doc="blocklist flags: blocked terms {slow, gibberish} + phrase 'hash join'",
+)
+def blocklist_flagged_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import blocklist_flags
+
+    return blocklist_flags(
+        _tp(spark, sf_dir, "documents"), "doc_id", "text",
+        blocked_terms=["slow", "gibberish"], blocked_phrases=["hash join"],
+    )
+
+
+# ==========================================================================
+# Generic table profiler (operators/dq.profile_columns) — per-column
+# null/distinct/min/max in long format; each branch is a map-side
+# scan aggregate, the union is one job.
+# ==========================================================================
+@register(
+    "orders_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderstatus IS NULL),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderpriority IS NULL),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           COUNT(*) FILTER (WHERE o_custkey IS NULL),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+    doc="long-format column profile of orders (counts/nulls/distinct/min/max)",
+)
+def orders_column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.dq import profile_columns
+
+    out = profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+    return out.withColumnRenamed("column", "col_name")

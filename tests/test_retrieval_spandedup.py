@@ -399,3 +399,37 @@ class TestTfidfCosinePairs:
         assert pairs[(1, 2)] == pytest.approx(1.0, abs=1e-6)
         # docs sharing ONLY the capped stop word form no pair at all
         assert (3, 4) not in pairs and (1, 3) not in pairs
+
+
+class TestBlocklistAndProfile:
+    def test_blocklist_term_and_phrase_paths(self, spark):
+        from lakehouse_spark_spark.operators.text import blocklist_flags
+
+        rows = [
+            (1, "clean words only"),
+            (2, "contains badword here"),
+            (3, "the exact bad phrase occurs"),
+            (4, "badword and bad phrase both"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in blocklist_flags(
+                _docs(spark, rows), "doc_id", "text",
+                blocked_terms=["badword"], blocked_phrases=["bad phrase"],
+            ).collect()
+        }
+        assert not out[1]["blocked"]
+        assert out[2]["blocked"] and out[2]["n_blocked_terms"] == 1
+        assert out[3]["blocked"] and out[3]["has_blocked_phrase"]
+        assert out[4]["n_blocked_terms"] == 1 and out[4]["has_blocked_phrase"]
+
+    def test_profile_counts_nulls_and_distinct(self, spark):
+        from lakehouse_spark_spark.operators.dq import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, "b")], "k long, v string"
+        )
+        out = {r["column"]: r for r in profile_columns(df, ["k", "v"]).collect()}
+        assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 4
+        assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+        assert out["v"]["min_value"] == "a" and out["v"]["max_value"] == "b"
