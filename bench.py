@@ -55,7 +55,9 @@ HEADLINE = [
     "doc_unigram_logprob",
     "doc_bigram_logprob",
     "duplicated_span_stats",
+    "span_trimmed_corpus",
     "bm25_doc_search",
+    "tfidf_cosine_pairs_blocked",
     "session_window_stats",
     "top_event_types_approx",
     "user_reach_sketch_rollup",
