@@ -5287,3 +5287,45 @@ def orders_column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"],
     )
     return out.withColumnRenamed("column", "col_name")
+
+
+# ==========================================================================
+# Cluster-canonical selection: within each near-dup component keep the
+# BEST document (longest, tie -> lowest id) rather than the arbitrary
+# min-id — the quality-aware dedup-survivor policy. Composes
+# connected_components with a per-component ranking window.
+# ==========================================================================
+@register(
+    "cluster_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    toklen AS (
+      SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.component, t.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY t.n_tokens DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN toklen t USING (doc_id)
+    )
+    SELECT doc_id, component, n_tokens, (rn = 1) AS is_canonical
+    FROM ranked
+    """,
+    doc="quality-aware dedup survivor: longest doc per near-dup component is canonical",
+)
+def cluster_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.graph import components_with_singletons, connected_components
+    from lakehouse_spark_spark.operators.text import n_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = components_with_singletons(
+        docs, connected_components(_jaccard_edges(spark, sf_dir), src="doc_a", dst="doc_b"), "doc_id"
+    )
+    toklen = docs.select("doc_id", n_tokens("text").cast("long").alias("n_tokens"))
+    w = Window.partitionBy("component").orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    return (
+        comp.join(toklen, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "component", "n_tokens", (F.col("rn") == 1).alias("is_canonical"))
+    )
