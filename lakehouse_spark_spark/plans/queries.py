@@ -5329,3 +5329,65 @@ def cluster_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", "component", "n_tokens", (F.col("rn") == 1).alias("is_canonical"))
     )
+
+
+# ==========================================================================
+# Incremental view maintenance (operators/incremental.py): gold revenue
+# refreshed from a delta batch merged onto prior partials — the oracle
+# recomputes from FULL history, so a driver pass IS the proof that
+# incremental == batch (exact decimal partials are associative).
+# ==========================================================================
+@register(
+    "incremental_revenue_refresh",
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="gold refresh: delta-batch partials merged onto prior partials == full recompute",
+)
+def incremental_revenue_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.incremental import aggregate_partials, merge_partials
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("date")
+    hist = orders.filter(F.col("o_orderdate") < cut)
+    delta = orders.filter(F.col("o_orderdate") >= cut)
+    sum_cols = {"revenue": F.col("o_totalprice").cast("decimal(18,2)")}
+    gold = merge_partials(
+        aggregate_partials(hist, ["o_custkey"], sum_cols),
+        aggregate_partials(delta, ["o_custkey"], sum_cols),
+        ["o_custkey"],
+    )
+    return gold.select("o_custkey", F.col("revenue").cast("double").alias("revenue"), "n_rows")
+
+
+# ==========================================================================
+# Skew diagnostics: per-key weight report for a would-be shuffle key —
+# the operational tool that decides between plain, salted, and AQE
+# skew-split execution (operators/skew.py). Exact counts + share of
+# total + a flag at 10x the mean.
+# ==========================================================================
+@register(
+    "events_key_skew_report",
+    oracle="""
+    WITH k AS (SELECT event_type AS key, COUNT(*) AS n FROM events GROUP BY event_type),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, COUNT(*) AS nk FROM k)
+    SELECT key, n,
+           ROUND(CAST(n AS DOUBLE) / t, 6) AS share,
+           (n * nk > t * 10) AS is_hot
+    FROM k, tot
+    """,
+    doc="shuffle-key skew report: per-key share and 10x-mean hot flag",
+)
+def events_key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = ev.groupBy(F.col("event_type").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("nk"))
+    return k.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+        (F.col("n") * F.col("nk") > F.col("t") * 10).alias("is_hot"),
+    )

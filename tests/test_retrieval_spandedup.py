@@ -433,3 +433,24 @@ class TestBlocklistAndProfile:
         assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 4
         assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
         assert out["v"]["min_value"] == "a" and out["v"]["max_value"] == "b"
+
+
+class TestIncrementalMaintenance:
+    def test_any_batch_split_merges_to_full_recompute(self, spark):
+        from lakehouse_spark_spark.operators.incremental import aggregate_partials, merge_partials
+
+        df = spark.createDataFrame(
+            [(i % 5, float(i) + 0.25) for i in range(100)], "k long, v double"
+        ).select("k", F.col("v").cast("decimal(18,2)").alias("v"))
+        sum_cols = {"s": F.col("v")}
+        full = {r["k"]: (r["s"], r["n_rows"]) for r in aggregate_partials(df, ["k"], sum_cols).collect()}
+        # three arbitrary batches, merged in two different orders
+        b = [df.filter(F.col("v") < 30), df.filter((F.col("v") >= 30) & (F.col("v") < 71)), df.filter(F.col("v") >= 71)]
+        p = [aggregate_partials(x, ["k"], sum_cols) for x in b]
+        m1 = merge_partials(merge_partials(None, p[0], ["k"]), p[1], ["k"])
+        m1 = merge_partials(m1, p[2], ["k"])
+        m2 = merge_partials(merge_partials(None, p[2], ["k"]), p[0], ["k"])
+        m2 = merge_partials(m2, p[1], ["k"])
+        for m in (m1, m2):
+            got = {r["k"]: (r["s"], r["n_rows"]) for r in m.collect()}
+            assert got == full
