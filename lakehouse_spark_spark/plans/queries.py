@@ -5391,3 +5391,108 @@ def events_key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
         (F.col("n") * F.col("nk") > F.col("t") * 10).alias("is_hot"),
     )
+
+
+# ==========================================================================
+# Composed curation disposition v2 — the round-3 signals chained with
+# deterministic priority: blocklist > duplicated-span-heavy >
+# perplexity-tail > keep; summarized per source. The oracle recomposes
+# all three stages (blocklist exprs + span CTEs + NTILE terciles) in
+# one SQL tree, so a pass certifies the whole composition.
+# ==========================================================================
+@register(
+    "curation_disposition_v2",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS w FROM documents),
+    docs AS (
+      SELECT doc_id, source, w, CAST(len(w) AS BIGINT) AS n_tokens FROM raw
+      WHERE NOT (len(w) = 1 AND w[1] = '')
+    ),
+    sh AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS start_pos, CAST(s + 7 AS BIGINT) AS end_pos,
+             array_to_string(list_slice(w, s, s + 7), ' ') AS shingle
+      FROM docs, UNNEST(range(1, n_tokens - 6)) AS t(s)
+      WHERE n_tokens >= 8
+    ),
+    dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 2),
+    occ AS (SELECT doc_id, start_pos, end_pos FROM sh JOIN dup USING (shingle)),
+    isl0 AS (
+      SELECT doc_id, start_pos, end_pos,
+             MAX(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM occ
+    ),
+    isl AS (
+      SELECT doc_id, start_pos, end_pos,
+             SUM(CASE WHEN prev_max IS NULL OR start_pos > prev_max + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start_pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl0
+    ),
+    spans AS (SELECT doc_id, island, MIN(start_pos) AS s, MAX(end_pos) AS e FROM isl GROUP BY doc_id, island),
+    dupfrac AS (
+      SELECT d.doc_id, COALESCE(SUM(p.e - p.s + 1), 0) * 1.0 / d.n_tokens AS dup_frac
+      FROM docs d LEFT JOIN spans p USING (doc_id) GROUP BY d.doc_id, d.n_tokens
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS token FROM docs),
+    tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    counts AS (SELECT token, COUNT(*) AS n FROM tk GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    vocab AS (SELECT token, CAST(ROUND(LN(n * 1.0 / total), 6) AS DECIMAL(18,6)) AS logp FROM counts, tot),
+    agg AS (SELECT t.doc_id, COUNT(*) AS cnt, CAST(SUM(logp) AS DECIMAL(20,6)) AS s
+            FROM tk t JOIN vocab v USING (token) GROUP BY t.doc_id),
+    avgd AS (
+      SELECT doc_id,
+             CAST(CASE WHEN CAST(s * 1000000 AS BIGINT) >= 0
+                       THEN FLOOR((2 * CAST(s * 1000000 AS BIGINT) + cnt) / (2 * cnt))
+                       ELSE -FLOOR((2 * (-CAST(s * 1000000 AS BIGINT)) + cnt) / (2 * cnt)) END AS DOUBLE)
+               / 1000000.0 AS avg_logp
+      FROM agg
+    ),
+    bucketed AS (
+      SELECT doc_id, NTILE(3) OVER (ORDER BY avg_logp DESC, doc_id) AS tercile FROM avgd
+    ),
+    flags AS (
+      SELECT d.doc_id, d.source,
+             (len(list_intersect(list_distinct(d.w), ['gibberish'])) > 0
+              OR contains(array_to_string(d.w, ' '), 'merge merge')) AS blocked,
+             f.dup_frac, b.tercile
+      FROM docs d JOIN dupfrac f USING (doc_id) JOIN bucketed b USING (doc_id)
+    ),
+    disp AS (
+      SELECT source,
+             CASE WHEN blocked THEN 'blocked'
+                  WHEN dup_frac > 0.5 THEN 'dup_span_heavy'
+                  WHEN tercile = 3 THEN 'perplexity_tail'
+                  ELSE 'keep' END AS disposition
+      FROM flags
+    )
+    SELECT source, disposition, COUNT(*) AS n_docs
+    FROM disp GROUP BY source, disposition
+    """,
+    doc="composed curation v2: blocklist > span-dup-heavy > perplexity-tail > keep, per source",
+)
+def curation_disposition_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.spandedup import duplicated_span_stats
+    from lakehouse_spark_spark.operators.text import blocklist_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    blk = blocklist_flags(docs, "doc_id", "text", blocked_terms=["gibberish"], blocked_phrases=["merge merge"])
+    spans = duplicated_span_stats(docs, "doc_id", "text", k=8, min_count=2).select(
+        "doc_id", (F.col("dup_tokens") * 1.0 / F.col("n_tokens")).alias("dup_frac")
+    )
+    buckets = doc_perplexity_buckets_q(spark, sf_dir).select("doc_id", "bucket")
+    disp = (
+        docs.select("doc_id", "source")
+        .join(blk.select("doc_id", "blocked"), "doc_id")
+        .join(spans, "doc_id")
+        .join(buckets, "doc_id")
+        .select(
+            "source",
+            F.when(F.col("blocked"), "blocked")
+            .when(F.col("dup_frac") > 0.5, "dup_span_heavy")
+            .when(F.col("bucket") == "tail", "perplexity_tail")
+            .otherwise("keep")
+            .alias("disposition"),
+        )
+    )
+    return disp.groupBy("source", "disposition").agg(F.count(F.lit(1)).alias("n_docs"))
