@@ -5496,3 +5496,106 @@ def curation_disposition_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return disp.groupBy("source", "disposition").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ==========================================================================
+# EWMA daily smoothing in closed form: s_t = Σ_{g=0..13} w_g · x_{t-g}
+# with w_g = round(α(1-α)^g, 6) as exact decimals — a windowed
+# weighted sum over the daily tier, NOT a recursive scan, so it
+# parallelizes like any window and the weights are cross-engine exact
+# (a 14-day lookback truncates the tail below 1e-3 of mass at α=0.4).
+# ==========================================================================
+@register(
+    "daily_events_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT d.day,
+             CAST(SUM(p.n * CAST(ROUND(0.4 * POWER(0.6, date_diff('day', p.day, d.day)), 6)
+                                 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s
+      FROM daily d JOIN daily p
+        ON p.day <= d.day AND p.day >= d.day - INTERVAL 13 DAY
+      GROUP BY d.day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, CAST(s AS DOUBLE) AS ewma
+    FROM pairs
+    """,
+    doc="closed-form 14-day EWMA (α=0.4) of daily event counts, exact decimal weights",
+)
+def daily_events_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    d = daily.select(F.col("day").alias("day"))
+    p = daily.select(F.col("day").alias("p_day"), F.col("n"))
+    pairs = d.join(
+        p, (F.col("p_day") <= F.col("day")) & (F.col("p_day") >= F.date_sub(F.col("day"), 13))
+    )
+    w = F.round(F.lit(0.4) * F.pow(F.lit(0.6), F.datediff(F.col("day"), F.col("p_day"))), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        pairs.groupBy("day")
+        .agg(F.sum((F.col("n") * w)).cast("decimal(38,6)").alias("s"))
+        .select(F.col("day").cast("timestamp").alias("day"), F.col("s").cast("double").alias("ewma"))
+    )
+
+
+# ==========================================================================
+# Multi-step funnel: view -> click -> purchase per user, each step
+# strictly after the previous (MIN-qualifying timestamps via
+# conditional aggregation — one groupBy, no joins, no window).
+# ==========================================================================
+@register(
+    "user_funnel_counts",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    step2 AS (
+      SELECT e.user_id, p.t_view, MIN(e.ts) AS t_click
+      FROM events e JOIN per_user p USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > p.t_view
+      GROUP BY e.user_id, p.t_view
+    ),
+    step3 AS (
+      SELECT e.user_id, s.t_view, s.t_click, MIN(e.ts) AS t_purchase
+      FROM events e JOIN step2 s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_click
+      GROUP BY e.user_id, s.t_view, s.t_click
+    )
+    SELECT
+      (SELECT COUNT(*) FROM per_user WHERE t_view IS NOT NULL) AS n_view,
+      (SELECT COUNT(*) FROM step2) AS n_view_click,
+      (SELECT COUNT(*) FROM step3) AS n_view_click_purchase
+    """,
+    doc="strict-order funnel view->click->purchase: users reaching each step",
+)
+def user_funnel_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    ).filter(F.col("t_view").isNotNull())
+    step2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(per_user, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    step3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(step2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        per_user.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(step2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(step3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
