@@ -176,3 +176,33 @@ def test_disjunctive_predicate_pushes_common_clauses(spark):
     after_scan = plan.split("part.parquet", 1)[1]
     assert "p_size" in after_scan[:800], after_scan[:800]
     assert df.count() == 1
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
+    """Spark's InjectRuntimeFilter adds a bloom-filter semi-join pushdown
+    on the big (application) side of a shuffle join when the other side
+    is small and selective — the non-partition-column sibling of DPP.
+    The default applicationSideScanSizeThreshold is 10GB (sized for
+    clusters); scoping it down locally shows the mechanism without
+    leaking config into other tests."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMALL
+
+    conf = spark.conf
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_app = conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        li = load_table(spark, SF_SMALL, "lineitem")
+        orders = load_table(spark, SF_SMALL, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy("o_orderpriority").count()
+        s = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloomfilter" in s or "bloom_filter" in s, s[:2000]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_app
+        )
