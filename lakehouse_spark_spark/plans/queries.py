@@ -5599,3 +5599,49 @@ def user_funnel_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(step2.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(step3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
     )
+
+
+# ==========================================================================
+# First-order event-transition matrix: per-user lag over (ts, event_id)
+# -> (prev, next) counts -> row-normalized transition shares. Shares
+# use the integer micro-unit rounding (stats.decimal_avg6 rationale):
+# n/total with power-of-two totals lands exactly on 7th-decimal halves.
+# ==========================================================================
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    trans AS (
+      SELECT prev, event_type AS next, COUNT(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, next
+    ),
+    tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS t FROM trans GROUP BY prev)
+    SELECT tr.prev, tr.next, tr.n,
+           CAST(FLOOR((2 * tr.n * 1000000 + tt.t) / (2 * tt.t)) AS DOUBLE) / 1000000.0 AS share
+    FROM trans tr JOIN tot tt USING (prev)
+    """,
+    doc="first-order Markov transition matrix of event types with tie-proof shares",
+)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev"))
+    trans = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev").agg(F.sum("n").alias("t"))
+    return trans.join(tot, "prev").select(
+        "prev",
+        "next",
+        "n",
+        (
+            F.floor((F.lit(2) * F.col("n") * 1000000 + F.col("t")) / (F.lit(2) * F.col("t"))).cast("double")
+            / F.lit(1000000.0)
+        ).alias("share"),
+    )
