@@ -99,6 +99,16 @@ def _warm(spark) -> None:
         .join(agg, "k")
     )
     warmed.write.mode("overwrite").format("noop").save()
+    # higher-order array functions (transform/slice/array_join/aggregate)
+    # compile to their own codegen shapes — warm those too
+    arr = spark.range(0, 1_000).select(SF.split(SF.lit("a b c d e f g h i j"), " ").alias("w"))
+    hof = arr.select(
+        SF.posexplode(
+            SF.transform(SF.sequence(SF.lit(0), SF.lit(2)), lambda i: SF.array_join(SF.slice("w", i + 1, 3), " "))
+        ),
+        SF.aggregate(SF.transform("w", lambda x: SF.length(x).cast("double")), SF.lit(0.0), lambda a, v: a + v),
+    )
+    hof.write.mode("overwrite").format("noop").save()
 
 
 def run_one(name: str, repeat: int = 1) -> None:
