@@ -5645,3 +5645,47 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("share"),
     )
+
+
+# ==========================================================================
+# Edit-distance (fuzzy) near-dup: Levenshtein over a fixed normalized
+# prefix within (lang, source) blocks — the fuzzy-matching dedup family
+# (typo-level duplicates that shingling misses). Exact integer
+# distances, so fully oracle-hashable. Same ER-blocking treatment as
+# the TF-IDF pairs: the quadratic term is per block, never the corpus;
+# at 100 TB you'd block on a cheap canopy (simhash band, url domain)
+# and cap block size.
+# ==========================================================================
+@register(
+    "levenshtein_prefix_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, substring({_NORM}, 1, 40) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 10
+    """,
+    doc="fuzzy near-dup: Levenshtein <= 10 on 40-char normalized prefixes within (lang, source) blocks",
+)
+def levenshtein_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import norm_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.substring(norm_text("text"), 1, 40).alias("pfx")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), "lang", "source", F.col("pfx").alias("__pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), "lang", "source", F.col("pfx").alias("__pb"))
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__pa", "__pb").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 10)
+    )
