@@ -4,6 +4,8 @@ one'), checked against independent pandas implementations."""
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -154,3 +156,30 @@ def test_simhash_is_deterministic_and_valid(spark, texts):
     b = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
     assert a == b
     assert all(0 <= v < (1 << 63) for v in a.values())
+
+
+class TestDecimalAvg6Formula:
+    """The integer micro-unit half-away-from-zero average must equal
+    exact decimal arithmetic for ANY 6-decimal sum and positive count —
+    property-checked in pure Python (the Spark/DuckDB expressions are
+    this same formula; tests/test_retrieval_spandedup.py pins the
+    column version on the observed sf0.1 tie cases)."""
+
+    @given(
+        micro=st.integers(min_value=-10**15, max_value=10**15),
+        n=st.integers(min_value=1, max_value=10**6),
+    )
+    @settings(max_examples=500, deadline=None)
+    def test_matches_exact_decimal_half_away(self, micro, n):
+        import decimal
+
+        # formula under test (FLOOR of exact-enough double division)
+        pos = abs(micro)
+        q = math.floor((2 * pos + n) / (2 * n))
+        got = (q if micro >= 0 else -q) / 1_000_000.0
+        # ground truth: exact decimal division, ROUND_HALF_UP on |value|
+        ctx = decimal.Context(prec=50)
+        exact = ctx.divide(decimal.Decimal(pos), decimal.Decimal(n))
+        want_abs = exact.quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
+        want = float(want_abs if micro >= 0 else -want_abs) / 1_000_000.0
+        assert got == want
