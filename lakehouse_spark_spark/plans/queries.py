@@ -5689,3 +5689,136 @@ def levenshtein_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 10)
     )
+
+
+# ==========================================================================
+# Language-ID evaluation: confusion matrix + per-language precision and
+# recall of the marker-frequency heuristic against the stored ground
+# truth — the model-evaluation shape every classifier in the curation
+# pipeline needs. Rates use the integer micro-unit rounding.
+# ==========================================================================
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split({_NORM}, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['el','la','los','que','es'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['的','是','在','了','和'], x))) AS s_zh
+      FROM t
+    ),
+    pred AS (
+      SELECT doc_id, lang AS true_lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM s
+    ),
+    cm AS (SELECT true_lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+    truth AS (SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY true_lang),
+    predt AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY pred_lang)
+    SELECT c.true_lang, c.pred_lang, c.n,
+           CAST(FLOOR((2 * c.n * 1000000 + t.n_true) / (2 * t.n_true)) AS DOUBLE) / 1000000.0 AS recall_share,
+           CAST(FLOOR((2 * c.n * 1000000 + p.n_pred) / (2 * p.n_pred)) AS DOUBLE) / 1000000.0 AS precision_share
+    FROM cm c JOIN truth t USING (true_lang) JOIN predt p USING (pred_lang)
+    """,
+    doc="lang-ID confusion matrix with tie-proof per-cell precision/recall shares",
+)
+def langid_confusion_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(F.col("lang").alias("true_lang"), tx.lang_id("text").alias("pred_lang"))
+    cm = pred.groupBy("true_lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    truth = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    predt = cm.groupBy("pred_lang").agg(F.sum("n").alias("n_pred"))
+    micro = lambda num, den: (  # noqa: E731 — tie-proof integer share
+        F.floor((F.lit(2) * num * 1000000 + den) / (F.lit(2) * den)).cast("double") / F.lit(1000000.0)
+    )
+    return (
+        cm.join(truth, "true_lang")
+        .join(predt, "pred_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            micro(F.col("n"), F.col("n_true")).alias("recall_share"),
+            micro(F.col("n"), F.col("n_pred")).alias("precision_share"),
+        )
+    )
+
+
+# ==========================================================================
+# Set-valued aggregation made oracle-hashable: per-customer SORTED
+# distinct order statuses rendered as a string (array outputs hash
+# differently across engines; the canonical string form doesn't).
+# ==========================================================================
+@register(
+    "customer_order_statuses",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="per-customer sorted distinct status set as canonical string (collect_set made hashable)",
+)
+def customer_order_statuses_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+# ==========================================================================
+# Robust per-language length outliers: median/MAD over n_chars (exact
+# medians of integers are k or k+0.5 — exactly representable doubles,
+# so the modified z-ratio is cross-engine deterministic without any
+# rounding dance). The per-group medians reduce each language to two
+# scalars; flagging is then scan-speed.
+# ==========================================================================
+@register(
+    "doc_length_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT lang, median(n_chars) AS med_len
+      FROM documents GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars, m.med_len,
+             ABS(d.n_chars - m.med_len) AS abs_dev
+      FROM documents d JOIN med m USING (lang)
+    ),
+    mad AS (SELECT lang, median(abs_dev) AS mad_len FROM dev GROUP BY lang)
+    SELECT v.doc_id, v.lang, v.n_chars, v.med_len, a.mad_len,
+           (a.mad_len > 0 AND ABS(v.n_chars - v.med_len) > 3.5 * a.mad_len) AS is_outlier
+    FROM dev v JOIN mad a USING (lang)
+    """,
+    doc="robust per-language length outliers: |len - median| > 3.5 * MAD",
+)
+def doc_length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    med = docs.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("med_len"))
+    dev = docs.join(F.broadcast(med), "lang").withColumn(
+        "abs_dev", F.abs(F.col("n_chars") - F.col("med_len"))
+    )
+    mad = dev.groupBy("lang").agg(F.expr("percentile(abs_dev, 0.5)").alias("mad_len"))
+    return dev.join(F.broadcast(mad), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "med_len",
+        "mad_len",
+        ((F.col("mad_len") > 0) & (F.abs(F.col("n_chars") - F.col("med_len")) > 3.5 * F.col("mad_len"))).alias(
+            "is_outlier"
+        ),
+    )
