@@ -5822,3 +5822,116 @@ def doc_length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+# ==========================================================================
+# Cross-source duplicate leakage: the near-dup pair graph summarized by
+# ordered source pair — the report that decides whether dedup must run
+# globally or can shard per source (pairs crossing sources force the
+# global shuffle; pairs within a source can dedup shard-locally).
+# ==========================================================================
+@register(
+    "source_dedup_leakage",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES}
+    , src AS (SELECT doc_id, source FROM documents),
+    labeled AS (
+      SELECT LEAST(sa.source, sb.source) AS source_a,
+             GREATEST(sa.source, sb.source) AS source_b,
+             (sa.source = sb.source) AS same_source
+      FROM pairs p JOIN src sa ON sa.doc_id = p.doc_a JOIN src sb ON sb.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b, same_source, COUNT(*) AS n_pairs
+    FROM labeled GROUP BY source_a, source_b, same_source
+    """,
+    doc="near-dup pairs by ordered source pair: shard-local vs cross-source dedup evidence",
+)
+def source_dedup_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _jaccard_edges(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            (F.col("__sa") == F.col("__sb")).alias("same_source"),
+        )
+        .groupBy("source_a", "source_b", "same_source")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ==========================================================================
+# Corpus drift: KL(p_en || p_de) over unigram token distributions with
+# add-one smoothing over the union vocabulary — the monitoring statistic
+# for "did this slice's token mix shift". Per-token terms are rounded
+# to 6-decimal decimals before the exact sum (module determinism
+# contract), so the divergence hash-matches cross-engine.
+# ==========================================================================
+@register(
+    "corpus_kl_drift_en_de",
+    oracle=f"""
+    WITH tk0 AS (
+      SELECT d.lang, UNNEST(string_split({_NORM}, ' ')) AS token
+      FROM documents d WHERE d.lang IN ('en', 'de')
+    ),
+    tok AS (SELECT lang, token FROM tk0 WHERE token <> ''),
+    c AS (
+      SELECT token,
+             COUNT(*) FILTER (WHERE lang = 'en') AS c_en,
+             COUNT(*) FILTER (WHERE lang = 'de') AS c_de
+      FROM tok GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_en) AS BIGINT) AS t_en, CAST(SUM(c_de) AS BIGINT) AS t_de,
+             COUNT(*) AS v
+      FROM c
+    ),
+    terms AS (
+      SELECT CAST(ROUND(
+               (CAST(c_en + 1 AS DOUBLE) / (t_en + v))
+               * LN(CAST((c_en + 1) * (t_de + v) AS DOUBLE)
+                    / CAST((c_de + 1) * (t_en + v) AS DOUBLE)), 6)
+             AS DECIMAL(18,6)) AS term
+      FROM c, tot
+    )
+    SELECT CAST(CAST(SUM(term) AS DECIMAL(20,6)) AS DOUBLE) AS kl_en_de,
+           COUNT(*) AS n_vocab
+    FROM terms
+    """,
+    doc="KL(p_en || p_de) over smoothed unigram distributions — token-mix drift statistic",
+)
+def corpus_kl_drift_en_de_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
+    toks = docs.select(
+        "lang", F.explode(F.split(norm_text("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    c = toks.groupBy("token").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_en"),
+        F.count(F.when(F.col("lang") == "de", 1)).alias("c_de"),
+    )
+    tot = c.agg(
+        F.sum("c_en").alias("t_en"), F.sum("c_de").alias("t_de"), F.count(F.lit(1)).alias("v")
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            ((F.col("c_en") + 1).cast("double") / (F.col("t_en") + F.col("v")))
+            * F.log(
+                ((F.col("c_en") + 1) * (F.col("t_de") + F.col("v"))).cast("double")
+                / ((F.col("c_de") + 1) * (F.col("t_en") + F.col("v"))).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("term")
+    )
+    return terms.agg(
+        F.sum("term").cast("decimal(20,6)").cast("double").alias("kl_en_de"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
