@@ -261,3 +261,92 @@ def verify_pairs_jaccard(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle-set containment |A∩B|/|A| (and /|B|)
+    for pairs sharing ≥1 shingle, kept when EITHER direction's rounded
+    containment ≥ threshold. Catches doc-quotes-doc / subset relations
+    that symmetric Jaccard dilutes (a 20-token quote inside a 2000-token
+    page has Jaccard ~0.01 but containment ~1.0 in the quote's
+    direction). Same inverted-index join shape (and df-cap treatment)
+    as ``ngram_jaccard_pairs``."""
+    sh = word_shingles(df, id_col, text_col, n)
+    if hash_shingles:
+        sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    sh = sh.localCheckpoint(eager=False)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b")), "doc_b")
+        .withColumn("cont_a_in_b", F.round(F.col("shared").cast("double") / F.col("size_a"), 6))
+        .withColumn("cont_b_in_a", F.round(F.col("shared").cast("double") / F.col("size_b"), 6))
+    )
+    return out.filter(
+        (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+    ).select("doc_a", "doc_b", "shared", "size_a", "size_b", "cont_a_in_b", "cont_b_in_a")
+
+
+def cross_batch_jaccard(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Incremental near-dup: exact Jaccard of every NEW-batch document
+    against the EXISTING corpus — the arrival-time form of the pair
+    join (only (new, old) pairs materialize; the corpus never
+    self-joins). At production scale the corpus side's (id, shingle)
+    relation is a persisted index updated per batch, exactly like the
+    exact-hash incremental dedup (operators/dedup.incremental_dedup).
+
+    Output: (new_id, corpus_id, shared, size_new, size_corpus, jaccard).
+    """
+    shn = word_shingles(new_df, id_col, text_col, n)
+    shc = word_shingles(corpus_df, id_col, text_col, n)
+    if hash_shingles:
+        shn = shn.select(id_col, F.xxhash64("shingle").alias("shingle"))
+        shc = shc.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    shn = shn.localCheckpoint(eager=False)
+    shc = shc.localCheckpoint(eager=False)
+    sizes_n = shn.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_new"))
+    sizes_c = shc.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_corpus"))
+    a = shn.select(F.col(id_col).alias("new_id"), "shingle")
+    b = shc.select(F.col(id_col).alias("corpus_id"), "shingle")
+    shared = a.join(b, "shingle").groupBy("new_id", "corpus_id").agg(F.count(F.lit(1)).alias("shared"))
+    return (
+        shared.join(sizes_n.select(F.col(id_col).alias("new_id"), "size_new"), "new_id")
+        .join(sizes_c.select(F.col(id_col).alias("corpus_id"), "size_corpus"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("size_new") + F.col("size_corpus") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "shared", "size_new", "size_corpus", "jaccard")
+    )

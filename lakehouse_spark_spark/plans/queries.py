@@ -5935,3 +5935,129 @@ def corpus_kl_drift_en_de_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term").cast("decimal(20,6)").cast("double").alias("kl_en_de"),
         F.count(F.lit(1)).alias("n_vocab"),
     )
+
+
+# ==========================================================================
+# Asymmetric containment near-dup (operators/neardup.
+# ngram_containment_pairs) — doc-quotes-doc detection that symmetric
+# Jaccard dilutes.
+# ==========================================================================
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    elig AS (SELECT * FROM toks WHERE len(w) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS shingle
+      FROM elig, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, shared,
+             sa.set_size AS size_a, sb.set_size AS size_b,
+             ROUND(shared * 1.0 / sa.set_size, 6) AS cont_a_in_b,
+             ROUND(shared * 1.0 / sb.set_size, 6) AS cont_b_in_a
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, shared, size_a, size_b, cont_a_in_b, cont_b_in_a
+    FROM scored WHERE cont_a_in_b >= 0.6 OR cont_b_in_a >= 0.6
+    """,
+    doc="asymmetric shingle containment >= 0.6 in either direction (quote/subset detection)",
+)
+def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.neardup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6)
+
+
+# ==========================================================================
+# Incremental near-dup (operators/neardup.cross_batch_jaccard): NEW
+# batch (doc_id % 7 == 0) vs the existing corpus — only (new, old)
+# pairs materialize; the corpus never self-joins. Arrival-time sibling
+# of incremental_dedup_batch.
+# ==========================================================================
+@register(
+    "incremental_neardup_batch",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    elig AS (SELECT * FROM toks WHERE len(w) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS shingle
+      FROM elig, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    shn AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+    shc AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+    sn AS (SELECT doc_id, COUNT(*) AS size_new FROM shn GROUP BY doc_id),
+    sc AS (SELECT doc_id, COUNT(*) AS size_corpus FROM shc GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS shared
+      FROM shn a JOIN shc b ON a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT s.new_id, s.corpus_id, s.shared, n.size_new, c.size_corpus,
+           ROUND(s.shared * 1.0 / (n.size_new + c.size_corpus - s.shared), 6) AS jaccard
+    FROM shared s
+    JOIN sn n ON n.doc_id = s.new_id
+    JOIN sc c ON c.doc_id = s.corpus_id
+    WHERE ROUND(s.shared * 1.0 / (n.size_new + c.size_corpus - s.shared), 6) >= 0.2
+    """,
+    doc="incremental near-dup: new batch (doc_id%7==0) vs corpus, exact Jaccard >= 0.2",
+)
+def incremental_neardup_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.neardup import cross_batch_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return cross_batch_jaccard(new, corpus, "doc_id", "text", n=3, threshold=0.2)
+
+
+# ==========================================================================
+# 2-D skyline (operators/skyline.pareto_frontier_2d; Börzsönyi 2001):
+# cheapest-vs-latest Pareto frontier of one month of orders. Oracle is
+# the O(n²) NOT-EXISTS dominance anti-join on the same (bounded) slice;
+# the engine computes it with two window passes in O(n log n).
+# ==========================================================================
+@register(
+    "order_price_recency_skyline",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT) AS day_idx
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+    )
+    SELECT o_orderkey, price_cents, day_idx
+    FROM m r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m o
+      WHERE o.price_cents <= r.price_cents AND o.day_idx >= r.day_idx
+        AND (o.price_cents < r.price_cents OR o.day_idx > r.day_idx)
+    )
+    """,
+    doc="Pareto frontier (min price, max recency) of 1995-03 orders; O(n log n) vs O(n^2) oracle",
+)
+def order_price_recency_skyline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.skyline import pareto_frontier_2d
+
+    m = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    out = pareto_frontier_2d(
+        m,
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")).cast("long"),
+        ["o_orderkey"],
+    )
+    return out.select("o_orderkey", F.col("__x").alias("price_cents"), F.col("__y").alias("day_idx"))

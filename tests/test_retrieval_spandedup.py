@@ -454,3 +454,39 @@ class TestIncrementalMaintenance:
         for m in (m1, m2):
             got = {r["k"]: (r["s"], r["n_rows"]) for r in m.collect()}
             assert got == full
+
+
+class TestSkyline:
+    def _frontier(self, spark, rows):
+        from lakehouse_spark_spark.operators.skyline import pareto_frontier_2d
+
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        out = pareto_frontier_2d(df, F.col("x"), F.col("y"), ["id"])
+        return sorted(r["id"] for r in out.collect())
+
+    def test_dominated_points_drop(self, spark):
+        # (1,10) dominates (2,9): higher x AND lower y -> 2 dominated
+        rows = [(1, 1, 10), (2, 2, 9), (3, 3, 12), (4, 5, 11)]
+        # frontier: 1 (cheapest), 3 (better y than 1 at higher x); 4 dominated by 3
+        assert self._frontier(spark, rows) == [1, 3]
+
+    def test_equal_x_keeps_only_best_y_and_exact_ties_stay(self, spark):
+        rows = [(1, 1, 5), (2, 1, 9), (3, 1, 9), (4, 2, 10)]
+        # x=1: y=9 pair ties (both stay), y=5 dominated; (2,10) better y
+        assert self._frontier(spark, rows) == [2, 3, 4]
+
+    def test_matches_quadratic_definition(self, spark):
+        import itertools, random
+
+        rng = random.Random(13)
+        rows = [(i, rng.randrange(0, 20), rng.randrange(0, 20)) for i in range(60)]
+        got = self._frontier(spark, rows)
+        want = sorted(
+            r[0]
+            for r in rows
+            if not any(
+                o[1] <= r[1] and o[2] >= r[2] and (o[1] < r[1] or o[2] > r[2])
+                for o in rows
+            )
+        )
+        assert got == want
