@@ -6061,3 +6061,75 @@ def order_price_recency_skyline_q(spark: SparkSession, sf_dir: str) -> DataFrame
         ["o_orderkey"],
     )
     return out.select("o_orderkey", F.col("__x").alias("price_cents"), F.col("__y").alias("day_idx"))
+
+
+# ==========================================================================
+# Dedup-keep-latest as a pure AGGREGATION (max_by) — the no-window form
+# of latest_event_per_user: one map-side-combinable groupBy instead of
+# a partition sort, the shape that wins when groups are huge (the
+# window form materializes and sorts every partition). Same output,
+# same oracle family (DuckDB arg_max).
+# ==========================================================================
+@register(
+    "latest_event_per_user_maxby",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="keep-latest via max_by aggregation (no window sort); (ts, event_id) tiebreak",
+)
+def latest_event_per_user_maxby_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("event_id"),
+        F.max_by("event_type", key).alias("event_type"),
+        F.max_by("value", key).alias("value"),
+        F.unix_micros(F.max("ts")).alias("ts_us"),
+    )
+
+
+# ==========================================================================
+# Order-independent table integrity checksum — the table-diff primitive
+# (compare two environments/versions without moving rows): per-row
+# md5 over a canonical string rendering (decimals pin float formatting,
+# epoch-µs pins timestamps), folded with the commutative bit_xor, plus
+# the row count. Any single-row difference flips the checksum.
+# ==========================================================================
+@register(
+    "orders_integrity_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(CAST('0x' || substring(
+               md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                 CAST(epoch_us(o_orderdate) AS VARCHAR),
+                 o_orderpriority)), 1, 15) AS BIGINT) AS BIGINT) AS rh
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows, bit_xor(rh) AS checksum FROM h
+    """,
+    doc="order-independent md5/bit_xor table checksum (environment-diff primitive)",
+)
+def orders_integrity_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return o.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(rh)").alias("checksum")
+    )
