@@ -490,3 +490,58 @@ class TestSkyline:
             )
         )
         assert got == want
+
+
+class TestFunnelAndEwmaSemantics:
+    def test_funnel_requires_strict_order(self, spark):
+        from lakehouse_spark_spark.plans.queries import registry
+        import tempfile, os
+
+        # build a tiny events parquet with controlled orderings
+        rows = [
+            # user 1: full ordered funnel
+            (1, "2001-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2001-01-01 10:05:00", 1, "click", 1.0, "{}"),
+            (3, "2001-01-01 10:10:00", 1, "purchase", 1.0, "{}"),
+            # user 2: purchase BEFORE click -> stops at view->click
+            (4, "2001-01-01 10:00:00", 2, "view", 1.0, "{}"),
+            (5, "2001-01-01 10:01:00", 2, "purchase", 1.0, "{}"),
+            (6, "2001-01-01 10:02:00", 2, "click", 1.0, "{}"),
+            # user 3: view only
+            (7, "2001-01-01 10:00:00", 3, "view", 1.0, "{}"),
+            # user 4: click without view -> not even step 1
+            (8, "2001-01-01 10:00:00", 4, "click", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
+        d = tempfile.mkdtemp(prefix="funnel_")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = registry()["user_funnel_counts"].builder(spark, d).collect()[0]
+        assert out["n_view"] == 3          # users 1, 2, 3
+        assert out["n_view_click"] == 2    # users 1, 2 (2's click is after view)
+        assert out["n_view_click_purchase"] == 1  # only user 1 ordered fully
+
+    def test_ewma_matches_python_reference(self, spark):
+        from lakehouse_spark_spark.plans.queries import registry
+        import tempfile, os, datetime
+
+        counts = {1: 10, 2: 20, 3: 5, 4: 40}  # day-of-month -> events
+        rows, eid = [], 0
+        for day, n in counts.items():
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, f"2001-02-{day:02d} 01:00:00", 1, "view", 1.0, "{}"))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
+        d = tempfile.mkdtemp(prefix="ewma_")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r["day"].day: r["ewma"] for r in registry()["daily_events_ewma"].builder(spark, d).collect()}
+        # python reference with the same pre-rounded weights
+        for day in counts:
+            want = sum(
+                counts.get(day - g, 0) * round(0.4 * 0.6**g, 6)
+                for g in range(0, 14)
+            )
+            assert out[day] == pytest.approx(want, abs=1e-9)
