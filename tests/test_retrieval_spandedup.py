@@ -545,3 +545,36 @@ class TestFunnelAndEwmaSemantics:
                 for g in range(0, 14)
             )
             assert out[day] == pytest.approx(want, abs=1e-9)
+
+
+class TestContainmentAndCrossBatch:
+    def test_quote_inside_long_doc_has_high_containment_low_jaccard(self, spark):
+        from lakehouse_spark_spark.operators.neardup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        quote = "alpha beta gamma delta epsilon"
+        filler = " ".join(f"w{i}" for i in range(60))
+        rows = [(1, quote), (2, filler + " " + quote)]
+        docs = _docs(spark, rows)
+        cont = ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.6).collect()
+        assert len(cont) == 1
+        r = cont[0]
+        assert r["cont_a_in_b"] == 1.0  # every shingle of the quote is in doc 2
+        assert r["cont_b_in_a"] < 0.1
+        # symmetric Jaccard misses it at the same strength
+        jac = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6).collect()
+        assert len(jac) == 0
+
+    def test_cross_batch_only_new_old_pairs(self, spark):
+        from lakehouse_spark_spark.operators.neardup import cross_batch_jaccard
+
+        text = "one two three four five six"
+        new = _docs(spark, [(10, text), (11, "totally different words entirely here now")])
+        old = _docs(spark, [(1, text), (2, text)])
+        out = cross_batch_jaccard(new, old, "doc_id", "text", n=3, threshold=0.5).collect()
+        got = {(r["new_id"], r["corpus_id"]) for r in out}
+        # doc 10 matches BOTH old copies; old-old pair (1,2) never materializes
+        assert got == {(10, 1), (10, 2)}
+        assert all(r["jaccard"] == 1.0 for r in out)
