@@ -165,3 +165,98 @@ def doc_bigram_logprob(
         F.sum("lp").cast("decimal(20,6)").cast("double").alias("sum_logp"),
         decimal_avg6(F.sum("lp").cast("decimal(20,6)"), F.count(F.lit(1))).alias("avg_logp"),
     )
+
+
+def doc_trigram_logprob_interp(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    l3: float = 0.6,
+    l2: float = 0.3,
+    l1: float = 0.1,
+) -> DataFrame:
+    """Per-document INTERPOLATED trigram LM score (Jelinek–Mercer):
+    each token ≥ position 2 scores
+
+        ln(λ3·p3 + λ2·p2 + λ1·p1)
+
+    with p3 = c(w₋₂w₋₁w)/c(w₋₂w₋₁) (0 when the trigram or its context
+    is pruned below ``min_count``), p2 = c(w₋₁w)/c(w₋₁), p1 = c(w)/T.
+    The first two tokens score the lower orders available to them
+    (unigram; then bigram+unigram reweighted to λ2+λ3, λ1).
+
+    Returns (id, n_scored, sum_logp, avg_logp). Interpolation never
+    hits ln(0) (p1 > 0 always), so no backoff discount is needed —
+    this is the smoother, standard alternative to stupid backoff
+    (``doc_bigram_logprob``).
+
+    Determinism: the interpolated probability is assembled from exact
+    integer count ratios in ONE double expression (identical operator
+    tree in the oracle), then rounded to 6 decimals and cast decimal
+    before the per-doc sum. Scale: three count tables (uni/bi/tri),
+    all map-side-combined groupBys; scoring is three token-keyed
+    equi-joins; the lag window partitions per document.
+    """
+    from lakehouse_spark_spark.operators.stats import decimal_avg6
+
+    toks = positioned_tokens(df, id_col, text_col).localCheckpoint(eager=False)
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.select(F.sum("c1").alias("__t"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    ctx = toks.withColumn("p1", F.lag("token", 1).over(w)).withColumn("p2", F.lag("token", 2).over(w))
+    big = (
+        ctx.filter(F.col("p1").isNotNull())
+        .groupBy(F.col("p1").alias("w1"), F.col("token").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    tri = (
+        ctx.filter(F.col("p2").isNotNull())
+        .groupBy(F.col("p2").alias("w1"), F.col("p1").alias("w2"), F.col("token").alias("w3"))
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .filter(F.col("c3") >= min_count)
+    )
+    # context counts come from the unigram/bigram tables directly so the
+    # ratios are true conditional frequencies:
+    uni1 = uni.select(F.col("token").alias("w1"), F.col("c1").alias("c_ctx1"))
+    big2 = big.select(F.col("w1").alias("b1"), F.col("w2").alias("b2"), "c2")
+    scored = (
+        ctx.join(uni.select("token", "c1").crossJoin(F.broadcast(total)), "token")
+        .join(uni1, ctx["p1"] == uni1["w1"], "left")
+        .join(
+            big2,
+            (ctx["p1"] == big2["b1"]) & (ctx["token"] == big2["b2"]),
+            "left",
+        )
+        .join(
+            big.select(F.col("w1").alias("g1"), F.col("w2").alias("g2"), F.col("c2").alias("c_ctx2")),
+            (ctx["p2"] == F.col("g1")) & (ctx["p1"] == F.col("g2")),
+            "left",
+        )
+        .join(
+            tri.select(F.col("w1").alias("t1"), F.col("w2").alias("t2"), F.col("w3").alias("t3"), "c3"),
+            (ctx["p2"] == F.col("t1")) & (ctx["p1"] == F.col("t2")) & (ctx["token"] == F.col("t3")),
+            "left",
+        )
+    )
+    p1_ = F.col("c1").cast("double") / F.col("__t")
+    p2_ = F.when(
+        F.col("c_ctx1").isNotNull() & F.col("c2").isNotNull(),
+        F.col("c2").cast("double") / F.col("c_ctx1"),
+    ).otherwise(F.lit(0.0))
+    p3_ = F.when(
+        F.col("c_ctx2").isNotNull() & F.col("c3").isNotNull(),
+        F.col("c3").cast("double") / F.col("c_ctx2"),
+    ).otherwise(F.lit(0.0))
+    lp = (
+        F.when(F.col("p1").isNull(), F.log(p1_))  # first token: unigram
+        .when(F.col("p2").isNull(), F.log(F.lit(l3 + l2) * p2_ + F.lit(l1) * p1_))  # second: bi+uni
+        .otherwise(F.log(F.lit(l3) * p3_ + F.lit(l2) * p2_ + F.lit(l1) * p1_))
+    )
+    per_tok = scored.select(F.col(id_col).alias("__id"), F.round(lp, 6).cast("decimal(18,6)").alias("lp"))
+    return per_tok.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("lp").cast("decimal(20,6)").cast("double").alias("sum_logp"),
+        decimal_avg6(F.sum("lp").cast("decimal(20,6)"), F.count(F.lit(1))).alias("avg_logp"),
+    )

@@ -6133,3 +6133,133 @@ def orders_integrity_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(rh.alias("rh")).agg(
         F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(rh)").alias("checksum")
     )
+
+
+# ==========================================================================
+# Interpolated trigram LM (operators/lm.doc_trigram_logprob_interp;
+# Jelinek–Mercer λ-mixing) — the smooth capstone of the LM family:
+# unigram (CCNet buckets) → stupid-backoff bigram → interpolated
+# trigram. Lambda literals in the oracle are the EXACT Python doubles
+# (0.6+0.3 is 0.8999999999999999, not 0.9 — the f-string embeds repr).
+# ==========================================================================
+_TRI_L3, _TRI_L2, _TRI_L1 = 0.6, 0.3, 0.1
+
+
+@register(
+    "doc_trigram_logprob_interp",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    tok0 AS (
+      SELECT doc_id, unnest(w) AS token, unnest(range(1, len(w) + 1)) AS pos FROM raw
+    ),
+    tok AS (SELECT doc_id, pos, token FROM tok0 WHERE token <> ''),
+    uni AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t FROM uni),
+    ctx AS (
+      SELECT doc_id, pos, token,
+             LAG(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+             LAG(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+      FROM tok
+    ),
+    big AS (
+      SELECT p1 AS w1, token AS w2, COUNT(*) AS c2 FROM ctx
+      WHERE p1 IS NOT NULL GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT p2 AS w1, p1 AS w2, token AS w3, COUNT(*) AS c3 FROM ctx
+      WHERE p2 IS NOT NULL GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+      SELECT c.doc_id,
+             CAST(u.c1 AS DOUBLE) / t AS p1v,
+             CASE WHEN u1.c1 IS NOT NULL AND b.c2 IS NOT NULL
+                  THEN CAST(b.c2 AS DOUBLE) / u1.c1 ELSE 0.0 END AS p2v,
+             CASE WHEN g.c2 IS NOT NULL AND tr.c3 IS NOT NULL
+                  THEN CAST(tr.c3 AS DOUBLE) / g.c2 ELSE 0.0 END AS p3v,
+             c.p1 AS prev1, c.p2 AS prev2
+      FROM ctx c
+      JOIN uni u USING (token) CROSS JOIN tot
+      LEFT JOIN uni u1 ON u1.token = c.p1
+      LEFT JOIN big b ON b.w1 = c.p1 AND b.w2 = c.token
+      LEFT JOIN big g ON g.w1 = c.p2 AND g.w2 = c.p1
+      LEFT JOIN tri tr ON tr.w1 = c.p2 AND tr.w2 = c.p1 AND tr.w3 = c.token
+    ),
+    lps AS (
+      SELECT doc_id,
+             CAST(ROUND(CASE WHEN prev1 IS NULL THEN LN(p1v)
+                  WHEN prev2 IS NULL THEN LN({_TRI_L3 + _TRI_L2!r} * p2v + {_TRI_L1!r} * p1v)
+                  ELSE LN({_TRI_L3!r} * p3v + {_TRI_L2!r} * p2v + {_TRI_L1!r} * p1v) END, 6)
+             AS DECIMAL(18,6)) AS lp
+      FROM scored
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS cnt, CAST(SUM(lp) AS DECIMAL(20,6)) AS s FROM lps GROUP BY doc_id),
+    m AS (SELECT doc_id, cnt, s, CAST(s * 1000000 AS BIGINT) AS micro FROM agg)
+    SELECT doc_id, cnt AS n_scored, CAST(s AS DOUBLE) AS sum_logp,
+           CAST(CASE WHEN micro >= 0 THEN FLOOR((2 * micro + cnt) / (2 * cnt))
+                     ELSE -FLOOR((2 * (-micro) + cnt) / (2 * cnt)) END AS DOUBLE)
+             / 1000000.0 AS avg_logp
+    FROM m
+    """,
+    doc="Jelinek–Mercer interpolated trigram LM (λ = 0.6/0.3/0.1, pruned counts)",
+)
+def doc_trigram_logprob_interp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.lm import doc_trigram_logprob_interp
+
+    return doc_trigram_logprob_interp(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        min_count=2, l3=_TRI_L3, l2=_TRI_L2, l1=_TRI_L1,
+    )
+
+
+# ==========================================================================
+# Top-k WITH TIES (RANK, the 'WITH TIES' semantics) — the variant of
+# top_orders_per_customer that keeps every order tied at the boundary
+# value instead of an arbitrary row_number cutoff.
+# ==========================================================================
+@register(
+    "top_orders_per_customer_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+    doc="per-customer top-3 orders WITH TIES (RANK) — boundary ties survive",
+)
+def top_orders_per_customer_ties_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# ==========================================================================
+# 2-D histogram (price x quantity) — the heatmap primitive: both axes
+# floor-binned with constant grids, one map-side-combined groupBy of
+# at most n_bins² rows.
+# ==========================================================================
+@register(
+    "price_qty_histogram2d",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(l_extendedprice / 10000) AS BIGINT), 11) AS price_bin,
+           LEAST(CAST(FLOOR(l_quantity / 10) AS BIGINT), 5) AS qty_bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="price x quantity 2-D histogram: constant floor grids, exact aggregates",
+)
+def price_qty_histogram2d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pb = F.least(F.floor(F.col("l_extendedprice") / 10000).cast("long"), F.lit(11))
+    qb = F.least(F.floor(F.col("l_quantity") / 10).cast("long"), F.lit(5))
+    return li.groupBy(pb.alias("price_bin"), qb.alias("qty_bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
