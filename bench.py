@@ -54,6 +54,7 @@ HEADLINE = [
     "decontaminated_corpus",
     "doc_unigram_logprob",
     "doc_bigram_logprob",
+    "doc_trigram_logprob_interp",
     "duplicated_span_stats",
     "span_trimmed_corpus",
     "bm25_doc_search",
