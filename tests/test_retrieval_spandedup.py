@@ -578,3 +578,43 @@ class TestContainmentAndCrossBatch:
         # doc 10 matches BOTH old copies; old-old pair (1,2) never materializes
         assert got == {(10, 1), (10, 2)}
         assert all(r["jaccard"] == 1.0 for r in out)
+
+
+class TestMixtureAndTierEdges:
+    def test_temperature_weights_sum_to_one_and_budget_conserved(self, spark):
+        from lakehouse_spark_spark.operators.mixture import temperature_mixture_plan
+
+        rows = (
+            [(i, "a", "w " * 50) for i in range(4)]
+            + [(10 + i, "b", "w " * 20) for i in range(4)]
+            + [(20 + i, "c", "w " * 5) for i in range(4)]
+        )
+        df = spark.createDataFrame(
+            [(i, s, t.strip()) for i, s, t in rows], "doc_id long, source string, text string"
+        )
+        out = temperature_mixture_plan(df, "source", "text", alpha=0.5, budget_tokens=10_000).collect()
+        total_w = sum(r["weight"] for r in out)
+        total_target = sum(r["target_tokens"] for r in out)
+        assert total_w == pytest.approx(1.0, abs=1e-4)
+        assert abs(total_target - 10_000) <= len(out)  # per-source rounding only
+
+    def test_quantile_tier_multiple_windows_partition_independently(self, spark):
+        from lakehouse_spark_spark.operators.sketches import histogram_tier, quantiles_from_tier
+        from pyspark.sql import functions as F
+
+        rows = [("2001-01-10", float(v)) for v in range(100)] + [
+            ("2001-02-10", float(v)) for v in range(900, 1000)
+        ]
+        df = spark.createDataFrame(rows, "day string, v double").select(
+            F.col("day").cast("date").alias("day"), "v"
+        )
+        tier = histogram_tier(df, "day", "v", lo=0.0, width=100.0, n_bins=10)
+        out = {r["window"].month: r for r in quantiles_from_tier(tier, "month", [0.5], 0.0, 100.0).collect()}
+        assert out[1]["q_0_5"] == 100.0   # january values in bin 0 -> upper edge 100
+        assert out[2]["q_0_5"] == 1000.0  # february values in bin 9 -> upper edge 1000
+
+    def test_blocklist_empty_lists_block_nothing(self, spark):
+        from lakehouse_spark_spark.operators.text import blocklist_flags
+
+        out = blocklist_flags(_docs(spark, [(1, "anything at all")]), "doc_id", "text", []).collect()[0]
+        assert not out["blocked"] and out["n_blocked_terms"] == 0
