@@ -15,10 +15,12 @@ current integer x, and a partition-by-x max. Equal (x, y) duplicates
 tie — neither dominates — and all stay, matching the NOT-EXISTS
 semantics exactly.
 
-Scale: the windows order by x GLOBALLY — for 100 TB inputs run the
-frontier per partition bucket first (local skylines), then the tiny
-union through the same operator again (skyline-of-skylines is the
-skyline); the operator is that composition's building block.
+Scale: :func:`pareto_frontier_2d` orders by x GLOBALLY (one WindowExec
+task) — fine for bounded slices, wrong for 100 TB.
+:func:`pareto_frontier_2d_distributed` is the production form: local
+skylines per x-range partition + a driver-side prefix-max of
+per-partition best-y (O(numPartitions) state) removes cross-partition
+dominated rows exactly — no unpartitioned window anywhere in the plan.
 """
 
 from __future__ import annotations
@@ -46,3 +48,66 @@ def pareto_frontier_2d(
     return flagged.filter(
         (F.col("__m1").isNull() | (F.col("__y") > F.col("__m1"))) & (F.col("__y") == F.col("__m2"))
     ).drop("__m1", "__m2")
+
+
+def pareto_frontier_2d_distributed(
+    df: DataFrame,
+    x_int: Column,
+    y_int: Column,
+    keep_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The scale form of :func:`pareto_frontier_2d`: range-partition by
+    x, local frontier per partition (partitioned windows — never a
+    global WindowExec), then eliminate cross-partition dominance with a
+    driver-side prefix-max of per-partition max-y (O(numPartitions)
+    state, broadcast back).
+
+    Why this is exact: range partitioning on x puts every row with a
+    SMALLER x in an earlier (or the same) partition, and equal x always
+    co-locates (the range partitioner assigns by boundary). So a row r
+    in partition p can only be dominated by (a) a same-partition row —
+    caught by the local frontier — or (b) a row in an earlier
+    partition, which has strictly smaller x and therefore dominates r
+    iff its y ≥ r.y; the max such y is prefix_max(p), a per-partition
+    scalar. Later partitions have strictly larger x and can never
+    dominate. Same output set as the single-level operator and the
+    O(n²) NOT-EXISTS oracle.
+    """
+    from lakehouse_spark_spark.operators.distrank import range_partitioned
+
+    base = df.select(*keep_cols, x_int.alias("__x"), y_int.alias("__y"))
+    parts = range_partitioned(base, [F.col("__x")], num_partitions)
+
+    w_lower = (
+        Window.partitionBy("__pid")
+        .orderBy("__x")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("__pid", "__x")
+    flagged = parts.withColumn("__m1", F.max("__y").over(w_lower)).withColumn(
+        "__m2", F.max("__y").over(w_same)
+    )
+    local = flagged.filter(
+        (F.col("__m1").isNull() | (F.col("__y") > F.col("__m1"))) & (F.col("__y") == F.col("__m2"))
+    ).drop("__m1", "__m2")
+
+    # prefix-max of per-partition max y (tiny: ≤ numPartitions rows)
+    pm = sorted(
+        parts.groupBy("__pid").agg(F.max("__y").alias("__my")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    prefix: list[tuple[int, int | None]] = []
+    best: int | None = None
+    for r in pm:
+        prefix.append((int(r["__pid"]), best))
+        my = r["__my"]
+        if my is not None and (best is None or my > best):
+            best = int(my)
+    spark = df.sparkSession
+    pref_df = spark.createDataFrame(prefix, "__pid INT, __prevmax BIGINT")
+
+    out = local.join(F.broadcast(pref_df), "__pid").filter(
+        F.col("__prevmax").isNull() | (F.col("__y") > F.col("__prevmax"))
+    )
+    return out.drop("__pid", "__prevmax")

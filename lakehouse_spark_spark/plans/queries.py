@@ -4272,24 +4272,43 @@ def nullsafe_value_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CUME_DIST() OVER (ORDER BY total), 6) AS cume
     FROM spend
     """,
-    doc="rank-distribution windows: dense_rank + percent_rank + cume_dist",
+    doc="rank-distribution windows: dense_rank + percent_rank + cume_dist (distributed-rank plan)",
 )
 def customer_spend_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """Distributed-rank form (round-3 verdict fix): the rank functions
+    depend only on the VALUE ``total``, so aggregate to distinct values
+    first, then compute a global prefix over the (much smaller, but
+    still unbounded) value table via range-partition + broadcast
+    offsets (operators/distrank.py) — no unpartitioned WindowExec over
+    corpus cardinality anywhere. With distinct values,
+      dense_rank_desc(v) = D - rn_asc(v) + 1,
+      rank_asc(v)        = cum_rows(v) - count(v) + 1,
+      percent_rank(v)    = (rank_asc - 1) / (n - 1),
+      cume_dist(v)       = cum_rows(v) / n,
+    all exact integer inputs to the same double division DuckDB does.
+    """
+    from lakehouse_spark_spark.operators.distrank import with_global_prefix
 
     spend = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"))
     )
-    w_desc = Window.orderBy(F.col("total").desc())
-    w_asc = Window.orderBy(F.col("total"))
-    return spend.select(
-        "o_custkey",
+    vals = spend.groupBy("total").agg(F.count(F.lit(1)).alias("__c"))
+    ranked, totals = with_global_prefix(vals, [F.col("total")], sum_cols=("__c",))
+    n = int(totals["__c"])
+    d = int(totals["__rows"])
+    denom = float(n - 1) if n > 1 else 1.0
+    ranked = ranked.select(
         "total",
-        F.dense_rank().over(w_desc).cast("long").alias("spend_rank"),
-        F.round(F.percent_rank().over(w_asc), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w_asc), 6).alias("cume"),
+        (F.lit(d) - F.col("__rn") + 1).cast("long").alias("spend_rank"),
+        F.round((F.col("__cum___c") - F.col("__c")).cast("double") / F.lit(denom), 6).alias(
+            "pct_rank"
+        ),
+        F.round(F.col("__cum___c").cast("double") / F.lit(float(max(n, 1))), 6).alias("cume"),
+    )
+    return spend.join(ranked, "total").select(
+        "o_custkey", "total", "spend_rank", "pct_rank", "cume"
     )
 
 
@@ -4908,8 +4927,15 @@ def doc_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(decimal_avg6(F.sum("logp").cast("decimal(20,6)"), F.count(F.lit(1))).alias("avg_logp"))
     )
-    w = Window.orderBy(F.col("avg_logp").desc(), F.col("doc_id"))
-    return avgd.withColumn("tercile", F.ntile(3).over(w)).select(
+    # Distributed NTILE (round-3 verdict fix): global row_number via
+    # range-partition + broadcast offsets (operators/distrank.py), then
+    # the tercile boundaries as exact driver-side ints — CCNet bucketing
+    # with no corpus-cardinality unpartitioned WindowExec.
+    from lakehouse_spark_spark.operators.distrank import global_ntile, with_global_prefix
+
+    ranked, totals = with_global_prefix(avgd, [F.col("avg_logp").desc(), F.col("doc_id")])
+    tercile = global_ntile(F.col("__rn"), totals["__rows"], 3)
+    return ranked.withColumn("tercile", tercile).select(
         "doc_id",
         "avg_logp",
         F.when(F.col("tercile") == 1, "head")
@@ -5526,16 +5552,21 @@ def curation_disposition_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="closed-form 14-day EWMA (α=0.4) of daily event counts, exact decimal weights",
 )
 def daily_events_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 14-day range self-join is expressed as an EQUI-join: each
+    # source day explodes into its 14 target days (bounded fan-out =
+    # window length), so the plan is a hash join on `day` instead of a
+    # BroadcastNestedLoopJoin on an inequality — same pairs, same
+    # oracle, and the shape survives any |days| (plan-lint clean).
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(F.count(F.lit(1)).alias("n"))
     d = daily.select(F.col("day").alias("day"))
-    p = daily.select(F.col("day").alias("p_day"), F.col("n"))
-    pairs = d.join(
-        p, (F.col("p_day") <= F.col("day")) & (F.col("p_day") >= F.date_sub(F.col("day"), 13))
-    )
-    w = F.round(F.lit(0.4) * F.pow(F.lit(0.6), F.datediff(F.col("day"), F.col("p_day"))), 6).cast(
-        "decimal(18,6)"
-    )
+    contrib = daily.select(
+        F.col("day").alias("p_day"),
+        F.col("n"),
+        F.explode(F.sequence(F.lit(0), F.lit(13))).alias("i"),
+    ).withColumn("day", F.date_add(F.col("p_day"), F.col("i")))
+    pairs = contrib.join(d, "day")
+    w = F.round(F.lit(0.4) * F.pow(F.lit(0.6), F.col("i")), 6).cast("decimal(18,6)")
     return (
         pairs.groupBy("day")
         .agg(F.sum((F.col("n") * w)).cast("decimal(38,6)").alias("s"))
@@ -6048,13 +6079,17 @@ def incremental_neardup_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Pareto frontier (min price, max recency) of 1995-03 orders; O(n log n) vs O(n^2) oracle",
 )
 def order_price_recency_skyline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_spark_spark.operators.skyline import pareto_frontier_2d
+    # Registers the DISTRIBUTED two-level form (round-3 verdict fix):
+    # x-range-partitioned local frontiers + driver prefix-max — same
+    # frontier set as the single-level operator and the O(n²) oracle,
+    # zero unpartitioned windows in the plan.
+    from lakehouse_spark_spark.operators.skyline import pareto_frontier_2d_distributed
 
     m = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
     )
-    out = pareto_frontier_2d(
+    out = pareto_frontier_2d_distributed(
         m,
         F.round(F.col("o_totalprice") * 100).cast("long"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")).cast("long"),
