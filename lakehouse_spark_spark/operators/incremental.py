@@ -3,7 +3,9 @@ gold aggregate table from a new fact batch WITHOUT re-scanning history.
 
 Distributive aggregates (SUM/COUNT/MIN/MAX) merge exactly: aggregate
 only the delta batch, then key-merge partials with the existing gold
-rows. The refreshed table is bit-identical to recomputing from the full
+rows — SUM/COUNT partials merge by summing (the default), MIN/MAX
+partials by min/max (pass ``merge_fns`` to ``merge_partials``; summing
+a MIN/MAX partial would be silently wrong). The refreshed table is bit-identical to recomputing from the full
 fact history (the registry query proves it against a full-recompute
 oracle), because decimal partial sums are exact and associative.
 
@@ -31,15 +33,35 @@ def aggregate_partials(
     return facts.groupBy(*keys).agg(*aggs)
 
 
-def merge_partials(existing: DataFrame | None, delta: DataFrame, keys: list[str]) -> DataFrame:
-    """Key-merge two partial-aggregate tables (same schema): sums add,
-    counts add. Exact for decimal partials; associative, so any batch
-    arrival order yields the same gold table."""
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_partials(
+    existing: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    merge_fns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Key-merge two partial-aggregate tables (same schema).
+
+    ``merge_fns`` maps value-column name -> ``"sum" | "min" | "max"``
+    (the distributive merges); columns not listed merge with ``sum``
+    (right for SUM and COUNT partials). MIN/MAX partials MUST be listed
+    — summing them is silently wrong. Exact for decimal partials;
+    associative, so any batch arrival order yields the same gold table.
+    """
     if existing is None:
         return delta
+    merge_fns = merge_fns or {}
+    unknown = set(merge_fns) - set(delta.columns)
+    if unknown:
+        raise ValueError(f"merge_fns names absent from delta: {sorted(unknown)}")
+    bad = {c: f for c, f in merge_fns.items() if f not in _MERGE_FNS}
+    if bad:
+        raise ValueError(f"unsupported merge fns (use sum/min/max): {bad}")
     value_cols = [c for c in delta.columns if c not in keys]
     return (
         existing.unionByName(delta)
         .groupBy(*keys)
-        .agg(*[F.sum(c).alias(c) for c in value_cols])
+        .agg(*[_MERGE_FNS[merge_fns.get(c, "sum")](c).alias(c) for c in value_cols])
     )

@@ -91,11 +91,15 @@ def pack_bins_bfd(
     """
     import pandas as pd
 
+    # keep the id column's NATIVE type: casting e.g. string doc ids to
+    # long would turn them all into NULL, collapsing every row onto one
+    # assign-dict key and producing garbage packing (ADVICE r3)
+    id_type = dict(df.dtypes)[id_col]
     out_schema = (
-        f"{id_col} long, shard string, n_tokens long, bin_id long, bin_fill long, overflow boolean"
+        f"{id_col} {id_type}, shard string, n_tokens long, bin_id long, bin_fill long, overflow boolean"
     )
     prepared = df.select(
-        F.col(id_col).cast("long"),
+        F.col(id_col),
         F.col(shard_col).cast("string").alias("shard"),
         F.col(token_col).cast("long").alias("n_tokens"),
     )

@@ -156,11 +156,21 @@ def histogram_tier(
     is ~n_bins rows/day regardless of raw volume. Quantile error is
     bounded by one bin width — sized by the caller, unlike streaming
     t-digest/KLL whose state is data-dependent and engine-specific.
-    Values below ``lo`` clamp to bin 0; above the grid to the last bin."""
+    Values below ``lo`` clamp to bin 0; above the grid to the last bin.
+    NULL values are DROPPED (contract: quantiles are over non-null
+    values) — without the filter they would propagate into a NULL bin
+    that ``quantiles_from_tier`` counts in ``tot``, and Spark orders
+    NULL bins first in the cumulative window while DuckDB orders them
+    last, silently skewing quantiles and breaking the cross-engine
+    hash."""
     d = F.col(day_col) if isinstance(day_col, str) else day_col
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     bin_ = F.greatest(F.least(F.floor((v - lo) / width), F.lit(n_bins - 1)), F.lit(0)).cast("long")
-    return df.groupBy(d.alias("day"), bin_.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(d.alias("day"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def quantiles_from_tier(

@@ -69,7 +69,17 @@ def decimal_avg6(sum_dec: Column, n: Column) -> Column:
     exact whenever the true quotient is an integer (the tie case) and
     more than 1/(2n) away from one otherwise; FLOOR is then identical
     in both engines. Same integer-arithmetic idea as the PageRank
-    oracle (operators/graph.py)."""
+    oracle (operators/graph.py).
+
+    VALIDITY BOUND (ADVICE r3): ``2·|micro| + n`` must stay below 2^53
+    for the double division to be exact — i.e. |sum| ≤ ~4.5e9 in
+    original units (micro ≤ 4.5e15). Beyond that, compute the quotient
+    in DECIMAL (``(2·micro+n) div (2·n)`` with DECIMAL(38,0) operands)
+    instead; per-group counts in every registered use are far below
+    the bound (shares of per-key transition counts, per-doc token
+    averages), and the same bound applies to the inline
+    ``floor((2·n·1e6 + t)/(2·t))`` share formulas in plans/queries.py
+    (event_transition_matrix, langid_confusion_matrix)."""
     micro = (sum_dec * 1_000_000).cast("long")
     pos = F.abs(micro)
     q = F.floor((F.lit(2) * pos + n) / (F.lit(2) * n)).cast("long")

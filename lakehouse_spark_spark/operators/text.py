@@ -273,8 +273,17 @@ def blocklist_flags(
     blowup); phrases via `contains` on the normalized string. Both
     lists ship as plan literals — at 100 TB a large blocklist becomes a
     broadcast join against exploded tokens, same result, same
-    zero-shuffle scan shape."""
-    blocked_phrases = blocked_phrases or []
+    zero-shuffle scan shape.
+
+    Blocklist entries are normalized the same way the text is
+    (lowercase + whitespace collapse) — a mixed-case or multi-space
+    entry would otherwise silently never match (ADVICE r3)."""
+
+    def _nrm(s: str) -> str:
+        return " ".join(s.lower().split())
+
+    blocked_terms = [_nrm(t) for t in blocked_terms]
+    blocked_phrases = [_nrm(p) for p in (blocked_phrases or [])]
     toks = tokens(text_col)
     nrm = norm_text(text_col)
     terms = F.array(*[F.lit(t) for t in blocked_terms])

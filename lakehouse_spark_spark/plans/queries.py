@@ -5637,6 +5637,8 @@ def user_funnel_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -> (prev, next) counts -> row-normalized transition shares. Shares
 # use the integer micro-unit rounding (stats.decimal_avg6 rationale):
 # n/total with power-of-two totals lands exactly on 7th-decimal halves.
+# Validity bound: exact while 2·n·1e6 + t < 2^53 (n ≤ ~4.5e9 per cell)
+# — see the decimal_avg6 docstring for the DECIMAL fallback beyond it.
 # ==========================================================================
 @register(
     "event_transition_matrix",
@@ -5726,7 +5728,9 @@ def levenshtein_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Language-ID evaluation: confusion matrix + per-language precision and
 # recall of the marker-frequency heuristic against the stored ground
 # truth — the model-evaluation shape every classifier in the curation
-# pipeline needs. Rates use the integer micro-unit rounding.
+# pipeline needs. Rates use the integer micro-unit rounding (exact
+# while 2·n·1e6 + t < 2^53, n ≤ ~4.5e9 per cell; decimal_avg6 docstring
+# has the DECIMAL fallback beyond it).
 # ==========================================================================
 @register(
     "langid_confusion_matrix",

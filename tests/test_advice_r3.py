@@ -1,0 +1,87 @@
+"""Regression tests for the round-3 ADVICE items."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestMergePartialsMinMax:
+    def test_min_max_merge_fns(self, spark):
+        from lakehouse_spark_spark.operators.incremental import merge_partials
+
+        a = spark.createDataFrame([(1, 10, 5, 100)], "k INT, s INT, mn INT, mx INT")
+        b = spark.createDataFrame([(1, 7, 3, 50)], "k INT, s INT, mn INT, mx INT")
+        out = merge_partials(a, b, ["k"], merge_fns={"mn": "min", "mx": "max"}).collect()[0]
+        assert (out["s"], out["mn"], out["mx"]) == (17, 3, 100)
+
+    def test_default_still_sums(self, spark):
+        from lakehouse_spark_spark.operators.incremental import merge_partials
+
+        a = spark.createDataFrame([(1, 10)], "k INT, s INT")
+        b = spark.createDataFrame([(1, 7)], "k INT, s INT")
+        assert merge_partials(a, b, ["k"]).collect()[0]["s"] == 17
+
+    def test_bad_merge_fn_raises(self, spark):
+        from lakehouse_spark_spark.operators.incremental import merge_partials
+
+        a = spark.createDataFrame([(1, 10)], "k INT, s INT")
+        with pytest.raises(ValueError):
+            merge_partials(a, a, ["k"], merge_fns={"s": "avg"})
+        with pytest.raises(ValueError):
+            merge_partials(a, a, ["k"], merge_fns={"nope": "sum"})
+
+
+class TestHistogramTierNulls:
+    def test_null_values_dropped(self, spark):
+        from lakehouse_spark_spark.operators.sketches import histogram_tier, quantiles_from_tier
+
+        df = spark.createDataFrame(
+            [("2024-01-01", 1.0), ("2024-01-01", None), ("2024-01-01", 9.0)],
+            "day STRING, v DOUBLE",
+        ).select(F.col("day").cast("date").alias("day"), "v")
+        tier = histogram_tier(df, "day", "v", lo=0.0, width=1.0, n_bins=10)
+        rows = tier.collect()
+        assert sum(r["n"] for r in rows) == 2  # the NULL row never enters a bin
+        q = quantiles_from_tier(tier, "day", [0.5], lo=0.0, width=1.0).collect()[0]
+        assert q["n_rows"] == 2
+
+
+class TestBlocklistNormalization:
+    def test_mixed_case_and_multispace_entries_match(self, spark):
+        from lakehouse_spark_spark.operators.text import blocklist_flags
+
+        df = spark.createDataFrame(
+            [(1, "this has a BadWord inside"), (2, "two word  phrase here"), (3, "clean")],
+            "id LONG, text STRING",
+        )
+        out = {
+            r["id"]: (r["blocked"], r["n_blocked_terms"], r["has_blocked_phrase"])
+            for r in blocklist_flags(
+                df, "id", "text", ["BADWORD"], ["Two   Word Phrase"]
+            ).collect()
+        }
+        assert out[1][0] and out[1][1] == 1
+        assert out[2][0] and out[2][2]
+        assert not out[3][0]
+
+
+class TestPackingNativeIdType:
+    def test_string_ids_survive(self, spark):
+        from lakehouse_spark_spark.operators.packing import pack_bins_bfd
+
+        df = spark.createDataFrame(
+            [("doc-a", "s1", 60), ("doc-b", "s1", 50), ("doc-c", "s1", 40)],
+            "doc_id STRING, shard STRING, toks LONG",
+        )
+        rows = pack_bins_bfd(df, "doc_id", "toks", budget=100, shard_col="shard").collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert set(by_id) == {"doc-a", "doc-b", "doc-c"}  # no NULL-collapsed ids
+        # BFD: 60+40 fit one bin, 50 in another; capacity never exceeded
+        fills = {}
+        for r in rows:
+            fills.setdefault(r["bin_id"], 0)
+            fills[r["bin_id"]] += r["n_tokens"]
+            assert not r["overflow"]
+        assert all(f <= 100 for f in fills.values())
+        assert len(fills) == 2
