@@ -6178,6 +6178,54 @@ def order_price_recency_skyline_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ==========================================================================
+# EXACT global percentiles via distributed rank (operators/distrank.py)
+# — the round-4 showcase of the distributed-rank machinery as a
+# standalone operator: percentile_disc(q) = smallest value whose global
+# cumulative count reaches ceil(q·n), computed from the distinct-value
+# prefix table (range partition + broadcast offsets; no unpartitioned
+# window, no sort of the raw data). Ranks use exact INTEGER ceil
+# ((q_num·n + q_den − 1) div q_den) on the driver — float q·n rounds
+# differently across engines exactly when q·n is whole.
+# Contrast: segment_price_percentiles_approx (approx_percentile,
+# rows-only) and price_quantiles_monthly_tier (bin-grid estimate);
+# this one is EXACT and oracle-gated.
+# ==========================================================================
+@register(
+    "order_price_exact_percentiles",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM orders),
+    d AS (SELECT o_totalprice AS p, COUNT(*) AS k FROM orders GROUP BY 1),
+    r AS (SELECT p, SUM(k) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+    SELECT CAST(c AS BIGINT) AS n_rows,
+           MIN(CASE WHEN cum >= (c + 1) // 2 THEN p END) AS p50,
+           MIN(CASE WHEN cum >= (9 * c + 9) // 10 THEN p END) AS p90,
+           MIN(CASE WHEN cum >= (99 * c + 99) // 100 THEN p END) AS p99
+    FROM r, n
+    GROUP BY c
+    """,
+    doc="EXACT p50/p90/p99 of order price via distributed rank (no global window/sort)",
+)
+def order_price_exact_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.distrank import with_global_prefix
+
+    vals = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_totalprice").alias("p"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ranked, totals = with_global_prefix(vals, [F.col("p")], sum_cols=("__c",))
+    n = int(totals["__c"])
+    ranks = {"p50": (n + 1) // 2, "p90": (9 * n + 9) // 10, "p99": (99 * n + 99) // 100}
+    return ranked.agg(
+        F.lit(n).cast("long").alias("n_rows"),
+        *[
+            F.min(F.when(F.col("__cum___c") >= F.lit(rk), F.col("p"))).alias(name)
+            for name, rk in ranks.items()
+        ],
+    )
+
+
+# ==========================================================================
 # Dedup-keep-latest as a pure AGGREGATION (max_by) — the no-window form
 # of latest_event_per_user: one map-side-combinable groupBy instead of
 # a partition sort, the shape that wins when groups are huge (the

@@ -12,15 +12,32 @@ Delta-only extras, gated behind ``format_available()``).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
+_warned_fallback = False
 
 
 def delta_available() -> bool:
+    global _warned_fallback
     try:
         import delta  # noqa: F401
 
         return True
     except ImportError:
+        if not _warned_fallback:
+            # LOUD fallback (round-3 verdict: the silent degrade hid the
+            # emulation seam). One warning per process, not per write.
+            log.warning(
+                "delta-spark not installed: lakehouse tables fall back to "
+                "overwrite-mode parquet with emulated MERGE/snapshots "
+                "(sources/sinks.upsert_parquet, sources/snapshots). "
+                "Install delta-spark to get ACID MERGE/OPTIMIZE/time "
+                "travel natively; see SCALE.md 'Table formats'."
+            )
+            _warned_fallback = True
         return False
 
 
@@ -64,6 +81,6 @@ def read_table(spark, path: str) -> DataFrame:
     if delta_available():
         try:
             return spark.read.format("delta").load(path)
-        except Exception:
-            pass
+        except Exception as e:  # not a Delta table (plain-parquet dir)
+            log.info("read_table(%s): not a Delta table (%s); reading as parquet", path, e)
     return spark.read.parquet(path)
