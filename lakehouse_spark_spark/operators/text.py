@@ -297,3 +297,72 @@ def blocklist_flags(
         phrase_hit.alias("has_blocked_phrase"),
         ((n_terms > 0) | phrase_hit).alias("blocked"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+):
+    """Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
+    Models", table A1) — the word-level subset, as pure projections:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10] chars
+    - symbol-to-word ratio ('#' or '...') < 0.1
+    - > 80% of words contain an alphabetic character
+    - at least 2 of the 8 Gopher stopwords present
+
+    Every flag is decided in INTEGER arithmetic (e.g. mean-word-length
+    in [3,10] ⇔ 3·n ≤ Σlen ≤ 10·n), so the output is bit-stable across
+    engines — no float ratio ever materializes. The line-based Gopher
+    rules (bullet-start / ellipsis-end line fractions) need a
+    line-structured corpus; over one, they are the same projections on
+    ``split(text, '\\n')``.
+
+    Scale: zero shuffles — flags at scan speed, like the rest of this
+    module. Emits the integer evidence columns too, so downstream
+    thresholds can be re-derived without re-scanning.
+    """
+    nrm = norm_text(text_col)
+    ws = tokens(text_col)
+    n = F.size(ws)
+    # single-spaced normalized text: Σ word length = len - (n-1) spaces
+    sum_len = (F.length(nrm) - (n - F.lit(1))).cast("long")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("long")
+    hashes = F.length(nrm) - F.length(F.replace(nrm, F.lit("#"), F.lit("")))
+    ellipses = (
+        (F.length(nrm) - F.length(F.replace(nrm, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    n_symbols = (hashes + ellipses).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(ws, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    ).cast("long")
+
+    n_l = n.cast("long")
+    word_count_ok = (n_l >= min_words) & (n_l <= max_words)
+    mean_word_len_ok = (F.lit(3) * n_l <= sum_len) & (sum_len <= F.lit(10) * n_l)
+    symbol_ratio_ok = F.lit(10) * n_symbols < n_l
+    alpha_ok = F.lit(5) * n_alpha > F.lit(4) * n_l
+    stopword_ok = stop_hits >= 2
+    return df.select(
+        F.col(id_col),
+        n_l.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        stop_hits.alias("stopword_hits"),
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (word_count_ok & mean_word_len_ok & symbol_ratio_ok & alpha_ok & stopword_ok).alias(
+            "keep"
+        ),
+    )

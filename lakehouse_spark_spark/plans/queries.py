@@ -6178,6 +6178,50 @@ def order_price_recency_skyline_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ==========================================================================
+# Gopher quality rules (operators/text.gopher_quality_flags; Rae et al.
+# 2021 table A1, word-level subset). Every flag decided in INTEGER
+# arithmetic (3n ≤ Σlen ≤ 10n etc.) — no float ratio ever exists, so
+# the row is bit-stable across engines. Zero shuffles: scan-speed
+# projections like the rest of the text family.
+# ==========================================================================
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS nrm FROM documents),
+    w AS (
+      SELECT doc_id, nrm,
+             CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_words,
+             CAST(len(nrm) - (len(string_split(nrm, ' ')) - 1) AS BIGINT) AS sum_word_len,
+             CAST(len(list_filter(string_split(nrm, ' '),
+                                  x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+             CAST((len(nrm) - len(replace(nrm, '#', '')))
+                  + (len(nrm) - len(replace(nrm, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+             CAST(len(list_intersect(string_split(nrm, ' '),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_symbols, stopword_hits,
+           (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+           (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words) AS mean_word_len_ok,
+           (10 * n_symbols < n_words) AS symbol_ratio_ok,
+           (5 * n_alpha_words > 4 * n_words) AS alpha_ok,
+           (stopword_hits >= 2) AS stopword_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+            AND (10 * n_symbols < n_words)
+            AND (5 * n_alpha_words > 4 * n_words)
+            AND (stopword_hits >= 2)) AS keep
+    FROM w
+    """,
+    doc="Gopher word-level quality rules, integer-exact flags (Rae 2021 A1)",
+)
+def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import gopher_quality_flags
+
+    return gopher_quality_flags(_tp(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ==========================================================================
 # EXACT global percentiles via distributed rank (operators/distrank.py)
 # — the round-4 showcase of the distributed-rank machinery as a
 # standalone operator: percentile_disc(q) = smallest value whose global
