@@ -96,8 +96,15 @@ def bm25_topk(
         F.sum("__c").cast("decimal(20,6)").cast("double").alias("score")
     )
     top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return top.withColumn("rank", F.row_number().over(w))
+    # rank via the distributed prefix (operators/distrank.py): the input
+    # is ≤ k rows post-limit so a global window would be harmless, but
+    # it still instantiates a single-partition WindowExec (runtime WARN);
+    # the prefix primitive costs one tiny extra job and keeps the whole
+    # registry free of unpartitioned windows.
+    from lakehouse_spark_spark.operators.distrank import with_global_prefix
+
+    ranked, _ = with_global_prefix(top, [F.col("score").desc(), F.col(id_col)])
+    return ranked.withColumn("rank", F.col("__rn").cast("int")).drop("__rn")
 
 
 def dsir_logweights(

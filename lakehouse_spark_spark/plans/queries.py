@@ -2427,10 +2427,14 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_rev")
         )
     )
-    w = Window.orderBy(F.col("total_rev").desc(), F.col("l_suppkey"))
+    # argmax as TakeOrderedAndProject (orderBy+limit(1)) — the oracle's
+    # ROW_NUMBER tiebreak (total_rev DESC, l_suppkey) is the sort key,
+    # so top-1 is identical, and no WindowExec exists at all (the old
+    # rank-filter form kept a single-partition window even after the
+    # WindowGroupLimit pushdown).
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        rev.orderBy(F.col("total_rev").desc(), F.col("l_suppkey"))
+        .limit(1)
         .join(F.broadcast(sup.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_suppkey", "s_name", "total_rev")
     )
@@ -4080,8 +4084,7 @@ def user_reach_sketch_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approx_top_k heavy hitters; exact while cardinality fits the sketch",
 )
 def top_event_types_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from lakehouse_spark_spark.operators.distrank import with_global_prefix
     from lakehouse_spark_spark.operators.sketches import heavy_hitters
 
     ev = _t(spark, sf_dir, "events")
@@ -4089,14 +4092,11 @@ def top_event_types_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiebreak (count DESC, item ASC) mirrored in the oracle: if counts
     # tie across the rank-5/6 boundary, approx_top_k's own choice among
     # equals is unspecified and each engine could pick different items.
-    # The final window runs over <=50 rows — driver-trivial.
+    # The cut runs over <=50 sketch rows; ranked via the distributed
+    # prefix so no single-partition WindowExec exists anywhere.
     hh = heavy_hitters(ev, "event_type", k=50)
-    w = Window.orderBy(F.col("est_count").desc(), F.col("item").asc())
-    return (
-        hh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("item", "est_count")
-    )
+    ranked, _ = with_global_prefix(hh, [F.col("est_count").desc(), F.col("item").asc()])
+    return ranked.filter(F.col("__rn") <= 5).select("item", "est_count")
 
 
 # ==========================================================================
