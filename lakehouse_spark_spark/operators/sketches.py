@@ -27,7 +27,7 @@ operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^12 buckets: ~1.6% relative standard error, 4 KB dense sketch.
@@ -199,3 +199,43 @@ def quantiles_from_tier(
         qbin = F.min(F.when(F.col("cum") >= rank, F.col("bin")))
         aggs.append(((qbin + 1) * width + lo).alias(f"q_{str(q).replace('.', '_')}"))
     return cum.groupBy("window").agg(*aggs)
+
+
+def rolling_union_from_tier(tier: DataFrame, preceding: int = 6) -> DataFrame:
+    """Rolling (preceding+1)-row HLL union + exact row-count sum over
+    the daily tier, with NO global window — the halo-partition pattern:
+
+    Partition the tier by calendar year; rows near a partition's start
+    need the previous year's tail in their frame, so the last
+    ``preceding`` ROWS of each year are DUPLICATED into the next year's
+    partition (halo rows), the rolling window runs per partition, and
+    halo rows are dropped from the output (their own frames are
+    incomplete; the real copies got theirs in the home partition).
+    Output is row-identical to the single-partition
+    ``ROWS BETWEEN n PRECEDING`` global window, but every WindowExec is
+    partitioned — the tier (one row per day, ~365/yr) never funnels
+    through one task even at unbounded history.
+
+    Returns (day_us, reach_7d, events_7d) for the default 7-day frame.
+    """
+    t = tier.withColumn("__part", F.year("bucket"))
+    w_desc = Window.partitionBy("__part").orderBy(F.col("bucket").desc())
+    halo = (
+        t.withColumn("__rnd", F.row_number().over(w_desc))
+        .filter(F.col("__rnd") <= preceding)
+        .drop("__rnd")
+        .withColumn("__part", F.col("__part") + 1)
+        .withColumn("__halo", F.lit(True))
+    )
+    allr = t.withColumn("__halo", F.lit(False)).unionByName(halo)
+    w = Window.partitionBy("__part").orderBy("bucket").rowsBetween(-preceding, 0)
+    return (
+        allr.withColumn("__sk", F.expr("hll_union_agg(sketch)").over(w))
+        .withColumn("events_7d", F.sum("n_rows").over(w))
+        .filter(~F.col("__halo"))
+        .select(
+            F.unix_micros("bucket").alias("day_us"),
+            F.expr("CAST(hll_sketch_estimate(__sk) AS LONG)").alias("reach_7d"),
+            "events_7d",
+        )
+    )

@@ -4474,19 +4474,16 @@ def doc_unigram_logprob_headtail_q(spark: SparkSession, sf_dir: str) -> DataFram
     doc="rolling 7-day distinct reach via windowed hll_union_agg over the daily tier",
 )
 def rolling_7d_reach_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_spark_spark.operators.sketches import sketch_tier
+    # Halo-partition form (round 4): the tier is partitioned by year and
+    # each year's last 6 rows are duplicated into the next year's
+    # partition, so the 7-row rolling union runs in PARTITIONED windows
+    # — row-identical to the old global `ROWS BETWEEN 6 PRECEDING`
+    # window, with no single-partition WindowExec even at unbounded
+    # history (sketches.rolling_union_from_tier).
+    from lakehouse_spark_spark.operators.sketches import rolling_union_from_tier, sketch_tier
 
     ev = _t(spark, sf_dir, "events")
-    sketch_tier(ev, "ts", "user_id", grain="day").createOrReplaceTempView("__daily_tier")
-    return spark.sql(
-        """
-        SELECT unix_micros(bucket) AS day_us,
-               CAST(hll_sketch_estimate(hll_union_agg(sketch) OVER w) AS LONG) AS reach_7d,
-               SUM(n_rows) OVER w AS events_7d
-        FROM __daily_tier
-        WINDOW w AS (ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        """
-    )
+    return rolling_union_from_tier(sketch_tier(ev, "ts", "user_id", grain="day"), preceding=6)
 
 
 # ==========================================================================

@@ -189,3 +189,30 @@ class TestHistogramTier:
         ).select(F.col("day").cast("date").alias("day"), "v")
         rows = {r["bin"]: r["n"] for r in histogram_tier(df, "day", "v", 0.0, 10.0, 4).collect()}
         assert rows == {0: 1, 3: 1}
+
+
+def test_rolling_union_halo_equals_global_window(spark):
+    """The halo-partition rolling union (round 4) is row-identical to
+    the single-partition global-window form it replaced."""
+    from lakehouse_spark_spark.operators.sketches import rolling_union_from_tier, sketch_tier
+    from lakehouse_spark_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    tier = sketch_tier(ev, "ts", "user_id", grain="day").localCheckpoint()
+    tier.createOrReplaceTempView("__t_halo")
+    want = {
+        r["day_us"]: (r["reach_7d"], r["events_7d"])
+        for r in spark.sql(
+            """SELECT unix_micros(bucket) AS day_us,
+                      CAST(hll_sketch_estimate(hll_union_agg(sketch) OVER w) AS LONG) AS reach_7d,
+                      SUM(n_rows) OVER w AS events_7d
+               FROM __t_halo
+               WINDOW w AS (ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+        ).collect()
+    }
+    got = {
+        r["day_us"]: (r["reach_7d"], r["events_7d"])
+        for r in rolling_union_from_tier(tier, preceding=6).collect()
+    }
+    assert got == want
+    assert len(got) > 7

@@ -27,13 +27,11 @@ import sys
 # need no entry — their windows sit above a Limit / WindowGroupLimit
 # the lint already recognizes as bounded.)
 WINDOW_WHITELIST: dict[str, str] = {
-    # hll_union_agg window over the DAILY sketch tier: one row per
-    # calendar day (≈365/yr regardless of corpus size) — bounded by the
-    # calendar, not the data. That boundedness is the operator's point.
-    "rolling_7d_reach_sketch": "window over daily sketch tier (calendar cardinality)",
+    # The ONE deliberate unpartitioned window in the registry:
     # Filter-over-Window over the per-YEAR aggregate (~|years| rows);
     # deliberately a Window, not a cross join, so the DPP planner rule
     # sees a selective Filter (comment at the query site).
+    # (rolling_7d_reach_sketch moved to the halo-partition form in r4.)
     "dpp_selective_year_revenue": "window over per-year aggregate (calendar cardinality; DPP shape)",
 }
 
