@@ -3928,6 +3928,85 @@ def events_metrics_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# PIVOT — the wide-matrix twin of the unpivot above: order counts as a
+# (year × status) matrix via Spark's native .pivot() with an EXPLICIT
+# value list (no extra distinct-scan job, stable column order). Oracle
+# is conditional aggregation — exactly what Catalyst lowers pivot to.
+# ==========================================================================
+@register(
+    "orders_year_status_pivot",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders GROUP BY 1
+    """,
+    doc="PIVOT to a (year x status) count matrix; explicit value list, zero-filled",
+)
+def orders_year_status_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "order_year",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s.lower()}") for s in ("O", "F", "P")],
+    )
+
+
+# ==========================================================================
+# JSON functions — build the JSON string with plain concat (IDENTICAL
+# bytes in both engines; engine-native serializers differ in spacing),
+# then parse it back with each engine's json path functions
+# (get_json_object / json_extract_string). Covers the semi-structured
+# column surface the testdata lacks natively; at scale this is the
+# "parse the raw JSON event" shape — a per-row projection, scan speed.
+# ==========================================================================
+@register(
+    "orders_json_roundtrip",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             concat('{"key":', CAST(o_orderkey AS VARCHAR),
+                    ',"status":"', o_orderstatus,
+                    '","price":', CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), '}') AS doc
+      FROM orders
+    )
+    SELECT json_extract_string(doc, '$.status') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(json_extract(doc, '$.price') AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           MAX(CAST(json_extract(doc, '$.key') AS BIGINT)) AS max_key
+    FROM j
+    GROUP BY 1
+    """,
+    doc="JSON build (concat) -> path extraction -> aggregate; cross-engine byte-identical docs",
+)
+def orders_json_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('{"key":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"status":"'),
+        F.col("o_orderstatus"),
+        F.lit('","price":'),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("}"),
+    )
+    j = o.select(doc.alias("doc"))
+    return (
+        j.groupBy(F.get_json_object("doc", "$.status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.get_json_object("doc", "$.price").cast("long")).alias("sum_price_cents"),
+            F.max(F.get_json_object("doc", "$.key").cast("long")).alias("max_key"),
+        )
+    )
+
+
+# ==========================================================================
 # Model-based quality scoring (operators/text.py quality_score): a
 # fixed-weight linear classifier squashed by the ALGEBRAIC sigmoid
 # (0.5 + z/2(1+|z|)) — only +,*,/,abs, so the score hashes identically
