@@ -6124,6 +6124,68 @@ def corpus_kl_drift_en_de_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Per-source token entropy — the diversity twin of the KL drift above:
+# H(source) = -Σ p ln p = Σ (c/t)·ln(t/c) over the source's unigram
+# distribution. Low entropy flags templated/boilerplate sources before
+# they flood a training mix. Same determinism contract as the KL/LM
+# family: each term is 6-decimal rounded, the sum is exact decimal.
+# Shuffle: one (source, token) count groupBy (vocabulary cardinality),
+# then |sources| rows of totals broadcast back.
+# ==========================================================================
+@register(
+    "source_token_entropy",
+    oracle=f"""
+    WITH tk0 AS (
+      SELECT source, UNNEST(string_split({_NORM}, ' ')) AS token FROM documents
+    ),
+    tok AS (SELECT source, token FROM tk0 WHERE token <> ''),
+    c AS (SELECT source, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t, COUNT(*) AS v FROM c GROUP BY 1),
+    terms AS (
+      SELECT c.source,
+             CAST(ROUND((CAST(c.n AS DOUBLE) / t.t)
+                        * LN(CAST(t.t AS DOUBLE) / c.n), 6) AS DECIMAL(18,6)) AS term
+      FROM c JOIN t USING (source)
+    )
+    SELECT s.source,
+           CAST(CAST(SUM(s.term) AS DECIMAL(20,6)) AS DOUBLE) AS entropy_nats,
+           MAX(t.t) AS n_tokens,
+           CAST(MAX(t.v) AS BIGINT) AS n_vocab
+    FROM terms s JOIN t USING (source)
+    GROUP BY s.source
+    """,
+    doc="Shannon entropy of each source's token distribution (boilerplate detector)",
+)
+def source_token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split(norm_text("text"), " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    c = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("v"))
+    terms = c.join(F.broadcast(t), "source").select(
+        "source",
+        F.round(
+            (F.col("n").cast("double") / F.col("t")) * F.log(F.col("t").cast("double") / F.col("n")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("term"),
+    )
+    return (
+        terms.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("term").cast("decimal(20,6)").cast("double").alias("entropy_nats"),
+            F.max("t").alias("n_tokens"),
+            F.max("v").cast("long").alias("n_vocab"),
+        )
+    )
+
+
+# ==========================================================================
 # Asymmetric containment near-dup (operators/neardup.
 # ngram_containment_pairs) — doc-quotes-doc detection that symmetric
 # Jaccard dilutes.
