@@ -614,6 +614,93 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_type_stats(_t(spark, sf_dir, "events"))
 
 
+# ==========================================================================
+# Sliding (hopping) windows — F.window(duration, slide): every event
+# lands in duration/slide overlapping windows. The oracle materializes
+# the same fan-out with UNNEST([0,1]) and the explicit epoch-aligned
+# bucket formula (avoids DuckDB time_bucket's non-epoch week origin).
+# Same shuffle shape as tumbling (hash on (window, keys)); the fan-out
+# multiplies rows by duration/slide BEFORE the partial aggregate, which
+# map-side combines — at 100 TB the slide ratio is the cost knob.
+# ==========================================================================
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, value, ts,
+             date_trunc('hour', ts)
+               + to_minutes(30 * CAST(FLOOR(minute(ts) / 30) AS BIGINT))
+               - to_minutes(30 * k) AS wstart
+      FROM events, UNNEST([0, 1]) AS t(k)
+    )
+    SELECT CAST(wstart AS TIMESTAMP) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM f
+    GROUP BY 1, 2
+    """,
+    doc="sliding 1h/30m hopping-window aggregation (each event in 2 windows)",
+)
+def events_sliding_1h_30m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+
+
+# ==========================================================================
+# VariantType (Spark 4's native semi-structured type): parse_json into
+# a variant column, typed extraction via variant_get — the shredded-
+# JSON path that replaces string re-parsing per field. Same
+# byte-identical concat-built docs as orders_json_roundtrip; the oracle
+# is engine-portable JSON path extraction.
+# ==========================================================================
+@register(
+    "orders_variant_extract",
+    oracle="""
+    WITH j AS (
+      SELECT concat('{"key":', CAST(o_orderkey AS VARCHAR),
+                    ',"status":"', o_orderstatus,
+                    '","price":', CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), '}') AS doc
+      FROM orders
+    )
+    SELECT json_extract_string(doc, '$.status') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(json_extract(doc, '$.price') AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           MAX(CAST(json_extract(doc, '$.key') AS BIGINT)) AS max_key
+    FROM j
+    GROUP BY 1
+    """,
+    doc="VariantType: parse_json -> variant_get typed extraction -> aggregate",
+)
+def orders_variant_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('{"key":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"status":"'),
+        F.col("o_orderstatus"),
+        F.lit('","price":'),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("}"),
+    )
+    v = o.select(F.parse_json(doc).alias("v"))
+    return (
+        v.groupBy(F.variant_get(F.col("v"), "$.status", "string").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.variant_get(F.col("v"), "$.price", "long")).alias("sum_price_cents"),
+            F.max(F.variant_get(F.col("v"), "$.key", "long")).alias("max_key"),
+        )
+    )
+
+
 @register(
     "sessionize_events",
     oracle="""
