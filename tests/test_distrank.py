@@ -111,3 +111,53 @@ def test_distributed_skyline_equals_single_level(spark, nparts):
             assert not (
                 a != b and b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1])
             )
+
+
+# --- hypothesis property: distributed rank == sorted position, any data ---
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60, unique=True),
+    nparts=st.sampled_from([1, 2, 5, 17]),
+)
+def test_global_row_number_property(spark, vals, nparts):
+    """For ANY unique-int multiset and ANY partition count, __rn equals
+    the 1-based sorted position and totals count the rows."""
+    df = spark.createDataFrame([(v,) for v in vals], "k BIGINT")
+    got, totals = with_global_prefix(df, [F.col("k")], num_partitions=nparts)
+    assert totals["__rows"] == len(vals)
+    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert {r["k"]: r["__rn"] for r in got.collect()} == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=50
+    ),
+    nparts=st.sampled_from([1, 3, 9]),
+)
+def test_distributed_skyline_property(spark, pts, nparts):
+    """Distributed frontier == brute-force frontier for ANY point set
+    (duplicates included) and ANY partition count."""
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id BIGINT, x BIGINT, y BIGINT")
+
+    def dominated(a, b):  # b dominates a
+        return b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1])
+
+    want = {
+        (i, x, y)
+        for i, x, y in rows
+        if not any(dominated((x, y), (bx, by)) for _, bx, by in rows)
+    }
+    got = {
+        (r["id"], r["__x"], r["__y"])
+        for r in pareto_frontier_2d_distributed(
+            df, F.col("x"), F.col("y"), ["id"], num_partitions=nparts
+        ).collect()
+    }
+    assert got == want
