@@ -655,6 +655,41 @@ def events_sliding_1h_30m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# JSONL source/sink roundtrip — the one ingest format not otherwise
+# exercised: write the documents table as JSON Lines, read it back with
+# an EXPLICIT schema (inference is a second pass over the data and can
+# widen types), aggregate. The oracle computes the same aggregate from
+# the parquet source directly, so a hash-match proves the JSONL
+# write→read path is lossless. Same pattern as the partitioned-write
+# and Z-order queries: the side-write lands under /tmp, rewritten per
+# run (idempotent overwrite).
+# ==========================================================================
+@register(
+    "documents_jsonl_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    """,
+    doc="JSONL write -> schema-pinned read -> aggregate; lossless-roundtrip proof",
+)
+def documents_jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"/tmp/lakehouse_jsonl/{_sf_tag(sf_dir)}/documents"
+    docs = _t(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# ==========================================================================
 # VariantType (Spark 4's native semi-structured type): parse_json into
 # a variant column, typed extraction via variant_get — the shredded-
 # JSON path that replaces string re-parsing per field. Same
