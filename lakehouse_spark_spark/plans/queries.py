@@ -5316,17 +5316,15 @@ def dpp_selective_year_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     yearly = base.groupBy(F.year("o_orderdate").alias("order_year")).agg(F.sum(dec).alias("yr_rev"))
-    # totals via a global window over the ~|years| aggregate rows (NOT a
-    # cross join: a pushed-into-join predicate doesn't count as a
-    # selective Filter for the DPP planner rule, a Filter-over-Window
-    # does; the window input is already reduced to one row per year)
-    wall = Window.partitionBy()
-    qual = (
-        yearly.withColumn("t", F.sum("yr_rev").over(wall))
-        .withColumn("ny", F.count(F.lit(1)).over(wall))
-        .filter(F.col("yr_rev") * F.col("ny") > F.col("t"))
-        .select("order_year")
-    )
+    # threshold computed DRIVER-SIDE (one collect over the |years|-row
+    # aggregate — exact decimal total + count) and compared as a
+    # LITERAL: a pushed-into-join predicate doesn't count as a
+    # selective Filter for the DPP planner rule, but a literal Filter
+    # does — and unlike the round-3 Filter-over-Window form, this
+    # leaves ZERO unpartitioned windows in the registry
+    # (dynamicpruning still plan-asserted in tests).
+    tot = yearly.agg(F.sum("yr_rev").alias("t"), F.count(F.lit(1)).alias("ny")).collect()[0]
+    qual = yearly.filter(F.col("yr_rev") * int(tot["ny"]) > F.lit(tot["t"])).select("order_year")
     return (
         # broadcast the tiny year dim: DPP's default reuseBroadcastOnly
         # path then reuses the broadcast result as the fact scan's

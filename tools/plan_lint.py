@@ -26,14 +26,10 @@ import sys
 # (bm25_doc_search / top_supplier_by_revenue / top_event_types_approx
 # need no entry — their windows sit above a Limit / WindowGroupLimit
 # the lint already recognizes as bounded.)
-WINDOW_WHITELIST: dict[str, str] = {
-    # The ONE deliberate unpartitioned window in the registry:
-    # Filter-over-Window over the per-YEAR aggregate (~|years| rows);
-    # deliberately a Window, not a cross join, so the DPP planner rule
-    # sees a selective Filter (comment at the query site).
-    # (rolling_7d_reach_sketch moved to the halo-partition form in r4.)
-    "dpp_selective_year_revenue": "window over per-year aggregate (calendar cardinality; DPP shape)",
-}
+# Empty as of round 4: rolling_7d_reach_sketch moved to the
+# halo-partition form and dpp_selective_year_revenue to a driver-side
+# literal threshold — the registry has ZERO unpartitioned windows.
+WINDOW_WHITELIST: dict[str, str] = {}
 
 # Nested-loop / cartesian whitelist: name -> why the non-equi join is
 # bounded or intentional. Stale-checked like the window whitelist.
