@@ -51,9 +51,12 @@ def range_partitioned(
 ) -> DataFrame:
     """Range-repartition on ``order_cols`` and stamp the physical
     partition index as ``__pid`` (== range-bucket index, ascending in
-    the sort order). localCheckpointed (lazy) so every downstream job
-    sees the identical ``__pid`` assignment — see the module docstring
-    for why recompute-per-job is unsafe under AQE."""
+    the sort order). localCheckpointed so every downstream job sees the
+    identical ``__pid`` assignment — see the module docstring for why
+    recompute-per-job is unsafe under AQE. (Note: PySpark 4.1 runs the
+    checkpoint job AT CALL TIME even with eager=False — measured in
+    SCALE.md 'timing-basis fix' — so callers should treat construction
+    as doing the materialization work.)"""
     n = _num_parts(df, num_partitions)
     parts = df.repartitionByRange(n, *order_cols).withColumn("__pid", F.spark_partition_id())
     return parts.localCheckpoint(eager=False)
