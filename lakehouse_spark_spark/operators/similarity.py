@@ -379,3 +379,36 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic eval-set decontamination (the embedding-space twin of
+    operators/contamination.py's n-gram form): flag corpus rows whose
+    cosine to ANY eval-set vector reaches ``threshold``.
+
+    Shape: the eval set broadcasts (benchmarks are small — thousands of
+    rows); the corpus scans ONCE, never shuffles; per-corpus-row max
+    and hit-count reduce by corpus id (map-side combinable). Cost is
+    |corpus| × |eval| vectorized dot products — linear in the corpus.
+    If the eval set outgrows a broadcast, generate candidates with the
+    banded RP-LSH machinery (embedding_neardup_lsh_verified) and
+    exact-verify only candidates; same output contract.
+
+    Returns (corpus_id, max_eval_sim, n_eval_hits, contaminated).
+    """
+    e = eval_df.select(F.col(id_col).alias("eval_id"), F.col(vec_col).alias("__ev"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("__cv"))
+    scored = c.join(F.broadcast(e)).select(
+        "corpus_id", F.round(cosine("__cv", "__ev"), 6).alias("__sim")
+    )
+    return scored.groupBy("corpus_id").agg(
+        F.max("__sim").alias("max_eval_sim"),
+        F.sum((F.col("__sim") >= threshold).cast("long")).alias("n_eval_hits"),
+        F.max((F.col("__sim") >= threshold).cast("int")).cast("boolean").alias("contaminated"),
+    )

@@ -1177,6 +1177,61 @@ def _fixed_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     return planes
 
 
+# ==========================================================================
+# Semantic eval-set decontamination (operators/similarity.
+# semantic_contamination): the embedding-space twin of the n-gram
+# decontamination stage — flag corpus vectors whose cosine to ANY
+# eval-set vector reaches the threshold. The planted-dup corpus makes
+# it non-vacuous: every planted copy sits at cosine ≈0.99 to its
+# eval-set source, so the expected contaminated set is exactly
+# {eval rows themselves} ∪ {their planted near-copies}.
+# ==========================================================================
+@register(
+    "semantic_decontamination_flags",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+    ),
+    planted AS (
+      SELECT v + 10000000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+                            i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                 * (1.0 + ((v + i - 1) % 7 - 3) / 20.0)) AS embedding
+      FROM (SELECT vec_id AS v, embedding FROM embeddings WHERE vec_id % 5 = 0)
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    ev AS (SELECT vec_id AS eval_id, embedding AS evv FROM base WHERE vec_id % 5 = 0),
+    flat AS (
+      SELECT c.vec_id AS corpus_id, e.eval_id,
+             SUM(c.embedding[CAST(i AS INTEGER)] * e.evv[CAST(i AS INTEGER)]) AS dp,
+             SUM(c.embedding[CAST(i AS INTEGER)] * c.embedding[CAST(i AS INTEGER)]) AS nc,
+             SUM(e.evv[CAST(i AS INTEGER)] * e.evv[CAST(i AS INTEGER)]) AS ne
+      FROM corpus c, ev e, UNNEST(range(1, len(c.embedding) + 1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    s AS (SELECT corpus_id, ROUND(dp / (sqrt(nc) * sqrt(ne)), 6) AS sim FROM flat)
+    SELECT corpus_id, MAX(sim) AS max_eval_sim,
+           CAST(SUM(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+           MAX(sim) >= 0.9 AS contaminated
+    FROM s GROUP BY corpus_id
+    """,
+    doc="semantic decontamination: corpus x eval-set max cosine flags (planted-dup corpus)",
+)
+def semantic_decontamination_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.similarity import semantic_contamination
+
+    corpus = _emb_corpus_with_planted(spark, sf_dir)
+    eval_df = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    return semantic_contamination(corpus, eval_df, "vec_id", "embedding", threshold=0.9).select(
+        F.col("corpus_id"), "max_eval_sim", "n_eval_hits", "contaminated"
+    )
+
+
 @register(
     "embedding_ann_lsh",
     oracle=None,  # approximate by construction

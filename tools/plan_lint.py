@@ -43,6 +43,10 @@ NLJ_WHITELIST: dict[str, str] = {
     # INTENDED exact-search pattern for a small query set; cost is
     # |corpus| x |queries|, linear in the corpus.
     "embedding_topk_cosine": "broadcast tiny probe set x corpus scan (linear)",
+    # eval benchmark set broadcast x linear corpus scan — semantic
+    # decontamination's intended shape (eval sets are thousands of
+    # rows); the banded-LSH candidate path covers oversized eval sets.
+    "semantic_decontamination_flags": "broadcast eval set x corpus scan (linear)",
     # pairwise overlap of PER-TYPE sketch rows: |event_type|² pairs of
     # 4 KB sketches — dimension cardinality, not corpus.
     "event_type_audience_overlap": "pairwise cross of per-type sketch aggregates (dim²)",
