@@ -5241,6 +5241,11 @@ def doc_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.text import norm_text
 
     docs = _t(spark, sf_dir, "documents")
+    # NOT checkpointed: both passes (vocab count + scoring join) re-read
+    # the explode, but the warm A/B says recompute wins here (1.84 s vs
+    # 2.45 s with a checkpoint at sf0.1) — the scan+explode is cheaper
+    # than materializing the token table. bm25_topk makes the opposite
+    # call because its THREE passes amortize the materialization.
     toks = docs.select(
         F.col("doc_id"), F.explode(F.split(norm_text("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
