@@ -59,8 +59,15 @@ def bm25_topk(
 
     Returns (id, score, rank) — score is the decimal-exact sum of
     6-decimal-rounded per-term contributions, rank the dense position
-    under (score DESC, id ASC)."""
-    toks = _toks(df, id_col, text_col).localCheckpoint(eager=False)
+    under (score DESC, id ASC).
+
+    No checkpoint on the token stream: warm A/B at sf0.1 has recompute
+    at 1.34-1.76 s vs 1.66-2.12 s materialized — the scan+explode is
+    cheaper than writing the token table (dsir/tfidf keep theirs: their
+    A/Bs were a wash and their derived tables are join products). A
+    serving pipeline answering MANY queries would instead persist
+    tf/dl/idf as tables once."""
+    toks = _toks(df, id_col, text_col)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
