@@ -104,3 +104,75 @@ def stateful_sessions(events: DataFrame, idle_timeout: bool = False) -> DataFram
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# --- Spark 4 transformWithState (TWS) twin -------------------------------
+# The arbitrary-state API that replaces applyInPandasWithState going
+# forward: typed state handles (ValueState/ListState/MapState), native
+# TTL, timers, and initial-state bootstrap — all backed by the RocksDB
+# state store. The operator below is the minimal production shape:
+# per-key running totals in a ValueState, emitting the refreshed totals
+# every time the key appears in a micro-batch (Update mode).
+#
+# ENVIRONMENT SEAM (same class as Delta — see SCALE.md): PySpark's TWS
+# state client speaks protobuf to the JVM state server
+# (pyspark/sql/streaming/proto/StateMessage_pb2.py imports
+# google.protobuf), and `protobuf` is not installed in this sandbox
+# (no network egress to install it) — the TWS driver worker crashes at
+# startup ("TransformWithStateInPySpark driver worker exited
+# unexpectedly"). The code below is the correct API usage, verified up
+# to that boundary; tests/test_tws_streaming.py runs it end-to-end
+# wherever protobuf exists and SKIPs here. applyInPandasWithState
+# (above) remains the fully-tested stateful path in this environment.
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TWS_OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, sum_cents BIGINT"
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running (count, integer-cents sum) — exact under any
+    batch split because the state is integers (no float accumulation
+    drift between the streaming and batch twins)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "n BIGINT, s BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        n, s = 0, 0
+        for pdf in rows:
+            n += len(pdf)
+            s += int(pdf["cents"].sum())
+        prev = self._totals.get()
+        if prev is not None:
+            n += int(prev[0])
+            s += int(prev[1])
+        self._totals.update((n, s))
+        yield pd.DataFrame({"user_id": [int(key[0])], "n_events": [n], "sum_cents": [s]})
+
+    def close(self) -> None:
+        pass
+
+
+def tws_running_totals(events: DataFrame) -> DataFrame:
+    """events stream → per-user running totals via transformWithState.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — TWS is RocksDB-only.
+    State: one (long, long) per user, hash-sharded like a batch
+    groupBy; Update output mode emits a refreshed row per touched key
+    per micro-batch, so downstream consumers keep the LAST row per key.
+    """
+    prepared = events.select(
+        F.col("user_id"), F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
