@@ -693,6 +693,51 @@ def documents_jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Custom Python Data Source (sources/pyds.py, Spark 4 datasource API):
+# robust JSONL scan with PERMISSIVE corrupt-record quarantine. The
+# builder writes documents as JSONL, appends a deterministic corrupt
+# shard (3 malformed lines), and reads everything back through the
+# custom source — good rows must reconstruct the documents table
+# exactly (oracle aggregates from parquet) and the corrupt lines land
+# in _corrupt_record instead of failing the scan.
+# ==========================================================================
+@register(
+    "documents_jsonl_robust_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    """,
+    doc="custom Python DataSource: robust JSONL scan, corrupt lines quarantined not fatal",
+)
+def documents_jsonl_robust_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.sources import pyds
+
+    path = f"/tmp/lakehouse_jsonl_robust/{_sf_tag(sf_dir)}/documents"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").json(path)
+    import os
+
+    with open(os.path.join(path, "zz_corrupt.jsonl"), "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": broken\nnot json at all\n[1, 2, 3]\n')
+
+    pyds.register(spark)
+    back = spark.read.format("jsonl_robust").option("path", path).load()
+    good = back.filter(F.col("_corrupt_record").isNull())
+    corrupt = back.filter(F.col("_corrupt_record").isNotNull())
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    ).crossJoin(F.broadcast(corrupt.agg(F.count(F.lit(1)).alias("n_corrupt")))).select(
+        "n_good", "n_corrupt", "total_chars", "min_doc", "max_doc"
+    )
+
+
+# ==========================================================================
 # VariantType (Spark 4's native semi-structured type): parse_json into
 # a variant column, typed extraction via variant_get — the shredded-
 # JSON path that replaces string re-parsing per field. Same
