@@ -1055,7 +1055,12 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.neardup import minhash_lsh_candidates, minhash_signatures
 
-    docs = _t(spark, sf_dir, "documents")
+    # _tp: the signature pass is exactly the heavy-JVM-expression-after-
+    # degenerate-scan case the scan-parallelize heuristic exists for —
+    # 64 xxhash64 calls per shingle row otherwise run on the scan's ONE
+    # split before the first exchange (measured: signature stage warm
+    # 4.6 s -> 1.7 s at sf0.1; profile in SCALE.md r4 addendum).
+    docs = _tp(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64)
     return minhash_lsh_candidates(sigs, "doc_id", bands=16, num_hashes=64).filter(F.col("est_jaccard") >= 0.2)
 
@@ -5555,7 +5560,7 @@ def price_quantiles_monthly_tier_q(spark: SparkSession, sf_dir: str) -> DataFram
 def span_trimmed_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.spandedup import span_trimmed_corpus
 
-    return span_trimmed_corpus(_t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2)
+    return span_trimmed_corpus(_tp(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2)
 
 
 # ==========================================================================
