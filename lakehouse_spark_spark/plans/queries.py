@@ -485,7 +485,7 @@ _GATE_ROTATION_R4 = [
     "curation_disposition_v2",
     "training_corpus_disposition",
     "supplier_pagerank",
-    "incremental_revenue_refresh",
+    "incremental_minmax_refresh",
     "price_quantiles_monthly_tier",
     "event_transition_matrix",
     # relational/analytic shapes never driver-gated before
@@ -5771,6 +5771,53 @@ def incremental_revenue_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame
         ["o_custkey"],
     )
     return gold.select("o_custkey", F.col("revenue").cast("double").alias("revenue"), "n_rows")
+
+
+# ==========================================================================
+# Incremental refresh with MIN/MAX partials (the round-3 ADVICE fix
+# driver-gated): merge_partials with a per-column merge-fn map — SUM
+# and COUNT partials add, MIN/MAX partials take min/max. Oracle =
+# full-history recompute, so a pass proves the typed merge exact.
+# ==========================================================================
+@register(
+    "incremental_minmax_refresh",
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="incremental gold refresh incl. MIN/MAX partials via the merge-fn map == full recompute",
+)
+def incremental_minmax_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.incremental import merge_partials
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("date")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    gold = merge_partials(
+        partials(orders.filter(F.col("o_orderdate") < cut)),
+        partials(orders.filter(F.col("o_orderdate") >= cut)),
+        ["o_custkey"],
+        merge_fns={"min_price": "min", "max_price": "max"},
+    )
+    return gold.select(
+        "o_custkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        "min_price",
+        "max_price",
+        "n_rows",
+    )
 
 
 # ==========================================================================
