@@ -85,3 +85,30 @@ class TestPackingNativeIdType:
             assert not r["overflow"]
         assert all(f <= 100 for f in fills.values())
         assert len(fills) == 2
+
+
+class TestGopherEdgeCases:
+    def test_empty_and_symbol_heavy_docs(self, spark):
+        from lakehouse_spark_spark.operators.text import gopher_quality_flags
+
+        df = spark.createDataFrame(
+            [
+                (1, ""),                               # empty text
+                (2, "### ### ### ###"),                # symbols only
+                (3, "the be to of and that have with " + "word " * 50),  # passes all
+                (4, "a " * 60),                        # words too short, few stopwords
+            ],
+            "doc_id LONG, text STRING",
+        )
+        out = {r["doc_id"]: r for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+        assert out[1]["keep"] is False and out[1]["word_count_ok"] is False
+        assert out[2]["keep"] is False and out[2]["symbol_ratio_ok"] is False
+        assert out[3]["keep"] is True
+        assert out[4]["keep"] is False and out[4]["mean_word_len_ok"] is False
+
+    def test_ellipsis_counting(self, spark):
+        from lakehouse_spark_spark.operators.text import gopher_quality_flags
+
+        df = spark.createDataFrame([(1, "word ... more ... text")], "doc_id LONG, text STRING")
+        r = gopher_quality_flags(df, "doc_id", "text").collect()[0]
+        assert r["n_symbols"] == 2
