@@ -82,16 +82,36 @@ def with_global_prefix(
     so ties would not double-count peers.
     """
     parts = range_partitioned(df, order_cols, num_partitions)
+    # Offset columns carry the same type Spark's SUM would produce for
+    # each input column (analysis-only probe, no job) — so decimal and
+    # double sum columns keep their type through the broadcast join
+    # instead of being truncated to BIGINT.
+    sum_types = {
+        s: parts.select(F.sum(F.col(s)).alias("x")).schema["x"].dataType.simpleString()
+        for s in sum_cols
+    }
     aggs = [F.count(F.lit(1)).alias("__c")] + [
         F.sum(F.col(s)).alias(f"__s_{s}") for s in sum_cols
     ]
     pid_rows = sorted(parts.groupBy("__pid").agg(*aggs).collect(), key=lambda r: r["__pid"])
 
+    import decimal
+
+    def _coerce(s: str, v):
+        t = sum_types[s]
+        if t.startswith("decimal"):
+            return decimal.Decimal(v)
+        if t in ("double", "float"):
+            return float(v)
+        return int(v)
+
     offsets: list[tuple] = []
     run_rows = 0
     run_sums = {s: 0 for s in sum_cols}
     for r in pid_rows:
-        offsets.append((int(r["__pid"]), run_rows, *[run_sums[s] for s in sum_cols]))
+        offsets.append(
+            (int(r["__pid"]), run_rows, *[_coerce(s, run_sums[s]) for s in sum_cols])
+        )
         run_rows += int(r["__c"])
         for s in sum_cols:
             run_sums[s] += r[f"__s_{s}"] or 0
@@ -99,7 +119,8 @@ def with_global_prefix(
 
     spark = df.sparkSession
     schema = ", ".join(
-        ["__pid INT", "__off BIGINT"] + [f"__offsum_{s} BIGINT" for s in sum_cols]
+        ["__pid INT", "__off BIGINT"]
+        + [f"__offsum_{s} {sum_types[s]}" for s in sum_cols]
     )
     off_df = spark.createDataFrame(offsets or [], schema)
 

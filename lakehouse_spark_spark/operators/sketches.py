@@ -206,25 +206,48 @@ def rolling_union_from_tier(tier: DataFrame, preceding: int = 6) -> DataFrame:
     the daily tier, with NO global window — the halo-partition pattern:
 
     Partition the tier by calendar year; rows near a partition's start
-    need the previous year's tail in their frame, so the last
-    ``preceding`` ROWS of each year are DUPLICATED into the next year's
-    partition (halo rows), the rolling window runs per partition, and
-    halo rows are dropped from the output (their own frames are
-    incomplete; the real copies got theirs in the home partition).
-    Output is row-identical to the single-partition
-    ``ROWS BETWEEN n PRECEDING`` global window, but every WindowExec is
-    partitioned — the tier (one row per day, ~365/yr) never funnels
-    through one task even at unbounded history.
+    need earlier rows in their ROWS frame, so the last ``preceding``
+    rows of the GLOBAL bucket order before each partition's first row
+    are DUPLICATED into that partition (halo rows), the rolling window
+    runs per partition, and halo rows are dropped from the output
+    (their own frames are incomplete; the real copies got theirs in
+    their home partition). Halo membership is computed from a
+    distributed global row index (:func:`~lakehouse_spark_spark.operators.
+    distrank.with_global_prefix` — range exchange + O(numPartitions)
+    driver offsets), NOT from "the previous year's tail": a calendar
+    year with fewer than ``preceding`` rows (sparse or empty year)
+    still yields complete frames, because the index-interval join pulls
+    predecessors from however many earlier years are needed. Output is
+    row-identical to the single-partition ``ROWS BETWEEN n PRECEDING``
+    global window at ANY bucket distribution, but every WindowExec is
+    partitioned — the tier never funnels through one task.
+
+    Precondition: one row per ``bucket`` (the tier grain guarantees
+    this) — duplicate buckets would make the ROWS frame order-dependent
+    in the global-window form too.
 
     Returns (day_us, reach_7d, events_7d) for the default 7-day frame.
     """
-    t = tier.withColumn("__part", F.year("bucket"))
-    w_desc = Window.partitionBy("__part").orderBy(F.col("bucket").desc())
+    from lakehouse_spark_spark.operators.distrank import with_global_prefix
+
+    t, _ = with_global_prefix(tier, [F.col("bucket")])
+    t = t.withColumn("__part", F.year("bucket"))
+    # First global index per non-empty year: a tiny (≤ |years| rows)
+    # broadcast table. Row j is a halo for partition P iff
+    # first(P) - preceding <= j < first(P); a row can serve several
+    # consecutive sparse years, and the interval join emits exactly the
+    # needed copies.
+    bounds = t.groupBy(F.col("__part").alias("__bpart")).agg(
+        F.min("__rn").alias("__first")
+    )
     halo = (
-        t.withColumn("__rnd", F.row_number().over(w_desc))
-        .filter(F.col("__rnd") <= preceding)
-        .drop("__rnd")
-        .withColumn("__part", F.col("__part") + 1)
+        t.join(
+            F.broadcast(bounds),
+            (F.col("__rn") >= F.col("__first") - preceding)
+            & (F.col("__rn") < F.col("__first")),
+        )
+        .withColumn("__part", F.col("__bpart"))
+        .drop("__bpart", "__first")
         .withColumn("__halo", F.lit(True))
     )
     allr = t.withColumn("__halo", F.lit(False)).unionByName(halo)

@@ -67,10 +67,18 @@ class _JsonlReader(DataSourceReader):
                 for f in FIELDS:
                     v = obj.get(f)
                     if f in _INT_FIELDS:
-                        try:
-                            v = int(v) if v is not None else None
-                        except (TypeError, ValueError):
+                        # Coercion failures -> NULL, including lossy
+                        # ones: a non-integral float (1.9) or a bool is
+                        # NULLed, never silently truncated to an int.
+                        if isinstance(v, bool):
                             v = None
+                        elif isinstance(v, float):
+                            v = int(v) if v.is_integer() else None
+                        elif v is not None:
+                            try:
+                                v = int(v)
+                            except (TypeError, ValueError):
+                                v = None
                     elif v is not None and not isinstance(v, str):
                         v = json.dumps(v)
                     row.append(v)
@@ -101,7 +109,11 @@ def register(spark) -> None:
 # existing parquet table with offsets = row positions (exactly-once
 # under checkpoint/retry because partitions are pure row ranges over an
 # immutable file); ``batch_rows`` sets the input-partition granularity
-# inside a micro-batch. Built as a TEST HARNESS for streaming operators
+# inside a micro-batch, ``rows_per_trigger`` (optional) paces how many
+# rows each trigger exposes (default: everything at once — availableNow
+# drains it as a single micro-batch of many row-range partitions).
+# Reads are row-group-scoped (never whole-file per partition).
+# Built as a TEST HARNESS for streaming operators
 # — it replays a bounded corpus without file-moving tricks; a
 # production source would track real upstream offsets the same way
 # (this is the whole API: initialOffset / latestOffset / partitions /
@@ -113,17 +125,24 @@ class _ParquetReplayReader(DataSourceStreamReader):
         if not self._path:
             raise ValueError("parquet_replay: 'path' option is required")
         self._batch = int(options.get("batch_rows", 1000))
+        # optional pacing: cap how many rows each latestOffset() call
+        # exposes, so a processingTime trigger replays the table across
+        # MANY micro-batches instead of one. Default (0) exposes the
+        # whole table at once — one micro-batch of many row-range
+        # partitions, which is what availableNow drains anyway.
+        self._per_trigger = int(options.get("rows_per_trigger", 0))
         import pyarrow.parquet as pq
 
         self._total = pq.ParquetFile(self._path).metadata.num_rows
+        self._exposed = 0
 
     def initialOffset(self):
         return {"row": 0}
 
     def latestOffset(self):
-        # the full table is "available": availableNow drains snapshot
-        # the latest offset once, so pacing belongs in partitions()
-        # (batch_rows row-ranges), not in the offset advance
+        if self._per_trigger > 0:
+            self._exposed = min(self._exposed + self._per_trigger, self._total)
+            return {"row": self._exposed}
         return {"row": self._total}
 
     def partitions(self, start, end):
@@ -139,9 +158,21 @@ class _ParquetReplayReader(DataSourceStreamReader):
         s, e = partition.value
         if e <= s:
             return
-        table = pq.read_table(self._path).slice(s, e - s)
-        for batch in table.to_pylist():
-            yield tuple(batch.get(f) for f in self._schema_fields)
+        # Read ONLY the row groups overlapping [s, e) — never the whole
+        # file per partition — then slice to the exact row range. Memory
+        # bound per task is one row group, independent of file size.
+        pf = pq.ParquetFile(self._path)
+        pos = 0
+        for rg in range(pf.metadata.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            lo, hi = pos, pos + n
+            pos = hi
+            if hi <= s or lo >= e:
+                continue
+            tbl = pf.read_row_group(rg, columns=self._schema_fields)
+            sl = tbl.slice(max(s - lo, 0), min(e, hi) - max(s, lo))
+            for row in sl.to_pylist():
+                yield tuple(row.get(f) for f in self._schema_fields)
 
     _schema_fields = ["event_id", "user_id", "event_type", "value"]
 

@@ -63,6 +63,27 @@ def test_ties_colocate_and_cum_counts_peers(spark):
     assert out == {3: (1, 2), 5: (2, 5), 9: (3, 6)}
 
 
+def test_decimal_and_double_sum_cols_keep_type(spark):
+    # ADVICE r4 (low): offset columns used to be hardcoded BIGINT,
+    # truncating decimal/double running sums. The offset type now
+    # follows SUM(col)'s analyzed type.
+    from decimal import Decimal
+
+    rows = [(i, Decimal(f"{i}.25"), i + 0.5) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "k long, d decimal(10,2), f double")
+    got, totals = with_global_prefix(df, [F.col("k")], sum_cols=("d", "f"), num_partitions=3)
+    run_d, run_f, want = Decimal(0), 0.0, {}
+    for k, d, f in sorted(rows):
+        run_d += d
+        run_f += f
+        want[k] = (run_d, run_f)
+    assert totals["d"] == run_d and abs(totals["f"] - run_f) < 1e-9
+    for r in got.collect():
+        wd, wf = want[r["k"]]
+        assert r["__cum_d"] == wd, r
+        assert abs(r["__cum_f"] - wf) < 1e-9, r
+
+
 def test_empty_input(spark):
     df = _vals_df(spark, []).filter("k > 0")
     got, totals = with_global_prefix(df, [F.col("k")])

@@ -216,3 +216,45 @@ def test_rolling_union_halo_equals_global_window(spark):
     }
     assert got == want
     assert len(got) > 7
+
+
+def test_rolling_union_halo_sparse_years(spark):
+    """ADVICE r4 (medium): a calendar year with FEWER than `preceding`
+    tier rows — or an entirely empty year — must still produce complete
+    frames at the start of the next year. The r5 halo build pulls
+    predecessors by global row index, not "previous year's tail", so
+    frames cascade across sparse/empty year gaps."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark_spark.operators.sketches import rolling_union_from_tier, sketch_tier
+
+    # 2019: dense Dec tail; 2020: ONE row (sparse, < preceding=6);
+    # 2021: empty; 2022: rows whose 7-row frames must reach back through
+    # 2020 into 2019.
+    days = (
+        [f"2019-12-{d:02d}" for d in range(20, 32)]
+        + ["2020-06-15"]
+        + [f"2022-01-{d:02d}" for d in range(1, 6)]
+    )
+    rows = [(d, uid) for i, d in enumerate(days) for uid in range(i * 3, i * 3 + 5)]
+    df = spark.createDataFrame(rows, "d string, user_id long").select(
+        F.to_timestamp("d").alias("ts"), "user_id"
+    )
+    tier = sketch_tier(df, "ts", "user_id", grain="day").localCheckpoint()
+    tier.createOrReplaceTempView("__t_halo_sparse")
+    want = {
+        r["day_us"]: (r["reach_7d"], r["events_7d"])
+        for r in spark.sql(
+            """SELECT unix_micros(bucket) AS day_us,
+                      CAST(hll_sketch_estimate(hll_union_agg(sketch) OVER w) AS LONG) AS reach_7d,
+                      SUM(n_rows) OVER w AS events_7d
+               FROM __t_halo_sparse
+               WINDOW w AS (ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+        ).collect()
+    }
+    got = {
+        r["day_us"]: (r["reach_7d"], r["events_7d"])
+        for r in rolling_union_from_tier(tier, preceding=6).collect()
+    }
+    assert got == want
+    assert len(got) == len(days)
