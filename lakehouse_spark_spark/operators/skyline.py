@@ -15,8 +15,11 @@ current integer x, and a partition-by-x max. Equal (x, y) duplicates
 tie — neither dominates — and all stay, matching the NOT-EXISTS
 semantics exactly.
 
-Scale: :func:`pareto_frontier_2d` orders by x GLOBALLY (one WindowExec
-task) — fine for bounded slices, wrong for 100 TB.
+Scale: :func:`pareto_frontier_2d_bounded` orders by x GLOBALLY (one
+WindowExec task) — a VERIFICATION BASELINE for bounded slices only
+(the `_bounded` suffix is the contract: never register it, never call
+it on corpus-cardinality input; tools/plan_lint.py enforces that no
+registered query reaches it).
 :func:`pareto_frontier_2d_distributed` is the production form: local
 skylines per x-range partition + a driver-side prefix-max of
 per-partition best-y (O(numPartitions) state) removes cross-partition
@@ -29,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def pareto_frontier_2d(
+def pareto_frontier_2d_bounded(
     df: DataFrame,
     x_int: Column,
     y_int: Column,
@@ -57,7 +60,8 @@ def pareto_frontier_2d_distributed(
     keep_cols: list[str],
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """The scale form of :func:`pareto_frontier_2d`: range-partition by
+    """The scale form of :func:`pareto_frontier_2d_bounded`: range-
+partition by
     x, local frontier per partition (partitioned windows — never a
     global WindowExec), then eliminate cross-partition dominance with a
     driver-side prefix-max of per-partition max-y (O(numPartitions)

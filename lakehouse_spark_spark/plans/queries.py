@@ -6550,7 +6550,7 @@ def incremental_neardup_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
-# 2-D skyline (operators/skyline.pareto_frontier_2d; Börzsönyi 2001):
+# 2-D skyline (operators/skyline; Börzsönyi 2001):
 # cheapest-vs-latest Pareto frontier of one month of orders. Oracle is
 # the O(n²) NOT-EXISTS dominance anti-join on the same (bounded) slice;
 # the engine computes it with two window passes in O(n log n).

@@ -18,7 +18,7 @@ from lakehouse_spark_spark.operators.distrank import (
     with_global_prefix,
 )
 from lakehouse_spark_spark.operators.skyline import (
-    pareto_frontier_2d,
+    pareto_frontier_2d_bounded,
     pareto_frontier_2d_distributed,
 )
 
@@ -116,7 +116,7 @@ def test_distributed_skyline_equals_single_level(spark, nparts):
     df = spark.createDataFrame(rows, "id BIGINT, x BIGINT, y BIGINT")
     single = {
         (r["id"], r["__x"], r["__y"])
-        for r in pareto_frontier_2d(df, F.col("x"), F.col("y"), ["id"]).collect()
+        for r in pareto_frontier_2d_bounded(df, F.col("x"), F.col("y"), ["id"]).collect()
     }
     dist = {
         (r["id"], r["__x"], r["__y"])

@@ -69,3 +69,11 @@ def test_whitelists_documented():
     for wl in (WINDOW_WHITELIST, NLJ_WHITELIST):
         for name, reason in wl.items():
             assert len(reason) > 10, f"{name}: whitelist entries need a real reason"
+
+
+def test_no_registered_query_reaches_bounded_baselines():
+    """Verification-only `_bounded` operators (100 TB-unsafe twins kept
+    to verify the distributed forms) must be unreachable from plans/."""
+    from tools.plan_lint import lint_bounded_reachability
+
+    assert lint_bounded_reachability() == []

@@ -458,10 +458,10 @@ class TestIncrementalMaintenance:
 
 class TestSkyline:
     def _frontier(self, spark, rows):
-        from lakehouse_spark_spark.operators.skyline import pareto_frontier_2d
+        from lakehouse_spark_spark.operators.skyline import pareto_frontier_2d_bounded
 
         df = spark.createDataFrame(rows, "id long, x long, y long")
-        out = pareto_frontier_2d(df, F.col("x"), F.col("y"), ["id"])
+        out = pareto_frontier_2d_bounded(df, F.col("x"), F.col("y"), ["id"])
         return sorted(r["id"] for r in out.collect())
 
     def test_dominated_points_drop(self, spark):

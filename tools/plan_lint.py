@@ -130,6 +130,31 @@ def lint_df(df) -> dict[str, list[str]]:
     return {k: v for k, v in issues.items() if v}
 
 
+def lint_bounded_reachability() -> list[str]:
+    """Static rule (round-4 verdict ask #5): verification-only baseline
+    operators carry a ``_bounded`` suffix (e.g.
+    skyline.pareto_frontier_2d_bounded — a global-window twin kept only
+    to verify the distributed form). No registered query may reach one:
+    scan every module under ``plans/`` (the only code the registry
+    dispatches into) for references to ``*_bounded`` functions exported
+    by ``operators/``. Returns violation strings (empty = clean)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "lakehouse_spark_spark"
+    bounded = set()
+    for f in (root / "operators").glob("*.py"):
+        bounded |= set(re.findall(r"^def (\w+_bounded)\(", f.read_text(), re.M))
+    hits = []
+    for f in (root / "plans").glob("*.py"):
+        text = f.read_text()
+        for name in bounded:
+            for m in re.finditer(rf"\b{name}\b", text):
+                line = text.count("\n", 0, m.start()) + 1
+                hits.append(f"{f.name}:{line} references {name}")
+    return hits
+
+
 def lint_registry(spark, sf_dir: str, names: list[str] | None = None):
     """Returns (violations, stale_whitelist, errors) across the registry."""
     from lakehouse_spark_spark.plans import queries as Q
@@ -178,6 +203,10 @@ def main() -> int:
     spark = get_session("plan-lint")
     spark.sparkContext.setLogLevel("ERROR")
     violations, stale, errors = lint_registry(spark, sf_dir, names)
+    for hit in lint_bounded_reachability():
+        violations.setdefault("__bounded_reachability__", {}).setdefault(
+            "bounded_baseline", []
+        ).append(hit)
     for name, det in sorted(violations.items()):
         print(f"[VIOLATION] {name}: {det}")
     for name in stale:
