@@ -373,6 +373,7 @@ def gopher_quality_flags(
     text_col: str,
     min_words: int = 50,
     max_words: int = 100_000,
+    stopword_min: int = 2,
 ):
     """Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
     Models", table A1) — the word-level subset, as pure projections:
@@ -381,7 +382,7 @@ def gopher_quality_flags(
     - mean word length in [3, 10] chars
     - symbol-to-word ratio ('#' or '...') < 0.1
     - > 80% of words contain an alphabetic character
-    - at least 2 of the 8 Gopher stopwords present
+    - at least ``stopword_min`` (default 2) of the 8 Gopher stopwords
 
     Every flag is decided in INTEGER arithmetic (e.g. mean-word-length
     in [3,10] ⇔ 3·n ≤ Σlen ≤ 10·n), so the output is bit-stable across
@@ -414,7 +415,7 @@ def gopher_quality_flags(
     mean_word_len_ok = (F.lit(3) * n_l <= sum_len) & (sum_len <= F.lit(10) * n_l)
     symbol_ratio_ok = F.lit(10) * n_symbols < n_l
     alpha_ok = F.lit(5) * n_alpha > F.lit(4) * n_l
-    stopword_ok = stop_hits >= 2
+    stopword_ok = stop_hits >= stopword_min
     return df.select(
         F.col(id_col),
         n_l.alias("n_words"),

@@ -5956,6 +5956,183 @@ def curation_disposition_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Composed curation v3 (plans/corpus.curation_v3) — the FULL pretraining
+# chain as ONE plan with a conservation oracle (round-4 verdict ask #6):
+# Gopher word rules → Gopher line rules → language filter → blocklist →
+# exact dedup → near-dup clusters (3-gram Jaccard + recursive CC, one
+# canonical per cluster) → span trim → eval holdout + 8-gram
+# decontamination → per-source token budget (uniform cap = total DIV
+# sources, md5 admission order) → md5 hash split → seq_len=256 sequence
+# counts. Every input doc lands in EXACTLY ONE disposition (the CASE is
+# total), so a hash-match proves conservation: Σ n_docs = |corpus| and
+# Σ tokens_in = corpus tokens, per-stage populations included. The
+# oracle recomputes all ten stages in one SQL tree (WITH RECURSIVE for
+# the cluster closure). The minhash near-dup backend is asserted
+# disposition-identical in tests/test_corpus_pipeline.py.
+# ==========================================================================
+@register(
+    "curation_v3_disposition",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id, lang, source, text,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+      FROM documents
+    ),
+    w AS (SELECT doc_id, lang, source, text, nrm, string_split(nrm, ' ') AS toks FROM base),
+    gate AS (
+      SELECT doc_id, lang, source, nrm, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(nrm) - (len(toks) - 1) AS BIGINT) AS sum_word_len,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST((len(nrm) - len(replace(nrm, '#', '')))
+                  + (len(nrm) - len(replace(nrm, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+             CAST(len(list_intersect(toks,
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS sw
+      FROM w
+    ),
+    wflag AS (
+      SELECT doc_id, lang, source, nrm, toks, n_tokens,
+             (n_tokens >= 20 AND n_tokens <= 1000
+              AND 3 * n_tokens <= sum_word_len AND sum_word_len <= 10 * n_tokens
+              AND 10 * n_symbols < n_tokens
+              AND 5 * n_alpha > 4 * n_tokens
+              AND sw >= 1) AS word_ok
+      FROM gate
+    ),
+    lined AS (
+      SELECT doc_id,
+             replace(replace(text, ' table ', chr(10) || '- '),
+                     ' query ', '...' || chr(10)) AS lt
+      FROM base
+    ),
+    lnn AS (SELECT doc_id, trim(l) AS l
+            FROM lined, unnest(string_split(lt, chr(10))) AS u(l)),
+    lnb AS (SELECT doc_id, l FROM lnn WHERE l <> ''),
+    lagg AS (
+      SELECT doc_id, COUNT(*) AS n_lines,
+             SUM(CASE WHEN l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'
+                        OR l LIKE '‣%' OR l LIKE '▪%' THEN 1 ELSE 0 END) AS n_bul,
+             SUM(CASE WHEN l LIKE '%...' OR l LIKE '%…' THEN 1 ELSE 0 END) AS n_ell
+      FROM lnb GROUP BY doc_id
+    ),
+    allflags AS (
+      SELECT f.doc_id, f.lang, f.source, f.nrm, f.toks, f.n_tokens, f.word_ok,
+             (10 * COALESCE(a.n_bul, 0) <= 9 * COALESCE(a.n_lines, 0)
+              AND 10 * COALESCE(a.n_ell, 0) <= 3 * COALESCE(a.n_lines, 0)) AS line_ok,
+             (f.lang IN ('en','de','es','fr')) AS lang_ok,
+             (len(list_intersect(f.toks, ['gibberish'])) > 0
+              OR contains(f.nrm, 'merge merge')) AS blocked
+      FROM wflag f LEFT JOIN lagg a USING (doc_id)
+    ),
+    s1 AS (SELECT doc_id, source, nrm, toks, n_tokens FROM allflags
+           WHERE word_ok AND line_ok AND lang_ok AND NOT blocked),
+    keepers AS (SELECT md5(nrm) AS h, MIN(doc_id) AS keep_id FROM s1 GROUP BY 1),
+    s2 AS (SELECT s1.* FROM s1
+           JOIN keepers ON md5(s1.nrm) = keepers.h AND s1.doc_id = keepers.keep_id),
+    elig AS (SELECT doc_id, toks AS wt FROM s2 WHERE len(toks) >= 3),
+    sh3 AS (SELECT DISTINCT doc_id,
+                   wt[CAST(i AS INTEGER)] || ' ' || wt[CAST(i AS INTEGER) + 1]
+                     || ' ' || wt[CAST(i AS INTEGER) + 2] AS shingle
+            FROM elig, UNNEST(range(1, len(wt) - 1)) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh3 GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+               FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM shared
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE ROUND(shared * 1.0 / (sa.set_size + sb.set_size - shared), 6) >= 0.8),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM s2
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+    near_dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)),
+    shk AS (SELECT doc_id, CAST(s AS BIGINT) AS start_pos, CAST(s + 7 AS BIGINT) AS end_pos,
+                   array_to_string(list_slice(toks, s, s + 7), ' ') AS shingle
+            FROM s3, UNNEST(range(1, n_tokens - 6)) AS t(s)
+            WHERE n_tokens >= 8),
+    dup AS (SELECT shingle FROM shk GROUP BY shingle HAVING COUNT(*) >= 2),
+    occ AS (SELECT doc_id, start_pos, end_pos FROM shk JOIN dup USING (shingle)),
+    isl0 AS (SELECT doc_id, start_pos, end_pos,
+                    MAX(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+             FROM occ),
+    isl AS (SELECT doc_id, start_pos, end_pos,
+                   SUM(CASE WHEN prev_max IS NULL OR start_pos > prev_max + 1
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY start_pos ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl0),
+    spansq AS (SELECT doc_id, island, MIN(start_pos) AS s, MAX(end_pos) AS e
+               FROM isl GROUP BY doc_id, island),
+    dtok AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+             FROM spansq GROUP BY doc_id),
+    s3t AS (SELECT s3.*, CAST(s3.n_tokens - COALESCE(d.dup_tokens, 0) AS BIGINT) AS kept_tokens
+            FROM s3 LEFT JOIN dtok d USING (doc_id)),
+    evd AS (SELECT doc_id, toks AS wt FROM w WHERE doc_id % 97 = 0),
+    evsh AS (SELECT DISTINCT array_to_string(list_slice(wt, CAST(i AS INTEGER),
+                     CAST(i AS INTEGER) + 3), ' ') AS shingle
+             FROM evd, UNNEST(range(1, len(wt) - 2)) AS t(i) WHERE len(wt) >= 4),
+    trside AS (SELECT * FROM s3t WHERE doc_id % 97 <> 0),
+    contdocs AS (SELECT DISTINCT t.doc_id FROM
+                 (SELECT doc_id, array_to_string(list_slice(toks, CAST(i AS INTEGER),
+                          CAST(i AS INTEGER) + 3), ' ') AS shingle
+                  FROM trside, UNNEST(range(1, n_tokens - 2)) AS t(i)
+                  WHERE n_tokens >= 4) t
+                 JOIN evsh USING (shingle)),
+    s4 AS (SELECT * FROM trside WHERE doc_id NOT IN (SELECT doc_id FROM contdocs)),
+    btot AS (SELECT CAST(SUM(kept_tokens) AS BIGINT) AS t,
+                    COUNT(DISTINCT source) AS ns FROM s4),
+    bud AS (SELECT doc_id,
+                   (SUM(kept_tokens) OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                     <= (SELECT t // ns FROM btot) AS budget_keep
+            FROM s4),
+    final AS (
+      SELECT f.doc_id, f.n_tokens, t.kept_tokens,
+        CASE WHEN NOT f.word_ok THEN 'quality_word'
+             WHEN NOT f.line_ok THEN 'quality_line'
+             WHEN NOT f.lang_ok THEN 'lang_filtered'
+             WHEN f.blocked THEN 'blocked'
+             WHEN k.doc_id IS NULL THEN 'exact_dup'
+             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+             WHEN f.doc_id % 97 = 0 THEN 'eval_holdout'
+             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+             WHEN NOT b.budget_keep THEN 'budget_excess'
+             ELSE 'kept_' ||
+               CASE WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+                    WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+                    ELSE 'test' END
+        END AS disposition
+      FROM allflags f
+      LEFT JOIN (SELECT doc_id FROM s2) k USING (doc_id)
+      LEFT JOIN near_dropped nd USING (doc_id)
+      LEFT JOIN (SELECT doc_id, kept_tokens FROM s3t) t USING (doc_id)
+      LEFT JOIN contdocs c USING (doc_id)
+      LEFT JOIN bud b USING (doc_id)
+    )
+    SELECT disposition,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+           CAST(SUM(CASE WHEN disposition LIKE 'kept%' THEN kept_tokens ELSE 0 END) AS BIGINT) AS tokens_out,
+           CAST(SUM(CASE WHEN disposition LIKE 'kept%' THEN (kept_tokens + 255) // 256 ELSE 0 END) AS BIGINT) AS n_sequences
+    FROM final GROUP BY disposition
+    """,
+    doc="full curation chain v3: gates→dedup→clusters→span-trim→decon→budget→split, conservation-exact",
+)
+def curation_v3_disposition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.plans.corpus import curation_v3
+
+    return curation_v3(_t(spark, sf_dir, "documents"))
+
+
+# ==========================================================================
 # EWMA daily smoothing in closed form: s_t = Σ_{g=0..13} w_g · x_{t-g}
 # with w_g = round(α(1-α)^g, 6) as exact decimals — a windowed
 # weighted sum over the daily tier, NOT a recursive scan, so it

@@ -97,3 +97,30 @@ def test_cluster_policy_keeps_one_per_transitive_group(spark):
     # cluster merges {1,2,3} via 3 and keeps only the min, dropping 2.
     assert pw[2] == "kept"
     assert cc[2] == "near_dup"
+
+
+class TestCurationV3:
+    def test_conservation_and_minhash_backend(self, spark):
+        """curation_v3: every input doc lands in exactly one disposition
+        (Σ n_docs = |corpus|, Σ tokens_in = corpus tokens), shipped
+        accounting is consistent, and the minhash near-dup backend
+        yields the IDENTICAL summary (LSH recall holds at 0.8)."""
+        from lakehouse_spark_spark.operators.text import n_tokens
+        from lakehouse_spark_spark.plans.corpus import curation_v3
+        from lakehouse_spark_spark.sources.loaders import load_table
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        out = curation_v3(docs).collect()
+        n_corpus = docs.count()
+        tok_corpus = docs.select(F.sum(n_tokens("text").cast("long")).alias("t")).collect()[0]["t"]
+        assert sum(r["n_docs"] for r in out) == n_corpus
+        assert sum(r["tokens_in"] for r in out) == tok_corpus
+        for r in out:
+            if r["disposition"].startswith("kept_"):
+                assert 0 < r["tokens_out"] <= r["tokens_in"]
+                assert r["n_sequences"] >= r["n_docs"]  # every doc ≥1 seq
+            else:
+                assert r["tokens_out"] == 0 and r["n_sequences"] == 0
+        mh = curation_v3(docs, neardup_backend="minhash").collect()
+        key = lambda rows: sorted(map(tuple, rows))
+        assert key(mh) == key(out)
