@@ -22,10 +22,17 @@ libraries:
 - FSTK frame containers (length-prefixed frames, the MJPEG shape) — so
   ``sample_frames`` emits actual decodable frames.
 
-Only formats that genuinely require a codec library (JPEG pixel data,
-compressed audio/video) keep deterministic stand-in bodies behind the
-same Arrow plumbing, with the metadata still parsed for real. Unknown
-formats fall back to ``decode_image_stub`` so the pipeline stays total.
+- baseline JPEG PIXELS via the self-contained T.81 codec in
+  ``operators/jpegcodec`` (SOF0, Huffman, 4:4:4/grayscale: DCT,
+  data-derived canonical Huffman tables, byte stuffing) — so
+  ``resize_images`` also does a true decode → resample → re-encode on
+  baseline JPEG payloads, closing the round-4 seam.
+
+Only formats that genuinely require a codec library (progressive or
+subsampled JPEG, compressed audio/video) keep deterministic stand-in
+bodies behind the same Arrow plumbing, with the metadata still parsed
+for real. Unknown formats fall back to ``decode_image_stub`` so the
+pipeline stays total.
 
 spark.sql.execution.arrow.maxRecordsPerBatch bounds decode batch memory:
 with ~N MB media payloads set it so batch_bytes ≈ 64-256 MB.
@@ -88,9 +95,11 @@ def make_png(width: int, height: int, gray: int = 0x7F) -> bytes:
 
 def make_jpeg(width: int, height: int) -> bytes:
     """A header-valid JPEG: SOI, JFIF APP0, a correct SOF0 frame header
-    carrying the dimensions, EOI. (No entropy-coded scan — sufficient
-    for any header/dimension parser, which is the decode stage this
-    module implements.)"""
+    carrying the dimensions, EOI. No entropy-coded scan — intentionally
+    CHEAP for bulk fixture synthesis (attach_synthetic_media emits
+    thousands); use :func:`make_jpeg_real` /
+    ``operators/jpegcodec.encode_jpeg_baseline`` when actual pixel data
+    is needed."""
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"  # 1 component
     return (
@@ -99,6 +108,19 @@ def make_jpeg(width: int, height: int) -> bytes:
         + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
         + b"\xff\xd9"  # EOI
     )
+
+
+def make_jpeg_real(width: int, height: int, quality: int = 90) -> bytes:
+    """A REAL baseline JPEG (full entropy-coded scan, decodable by any
+    compliant viewer) holding a deterministic grayscale gradient+texture
+    pattern — the pixel-true fixture for the jpegcodec round trip."""
+    import numpy as np
+
+    from lakehouse_spark_spark.operators.jpegcodec import encode_jpeg_baseline
+
+    y, x = np.mgrid[0:height, 0:width]
+    img = ((x * 7 + y * 3 + (x * y) % 13) % 256).astype(np.uint8)
+    return encode_jpeg_baseline(img, quality=quality)
 
 
 def make_gif(width: int, height: int) -> bytes:
@@ -425,14 +447,28 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize. For PNG payloads this is a REAL pixel pipeline: decode
     (decode_png_pixels), nearest-neighbor resample via numpy index
     maps, re-encode a valid PNG (encode_png_pixels) — bytes in, smaller
-    real image out, no external libraries. Other formats go through the
+    real image out, no external libraries. Baseline JPEG payloads get
+    the same treatment through ``operators/jpegcodec`` (true DCT
+    decode → resample → re-encode). Remaining formats go through the
     optional Pillow seam (``_pil_resize``) when the library is present;
     without it they keep the header-true dimension math with a
     truncation stand-in body — the Arrow plumbing is identical in all
-    three paths, so swapping codecs never touches the Spark side."""
+    paths, so swapping codecs never touches the Spark side."""
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        from lakehouse_spark_spark.operators.jpegcodec import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+
+        def resample(px, w0, h0):
+            scale = min(1.0, max_side / max(w0, h0))
+            w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+            ys = (np.arange(h) * (h0 / h)).astype(int)
+            xs = (np.arange(w) * (w0 / w)).astype(int)
+            return px[ys][:, xs], w, h
 
         for pdf in batches:
             rows = []
@@ -441,13 +477,16 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                 px = decode_png_pixels(payload)
                 if px is not None:
                     h0, w0 = px.shape[:2]
-                    scale = min(1.0, max_side / max(w0, h0))
-                    w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
-                    ys = (np.arange(h) * (h0 / h)).astype(int)
-                    xs = (np.arange(w) * (w0 / w)).astype(int)
-                    resized = px[ys][:, xs]
+                    resized, w, h = resample(px, w0, h0)
                     rows.append((doc_id, encode_png_pixels(resized), w, h))
                     continue
+                if payload[:2] == b"\xff\xd8":
+                    jpx = decode_jpeg_baseline(payload)
+                    if jpx is not None:
+                        h0, w0 = jpx.shape[:2]
+                        resized, w, h = resample(jpx, w0, h0)
+                        rows.append((doc_id, encode_jpeg_baseline(resized), w, h))
+                        continue
                 pil = _pil_resize(payload, max_side)
                 if pil is not None:
                     rows.append((doc_id, *pil))

@@ -126,3 +126,104 @@ def test_wav_parse_rejects_non_wav():
 
     assert parse_wav(b"not audio at all") is None
     assert parse_wav(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+
+
+# --- baseline JPEG codec (operators/jpegcodec): REAL T.81 pixels ------
+
+def _pattern(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x * 7 + y * 3 + (x * y) % 13) % 256).astype(np.uint8)
+
+
+def test_jpeg_gray_roundtrip_bounded_error():
+    from lakehouse_spark_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = _pattern(24, 33)  # non-multiple-of-8 dims exercise pad/crop
+    payload = encode_jpeg_baseline(img, quality=95)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    out = decode_jpeg_baseline(payload)
+    assert out is not None and out.shape == (24, 33)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_jpeg_quality100_lossless_on_smooth_content():
+    """At quality=100 the quant tables are all ones, so the only loss is
+    DCT float rounding — smooth gradients round-trip exactly."""
+    from lakehouse_spark_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    y, x = np.mgrid[0:16, 0:24]
+    smooth = ((x * 2 + y * 2) % 200).astype(np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(smooth, quality=100))
+    assert (out == smooth).all()
+
+
+def test_jpeg_rgb_roundtrip_and_header_parse():
+    from lakehouse_spark_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+    from lakehouse_spark_spark.operators.multimodal import parse_image_header
+
+    img = _pattern(16, 24)
+    rgb = np.stack([img, img[::-1], np.roll(img, 3, axis=1)], axis=-1)
+    payload = encode_jpeg_baseline(rgb, quality=95)
+    assert parse_image_header(payload) == {"format": "jpeg", "width": 24, "height": 16}
+    out = decode_jpeg_baseline(payload)
+    assert out is not None and out.shape == (16, 24, 3)
+    # 4:4:4 chroma at q95: bounded quantization error, structure intact
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 25
+    assert np.abs(out.astype(float) - rgb.astype(float)).mean() <= 4.0
+
+
+def test_jpeg_decoder_rejects_unsupported_and_header_only():
+    from lakehouse_spark_spark.operators.jpegcodec import decode_jpeg_baseline
+    from lakehouse_spark_spark.operators.multimodal import make_jpeg
+
+    # header-only fixture (no scan) -> None, caller falls back
+    assert decode_jpeg_baseline(make_jpeg(8, 8)) is None
+    assert decode_jpeg_baseline(b"\x89PNG") is None
+    # progressive marker (SOF2) -> unsupported
+    prog = b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9) + b"\xff\xd9"
+    assert decode_jpeg_baseline(prog) is None
+
+
+def test_resize_real_jpeg_pixels(spark):
+    """Resize on baseline JPEG is a true pixel pipeline: decode -> NN
+    resample -> re-encode; output decodes to ~the resampled source."""
+    from lakehouse_spark_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+    from lakehouse_spark_spark.operators.multimodal import resize_images
+
+    grad = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))  # 32x64
+    payload = encode_jpeg_baseline(grad, quality=100)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, media binary")
+    out = resize_images(df, max_side=16).collect()[0]
+    assert (out["width"], out["height"]) == (16, 8)
+    px = decode_jpeg_baseline(bytes(out["media"]))
+    assert px is not None and px.shape == (8, 16)
+    ys = (np.arange(8) * (32 / 8)).astype(int)
+    xs = (np.arange(16) * (64 / 16)).astype(int)
+    want = grad[ys][:, xs].astype(int)
+    assert np.abs(px.astype(int) - want).max() <= 4  # q100 re-encode
+
+
+def test_make_jpeg_real_is_fully_decodable():
+    from lakehouse_spark_spark.operators.jpegcodec import decode_jpeg_baseline
+    from lakehouse_spark_spark.operators.multimodal import (
+        make_jpeg_real,
+        parse_image_header,
+    )
+
+    payload = make_jpeg_real(40, 24)
+    assert parse_image_header(payload) == {"format": "jpeg", "width": 40, "height": 24}
+    px = decode_jpeg_baseline(payload)
+    assert px is not None and px.shape == (24, 40)
+    assert np.abs(px.astype(int) - _pattern(24, 40).astype(int)).max() <= 12
