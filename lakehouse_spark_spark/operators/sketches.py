@@ -216,7 +216,7 @@ def rolling_union_from_tier(tier: DataFrame, preceding: int = 6) -> DataFrame:
     distrank.with_global_prefix` — range exchange + O(numPartitions)
     driver offsets), NOT from "the previous year's tail": a calendar
     year with fewer than ``preceding`` rows (sparse or empty year)
-    still yields complete frames, because the index-interval join pulls
+    still yields complete frames, because the index match pulls
     predecessors from however many earlier years are needed. Output is
     row-identical to the single-partition ``ROWS BETWEEN n PRECEDING``
     global window at ANY bucket distribution, but every WindowExec is
@@ -234,18 +234,21 @@ def rolling_union_from_tier(tier: DataFrame, preceding: int = 6) -> DataFrame:
     t = t.withColumn("__part", F.year("bucket"))
     # First global index per non-empty year: a tiny (≤ |years| rows)
     # broadcast table. Row j is a halo for partition P iff
-    # first(P) - preceding <= j < first(P); a row can serve several
-    # consecutive sparse years, and the interval join emits exactly the
-    # needed copies.
+    # first(P) - preceding <= j < first(P) ⇔ first(P) ∈ [j+1,
+    # j+preceding] — expressed as an EQUI-join by fanning each row out
+    # to its `preceding` candidate first-indices (constant fan-out) and
+    # matching on first-index equality, so the plan is a
+    # BroadcastHashJoin, never a nested loop. A row can serve several
+    # consecutive sparse years (one match per distinct first-index),
+    # emitting exactly the needed copies.
     bounds = t.groupBy(F.col("__part").alias("__bpart")).agg(
         F.min("__rn").alias("__first")
     )
+    cand = t.withColumn(
+        "__first", F.explode(F.sequence(F.col("__rn") + 1, F.col("__rn") + preceding))
+    )
     halo = (
-        t.join(
-            F.broadcast(bounds),
-            (F.col("__rn") >= F.col("__first") - preceding)
-            & (F.col("__rn") < F.col("__first")),
-        )
+        cand.join(F.broadcast(bounds), "__first")
         .withColumn("__part", F.col("__bpart"))
         .drop("__bpart", "__first")
         .withColumn("__halo", F.lit(True))

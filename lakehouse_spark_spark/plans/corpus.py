@@ -196,11 +196,17 @@ def curation_v3(
     blk = blocklist_flags(
         base, "doc_id", "text", list(blocked_terms), list(blocked_phrases)
     ).select("doc_id", "blocked")
+    # pinned: `flags` feeds BOTH the survivor chain (s1→…→budget) and
+    # the final disposition join — without the checkpoint every
+    # downstream branch re-executes the three gate joins from the scan.
+    # Same stage-boundary persist the CLI pipeline does with parquet;
+    # the frame is one slim row per doc.
     flags = (
         base.join(word, "doc_id")
         .join(line, "doc_id")
         .join(blk, "doc_id")
         .withColumn("lang_ok", F.col("lang").isin(*allowed_langs))
+        .localCheckpoint(eager=False)
     )
     gate_ok = F.col("word_ok") & F.col("line_ok") & F.col("lang_ok") & ~F.col("blocked")
     s1 = flags.filter(gate_ok).select("doc_id", "source", "text", "n_tokens")
@@ -208,6 +214,8 @@ def curation_v3(
     # --- stage 5: exact dedup (16-byte hash groupBy, keep min doc_id)
     hashed = s1.withColumn("h", content_hash("text"))
     keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    # pinned: consumed by the pair generator (twice, via the shingle
+    # self-join), the span universe, and the disposition marker.
     s2 = (
         hashed.alias("d")
         .join(
@@ -215,6 +223,7 @@ def curation_v3(
             (F.col("d.h") == keepers["h"]) & (F.col("d.doc_id") == keepers["keep_id"]),
         )
         .select("d.doc_id", "d.source", "d.text", "d.n_tokens")
+        .localCheckpoint(eager=False)
     )
 
     # --- stage 6: near-dup clusters among exact survivors; one
@@ -247,9 +256,15 @@ def curation_v3(
     spans = duplicated_span_stats(s3, "doc_id", "text", k=span_k, min_count=2).select(
         "doc_id", "dup_tokens"
     )
-    s3t = s3.join(spans, "doc_id", "left").withColumn(
-        "kept_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("dup_tokens"), F.lit(0))).cast("long"),
+    # pinned: consumed by contamination, the budget window, and the
+    # final kept_tokens join.
+    s3t = (
+        s3.join(spans, "doc_id", "left")
+        .withColumn(
+            "kept_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("dup_tokens"), F.lit(0))).cast("long"),
+        )
+        .localCheckpoint(eager=False)
     )
 
     # --- stage 8: eval holdout + n-gram decontamination. The eval set
