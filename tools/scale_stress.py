@@ -89,9 +89,10 @@ RUN_SNIPPET = r"""
 import json, sys, time, re
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession, functions as F
-from lakehouse_spark_spark.plans.corpus import prepare_corpus
+from lakehouse_spark_spark.plans.corpus import curation_v3, prepare_corpus
 
 sf_dir, event_dir = sys.argv[1], sys.argv[2]
+pipeline = sys.argv[3] if len(sys.argv) > 3 else "prepare_corpus"
 spark = (
     SparkSession.builder.master("local[32]")
     .config("spark.sql.shuffle.partitions", "32")
@@ -104,18 +105,23 @@ spark = (
     .getOrCreate()
 )
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-# t0 BEFORE prepare_corpus: the cluster drop policy's connected-components
-# loop executes per-round actions during plan construction
+# t0 BEFORE the pipeline call: iterative stages (connected components)
+# and lazy checkpoints execute real work during plan construction
 t0 = time.perf_counter()
-disp = prepare_corpus(docs, jaccard_threshold=0.8, neardup_backend="minhash", drop_policy="cluster")
-plan = disp._jdf.queryExecution().executedPlan().toString()
+if pipeline == "curation_v3":
+    out = curation_v3(docs, neardup_backend="minhash")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    counts = {r["disposition"]: r["n_docs"] for r in out.collect()}
+else:
+    disp = prepare_corpus(docs, jaccard_threshold=0.8, neardup_backend="minhash", drop_policy="cluster")
+    plan = disp._jdf.queryExecution().executedPlan().toString()
+    counts = {r["verdict"]: r["n"] for r in disp.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}
 shape = {
     "exchanges": len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan)),
     "broadcasts": plan.count("BroadcastExchange"),
     "sort_merge_joins": plan.count("SortMergeJoin"),
     "broadcast_joins": plan.count("BroadcastHashJoin"),
 }
-counts = {r["verdict"]: r["n"] for r in disp.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}
 wall = round(time.perf_counter() - t0, 2)
 print("RESULT " + json.dumps({"wall_sec": wall, "verdicts": counts, "plan_shape": shape}), flush=True)
 spark.stop()
@@ -141,11 +147,11 @@ def shuffle_bytes_from_eventlog(event_dir: str) -> dict[str, int]:
     return {"shuffle_read_bytes": rd, "shuffle_write_bytes": wr}
 
 
-def run_scale(sf_dir: str, label: str) -> dict:
+def run_scale(sf_dir: str, label: str, pipeline: str = "prepare_corpus") -> dict:
     event_dir = tempfile.mkdtemp(prefix=f"evlog_{label}_")
     t0 = time.perf_counter()
     out = subprocess.run(
-        [sys.executable, "-c", RUN_SNIPPET, sf_dir, event_dir],
+        [sys.executable, "-c", RUN_SNIPPET, sf_dir, event_dir, pipeline],
         capture_output=True, text=True, env=os.environ,
     )
     total = round(time.perf_counter() - t0, 2)
@@ -165,12 +171,13 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--workdir", default="/tmp/scale_stress_10x")
+    ap.add_argument("--pipeline", default="prepare_corpus", choices=["prepare_corpus", "curation_v3"])
     args = ap.parse_args()
 
     if not os.path.exists(f"{args.workdir}/documents.parquet"):
         synthesize(args.base, args.workdir, args.copies)
-    r1 = run_scale(args.base, "1x")
-    r10 = run_scale(args.workdir, f"{args.copies}x")
+    r1 = run_scale(args.base, "1x", args.pipeline)
+    r10 = run_scale(args.workdir, f"{args.copies}x", args.pipeline)
     growth = round(r10["wall_sec"] / r1["wall_sec"], 2)
     same_plan = r1["plan_shape"] == r10["plan_shape"]
     print(
