@@ -158,16 +158,17 @@ def run_one(name: str, repeat: int = 1) -> None:
     print(json.dumps({"query": name, "secs": secs, "runs": runs}))
 
 
-def run_isolated() -> None:
-    """--isolate: each headline query in its OWN subprocess (fresh JVM,
-    fresh codegen cache, no concurrent Spark work), so per-query numbers
-    are comparable round-over-round. ~15 s session startup per query —
-    use for attribution, not for the driver's wall-clock metric."""
+def run_isolated(names: list[str] | None = None) -> None:
+    """--isolate [name ...]: each headline query in its OWN subprocess
+    (fresh JVM, fresh codegen cache, no concurrent Spark work), so
+    per-query numbers are comparable round-over-round. ~15 s session
+    startup per query — use for attribution, not for the driver's
+    wall-clock metric. An explicit name list shards the run."""
     import subprocess
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in (names or HEADLINE):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
             capture_output=True, text=True, env=os.environ,
@@ -279,6 +280,6 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         run_one(sys.argv[2], repeat=int(sys.argv[3]) if len(sys.argv) > 3 else 1)
     elif len(sys.argv) > 1 and sys.argv[1] == "--isolate":
-        run_isolated()
+        run_isolated(sys.argv[2:] or None)
     else:
         main()

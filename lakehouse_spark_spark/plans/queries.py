@@ -6399,6 +6399,69 @@ def levenshtein_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Entity resolution end-to-end (round 5): the classic ER chain —
+# blocking (lang, source) → pairwise matching (Levenshtein ≤ 10 on
+# normalized 40-char prefixes, the query above) → TRANSITIVE clustering
+# (connected components) → canonicalization (min doc_id per entity) —
+# with singletons kept as their own entity. The oracle recomputes the
+# closure with a recursive CTE, so cluster membership, size and the
+# canonical pick are all hash-checked. Scale shape: the quadratic term
+# stays per block, the closure is pointer jumping on pair edges
+# (O(E · log diameter) shuffles), and the per-entity size join is a
+# groupBy on the entity key.
+# ==========================================================================
+@register(
+    "entity_resolution_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, lang, source, substring({_NORM}, 1, 40) AS pfx
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= 10
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS entity_id FROM reach GROUP BY node),
+    sizes AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY entity_id)
+    SELECT c.doc_id, c.entity_id, s.cluster_size,
+           (c.doc_id = c.entity_id) AS is_canonical
+    FROM comp c JOIN sizes s USING (entity_id)
+    """,
+    doc="entity resolution: block -> Levenshtein match -> CC cluster -> canonical, singletons kept",
+)
+def entity_resolution_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.graph import (
+        components_with_singletons,
+        connected_components,
+    )
+
+    pairs = levenshtein_prefix_pairs_q(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    full = components_with_singletons(docs, comp, "doc_id").select(
+        "doc_id", F.col("component").alias("entity_id")
+    )
+    sizes = full.groupBy("entity_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return full.join(sizes, "entity_id").select(
+        "doc_id",
+        "entity_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("entity_id")).alias("is_canonical"),
+    )
+
+
+# ==========================================================================
 # Language-ID evaluation: confusion matrix + per-language precision and
 # recall of the marker-frequency heuristic against the stored ground
 # truth — the model-evaluation shape every classifier in the curation
