@@ -412,3 +412,201 @@ def semantic_contamination(
         F.sum((F.col("__sim") >= threshold).cast("long")).alias("n_eval_hits"),
         F.max((F.col("__sim") >= threshold).cast("int")).cast("boolean").alias("contaminated"),
     )
+
+
+# --- Product quantization (PQ): compressed vectors + ADC search -------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    max_train_rows: int = 50_000,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks for product quantization (Jégou
+    et al. 2011, "Product Quantization for Nearest Neighbor Search"):
+    the dim-sized vector splits into ``m`` contiguous subvectors, each
+    quantized against its own ``k`` centroids, so a vector stores as
+    ``m`` small codes (m bytes at k≤256) instead of 4·dim float bytes —
+    the RAM math that makes billion-vector ANN possible.
+
+    Training is DRIVER-SIDE numpy Lloyd iterations on a BOUNDED sample
+    (same discipline as :func:`train_ivf_centroids`): deterministic —
+    farthest-point (k-center) initialization from the first sample
+    subvector, a fixed ``iters`` Lloyd steps, no RNG anywhere — so
+    encode results are reproducible across runs and engines. Returns
+    ``m × k × (dim/m)`` plain floats (a few KB; broadcast it).
+    """
+    import numpy as np
+
+    sample = corpus.select(vec_col).limit(max_train_rows).toPandas()[vec_col]
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * d_sub : (j + 1) * d_sub]
+        uniq = np.unique(S, axis=0)
+        # deterministic farthest-point init: spreads centroids over the
+        # sample's extent (first-k-rows init collapses into one region
+        # and Lloyd cannot recover — measured recall@5 0.16 vs 0.5+)
+        picked = [0]
+        dmin = ((uniq - uniq[0]) ** 2).sum(axis=1)
+        while len(picked) < min(k, len(uniq)):
+            nxt = int(dmin.argmax())
+            picked.append(nxt)
+            dmin = np.minimum(dmin, ((uniq - uniq[nxt]) ** 2).sum(axis=1))
+        cents = uniq[picked].copy()
+        if len(cents) < k:  # degenerate corpora: pad by repeating
+            cents = np.vstack([cents] * ((k // max(len(cents), 1)) + 1))[:k]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = S[mask].mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """(id, codes array<int> of length m): nearest-centroid code per
+    subspace, computed in ONE vectorized Arrow batch pass (numpy einsum
+    over the batch — no per-row Python). This is the compressed corpus
+    you persist: m ints per vector instead of the float array."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d_sub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def codes(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * d_sub : (j + 1) * d_sub]
+            d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series([list(map(int, row)) for row in out])
+
+    return df.select(F.col(id_col), codes(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: for each query a
+    driver-built lookup table LUT[j][c] = ||q_j - centroid_jc||² (m·k
+    doubles, a few KB), and every corpus row scores as the pure-JVM sum
+    Σ_j LUT[j][codes[j]] — table lookups, no float vector in sight.
+
+    The queries (a small probe set by contract, like
+    ``cosine_topk``) are collected once; the per-query LUTs ship as ONE
+    literal array exploded in a Generate projection — no join of any
+    kind, the compressed corpus scans exactly once for all queries.
+    Returns (query_id, neighbor_id, adc_dist, rank≤k), deterministic
+    tie-break on neighbor id.
+    """
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, kk, d_sub = len(books), books[0].shape[0], books[0].shape[1]
+    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")).collect()
+    entries = []
+    for r in qrows:
+        qv = np.asarray(r["__qv"], dtype=np.float64)
+        lut = [
+            float(((qv[j * d_sub : (j + 1) * d_sub] - books[j][c]) ** 2).sum())
+            for j in range(m)
+            for c in range(kk)
+        ]
+        entries.append(F.struct(F.lit(int(r["query_id"])).alias("query_id"), F.array(*[F.lit(x) for x in lut]).alias("lut")))
+
+    q = F.explode(F.array(*entries)).alias("q")
+    scored = corpus_codes.select(F.col(id_col).alias("neighbor_id"), "codes").select(
+        "neighbor_id",
+        "codes",
+        q,
+    ).select(
+        F.col("q.query_id").alias("query_id"),
+        "neighbor_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, j: F.element_at(F.col("q.lut"), (j * kk + c + 1).cast("int")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("adc_dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_adc_topk_reranked(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The production PQ search shape: ADC over the COMPRESSED corpus
+    produces a per-query ``shortlist`` (cheap table-lookup scan), then
+    ONLY the shortlist rows re-attach their float vectors for an exact
+    re-rank — the same candidates-then-verify discipline as
+    ``embedding_neardup_lsh_verified``. Exact distances touch
+    |queries|·shortlist vectors regardless of corpus size; measured
+    recall@5 ≈0.8-0.9 on the clustered fixture vs ≈0.2 for raw ADC
+    order (tests/test_ivf_recall.py).
+
+    Returns (query_id, neighbor_id, sq_dist, rank≤k), exact distances,
+    deterministic tie-break.
+    """
+    sl = pq_adc_topk(corpus_codes, queries, id_col, vec_col, codebooks, k=shortlist)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    exact = (
+        sl.select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "__qv",
+                        "__cv",
+                        lambda a, b: (a.cast("double") - b.cast("double"))
+                        * (a.cast("double") - b.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

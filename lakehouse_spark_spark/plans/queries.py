@@ -1291,6 +1291,39 @@ def semantic_decontamination_flags_q(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# ==========================================================================
+# Product quantization ANN (operators/similarity.py PQ section; Jégou
+# 2011): the corpus compresses to m=8 codes/vector (8 bytes vs 256
+# float bytes at dim 64); the probe set scores the COMPRESSED corpus
+# via ADC lookup tables (pure-JVM table-lookup sums over a single
+# corpus scan, no join) into a shortlist, and only shortlist survivors
+# re-attach their float vectors for the exact re-rank — candidates-
+# then-verify, like the LSH near-dup path. rows-only: the codebooks
+# come from k-means (not SQL-expressible); tests/test_ivf_recall.py
+# asserts ADC==exact on reconstructible vectors and recall@5 ≥ 0.7
+# after re-rank on the clustered fixture.
+# ==========================================================================
+@register(
+    "embedding_pq_topk",
+    oracle=None,  # k-means codebooks: approximate by construction
+    doc="PQ ANN: m=8,k=16 codebooks, ADC shortlist-50 + exact re-rank top-5 for 10 probes",
+)
+def embedding_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.similarity import (
+        pq_adc_topk_reranked,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, "embedding", m=8, k=16)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk_reranked(
+        emb, codes, probes, "vec_id", "embedding", books, k=5, shortlist=50
+    ).select("query_id", "neighbor_id", "sq_dist", F.col("rank").cast("long").alias("rank"))
+
+
 @register(
     "embedding_ann_lsh",
     oracle=None,  # approximate by construction
