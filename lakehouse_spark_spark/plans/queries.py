@@ -6432,6 +6432,33 @@ def levenshtein_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Distributed BPE merge learning (operators/bpe.py; Sennrich 2016):
+# tokenizer TRAINING over the corpus — word-frequency vocab in one
+# scan, then per round a freq-weighted pair count (map-side
+# combinable), a TakeOrdered(1) argmax, and a lookaround-regex merge,
+# lineage truncated per round. rows-only: the merge recursion applies
+# data-dependent regex replaces no SQL engine expresses; instead the
+# merge SEQUENCE is asserted EQUAL to a pure-Python Sennrich reference
+# implementation in tests/test_bpe.py (the same twin-proof pattern as
+# the WordPiece tokenizer).
+# ==========================================================================
+@register(
+    "bpe_learned_merges",
+    oracle=None,  # iterative data-dependent regex merges; python-twin tested
+    doc="BPE tokenizer training: 12 merge rounds over the corpus vocab, Sennrich-faithful",
+)
+def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.bpe import learn_bpe, word_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(word_vocab(docs, "text"), n_merges=12)
+    return spark.createDataFrame(
+        [(i + 1, *m) for i, m in enumerate(merges)],
+        "merge_rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+# ==========================================================================
 # Entity resolution end-to-end (round 5): the classic ER chain —
 # blocking (lang, source) → pairwise matching (Levenshtein ≤ 10 on
 # normalized 40-char prefixes, the query above) → TRANSITIVE clustering
