@@ -70,10 +70,13 @@ HEADLINE = [
     "order_price_exact_percentiles",
     "gopher_quality_flags",
     # round 5: line rules + the composed end-to-end curation chain +
-    # real-pixel JPEG/PNG resize
+    # real-pixel JPEG/PNG resize + ER clustering + PQ ANN + BPE training
     "gopher_line_flags",
     "curation_v3_disposition",
     "multimodal_resize",
+    "entity_resolution_clusters",
+    "embedding_pq_topk",
+    "bpe_learned_merges",
 ]
 
 

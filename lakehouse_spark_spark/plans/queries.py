@@ -1383,9 +1383,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
       SELECT doc_id,
-             8 + length(text) % 89 AS w0,
-             8 + (7 * length(text)) % 89 AS h0
-      FROM documents WHERE doc_id % 5 = 0
+             8 + length(text) % 57 AS w0,
+             8 + (7 * length(text)) % 57 AS h0
+      FROM documents WHERE doc_id % 10 = 0
     )
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS codec,
@@ -1404,14 +1404,14 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images,
     )
 
-    docs = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
 
     def synth(batches):
         for pdf in batches:
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 n = len(text)
-                w, h = 8 + n % 89, 8 + (7 * n) % 89
+                w, h = 8 + n % 57, 8 + (7 * n) % 57
                 payloads.append(
                     make_jpeg_real(w, h) if int(doc_id) % 2 == 0 else make_png(w, h)
                 )
