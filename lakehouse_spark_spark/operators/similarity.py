@@ -610,3 +610,170 @@ def pq_adc_topk_reranked(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- IVF-PQ: coarse cells + residual product quantization -------------
+
+def train_ivfpq(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 50_000,
+    iters: int = 10,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the composed IVF-PQ index (the FAISS IVFPQ layout): a
+    k-means coarse quantizer assigns cells, and PQ codebooks quantize
+    the RESIDUAL (vector − its cell centroid) — residuals concentrate
+    near zero, so the same code budget buys far less distortion than
+    quantizing raw vectors. Returns (centroids, codebooks); both are
+    KB-sized driver tables that broadcast with the plan. Training reads
+    one bounded sample (numpy, deterministic — same contracts as
+    ``train_ivf_centroids`` / ``train_pq_codebooks``)."""
+    import numpy as np
+
+    cents = train_ivf_centroids(
+        corpus, vec_col, n_cells=n_cells, seed=seed, max_train_rows=max_train_rows
+    )
+    C = np.asarray(cents, dtype=np.float64)
+    sample = corpus.select(vec_col).limit(max_train_rows).toPandas()[vec_col]
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    resid = X - C[assign]
+    res_df = corpus.sparkSession.createDataFrame(
+        [(r.tolist(),) for r in resid], f"{vec_col} array<double>"
+    )
+    books = train_pq_codebooks(res_df, vec_col, m=m, k=k, max_train_rows=max_train_rows, iters=iters)
+    return cents, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, cell, codes): nearest coarse cell + PQ codes of the
+    residual, one vectorized Arrow pass. This is the persisted index:
+    1 int + m small codes per vector."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d_sub = books[0].shape[1]
+
+    @pandas_udf("struct<cell:int, codes:array<int>>")
+    def enc(vs: pd.Series) -> pd.DataFrame:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        R = X - C[assign]
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = R[:, j * d_sub : (j + 1) * d_sub]
+            d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": assign.astype(np.int32), "codes": [list(map(int, r)) for r in codes]}
+        )
+
+    return df.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("__e")
+    ).select(id_col, F.col("__e.cell").alias("cell"), F.col("__e.codes").alias("codes"))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ search: per query, the ``n_probe`` nearest cells are
+    probed with a PER-CELL ADC lookup table built from the query's
+    residual against that cell (driver-side, m·k doubles each); the
+    candidate scan is an EQUI-JOIN on the cell id against the broadcast
+    (query, cell, LUT) rows — only probed cells' codes are read — and
+    shortlist survivors re-attach float vectors for the exact re-rank.
+    The full composed 100 TB ANN shape: cell pruning bounds IO, codes
+    bound bandwidth, re-rank bounds accuracy loss.
+    Returns (query_id, neighbor_id, sq_dist, rank≤k)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, kk, d_sub = len(books), books[0].shape[0], books[0].shape[1]
+    spark = corpus.sparkSession
+
+    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["__qv"], dtype=np.float64)
+        cd = ((C - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(cd, kind="stable")[:n_probe]:
+            resid = qv - C[cell]
+            lut = [
+                float(((resid[j * d_sub : (j + 1) * d_sub] - books[j][c]) ** 2).sum())
+                for j in range(m)
+                for c in range(kk)
+            ]
+            probe_rows.append((int(r["query_id"]), int(cell), lut))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id BIGINT, cell INT, lut ARRAY<DOUBLE>"
+    )
+
+    cand = index.select(F.col(id_col).alias("neighbor_id"), "cell", "codes").join(
+        F.broadcast(probes), "cell"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, j: F.element_at(F.col("lut"), (j * kk + c + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adc_dist"),
+    )
+    w_sl = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    sl = scored.withColumn("__r", F.row_number().over(w_sl)).filter(F.col("__r") <= shortlist)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    exact = (
+        sl.select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "__qv",
+                        "__cv",
+                        lambda a, b: (a.cast("double") - b.cast("double"))
+                        * (a.cast("double") - b.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

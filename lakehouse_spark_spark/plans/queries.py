@@ -1324,6 +1324,36 @@ def embedding_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "sq_dist", F.col("rank").cast("long").alias("rank"))
 
 
+# ==========================================================================
+# Composed IVF-PQ index (operators/similarity.py; the FAISS IVFPQ
+# layout): k-means cells prune IO (only n_probe cells' codes are read —
+# a broadcast equi-join on the cell id), residual PQ codes bound
+# bandwidth (1 int + 8 bytes per vector), and the exact re-rank bounds
+# accuracy loss. rows-only (k-means); recall + exact-distance
+# assertions in tests/test_ivf_recall.py::TestIvfPq.
+# ==========================================================================
+@register(
+    "embedding_ivfpq_topk",
+    oracle=None,  # k-means cells + codebooks: approximate by construction
+    doc="IVF-PQ ANN: 16 cells, residual m=8,k=16 codes, 6-probe ADC shortlist + exact re-rank",
+)
+def embedding_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, books = train_ivfpq(emb, "embedding", n_cells=16, m=8, k=16)
+    index = ivfpq_encode(emb, "vec_id", "embedding", cents, books)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        emb, index, probes, "vec_id", "embedding", cents, books,
+        k=5, n_probe=6, shortlist=64,
+    ).select("query_id", "neighbor_id", "sq_dist", F.col("rank").cast("long").alias("rank"))
+
+
 @register(
     "embedding_ann_lsh",
     oracle=None,  # approximate by construction
