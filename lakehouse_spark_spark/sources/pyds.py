@@ -119,11 +119,57 @@ def register(spark) -> None:
 # (this is the whole API: initialOffset / latestOffset / partitions /
 # read / commit).
 
+# arrow primitive -> Spark DDL for the schema-inferred replay source;
+# anything absent is skipped (nested/list columns need a richer mapping
+# than the harness warrants)
+_ARROW_TO_DDL = {
+    "int64": "BIGINT",
+    "int32": "INT",
+    "int16": "SMALLINT",
+    "int8": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "STRING",
+    "large_string": "STRING",
+    "bool": "BOOLEAN",
+    "date32[day]": "DATE",
+    "timestamp[us]": "TIMESTAMP_NTZ",
+    "timestamp[ns]": "TIMESTAMP_NTZ",
+}
+
+
+def _replay_fields(path: str, columns: str | None) -> list[tuple[str, str]]:
+    """(name, ddl_type) for the replayed columns: the explicit
+    ``columns`` option if given, else every supported-type column of
+    the parquet schema in file order."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    by_name = {f.name: str(f.type) for f in schema}
+    if columns:
+        names = [c.strip() for c in columns.split(",") if c.strip()]
+        missing = [n for n in names if n not in by_name]
+        if missing:
+            raise ValueError(f"parquet_replay: columns not in file: {missing}")
+    else:
+        names = [f.name for f in schema if str(f.type) in _ARROW_TO_DDL]
+    out = []
+    for n in names:
+        t = by_name[n]
+        if t not in _ARROW_TO_DDL:
+            raise ValueError(f"parquet_replay: unsupported column type {n}: {t}")
+        out.append((n, _ARROW_TO_DDL[t]))
+    return out
+
+
 class _ParquetReplayReader(DataSourceStreamReader):
     def __init__(self, options):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("parquet_replay: 'path' option is required")
+        self._schema_fields = [
+            n for n, _ in _replay_fields(self._path, options.get("columns"))
+        ]
         self._batch = int(options.get("batch_rows", 1000))
         # optional pacing: cap how many rows each latestOffset() call
         # exposes, so a processingTime trigger replays the table across
@@ -174,24 +220,28 @@ class _ParquetReplayReader(DataSourceStreamReader):
             for row in sl.to_pylist():
                 yield tuple(row.get(f) for f in self._schema_fields)
 
-    _schema_fields = ["event_id", "user_id", "event_type", "value"]
-
     def commit(self, end):
         pass
 
 
 class ParquetReplayDataSource(DataSource):
     """``spark.readStream.format("parquet_replay").option("path", file)
-    .option("batch_rows", n)`` — replays (event_id, user_id,
-    event_type, value) from an events parquet file in deterministic
-    row-range micro-batches."""
+    .option("batch_rows", n)[.option("columns", "a,b")]`` — replays ANY
+    parquet table in deterministic row-range micro-batches. The schema
+    is INFERRED from the parquet footer (all supported-type columns in
+    file order, or the explicit ``columns`` subset) — so the same
+    harness streams events, documents, or any other fixture."""
 
     @classmethod
     def name(cls) -> str:
         return "parquet_replay"
 
     def schema(self) -> str:
-        return "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("parquet_replay: 'path' option is required")
+        fields = _replay_fields(path, self.options.get("columns"))
+        return ", ".join(f"{n} {t}" for n, t in fields)
 
     def streamReader(self, schema):  # noqa: ANN001
         return _ParquetReplayReader(self.options)

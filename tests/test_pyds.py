@@ -74,3 +74,127 @@ class TestParquetReplayStream:
             assert got.select("event_id").distinct().count() == got.count()
         finally:
             shutil.rmtree(ck, ignore_errors=True)
+
+
+class TestSchemaInferredReplay:
+    def test_documents_replay_matches_batch(self, spark):
+        """The replay source is schema-inferred from the parquet footer,
+        so it streams ANY fixture — here the documents table with an
+        explicit column subset."""
+        from lakehouse_spark_spark.sources import pyds
+
+        pyds.register_streaming(spark)
+        path = f"{SF_SMALL}/documents.parquet"
+        ck = tempfile.mkdtemp(prefix="replay_docs_ck_")
+        try:
+            stream = (
+                spark.readStream.format("parquet_replay")
+                .option("path", path)
+                .option("columns", "doc_id,text,lang,source")
+                .option("batch_rows", 200)
+                .load()
+            )
+            assert stream.columns == ["doc_id", "text", "lang", "source"]
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("replay_docs_t")
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = spark.table("replay_docs_t")
+            batch = spark.read.parquet(path)
+            assert got.count() == batch.count()
+            assert got.select(F.sum(F.length("text"))).collect() == batch.select(
+                F.sum(F.length("text"))
+            ).collect()
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+
+    def test_streaming_curation_gate_and_dedup_match_batch(self, spark):
+        """Streaming curation: the documents stream passes the Gopher
+        word gate and exact-dedups on the content hash with streaming
+        state (dropDuplicates), landing in a memory sink. The surviving
+        doc set must equal the batch gate + dedup-keep-first result —
+        the training-data pipeline's ingest path expressed as a
+        Structured Streaming query over the custom replay source."""
+        from lakehouse_spark_spark.operators.dedup import content_hash
+        from lakehouse_spark_spark.sources import pyds
+
+        pyds.register_streaming(spark)
+        path = f"{SF_SMALL}/documents.parquet"
+        ck = tempfile.mkdtemp(prefix="replay_cur_ck_")
+        try:
+            stream = (
+                spark.readStream.format("parquet_replay")
+                .option("path", path)
+                .option("columns", "doc_id,text")
+                .option("batch_rows", 128)
+                .load()
+            )
+            # gate + hash as pure projections on the stream (a
+            # stream-stream self-join of two projections is not
+            # allowed, so the gate predicate is built inline with the
+            # same integer-exact expressions gopher_quality_flags uses)
+            from pyspark.sql import functions as SF
+
+            from lakehouse_spark_spark.operators.text import (
+                GOPHER_STOPWORDS,
+                norm_text,
+                tokens,
+            )
+
+            s2 = stream.withColumn("h", content_hash("text"))
+
+            nrm = norm_text("text")
+            ws = tokens("text")
+            n = SF.size(ws).cast("long")
+            sum_len = (SF.length(nrm) - (n - SF.lit(1))).cast("long")
+            n_alpha = SF.size(SF.filter(ws, lambda w: w.rlike("[a-z]"))).cast("long")
+            hashes = SF.length(nrm) - SF.length(SF.replace(nrm, SF.lit("#"), SF.lit("")))
+            ellipses = (
+                (SF.length(nrm) - SF.length(SF.replace(nrm, SF.lit("..."), SF.lit("")))) / SF.lit(3)
+            ).cast("long")
+            stop_hits = SF.size(
+                SF.array_intersect(ws, SF.array(*[SF.lit(s) for s in GOPHER_STOPWORDS]))
+            ).cast("long")
+            keep = (
+                (n >= 20) & (n <= 1000)
+                & (SF.lit(3) * n <= sum_len) & (sum_len <= SF.lit(10) * n)
+                & (SF.lit(10) * (hashes + ellipses).cast("long") < n)
+                & (SF.lit(5) * n_alpha > SF.lit(4) * n)
+                & (stop_hits >= 1)
+            )
+            curated = (
+                s2.filter(keep)
+                .dropDuplicates(["h"])
+                .select("doc_id", "h")
+            )
+            q = (
+                curated.writeStream.format("memory")
+                .queryName("curated_stream_t")
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {r["doc_id"] for r in spark.table("curated_stream_t").collect()}
+
+            batch = spark.read.parquet(path).select("doc_id", "text")
+            from lakehouse_spark_spark.operators.text import gopher_quality_flags as gq
+
+            bf = gq(batch, "doc_id", "text", min_words=20, max_words=1000, stopword_min=1)
+            passed = batch.join(bf.filter("keep").select("doc_id"), "doc_id").withColumn(
+                "h", content_hash("text")
+            )
+            # batch equivalent of streaming keep-first: min doc_id per
+            # hash (replay order == doc_id order in the fixture)
+            keep_ids = passed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+            want = {r["doc_id"] for r in keep_ids.collect()}
+            assert got == want
+            assert len(got) > 0
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
