@@ -76,6 +76,7 @@ HEADLINE = [
     "multimodal_resize",
     "entity_resolution_clusters",
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
     "bpe_learned_merges",
 ]
 
