@@ -124,3 +124,47 @@ class TestCurationV3:
         mh = curation_v3(docs, neardup_backend="minhash").collect()
         key = lambda rows: sorted(map(tuple, rows))
         assert key(mh) == key(out)
+
+
+class TestCurationV3Properties:
+    def test_conservation_on_adversarial_corpora(self, spark):
+        """Conservation must hold for ANY input shape: duplicates,
+        empty-ish docs, unknown langs, blocklist hits, eval-slice ids —
+        every doc lands in exactly one disposition and token totals
+        reconcile."""
+        from lakehouse_spark_spark.operators.text import n_tokens
+        from lakehouse_spark_spark.plans.corpus import curation_v3
+
+        rows = [
+            (0, "en", "s1", "the quick brown fox " * 10),          # passes gates
+            (1, "en", "s1", "the quick brown fox " * 10),          # exact dup of 0
+            (2, "zh", "s1", "the word " * 15),                      # lang filtered
+            (3, "en", "s2", "gibberish " + "the word " * 15),       # blocked
+            (4, "en", "s2", "x"),                                   # too short
+            (97, "en", "s2", "the eval holdout doc words " * 8),    # eval slice id
+            (5, "en", "s3", "the eval holdout doc words " * 8),     # contaminated vs 97
+            (6, "en", "s3", "table " * 40),                         # bullet-line heavy
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+        out = curation_v3(df).collect()
+        assert sum(r["n_docs"] for r in out) == len(rows)
+        tok = df.select(F.sum(n_tokens("text").cast("long")).alias("t")).collect()[0]["t"]
+        assert sum(r["tokens_in"] for r in out) == tok
+        by = {r["disposition"]: r["n_docs"] for r in out}
+        assert by.get("exact_dup", 0) >= 1
+        assert by.get("lang_filtered", 0) >= 1
+        assert by.get("blocked", 0) >= 1
+        assert by.get("eval_holdout", 0) == 1
+        assert by.get("contaminated", 0) >= 1
+
+    def test_all_docs_fail_gates(self, spark):
+        """Degenerate corpus where nothing survives the gates: the
+        downstream stages (dedup, clusters, spans, budget) see empty
+        inputs and the chain must not crash or lose docs."""
+        from lakehouse_spark_spark.plans.corpus import curation_v3
+
+        rows = [(i, "zh", "s", "the word " * 15) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+        out = curation_v3(df).collect()
+        assert sum(r["n_docs"] for r in out) == 6
+        assert {r["disposition"] for r in out} == {"lang_filtered"}
