@@ -36,10 +36,16 @@ from lakehouse_spark_spark.operators.text import norm_text
 
 END_OF_WORD = "</w>"
 
-# internal joiners that cannot collide with symbol text (the normalized
-# corpus is whitespace-split, so no symbol contains whitespace or the
-# \x1f unit separator)
+# internal joiners that cannot collide with symbol text: norm_text only
+# collapses Java \s, so _bpe_norm additionally maps every C0 control
+# (including a literal \x1f in the corpus) to a space before spelling —
+# after that no symbol can contain whitespace or the \x1f unit separator
 _SEP = "\x1f"
+
+
+def _bpe_norm(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return norm_text(F.regexp_replace(c, r"[\x00-\x1F\x7F]", " "))
 
 
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
@@ -47,7 +53,7 @@ def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     as space-separated characters plus the end-of-word marker — the
     only state BPE training needs. One corpus scan, vocabulary-sized
     output."""
-    words = df.select(F.explode(F.split(norm_text(text_col), " ")).alias("w")).filter(
+    words = df.select(F.explode(F.split(_bpe_norm(text_col), " ")).alias("w")).filter(
         F.col("w") != ""
     )
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
@@ -114,7 +120,7 @@ def apply_bpe(df: DataFrame, text_col: str, merges: list[tuple[str, str, str, in
     compile this to a trie — operators/tokenizer.py's WordPiece path).
     Returns the input plus ``bpe_tokens array<string>``. Pure column
     expressions — scan speed, no shuffle."""
-    words = F.split(norm_text(text_col), " ")
+    words = F.split(_bpe_norm(text_col), " ")
     spell = F.transform(
         words,
         lambda w: F.concat(F.array_join(F.split(w, ""), " "), F.lit(" " + END_OF_WORD)),

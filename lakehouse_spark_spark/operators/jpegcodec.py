@@ -396,7 +396,18 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg_baseline(payload: bytes) -> np.ndarray | None:
     """Decode a baseline (SOF0, Huffman, 1x1-sampled) JPEG to uint8
     pixels: (H,W) for 1 component, (H,W,3) RGB for 3. Returns None for
-    anything outside the supported subset (caller falls back)."""
+    anything outside the supported subset (caller falls back).
+
+    Truncated or corrupt payloads also return None: one malformed JPEG
+    in a corpus must hit the fallback, not fail the whole Spark task
+    that ``resize_images`` runs it under."""
+    try:
+        return _decode_jpeg_baseline(payload)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _decode_jpeg_baseline(payload: bytes) -> np.ndarray | None:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     pos = 2

@@ -228,6 +228,12 @@ def rolling_union_from_tier(tier: DataFrame, preceding: int = 6) -> DataFrame:
 
     Returns (day_us, reach_7d, events_7d) for the default 7-day frame.
     """
+    if preceding < 1:
+        raise ValueError(
+            "preceding must be >= 1: sequence(__rn+1, __rn+0) would DESCEND "
+            "(Spark counts down when stop < start) and emit spurious halos; "
+            "a 1-row frame needs no halo machinery at all"
+        )
     from lakehouse_spark_spark.operators.distrank import with_global_prefix
 
     t, _ = with_global_prefix(tier, [F.col("bucket")])
