@@ -6419,27 +6419,95 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ==========================================================================
 # Edit-distance (fuzzy) near-dup: Levenshtein over a fixed normalized
-# prefix within (lang, source) blocks — the fuzzy-matching dedup family
-# (typo-level duplicates that shingling misses). Exact integer
-# distances, so fully oracle-hashable. Same ER-blocking treatment as
-# the TF-IDF pairs: the quadratic term is per block, never the corpus;
-# at 100 TB you'd block on a cheap canopy (simhash band, url domain)
-# and cap block size.
+# prefix, CANOPY-BLOCKED (round-7: closes the block-quadratic carried
+# from r5). Candidate pairs must share (lang, source) AND at least one
+# character 4-gram of the 40-char normalized prefix whose (lang,
+# source, gram) posting list is within _ER_BLOCK_CAP — the standard
+# n-gram canopy with a frequency cap (the same df-cap move as the
+# TF-IDF pair generator). Candidate count is bounded by
+# cap x Σ posting-list sizes = O(cap · 37 · n): LINEAR in the corpus,
+# never O(block²), even when one (lang, source) dominates — the
+# dominant block's hot grams blow past the cap and are skipped, while
+# genuine near-dup pairs still meet through any shared rare gram
+# (tools/er_stress.py demonstrates the sub-quadratic growth on a
+# one-dominant-block corpus). Exact integer distances + a deterministic
+# cap, so fully oracle-hashable: the oracle expresses the identical
+# canopy.
 # ==========================================================================
+_ER_BLOCK_CAP = 50  # max posting-list size per (lang, source, gram) block
+
+_ER_PAIRS_SQL = f"""
+    d AS (
+      SELECT doc_id, lang, source, substring({_NORM}, 1, 40) AS pfx
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id, lang, source, pfx,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(pfx) - 3, 1)),
+               i -> substring(pfx, i, 4)))) AS gram
+      FROM d
+    ),
+    ok AS (
+      SELECT lang, source, gram FROM gr
+      GROUP BY 1, 2, 3 HAVING COUNT(*) <= {_ER_BLOCK_CAP}
+    ),
+    grk AS (SELECT gr.* FROM gr JOIN ok USING (lang, source, gram)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.pfx AS pa, b.pfx AS pb
+      FROM grk a JOIN grk b
+        ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
+       AND a.doc_id < b.doc_id
+    )
+"""
+
+
+def _er_candidate_pairs(d: DataFrame, cap: int = _ER_BLOCK_CAP) -> DataFrame:
+    """Canopy-blocked ER candidate pairs over (doc_id, lang, source,
+    pfx): explode distinct prefix 4-grams (a too-short prefix is its
+    own single gram), drop (lang, source, gram) posting lists larger
+    than ``cap``, self-join the survivors per gram block, distinct the
+    (id_a < id_b) pairs. Every stage is a hash shuffle on slim rows;
+    the per-gram join fan-out is <= cap per posting, so candidates are
+    O(cap · grams-per-doc · n) — linear, at any block skew."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("pfx") - 3, F.lit(1))),
+            lambda i: F.substring(F.col("pfx"), i, F.lit(4)),
+        )
+    )
+    gr = d.select("doc_id", "lang", "source", "pfx", F.explode(grams).alias("gram"))
+    ok = (
+        gr.groupBy("lang", "source", "gram")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") <= cap)
+        .drop("__bs")
+    )
+    grk = gr.join(ok, ["lang", "source", "gram"])
+    a = grk.select(
+        F.col("doc_id").alias("id_a"), "lang", "source", "gram", F.col("pfx").alias("__pa")
+    )
+    b = grk.select(
+        F.col("doc_id").alias("id_b"), "lang", "source", "gram", F.col("pfx").alias("__pb")
+    )
+    return (
+        a.join(b, ["lang", "source", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__pa", "__pb")
+        .distinct()
+    )
+
+
 @register(
     "levenshtein_prefix_pairs",
     oracle=f"""
-    WITH d AS (
-      SELECT doc_id, lang, source, substring({_NORM}, 1, 40) AS pfx
-      FROM documents
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
-    FROM d a JOIN d b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.pfx, b.pfx) <= 10
+    WITH {_ER_PAIRS_SQL}
+    SELECT id_a, id_b, CAST(levenshtein(pa, pb) AS INTEGER) AS edit_dist
+    FROM pairs
+    WHERE levenshtein(pa, pb) <= 10
     """,
-    doc="fuzzy near-dup: Levenshtein <= 10 on 40-char normalized prefixes within (lang, source) blocks",
+    doc="fuzzy near-dup: Levenshtein <= 10 on 40-char normalized prefixes, 4-gram canopy blocking with a per-block cap",
 )
 def levenshtein_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.text import norm_text
@@ -6447,11 +6515,8 @@ def levenshtein_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", F.substring(norm_text("text"), 1, 40).alias("pfx")
     )
-    a = d.select(F.col("doc_id").alias("id_a"), "lang", "source", F.col("pfx").alias("__pa"))
-    b = d.select(F.col("doc_id").alias("id_b"), "lang", "source", F.col("pfx").alias("__pb"))
     return (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        _er_candidate_pairs(d)
         .select(
             "id_a",
             "id_b",
@@ -6495,27 +6560,20 @@ def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (connected components) → canonicalization (min doc_id per entity) —
 # with singletons kept as their own entity. The oracle recomputes the
 # closure with a recursive CTE, so cluster membership, size and the
-# canonical pick are all hash-checked. Scale shape: the quadratic term
-# stays per block, the closure is pointer jumping on pair edges
-# (O(E · log diameter) shuffles), and the per-entity size join is a
-# groupBy on the entity key.
+# canonical pick are all hash-checked. Scale shape: the match term is
+# the canopy-blocked candidate generator above (linear, capped), the
+# closure is pointer jumping on pair edges (O(E · log diameter)
+# shuffles), and the per-entity size join is a groupBy on the entity
+# key.
 # ==========================================================================
 @register(
     "entity_resolution_clusters",
     oracle=f"""
     WITH RECURSIVE
-    d AS (
-      SELECT doc_id, lang, source, substring({_NORM}, 1, 40) AS pfx
-      FROM documents
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM d a JOIN d b
-        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.pfx, b.pfx) <= 10
-    ),
-    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs),
+    {_ER_PAIRS_SQL},
+    mpairs AS (SELECT id_a, id_b FROM pairs WHERE levenshtein(pa, pb) <= 10),
+    edges AS (SELECT id_a AS u, id_b AS v FROM mpairs
+              UNION ALL SELECT id_b, id_a FROM mpairs),
     reach(node, r) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
