@@ -32,20 +32,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lakehouse_spark_spark.operators.text import norm_text
+from lakehouse_spark_spark.operators.text import control_safe_norm
 
 END_OF_WORD = "</w>"
 
 # internal joiners that cannot collide with symbol text: norm_text only
-# collapses Java \s, so _bpe_norm additionally maps every C0 control
-# (including a literal \x1f in the corpus) to a space before spelling —
-# after that no symbol can contain whitespace or the \x1f unit separator
+# collapses Java \s, so BPE normalizes through text.control_safe_norm,
+# which additionally maps every C0 control (including a literal \x1f in
+# the corpus) to a space before spelling — after that no symbol can
+# contain whitespace or the \x1f unit separator. This intentionally
+# diverges from the norm_text the rest of the engine uses; both helpers
+# document it, and merge lists learned before the r6 normalization
+# change must be retrained.
 _SEP = "\x1f"
 
-
-def _bpe_norm(col):
-    c = F.col(col) if isinstance(col, str) else col
-    return norm_text(F.regexp_replace(c, r"[\x00-\x1F\x7F]", " "))
+_bpe_norm = control_safe_norm
 
 
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:

@@ -403,7 +403,7 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray | None:
     that ``resize_images`` runs it under."""
     try:
         return _decode_jpeg_baseline(payload)
-    except (struct.error, IndexError, ValueError):
+    except (struct.error, IndexError, ValueError, MemoryError):
         return None
 
 
@@ -472,8 +472,20 @@ def _decode_jpeg_baseline(payload: bytes) -> np.ndarray | None:
     scan_comps, entropy = scan
     if len(scan_comps) != len(comps):
         return None
+    # Corrupt/crafted SOF0 guard: a ~200-byte payload can DECLARE up to
+    # 65535x65535 (4.3 Gpx -> 67M blocks), which would allocate ~34 GB
+    # of planes and spin the pure-Python entropy loop for hours inside
+    # a Spark task. (a) hard pixel cap; (b) every (block, component)
+    # unit consumes >= 2 Huffman bits (two 1-bit codes minimum), so the
+    # declared block count must fit the entropy bytes actually present —
+    # without this, _BitReader's 1-padding past end-of-data lets a tiny
+    # payload "decode" millions of blocks from no real bits.
+    if h * w > 64_000_000:
+        return None
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
     n_blocks = bh * bw_
+    if n_blocks * len(comps) > max(len(entropy), 1) * 4:
+        return None
     br = _BitReader(entropy)
     zz_rows = [zz[0] for zz in _ZIGZAG]
     zz_cols = [zz[1] for zz in _ZIGZAG]
@@ -488,10 +500,12 @@ def _decode_jpeg_baseline(payload: bytes) -> np.ndarray | None:
             if dct is None or act is None or q is None:
                 return None
             s = _decode_huffman_symbol(br, dct)
-            if s is None:
+            if s is None or s > 11:  # baseline DC categories are 0..11
                 return None
             diff = _extend(br.read_bits(s), s) if s else 0
             prev_dc[ci] += diff
+            if not -(1 << 31) < prev_dc[ci] < (1 << 31):
+                return None  # DC walked off int32: corrupt stream
             seq = np.zeros(64, dtype=np.int32)
             seq[0] = prev_dc[ci]
             k = 1
@@ -506,7 +520,7 @@ def _decode_jpeg_baseline(payload: bytes) -> np.ndarray | None:
                     continue
                 run, size = sym >> 4, sym & 0x0F
                 k += run
-                if k >= 64 or size == 0:
+                if k >= 64 or size == 0 or size > 10:  # baseline AC sizes are 1..10
                     return None
                 seq[k] = _extend(br.read_bits(size), size)
                 k += 1

@@ -33,9 +33,27 @@ PUNCT_PATTERN = r"[^\w\s]"
 
 def norm_text(col: Column | str) -> Column:
     """Lowercase + whitespace-collapse normalization shared by dedup,
-    fingerprinting and shingling."""
+    fingerprinting and shingling. NOTE: C0 controls (\\x00-\\x1f, \\x7f)
+    that are not Java ``\\s`` survive IN-WORD here; operators whose
+    internal encoding reserves such bytes (BPE uses \\x1f as its pair
+    separator) must use :func:`control_safe_norm` instead — an
+    INTENTIONAL divergence: word counts/vocab over a control-bearing
+    corpus differ between the two normalizations."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def control_safe_norm(col: Column | str) -> Column:
+    """norm_text with every C0 control byte (\\x00-\\x1f, \\x7f) mapped
+    to a space FIRST, so controls become token boundaries and no token
+    can ever contain \\x1f (the BPE pair-separator invariant; see
+    operators/bpe.py). Any operator that reserves control bytes for
+    internal encodings should normalize through THIS helper. Merge
+    lists learned before round 6 (pre-control-stripping) whose symbols
+    contain control characters cannot match under this normalization —
+    retrain them."""
+    c = F.col(col) if isinstance(col, str) else col
+    return norm_text(F.regexp_replace(c, r"[\x00-\x1F\x7F]", " "))
 
 
 def tokens(col: Column | str) -> Column:

@@ -110,3 +110,42 @@ def test_corpus_scale_learning(spark):
     for left, right, merged, n in merges:
         assert merged == left + right and n > 0
     assert len({m[2] for m in merges}) == 8  # distinct merged symbols
+
+
+def test_control_chars_are_word_boundaries(spark):
+    """Round-7 pin of the r6 \\x1f fix: a corpus containing literal C0
+    controls (including \\x1f, BPE's internal pair separator) learns
+    and segments EXACTLY like the same corpus with controls replaced by
+    spaces (the Sennrich twin on the space-normalized text), and no
+    learned symbol ever contains a control byte. Reverting the
+    control_safe_norm normalization breaks this (\\x1f would collide
+    with the separator and corrupt pair counting)."""
+    from lakehouse_spark_spark.operators.bpe import apply_bpe, learn_bpe, word_vocab
+
+    dirty = [
+        "low\x1flow low\x00low low",
+        "lower\x1f\x1flower newest\tnewest",
+        "newest newest\x1fnewest newest",
+        "widest\x07widest widest",
+    ]
+    clean = [re.sub(r"[\x00-\x1f\x7f]", " ", t) for t in dirty]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(dirty)], "doc_id long, text string")
+    got = learn_bpe(word_vocab(df, "text"), n_merges=8)
+    want = _py_learn([w for t in clean for w in t.split()], 8)
+    assert got == want, (got, want)
+    assert all("\x1f" not in sym for m in got for sym in m[:3])
+
+    out = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(df, "text", got).collect()}
+
+    def py_segment(text: str) -> list[str]:
+        toks = []
+        for w in text.split():
+            s = " ".join(list(w) + ["</w>"])
+            for left, right, merged, _n in got:
+                pat = re.compile(r"(?<!\S)" + re.escape(left + " " + right) + r"(?!\S)")
+                s = pat.sub(merged, s)
+            toks.extend(s.split(" "))
+        return toks
+
+    for i, t in enumerate(clean):
+        assert out[i] == py_segment(t), (i, out[i], py_segment(t))

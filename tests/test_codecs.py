@@ -266,3 +266,94 @@ def test_jpeg_roundtrip_property(h, w, seed, quality):
     else:
         assert err <= 255  # shape/stream validity is the property here
         assert np.abs(out.astype(float) - img.astype(float)).mean() <= 128
+
+
+# --- round-7 pinning: corrupt/crafted payloads never escape the codec --
+
+
+def test_jpeg_truncated_sof0_repro_returns_none():
+    """The r6 ADVICE repro: SOF0 segment truncated mid-header. Pins the
+    try/except fallback added in r6 (a revert raises struct.error)."""
+    from lakehouse_spark_spark.operators.jpegcodec import decode_jpeg_baseline
+
+    assert decode_jpeg_baseline(b"\xff\xd8\xff\xc0\x00\x08\x08\x00") is None
+
+
+def _patch_sof0_dims(payload: bytes, h: int, w: int) -> bytes:
+    """Rewrite the declared SOF0 height/width of a real JPEG stream."""
+    i = payload.index(b"\xff\xc0")
+    # marker(2) + seglen(2) + precision(1) => dims at i+5
+    import struct as _s
+
+    return payload[: i + 5] + _s.pack(">HH", h, w) + payload[i + 9 :]
+
+
+def test_jpeg_crafted_huge_sof0_refused_fast():
+    """A crafted SOF0 declaring up to 65535x65535 must be REFUSED before
+    allocating planes or entering the entropy loop (r7 guard): ~34 GB
+    of np.zeros and a 67M-block pure-Python spin otherwise."""
+    import time
+
+    from lakehouse_spark_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    real = encode_jpeg_baseline(np.full((8, 8), 128, dtype=np.uint8))
+    t0 = time.perf_counter()
+    # max declared dims -> pixel cap
+    assert decode_jpeg_baseline(_patch_sof0_dims(real, 65535, 65535)) is None
+    # below the pixel cap but far beyond what the entropy bytes can
+    # encode (>= 2 Huffman bits per block) -> entropy-budget cap
+    assert decode_jpeg_baseline(_patch_sof0_dims(real, 4000, 4000)) is None
+    assert time.perf_counter() - t0 < 2.0, "oversized frames must be rejected pre-decode"
+
+
+def test_jpeg_corrupt_fuzz_never_raises():
+    """200 deterministic corruptions (byte flips, truncations, random
+    tails) of real streams: decode returns an array or None, never
+    raises — one bad payload must not kill a Spark task."""
+    import random
+
+    from lakehouse_spark_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = random.Random(7)
+    base = encode_jpeg_baseline(
+        (np.arange(256, dtype=np.uint8).reshape(16, 16)), quality=90
+    )
+    for k in range(200):
+        b = bytearray(base)
+        mode = k % 3
+        if mode == 0:  # flip a few bytes
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            p = bytes(b)
+        elif mode == 1:  # truncate anywhere (header or entropy)
+            p = bytes(b[: rng.randrange(2, len(b))])
+        else:  # JPEG magic + random tail
+            p = b"\xff\xd8" + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        out = decode_jpeg_baseline(p)
+        assert out is None or isinstance(out, np.ndarray)
+
+
+def test_resize_task_survives_corrupt_payloads(spark):
+    """The resize_images task path (mapInPandas) over a batch mixing a
+    valid JPEG with corrupt/crafted ones: every row comes back (the
+    fallbacks engage), the Spark task never fails."""
+    from lakehouse_spark_spark.operators.jpegcodec import encode_jpeg_baseline
+    from lakehouse_spark_spark.operators.multimodal import resize_images
+
+    real = encode_jpeg_baseline(np.full((32, 32), 99, dtype=np.uint8))
+    rows = [
+        (1, bytearray(real)),
+        (2, bytearray(b"\xff\xd8\xff\xc0\x00\x08\x08\x00")),
+        (3, bytearray(_patch_sof0_dims(real, 65535, 65535))),
+        (4, bytearray(b"\xff\xd8" + bytes(range(48)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in resize_images(df, max_side=16).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(out[i]["width"] >= 1 and out[i]["height"] >= 1 for i in out)

@@ -258,3 +258,17 @@ def test_rolling_union_halo_sparse_years(spark):
     }
     assert got == want
     assert len(got) == len(days)
+
+
+def test_rolling_union_rejects_preceding_below_one(spark):
+    """Round-7 pin of the r6 guard: preceding=0 would make the halo
+    fan-out sequence DESCEND (Spark counts down when stop < start) and
+    emit spurious halo rows — the guard must raise before any plan is
+    built."""
+    import pytest
+
+    from lakehouse_spark_spark.operators.sketches import rolling_union_from_tier
+
+    tier = spark.range(1).select(F.col("id").alias("bucket"))
+    with pytest.raises(ValueError, match="preceding"):
+        rolling_union_from_tier(tier, preceding=0)
