@@ -2421,41 +2421,43 @@ def segment_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "user_interarrival_stats",
-    oracle=None,  # grouped-map pandas (numpy percentiles) — no SQL twin
-    doc="applyInPandas grouped map: per-user inter-arrival gap percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap_us
+      FROM events
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS p50_gap_us,
+           quantile_cont(gap_us, 0.9) AS p90_gap_us,
+           quantile_cont(gap_us, 0.99) AS p99_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="per-user inter-arrival gap percentiles: built-in exact percentile over lag gaps",
 )
 def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The grouped-map form of the Pandas API (one pandas DataFrame per
-    group in, one out) — numpy per-group math that has no tidy
-    column-expression equivalent. Shuffle on the group key, Arrow both
-    ways; per-group data must fit a worker (true here: events per user
-    are bounded)."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("n_gaps", T.LongType()),
-            T.StructField("p50_gap_s", T.DoubleType()),
-            T.StructField("p95_gap_s", T.DoubleType()),
-        ]
-    )
-
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        gaps = pdf.sort_values("ts_us")["ts_us"].diff().dropna() / 1e6
-        if len(gaps) == 0:
-            return pd.DataFrame([[int(pdf["user_id"].iloc[0]), 0, float("nan"), float("nan")]], columns=[f.name for f in schema.fields])
-        return pd.DataFrame(
-            [[int(pdf["user_id"].iloc[0]), len(gaps), round(float(np.percentile(gaps, 50)), 3), round(float(np.percentile(gaps, 95)), 3)]],
-            columns=[f.name for f in schema.fields],
-        )
-
+    """Round-7 rewrite (r5/r6 verdict ask): this was an applyInPandas
+    grouped map with numpy percentiles — but per-user gap percentiles
+    ARE column-expressible, and the built-in form keeps Catalyst,
+    partial aggregation and codegen, and earns a DuckDB oracle. Gaps
+    stay INTEGER microseconds end-to-end; both engines interpolate the
+    exact percentile with the same (n-1)·q linear rule over identical
+    integer inputs, so the doubles hash-match bit-for-bit (verified at
+    both SFs). Gap multiset per user is sort-by-value diffs — tie order
+    cannot change it, so the lag window is deterministic."""
     ev = _t(spark, sf_dir, "events").select("user_id", F.unix_micros("ts").alias("ts_us"))
-    return ev.groupBy("user_id").applyInPandas(stats, schema)
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gaps = ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.percentile("gap_us", F.lit(0.5)).alias("p50_gap_us"),
+        F.percentile("gap_us", F.lit(0.9)).alias("p90_gap_us"),
+        F.percentile("gap_us", F.lit(0.99)).alias("p99_gap_us"),
+    )
 
 
 # ==========================================================================
@@ -2545,7 +2547,24 @@ def training_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_sentences_udtf",
-    oracle=None,  # Python UDTF — no SQL twin
+    # round 7: the Spark side STAYS a UDTF (the API being demonstrated
+    # is the data-dependent fan-out), but the crude [.!?]+ sentence
+    # split is SQL-expressible, so the result now carries a full oracle
+    # — the zipped double-unnest emits (sentence, 0-based idx) over the
+    # stripped non-empty segments exactly like SplitSentences.eval.
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_split_to_array(text, '[.!?]+'),
+                              x -> regexp_replace(regexp_replace(x, '^\s+', ''), '\s+$', '')),
+               x -> x <> '') AS sents
+      FROM documents
+    )
+    SELECT doc_id, unnest(sents) AS sentence,
+           CAST(unnest(generate_series(0, len(sents) - 1)) AS INTEGER) AS sentence_idx
+    FROM p
+    """,
     doc="UDTF lateral join: text → one row per sentence (data-dependent fan-out)",
 )
 def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
