@@ -503,8 +503,78 @@ _GATE_ROTATION_R5 = [
 ]
 
 
+# Round-7 rotation (r6 verdict ask #2): retire the ENTIRE verification
+# debt. r01∪…∪r06 gate keys cover 154 distinct queries; the 35 never
+# gated all fit in the 50-query window at once — 24 oracle-bearing
+# (full hash check, including entity_resolution_clusters post-canopy
+# and the two queries that gained oracles this round) front-loaded,
+# then the 11 rows-only-by-design entries (driver records the weaker
+# rows-only check; each has a twin/property test). The remaining 15
+# slots re-gate queries whose code changed since they were last gated
+# (ER canopy blocking → levenshtein_prefix_pairs; jpegcodec hardening →
+# multimodal_resize; sketches guard → weekly_retention_sketch /
+# top_event_types_approx) plus the headline composition chain and
+# LLM-data operators. After r7, every registry query has appeared in a
+# driver CORRECTNESS artifact at least once.
+_GATE_ROTATION_R7 = [
+    # -- never-gated, oracle-bearing (24) --
+    "entity_resolution_clusters",
+    "user_interarrival_stats",
+    "doc_sentences_udtf",
+    "documents_jsonl_roundtrip",
+    "active_buyers_intersect",
+    "silent_users_except",
+    "nullsafe_value_match",
+    "order_priority_check",
+    "shipmode_priority_counts",
+    "promo_revenue_share",
+    "customer_first_last_order",
+    "large_volume_customers",
+    "top_supplier_by_revenue",
+    "daily_rollup_from_hourly",
+    "top_bigrams",
+    "customer_order_histogram",
+    "disjunctive_promo_revenue",
+    "wealthy_inactive_customers",
+    "shipping_priority",
+    "returned_item_customers",
+    "waiting_suppliers",
+    "min_cost_supplier",
+    "supplier_part_counts",
+    "promotion_suppliers",
+    # -- never-gated, rows-only by design (11) --
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "segment_price_percentiles_approx",
+    "user_reach_sketch_rollup",
+    "wordpiece_token_stats",
+    "rolling_7d_reach_sketch",
+    "semantic_dedup_kept",
+    "sequence_packing_bfd",
+    "bpe_learned_merges",
+    # -- re-gate: code changed since last gated, or headline (15) --
+    "levenshtein_prefix_pairs",
+    "multimodal_resize",
+    "weekly_retention_sketch",
+    "top_event_types_approx",
+    "curation_v3_disposition",
+    "gopher_line_flags",
+    "supplier_pagerank",
+    "exact_dedup_documents",
+    "ngram_jaccard_capped",
+    "decontaminated_corpus",
+    "embedding_topk_cosine",
+    "bm25_doc_search",
+    "doc_perplexity_buckets",
+    "duplicated_span_stats",
+    "training_corpus_report",
+]
+
+
 def _ordered_names() -> list[str]:
-    rot = [n for n in _GATE_ROTATION_R5 if n in _REGISTRY]
+    rot = [n for n in _GATE_ROTATION_R7 if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(rot)]
     return rot + rest
 
