@@ -138,6 +138,8 @@ def curation_v3(
     decon_n: int = 4,
     eval_mod: int = 97,
     seq_len: int = 256,
+    pin: str = "local",
+    pin_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end pretraining curation (round-4 verdict ask #6): the
     FULL chain as one composed plan, every input doc landing in exactly
@@ -164,7 +166,25 @@ def curation_v3(
     equi-join pairs + pointer-jumping CC, broadcast eval shingles,
     per-source partitioned windows for the budget. No unpartitioned
     window, no cartesian join, one pass over the text per stage.
+
+    ``pin`` selects how the three reused stage frames (gate flags,
+    exact-dedup survivors, span-trimmed survivors) are materialized:
+
+    - ``"local"`` (default): ``localCheckpoint(eager=False)`` — blocks
+      cached on executor local storage. Fast, but NOT reliable: losing
+      an executor loses its blocks and the lineage was truncated, so
+      the job fails rather than recomputes. Right for local/interactive
+      runs and the bench.
+    - ``"parquet"``: each frame is written once to ``pin_dir`` (any
+      Spark-writable URI — on a cluster, point it at HDFS/S3) and read
+      back, the classic reliable stage boundary: executor loss just
+      re-reads the file split, and the downstream plan starts from a
+      clean columnar scan with pushdown. This is the 1000-executor
+      setting; both modes produce hash-identical dispositions
+      (tests/test_curation_v3.py pins the equivalence).
     """
+    import tempfile
+
     from pyspark.sql import Window
 
     from lakehouse_spark_spark.operators.contamination import contamination_hits
@@ -175,6 +195,18 @@ def curation_v3(
         gopher_line_flags,
         gopher_quality_flags,
     )
+
+    if pin not in ("local", "parquet"):
+        raise ValueError(f"pin must be 'local' or 'parquet', got {pin!r}")
+    if pin == "parquet" and pin_dir is None:
+        pin_dir = tempfile.mkdtemp(prefix="curation_pin_")
+
+    def _pin(df: DataFrame, name: str) -> DataFrame:
+        if pin == "parquet":
+            path = f"{pin_dir}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        return df.localCheckpoint(eager=False)
 
     base = docs.select("doc_id", "lang", "source", "text")
 
@@ -201,12 +233,12 @@ def curation_v3(
     # downstream branch re-executes the three gate joins from the scan.
     # Same stage-boundary persist the CLI pipeline does with parquet;
     # the frame is one slim row per doc.
-    flags = (
+    flags = _pin(
         base.join(word, "doc_id")
         .join(line, "doc_id")
         .join(blk, "doc_id")
-        .withColumn("lang_ok", F.col("lang").isin(*allowed_langs))
-        .localCheckpoint(eager=False)
+        .withColumn("lang_ok", F.col("lang").isin(*allowed_langs)),
+        "flags",
     )
     gate_ok = F.col("word_ok") & F.col("line_ok") & F.col("lang_ok") & ~F.col("blocked")
     s1 = flags.filter(gate_ok).select("doc_id", "source", "text", "n_tokens")
@@ -216,14 +248,14 @@ def curation_v3(
     keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     # pinned: consumed by the pair generator (twice, via the shingle
     # self-join), the span universe, and the disposition marker.
-    s2 = (
+    s2 = _pin(
         hashed.alias("d")
         .join(
             keepers,
             (F.col("d.h") == keepers["h"]) & (F.col("d.doc_id") == keepers["keep_id"]),
         )
-        .select("d.doc_id", "d.source", "d.text", "d.n_tokens")
-        .localCheckpoint(eager=False)
+        .select("d.doc_id", "d.source", "d.text", "d.n_tokens"),
+        "s2_exact_survivors",
     )
 
     # --- stage 6: near-dup clusters among exact survivors; one
@@ -258,13 +290,13 @@ def curation_v3(
     )
     # pinned: consumed by contamination, the budget window, and the
     # final kept_tokens join.
-    s3t = (
+    s3t = _pin(
         s3.join(spans, "doc_id", "left")
         .withColumn(
             "kept_tokens",
             (F.col("n_tokens") - F.coalesce(F.col("dup_tokens"), F.lit(0))).cast("long"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        "s3_span_trimmed",
     )
 
     # --- stage 8: eval holdout + n-gram decontamination. The eval set
