@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -226,8 +227,14 @@ def main() -> None:
             w = _timed_run(reg[name], spark)
             warms.append(round(w["build_sec"] + w["exec_sec"], 3))
         timings[name] = round(first["build_sec"] + first["exec_sec"], 3)
-        detail[name] = {**first, "warm_secs": warms}
+        # warm median: the round-over-round regression basis (SCALE.md
+        # "Round-7 clean-machine A/B") — first-run totals fold in cold
+        # codegen + whatever else the machine is doing; warm reps are
+        # the steady state.
+        warm_median = round(statistics.median(warms), 3)
+        detail[name] = {**first, "warm_secs": warms, "warm_median_sec": warm_median}
     total = round(sum(timings.values()), 3)
+    warm_median_total = round(sum(d["warm_median_sec"] for d in detail.values()), 3)
     wall_with_warm = round(time.perf_counter() - t_all, 3)
 
     # Apples-to-apples with the reference's ONLY published number: its
@@ -269,6 +276,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_detail": detail,
+                # round-over-round regression basis (SCALE.md "Round-7
+                # clean-machine A/B"): sum of per-query warm medians —
+                # load- and cold-codegen-insensitive, unlike `value`.
+                "warm_median_total_sec": warm_median_total,
                 "wall_sec_including_warm_reps": wall_with_warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # same workload as the reference's 37.8s run log
