@@ -176,6 +176,21 @@ class _ParquetReplayReader(DataSourceStreamReader):
         # MANY micro-batches instead of one. Default (0) exposes the
         # whole table at once — one micro-batch of many row-range
         # partitions, which is what availableNow drains anyway.
+        #
+        # Restart contract: the UNPACED default is exactly-once under
+        # checkpoint restart — offsets are pure row positions over an
+        # immutable file and latestOffset() is stateless. The PACED
+        # mode keeps its cursor in memory, so a restarted reader starts
+        # at 0; partitions() re-syncs the cursor to every (start, end)
+        # range the engine plans, which covers the normal recovery path
+        # (the engine replays the last WAL-planned batch before asking
+        # for a new latestOffset). The one remaining hole: a restart
+        # where the final pre-crash batch was fully committed — the
+        # engine then asks latestOffset() FIRST, the fresh cursor
+        # under-reports, and one empty backward batch is logged before
+        # partitions() re-syncs; rows in the gap would be re-exposed
+        # (at-least-once). Pacing is a test-harness knob — production
+        # sources derive latestOffset from upstream state, not memory.
         self._per_trigger = int(options.get("rows_per_trigger", 0))
         import pyarrow.parquet as pq
 
@@ -193,6 +208,12 @@ class _ParquetReplayReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         s, e = start["row"], end["row"]
+        # re-sync the pacing cursor to whatever range the engine plans:
+        # on checkpoint restart the engine replays the last WAL batch
+        # through here before the next latestOffset(), so the fresh
+        # reader's cursor jumps forward to the replayed high-water mark
+        # instead of re-exposing rows from 0 (see __init__ contract).
+        self._exposed = max(self._exposed, s, e)
         return [
             InputPartition((lo, min(lo + self._batch, e)))
             for lo in range(s, e, self._batch)

@@ -198,3 +198,87 @@ class TestSchemaInferredReplay:
             assert len(got) > 0
         finally:
             shutil.rmtree(ck, ignore_errors=True)
+
+    def test_paced_replay_multi_batch_equivalence(self, spark):
+        """rows_per_trigger pacing (round-6 verdict ask #7): the same
+        table replayed across MANY micro-batches must land the identical
+        final output as the single-batch drain — streaming correctness
+        must not depend on batch boundaries. Asserts the run really was
+        multi-batch (>1 input batches; 500 rows / 120 per trigger = 5)."""
+        import time
+
+        from lakehouse_spark_spark.sources import pyds
+
+        pyds.register_streaming(spark)
+        path = f"{SF_SMALL}/documents.parquet"
+        ck = tempfile.mkdtemp(prefix="replay_paced_ck_")
+        try:
+            stream = (
+                spark.readStream.format("parquet_replay")
+                .option("path", path)
+                .option("columns", "doc_id,text")
+                .option("batch_rows", 64)
+                .option("rows_per_trigger", 120)
+                .load()
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("replay_paced_t")
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            batch = spark.read.parquet(path).select("doc_id", "text")
+            want_n = batch.count()
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.table("replay_paced_t").count() >= want_n:
+                    break
+                time.sleep(0.5)
+            q.stop()
+            got = spark.table("replay_paced_t")
+            assert got.count() == want_n
+            # identical content, not just cardinality
+            assert got.select(
+                F.sum("doc_id"), F.sum(F.length("text"))
+            ).collect() == batch.select(
+                F.sum("doc_id"), F.sum(F.length("text"))
+            ).collect()
+            input_batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            assert len(input_batches) > 1, [
+                p["numInputRows"] for p in q.recentProgress
+            ]
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+
+    def test_paced_reader_restart_resyncs_cursor(self):
+        """Restart-offset contract (sources/pyds.py pacing comment): a
+        fresh reader starts with cursor 0, but replaying the last
+        WAL-planned batch through partitions() must jump the cursor to
+        the replayed high-water mark so the next latestOffset() paces
+        FORWARD from the checkpoint instead of re-exposing rows from 0.
+        Pure reader-API test — no engine involved."""
+        from lakehouse_spark_spark.sources.pyds import _ParquetReplayReader
+
+        path = f"{SF_SMALL}/documents.parquet"
+        opts = {"path": path, "columns": "doc_id", "rows_per_trigger": "120"}
+
+        r1 = _ParquetReplayReader(opts)
+        assert r1.initialOffset() == {"row": 0}
+        assert r1.latestOffset() == {"row": 120}
+        assert r1.latestOffset() == {"row": 240}
+
+        # crash: engine restarts with a fresh reader, WAL says the last
+        # planned batch was [120, 240)
+        r2 = _ParquetReplayReader(opts)
+        parts = r2.partitions({"row": 120}, {"row": 240})
+        assert sum(e - s for (s, e) in (p.value for p in parts)) == 120
+        # cursor re-synced: next trigger continues past the checkpoint
+        assert r2.latestOffset() == {"row": 360}
+        assert r2.latestOffset() == {"row": 480}
+        # and is clamped at the table end
+        assert r2.latestOffset() == {"row": 500}
+        assert r2.latestOffset() == {"row": 500}
