@@ -7493,3 +7493,55 @@ def price_qty_histogram2d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
     )
+
+
+# ==========================================================================
+# Distributed triangle counting over the similarity graph (round 7):
+# the classic graph primitive for near-dup cluster DENSITY — a cluster
+# whose members are pairwise-similar (many triangles) is a true
+# duplicate group; a chain of borderline matches (few triangles) is
+# transitive-closure bleed. Nodes are documents, edges the canopy-
+# blocked Levenshtein matches above. The Spark side runs the
+# degree-ordered orientation algorithm (each edge points from its
+# (degree, id)-smaller endpoint to the larger; every triangle is then
+# found EXACTLY once as a wedge at its order-smallest vertex closed by
+# one oriented edge): out-degree is bounded by O(sqrt(2m)), so the
+# wedge self-join is O(m^1.5) worst-case — the scalable shape at any
+# skew, vs the naive per-vertex join that explodes on hub nodes. The
+# oracle recomputes triangles as the plain a<b<c triple join (same
+# set, no orientation needed at oracle scale). Output: per-vertex
+# triangle participation + match degree for every vertex in >= 1
+# triangle.
+# ==========================================================================
+@register(
+    "similarity_graph_triangles",
+    oracle=f"""
+    WITH {_ER_PAIRS_SQL},
+    m AS (SELECT id_a, id_b FROM pairs WHERE levenshtein(pa, pb) <= 10),
+    tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM m e1
+      JOIN m e2 ON e2.id_a = e1.id_b
+      JOIN m e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    verts AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT id_a AS doc_id FROM m UNION ALL SELECT id_b FROM m)
+      GROUP BY doc_id
+    )
+    SELECT v.doc_id, CAST(COUNT(*) AS BIGINT) AS tri_count, d.degree
+    FROM verts v JOIN deg d USING (doc_id)
+    GROUP BY v.doc_id, d.degree
+    """,
+    doc="triangle counting on the ER match graph: degree-ordered orientation, O(m^1.5) wedge join",
+)
+def similarity_graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.graph import triangle_counts
+
+    edges = levenshtein_prefix_pairs_q(spark, sf_dir).select("id_a", "id_b")
+    return triangle_counts(edges, "id_a", "id_b")

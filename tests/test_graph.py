@@ -80,3 +80,36 @@ def test_singletons_and_representatives(spark):
     reps = cluster_representatives(comp).collect()
     by_node = {r["node"]: r["is_representative"] for r in reps}
     assert by_node == {5: True, 9: False}
+
+
+class TestTriangleCounts:
+    def test_known_graph(self, spark):
+        """K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a
+        pendant chain 4-5-6 (no triangles) plus an isolated edge 7-8:
+        per-vertex counts and degrees are fully determined."""
+        from lakehouse_spark_spark.operators.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (7, 8)],
+            "id_a BIGINT, id_b BIGINT",
+        )
+        got = {
+            r["doc_id"]: (r["tri_count"], r["degree"])
+            for r in triangle_counts(edges, "id_a", "id_b").collect()
+        }
+        assert got == {1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (3, 4)}
+
+    def test_orientation_invariant_to_input_endpoint_order(self, spark):
+        """The input edge list is undirected: flipping endpoint order
+        must not change the result (the orientation is derived from
+        (degree, id), not from the input column positions)."""
+        from lakehouse_spark_spark.operators.graph import triangle_counts
+
+        fwd = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4)], "id_a BIGINT, id_b BIGINT"
+        )
+        rev = fwd.select(
+            fwd["id_b"].alias("id_a"), fwd["id_a"].alias("id_b")
+        )
+        key = lambda df: sorted(map(tuple, triangle_counts(df, "id_a", "id_b").collect()))
+        assert key(fwd) == key(rev)
