@@ -70,6 +70,8 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["u"] == labels["node"])
@@ -77,28 +79,34 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("nmin").alias("nmin"))
         )
+        # thread the pre-round label through as __old so the
+        # convergence check needs NO extra join/action: an Observation
+        # on the round's eager checkpoint counts changed labels during
+        # the materialization job itself (one action per round total).
         relaxed = labels.join(neigh_min, "node", "left").select(
             "node",
+            F.col("component").alias("__old"),
             F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
         )
         # pointer jump: follow the label's own label one hop
         parents = relaxed.select(F.col("node").alias("pnode"), F.col("component").alias("pcomp"))
+        obs = Observation()
+        new_comp = F.least(F.col("component"), F.coalesce(F.col("pcomp"), F.col("component")))
         jumped = (
             relaxed.join(parents, relaxed["component"] == parents["pnode"], "left")
             .select(
                 "node",
-                F.least(F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))).alias("component"),
+                new_comp.alias("component"),
+                # labels only decrease, so "round changed anything" is
+                # exactly "final label != pre-round label"
+                (new_comp != F.col("__old")).cast("long").alias("__chg"),
             )
+            .observe(obs, F.sum("__chg").alias("changed"))
+            .select("node", "component")
             .localCheckpoint()  # eager: materialize the round, truncate lineage
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("component", "old_component"), "node")
-            .filter(F.col("component") != F.col("old_component"))
-            .limit(1)
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels
 

@@ -573,8 +573,83 @@ _GATE_ROTATION_R7 = [
 ]
 
 
+# Round-8 rotation: r01∪…∪r07 covers 189 of 190 registry queries; the
+# one never-gated entry (similarity_graph_triangles, added after the r7
+# gate ran — the r7 verdict's red light) leads. Then the queries whose
+# CODE or ORACLE changed this round and need fresh driver hashes: the
+# ER family (slim-row canopy join rework: levenshtein_prefix_pairs,
+# entity_resolution_clusters, and the triangle query all share
+# _er_candidate_pairs), doc_sentences_udtf (oracle whitespace-class
+# fix), curation_v3_disposition (pin-dir contract), and
+# multimodal_audio_features (registry projection to driver-hashable
+# scalars — the r7 red row). The rest of the window re-gates the
+# STALEST coverage: everything last gated in r2/r3 (oracle-bearing
+# front, rows-only tail), so driver freshness rotates across rounds.
+# Invariant (tests/test_gate_rotation.py): any query added to the
+# registry after this list was cut MUST be added here in the same
+# commit — registry ⊆ gated(r01..r07) ∪ this prefix.
+_GATE_ROTATION_R8 = [
+    # -- never-gated (1) --
+    "similarity_graph_triangles",
+    # -- re-gate: code/oracle changed in r8 (4 oracle-bearing) --
+    "entity_resolution_clusters",
+    "levenshtein_prefix_pairs",
+    "doc_sentences_udtf",
+    "curation_v3_disposition",
+    # -- staleness re-gate: last gated r2 (3 oracle-bearing) --
+    "corpus_token_accounting",
+    "deduped_corpus",
+    "quality_filter_documents",
+    # -- staleness re-gate: last gated r3, oracle-bearing (40) --
+    "asof_purchase_last_view",
+    "avg_ticket_per_order",
+    "brand_sales",
+    "click_to_purchase_5min",
+    "customer_order_gaps",
+    "customers_with_big_order",
+    "daily_user_reach",
+    "dim_customer_unknown",
+    "dim_date",
+    "doc_fingerprints",
+    "doc_quality",
+    "dq_summary",
+    "embedding_neardup_lsh_verified",
+    "events_daily_pivot",
+    "events_hourly",
+    "events_props_extract",
+    "fk_stamp_orders",
+    "inactive_customers_90d",
+    "lang_id_documents",
+    "latest_event_per_user",
+    "multimodal_decode",
+    "orders_by_status_month",
+    "orders_rollup",
+    "orphan_events_audit",
+    "pricing_summary",
+    "revenue_by_customer_90d",
+    "revenue_by_nation",
+    "salted_event_type_stats",
+    "segment_price_percentiles",
+    "session_stats",
+    "sessionize_events",
+    "small_quantity_orders",
+    "stream_static_enrich_batch",
+    "stream_stream_within_batch",
+    "supplier_nation_volume",
+    "tfidf_top_terms",
+    "token_counts",
+    "top100_orders",
+    "top_orders_per_customer",
+    "volume_shipping_by_nation_pair",
+    # -- rows-only tail (2): the r7 red row (now scalar-projected) and
+    #    the oldest rows-only coverage (last gated r2) --
+    "multimodal_audio_features",
+    "embedding_ann_ivf",
+]
+
+
 def _ordered_names() -> list[str]:
-    rot = [n for n in _GATE_ROTATION_R7 if n in _REGISTRY]
+    rot = [n for n in _GATE_ROTATION_R8 if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(rot)]
     return rot + rest
 
@@ -2365,7 +2440,19 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.multimodal import attach_synthetic_wav, extract_audio_features
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_audio_features(attach_synthetic_wav(docs, "doc_id"))
+    feats = extract_audio_features(attach_synthetic_wav(docs, "doc_id"))
+    # Registry contract: gate outputs must be scalar-only rows (the
+    # driver's rows-only check hashes Python rows, and a list-valued
+    # array<float> column is unhashable — the one red gate row of r7).
+    # posexplode the band spectrum to (band_idx, energy) scalars; the
+    # operator itself (operators/multimodal.py:549) still returns the
+    # array<float> feature vector for downstream similarity use.
+    return feats.select(
+        "doc_id",
+        "duration_s",
+        "rms",
+        F.posexplode("features").alias("band_idx", "energy"),
+    )
 
 
 @register(
@@ -6557,16 +6644,24 @@ def _er_candidate_pairs(d: DataFrame, cap: int = _ER_BLOCK_CAP) -> DataFrame:
     pfx): explode distinct prefix 4-grams (a too-short prefix is its
     own single gram), drop (lang, source, gram) posting lists larger
     than ``cap``, self-join the survivors per gram block, distinct the
-    (id_a < id_b) pairs. Every stage is a hash shuffle on slim rows;
-    the per-gram join fan-out is <= cap per posting, so candidates are
-    O(cap · grams-per-doc · n) — linear, at any block skew."""
+    (id_a < id_b) pairs. The per-gram join fan-out is <= cap per
+    posting, so candidates are O(cap · grams-per-doc · n) — linear, at
+    any block skew.
+
+    Shuffle-byte discipline (the r7 perf-weak fix): the gram explode,
+    the per-gram self-join, and the pair ``distinct()`` all run on SLIM
+    rows — (doc_id, lang, source, gram) only. The 40-char prefix is
+    functionally dependent on doc_id, so shipping it through the ×37
+    gram fan-out and the 4-tuple distinct multiplied shuffle bytes ~5×
+    for nothing; instead both prefixes are equi-joined back from the
+    (tiny-per-pair) base frame AFTER the pairs are deduped."""
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("pfx") - 3, F.lit(1))),
             lambda i: F.substring(F.col("pfx"), i, F.lit(4)),
         )
     )
-    gr = d.select("doc_id", "lang", "source", "pfx", F.explode(grams).alias("gram"))
+    gr = d.select("doc_id", "lang", "source", F.explode(grams).alias("gram"))
     ok = (
         gr.groupBy("lang", "source", "gram")
         .agg(F.count(F.lit(1)).alias("__bs"))
@@ -6574,18 +6669,17 @@ def _er_candidate_pairs(d: DataFrame, cap: int = _ER_BLOCK_CAP) -> DataFrame:
         .drop("__bs")
     )
     grk = gr.join(ok, ["lang", "source", "gram"])
-    a = grk.select(
-        F.col("doc_id").alias("id_a"), "lang", "source", "gram", F.col("pfx").alias("__pa")
-    )
-    b = grk.select(
-        F.col("doc_id").alias("id_b"), "lang", "source", "gram", F.col("pfx").alias("__pb")
-    )
-    return (
+    a = grk.select(F.col("doc_id").alias("id_a"), "lang", "source", "gram")
+    b = grk.select(F.col("doc_id").alias("id_b"), "lang", "source", "gram")
+    pairs = (
         a.join(b, ["lang", "source", "gram"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__pa", "__pb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    pa = d.select(F.col("doc_id").alias("id_a"), F.col("pfx").alias("__pa"))
+    pb = d.select(F.col("doc_id").alias("id_b"), F.col("pfx").alias("__pb"))
+    return pairs.join(pa, "id_a").join(pb, "id_b").select("id_a", "id_b", "__pa", "__pb")
 
 
 @register(
@@ -7517,7 +7611,7 @@ def price_qty_histogram2d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_graph_triangles",
     oracle=f"""
     WITH {_ER_PAIRS_SQL},
-    m AS (SELECT id_a, id_b FROM pairs WHERE levenshtein(pa, pb) <= 10),
+    m AS (SELECT id_a, id_b FROM pairs WHERE levenshtein(pa, pb) <= 25),
     tri AS (
       SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
       FROM m e1
@@ -7538,10 +7632,24 @@ def price_qty_histogram2d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM verts v JOIN deg d USING (doc_id)
     GROUP BY v.doc_id, d.degree
     """,
-    doc="triangle counting on the ER match graph: degree-ordered orientation, O(m^1.5) wedge join",
+    doc="triangle counting on the borderline-similarity graph: degree-ordered orientation, O(m^1.5) wedge join",
 )
 def similarity_graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.graph import triangle_counts
+    from lakehouse_spark_spark.operators.text import norm_text
 
-    edges = levenshtein_prefix_pairs_q(spark, sf_dir).select("id_a", "id_b")
+    # The DENSITY analysis runs on the BORDERLINE-match graph (edit
+    # distance <= 25 on the canopy candidates), not the strict ER match
+    # (<= 10): the point of triangle counting is to separate tight
+    # pairwise-similar clusters from transitive chains, which needs the
+    # borderline edges ER itself would drop. (<= 10 yields a near-empty
+    # graph on the synthetic corpus: 1 edge at sf0.01.)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.substring(norm_text("text"), 1, 40).alias("pfx")
+    )
+    edges = (
+        _er_candidate_pairs(d)
+        .filter(F.levenshtein("__pa", "__pb") <= 25)
+        .select("id_a", "id_b")
+    )
     return triangle_counts(edges, "id_a", "id_b")

@@ -1,9 +1,12 @@
 """Gate-rotation invariants: the driver's correctness gate covers the
 FIRST 50 registry entries. Round 5 rotated in queries never covered by
-rounds 1-4; round 7 retires the remaining verification debt — every
-query absent from ALL committed CORRECTNESS_r01..r06 artifacts must sit
-inside the round-7 gate prefix, so after r7 every registry query has a
-driver-recorded check at least once."""
+rounds 1-4; round 7 retired the then-outstanding verification debt;
+round 8 gates the one query added after the r7 gate ran and re-gates
+this round's code changes plus the stalest (r2/r3) coverage. The
+standing rule (the r7 verdict's ask): EVERY registry query must either
+already have a driver-recorded CORRECTNESS row or sit inside the
+current gate prefix — so adding a query to the registry after the gate
+list was cut must extend the rotation in the same commit."""
 
 from __future__ import annotations
 
@@ -20,30 +23,63 @@ def _gate_keys(pattern: str) -> set[str]:
     return keys
 
 
-def test_r7_gate_prefix_retires_all_verification_debt():
+def test_no_query_escapes_driver_verification():
+    """The standing invariant: registry ⊆ gated(r01..r07) ∪ the current
+    50-query gate prefix. A query added without extending the rotation
+    fails here — the failure class of round 7
+    (similarity_graph_triangles was added post-gate and broke the
+    suite)."""
     from lakehouse_spark_spark.plans import queries as Q
 
     first50 = list(Q.queries())[:50]
     assert len(first50) == 50
-    prior = _gate_keys("CORRECTNESS_r0[1-6].json")
-    assert prior, "expected committed CORRECTNESS_r01..r06 artifacts"
-    never_gated = set(Q._REGISTRY) - prior
-    leftover = never_gated - set(first50)
-    assert leftover == set(), f"never-gated queries outside the r7 gate: {sorted(leftover)}"
+    prior = _gate_keys("CORRECTNESS_r0[1-7].json")
+    assert prior, "expected committed CORRECTNESS_r01..r07 artifacts"
+    leftover = set(Q._REGISTRY) - prior - set(first50)
+    assert leftover == set(), (
+        f"queries with no driver check and outside the gate prefix "
+        f"(extend _GATE_ROTATION_R8 in the same commit): {sorted(leftover)}"
+    )
 
 
-def test_r7_gate_front_loads_oracle_bearing_debt():
-    """The 24 oracle-bearing never-gated queries come before the
-    rows-only ones, so the driver records full hash checks for all of
-    them even if it ever truncates below 50."""
+def test_r8_gate_front_loads_oracle_bearing_entries():
+    """Oracle-bearing gate entries precede rows-only ones, so the
+    driver records full hash checks for all of them even if it ever
+    truncates below 50."""
     from lakehouse_spark_spark.plans import queries as Q
 
-    prior = _gate_keys("CORRECTNESS_r0[1-6].json")
     first50 = list(Q.queries())[:50]
-    debt = [n for n in first50 if n not in prior]
-    oracle_flags = [Q._REGISTRY[n].oracle is not None for n in debt]
-    # all oracle-bearing debt entries precede all rows-only debt entries
-    assert oracle_flags == sorted(oracle_flags, reverse=True), debt
+    oracle_flags = [Q._REGISTRY[n].oracle is not None for n in first50]
+    assert oracle_flags == sorted(oracle_flags, reverse=True), first50
+
+
+def test_r8_gate_covers_this_rounds_code_changes():
+    """Everything whose code or oracle changed in round 8 gets a fresh
+    driver hash: the ER family (shared _er_candidate_pairs rework), the
+    sentences-UDTF oracle fix, the curation pin contract, and the
+    scalar-projected audio query (the r7 red row)."""
+    from lakehouse_spark_spark.plans import queries as Q
+
+    first50 = set(list(Q.queries())[:50])
+    changed = {
+        "similarity_graph_triangles",
+        "entity_resolution_clusters",
+        "levenshtein_prefix_pairs",
+        "doc_sentences_udtf",
+        "curation_v3_disposition",
+        "multimodal_audio_features",
+    }
+    assert changed <= first50, sorted(changed - first50)
+
+
+def test_r7_gate_recorded_exactly_its_rotation():
+    """Historical invariant: the committed CORRECTNESS_r07 artifact
+    covers exactly the round-7 rotation list (the driver gated the
+    first 50 names, which were the R7 list verbatim)."""
+    from lakehouse_spark_spark.plans import queries as Q
+
+    r07 = set(json.loads((REPO / "CORRECTNESS_r07.json").read_text()))
+    assert r07 == set(Q._GATE_ROTATION_R7)
 
 
 def test_r5_gate_prefix_was_fresh_and_oracle_bearing():
@@ -63,7 +99,8 @@ def test_r5_gate_prefix_was_fresh_and_oracle_bearing():
 def test_rotation_lists_match_registry():
     from lakehouse_spark_spark.plans import queries as Q
 
-    for rot in (Q._GATE_ROTATION_R5, Q._GATE_ROTATION_R7):
+    for rot in (Q._GATE_ROTATION_R5, Q._GATE_ROTATION_R7, Q._GATE_ROTATION_R8):
         unknown = [n for n in rot if n not in Q._REGISTRY]
         assert unknown == [], f"rotation names not in registry: {unknown}"
         assert len(rot) == len(set(rot))
+    assert len(Q._GATE_ROTATION_R8) == 50

@@ -94,10 +94,24 @@ def _subtree_has_scalar_agg(node) -> bool:
     return bool(found)
 
 
+def _unhashable_fields(schema) -> list[str]:
+    """Column names whose type contains an array or map ANYWHERE — the
+    driver's correctness gate hashes result rows as Python tuples, and
+    list/dict values are unhashable (the r7 multimodal_audio_features
+    red row). Registry queries must project to scalar columns; the
+    underlying operators may still return arrays for downstream use."""
+    return [
+        f.name
+        for f in schema.fields
+        if "array<" in f.dataType.simpleString() or "map<" in f.dataType.simpleString()
+    ]
+
+
 def lint_df(df) -> dict[str, list[str]]:
     """Lint one DataFrame; returns {pattern: [details]} for violations
     BEFORE whitelisting."""
     issues: dict[str, list[str]] = {"unpartitioned_window": [], "nested_loop_join": []}
+    issues["driver_unhashable_schema"] = _unhashable_fields(df.schema)
     qe = df._jdf.queryExecution()
     plan = qe.optimizedPlan()
 
@@ -174,6 +188,9 @@ def lint_registry(spark, sf_dir: str, names: list[str] | None = None):
         win = issues.get("unpartitioned_window")
         nlj = issues.get("nested_loop_join")
         real: dict[str, list[str]] = {}
+        if issues.get("driver_unhashable_schema"):
+            # no whitelist: every registry output must be driver-hashable
+            real["driver_unhashable_schema"] = issues["driver_unhashable_schema"]
         if win:
             if name in WINDOW_WHITELIST:
                 flagged_ok.add(name)
