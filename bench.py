@@ -268,25 +268,41 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail (build/exec split + warm reps) goes to a
+    # side file: the driver's BENCH artifact keeps only the LAST ~2000
+    # chars of stdout and parses the final JSON line, so the stdout
+    # line must stay compact or the artifact records parsed=null (the
+    # r7 housekeeping item). The side file is committed per round.
+    detail_payload = {
+        "metric": "headline_queries_detail",
+        "queries_detail": detail,
+        "warm_median_total_sec": warm_median_total,
+        "wall_sec_including_warm_reps": wall_with_warm,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail_latest.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail_payload, fh)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_detail": detail,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 # round-over-round regression basis (SCALE.md "Round-7
                 # clean-machine A/B"): sum of per-query warm medians —
                 # load- and cold-codegen-insensitive, unlike `value`.
                 "warm_median_total_sec": warm_median_total,
-                "wall_sec_including_warm_reps": wall_with_warm,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 # same workload as the reference's 37.8s run log
                 # (BASELINE.md): full medallion pipeline on its dirty
                 # CSVs including all 6 single-file CSV sinks.
                 "pipeline_replay_reference_data_sec": replay_sec,
-            }
+                "detail_file": "bench_detail_latest.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -34,13 +34,21 @@ class SplitSentences:
     The table-function form of text processing — output cardinality is
     data-dependent, which scalar UDFs cannot express."""
 
+    # Trim EXACTLY the regex \s class (ASCII whitespace), not Python
+    # str.strip()'s full Unicode set: the corpus carries literal C0
+    # controls (e.g. \x1f) that Python considers whitespace but \s does
+    # not — str.strip() would silently drop them at segment edges and
+    # diverge from any \s-based reimplementation (incl. the DuckDB
+    # oracle in plans/queries.py::doc_sentences_udtf).
+    _WS = " \t\n\r\f\v"
+
     def eval(self, text: str):
         if text is None:
             return
         import re
 
-        parts = [s.strip() for s in re.split(r"[.!?]+", text) if s.strip()]
-        for i, s in enumerate(parts):
+        parts = [s.strip(self._WS) for s in re.split(r"[.!?]+", text)]
+        for i, s in enumerate(p for p in parts if p):
             yield s, i
 
 

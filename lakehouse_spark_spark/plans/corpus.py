@@ -183,8 +183,6 @@ def curation_v3(
       setting; both modes produce hash-identical dispositions
       (tests/test_curation_v3.py pins the equivalence).
     """
-    import tempfile
-
     from pyspark.sql import Window
 
     from lakehouse_spark_spark.operators.contamination import contamination_hits
@@ -199,7 +197,14 @@ def curation_v3(
     if pin not in ("local", "parquet"):
         raise ValueError(f"pin must be 'local' or 'parquet', got {pin!r}")
     if pin == "parquet" and pin_dir is None:
-        pin_dir = tempfile.mkdtemp(prefix="curation_pin_")
+        # No silent driver-local tempdir default (r7 ADVICE): on a real
+        # cluster a mkdtemp path is NOT a shared filesystem — executors
+        # would read paths the driver never wrote. parquet pinning only
+        # makes sense against a cluster-visible URI, so demand one.
+        raise ValueError(
+            "pin='parquet' requires pin_dir (a Spark-writable URI visible to "
+            "every executor, e.g. an HDFS/S3 path; any local dir in local mode)"
+        )
 
     def _pin(df: DataFrame, name: str) -> DataFrame:
         if pin == "parquet":

@@ -184,18 +184,28 @@ class _ParquetReplayReader(DataSourceStreamReader):
         # at 0; partitions() re-syncs the cursor to every (start, end)
         # range the engine plans, which covers the normal recovery path
         # (the engine replays the last WAL-planned batch before asking
-        # for a new latestOffset). The one remaining hole: a restart
-        # where the final pre-crash batch was fully committed — the
-        # engine then asks latestOffset() FIRST, the fresh cursor
-        # under-reports, and one empty backward batch is logged before
-        # partitions() re-syncs; rows in the gap would be re-exposed
-        # (at-least-once). Pacing is a test-harness knob — production
-        # sources derive latestOffset from upstream state, not memory.
+        # for a new latestOffset). The remaining at-least-once hole —
+        # a restart where the final pre-crash batch was FULLY committed,
+        # so the engine asks latestOffset() first and the fresh cursor
+        # under-reports, re-exposing the committed gap — is closed by
+        # the optional ``cursor_path`` option: commit() persists the
+        # committed offset there (atomic tmp+rename) and a fresh reader
+        # seeds its cursor from it, making paced replay exactly-once
+        # across restarts. Without cursor_path the paced mode stays
+        # documented at-least-once (a test-harness knob; production
+        # sources derive latestOffset from upstream state, not memory).
         self._per_trigger = int(options.get("rows_per_trigger", 0))
+        self._cursor_path = options.get("cursor_path")
         import pyarrow.parquet as pq
 
         self._total = pq.ParquetFile(self._path).metadata.num_rows
         self._exposed = 0
+        if self._cursor_path:
+            import os
+
+            if os.path.exists(self._cursor_path):
+                with open(self._cursor_path) as fh:
+                    self._exposed = min(int(fh.read().strip() or 0), self._total)
 
     def initialOffset(self):
         return {"row": 0}
@@ -242,7 +252,17 @@ class _ParquetReplayReader(DataSourceStreamReader):
                 yield tuple(row.get(f) for f in self._schema_fields)
 
     def commit(self, end):
-        pass
+        if self._cursor_path and self._per_trigger > 0:
+            import os
+
+            # atomic tmp+rename so a crash mid-write never truncates
+            # the cursor; the engine calls commit() only after the
+            # batch is fully processed, so seeding latestOffset() from
+            # this value on restart is exactly-once for the paced replay
+            tmp = f"{self._cursor_path}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(int(end["row"])))
+            os.replace(tmp, self._cursor_path)
 
 
 class ParquetReplayDataSource(DataSource):
@@ -251,7 +271,12 @@ class ParquetReplayDataSource(DataSource):
     parquet table in deterministic row-range micro-batches. The schema
     is INFERRED from the parquet footer (all supported-type columns in
     file order, or the explicit ``columns`` subset) — so the same
-    harness streams events, documents, or any other fixture."""
+    harness streams events, documents, or any other fixture.
+
+    Paced mode (``rows_per_trigger`` > 0) is at-least-once across
+    restarts unless ``cursor_path`` is also set, in which case commit()
+    persists the committed offset there and restarts resume
+    exactly-once (see the _ParquetReplayReader pacing contract)."""
 
     @classmethod
     def name(cls) -> str:

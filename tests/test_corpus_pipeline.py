@@ -196,3 +196,16 @@ class TestCurationV3PinModes:
         docs = load_table(spark, SF_SMALL, "documents")
         with pytest.raises(ValueError, match="pin"):
             curation_v3(docs, pin="hdfs")
+
+    def test_parquet_pin_without_dir_raises(self, spark):
+        """No silent driver-local tempdir (r7 ADVICE): parquet pinning
+        is the cluster mode, so it must demand a cluster-visible URI
+        instead of defaulting to a mkdtemp path executors can't see."""
+        import pytest
+
+        from lakehouse_spark_spark.plans.corpus import curation_v3
+        from lakehouse_spark_spark.sources.loaders import load_table
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        with pytest.raises(ValueError, match="pin_dir"):
+            curation_v3(docs, pin="parquet")

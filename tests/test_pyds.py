@@ -282,3 +282,59 @@ class TestSchemaInferredReplay:
         # and is clamped at the table end
         assert r2.latestOffset() == {"row": 500}
         assert r2.latestOffset() == {"row": 500}
+
+    def test_paced_restart_without_cursor_is_at_least_once(self):
+        """The documented hole (r7 verdict ask #7): if the final
+        pre-crash batch was FULLY committed, a fresh reader with no
+        persisted cursor under-reports in latestOffset() — the
+        committed gap [120, 240) would be re-exposed. This test PINS
+        the at-least-once contract of the bare paced mode."""
+        from lakehouse_spark_spark.sources.pyds import _ParquetReplayReader
+
+        path = f"{SF_SMALL}/documents.parquet"
+        opts = {"path": path, "columns": "doc_id", "rows_per_trigger": "120"}
+
+        r1 = _ParquetReplayReader(opts)
+        assert r1.latestOffset() == {"row": 120}
+        assert r1.latestOffset() == {"row": 240}
+        r1.partitions({"row": 120}, {"row": 240})
+        r1.commit({"row": 240})  # batch fully committed...
+
+        # ...then crash: the fresh reader's first latestOffset paces
+        # from 0, exposing [0, 120) again — at-least-once, by contract
+        r2 = _ParquetReplayReader(opts)
+        assert r2.latestOffset() == {"row": 120}
+
+    def test_paced_restart_with_cursor_path_is_exactly_once(self, tmp_path):
+        """cursor_path closes the hole: commit() persists the committed
+        offset, a restarted reader seeds its cursor from it, and pacing
+        resumes exactly where the checkpoint left off — no re-exposed
+        rows, no backward offsets."""
+        from lakehouse_spark_spark.sources.pyds import _ParquetReplayReader
+
+        path = f"{SF_SMALL}/documents.parquet"
+        cur = str(tmp_path / "replay.cursor")
+        opts = {
+            "path": path,
+            "columns": "doc_id",
+            "rows_per_trigger": "120",
+            "cursor_path": cur,
+        }
+
+        r1 = _ParquetReplayReader(opts)
+        assert r1.latestOffset() == {"row": 120}
+        assert r1.latestOffset() == {"row": 240}
+        r1.partitions({"row": 120}, {"row": 240})
+        r1.commit({"row": 240})  # persists the cursor atomically
+
+        # crash + restart: pacing resumes FORWARD from the commit
+        r2 = _ParquetReplayReader(opts)
+        assert r2.latestOffset() == {"row": 360}
+        assert r2.latestOffset() == {"row": 480}
+        assert r2.latestOffset() == {"row": 500}  # clamped at table end
+
+        # a stale cursor beyond the table clamps instead of exploding
+        with open(cur, "w") as fh:
+            fh.write("999999")
+        r3 = _ParquetReplayReader(opts)
+        assert r3.latestOffset() == {"row": 500}

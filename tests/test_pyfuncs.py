@@ -58,3 +58,50 @@ def test_udtf_sentence_split(spark):
     assert rows[(1, 2)] == "Third"
     assert rows[(2, 0)] == "No terminator here"
     assert not any(k[0] == 3 for k in rows)  # null text -> no rows
+
+
+def test_udtf_strip_matches_regex_ws_class_not_python_strip(spark):
+    """The \\x1f-class divergence (r7 ADVICE): Python str.strip() eats
+    C0 controls and \\xa0 that regex \\s does not. SplitSentences must
+    trim exactly the \\s set so the DuckDB oracle (RE2 \\s trims) stays
+    hash-exact on a control-bearing corpus."""
+    import duckdb
+
+    from lakehouse_spark_spark.operators.pyfuncs import explode_sentences
+
+    texts = [
+        (1, "keep\x1f. \x1ftail"),     # \x1f at both segment edges
+        (2, "\x1f."),                   # segment that is ONLY \x1f
+        (3, "a\xa0. b\x85c!"),         # NBSP / NEL edges
+        (4, " spaced . normal ! "),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = explode_sentences(spark, docs)
+    got = {(r["doc_id"], r["sentence_idx"]): r["sentence"] for r in out.collect()}
+    # \s does not include \x1f/\xa0/\x85: they survive at edges
+    assert got[(1, 0)] == "keep\x1f"
+    assert got[(1, 1)] == "\x1ftail"
+    assert got[(2, 0)] == "\x1f"      # non-empty under \s-trim semantics
+    assert got[(3, 0)] == "a\xa0"
+    assert got[(3, 1)] == "b\x85c"
+    assert got[(4, 0)] == "spaced"
+    # and the DuckDB oracle's trim agrees row-for-row
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    oracle = con.execute(
+        r"""
+        WITH p AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                  x -> regexp_replace(regexp_replace(x, '^\s+', ''), '\s+$', '')),
+                   x -> x <> '') AS sents
+          FROM documents
+        )
+        SELECT doc_id, unnest(sents) AS sentence,
+               CAST(unnest(generate_series(0, len(sents) - 1)) AS INTEGER) AS sentence_idx
+        FROM p
+        """
+    ).fetchall()
+    assert {(d, i): s for d, s, i in oracle} == got
