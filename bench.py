@@ -79,6 +79,10 @@ HEADLINE = [
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "bpe_learned_merges",
+    # round 8: learned quality filter (distill-then-filter) + the
+    # borderline-similarity triangle census
+    "quality_classifier_scores",
+    "similarity_graph_triangles",
 ]
 
 

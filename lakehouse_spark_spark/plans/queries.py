@@ -640,11 +640,12 @@ _GATE_ROTATION_R8 = [
     "token_counts",
     "top100_orders",
     "top_orders_per_customer",
-    "volume_shipping_by_nation_pair",
-    # -- rows-only tail (2): the r7 red row (now scalar-projected) and
-    #    the oldest rows-only coverage (last gated r2) --
+    # -- rows-only tail (3): the r7 red row (now scalar-projected), the
+    #    oldest rows-only coverage (last gated r2), and the round-8
+    #    learned quality classifier (new — gated in its birth round) --
     "multimodal_audio_features",
     "embedding_ann_ivf",
+    "quality_classifier_scores",
 ]
 
 
@@ -7653,3 +7654,61 @@ def similarity_graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return triangle_counts(edges, "id_a", "id_b")
+
+
+# ==========================================================================
+# Learned quality classifier (round 8; operators/classifier.py): the
+# FineWeb/DCLM-style distill-then-filter stage — logistic regression
+# over md5-hashed bag-of-words features, trained in-engine against the
+# Gopher word-rule flags as weak labels, then applied corpus-wide.
+# Scale shape: the model (1024 weights + bias) is the ONLY thing that
+# ever reaches the driver (one dim-bounded gradient collect per epoch);
+# each epoch is one corpus pass of broadcast-join + two map-side-
+# combinable groupBys. rows-only: full-batch GD over distributed float
+# sums is iteration-order-dependent at the 1e-12 level, so the model is
+# twin-proven against a pure-numpy reference (tests/test_classifier.py)
+# instead of SQL-oracled; the output cardinality (one row per doc) and
+# the learnability floor are pinned by tests.
+# ==========================================================================
+@register(
+    "quality_classifier_scores",
+    oracle=None,  # iterative GD; numpy-twin + learnability tested
+    doc="learned quality filter: in-engine logistic regression on hashed BoW, weak-labeled by Gopher rules",
+)
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.classifier import (
+        hashed_features,
+        score_documents,
+        train_logreg,
+    )
+    from lakehouse_spark_spark.operators.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    # bounded training sample (same contract as the PQ/IVF codebook
+    # training): md5-rank TakeOrdered caps training cost independent of
+    # corpus size; scoring below is the one corpus-wide pass.
+    sample = docs.orderBy(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+    ).limit(2000)
+    labels = gopher_quality_flags(
+        sample, "doc_id", "text", min_words=40, stopword_min=1
+    ).select("doc_id", F.col("keep").cast("int").alias("label"))
+    from lakehouse_spark_spark.operators.classifier import (
+        apply_stats_standardizer,
+        fit_stats_standardizer,
+    )
+
+    raw = hashed_features(sample, "doc_id", "text", dim=1024, with_stats=True)
+    std = fit_stats_standardizer(raw, 1024)
+    weights, bias = train_logreg(
+        apply_stats_standardizer(raw, std),
+        labels,
+        "doc_id",
+        "label",
+        dim=1024 + 2,
+        epochs=8,
+        lr=8.0,
+    )
+    return score_documents(
+        docs, weights, bias, "doc_id", "text", dim=1024, with_stats=True, standardizer=std
+    )
