@@ -113,3 +113,34 @@ class TestTriangleCounts:
         )
         key = lambda df: sorted(map(tuple, triangle_counts(df, "id_a", "id_b").collect()))
         assert key(fwd) == key(rev)
+
+    def test_hub_graph_no_last_reducer_curse(self, spark):
+        """Star K1,n (n=20000) + 3 leaf-leaf edges. A naive per-vertex
+        neighbourhood join enumerates ~n² = 4·10⁸ wedge pairs at the
+        hub; under degree orientation the hub (highest degree) has
+        out-degree ZERO, so the wedge join emits only the leaves'
+        wedges (out-degree ≤ 3 here). Every leaf-leaf edge closes a
+        triangle through the hub: expect 3 hub triangles + 1 pure-leaf
+        triangle, and the run completes in seconds, not the 4·10⁸-row
+        join the curse-of-the-last-reducer shape would produce."""
+        from pyspark.sql import functions as F
+
+        from lakehouse_spark_spark.operators.graph import triangle_counts
+
+        n = 20000
+        star = spark.range(1, n + 1).select(
+            F.lit(0).cast("bigint").alias("id_a"), F.col("id").alias("id_b")
+        )
+        extra = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "id_a BIGINT, id_b BIGINT"
+        )
+        out = {
+            r["doc_id"]: (r["tri_count"], r["degree"])
+            for r in triangle_counts(star.unionByName(extra), "id_a", "id_b").collect()
+        }
+        # hub: in 3 triangles (one per leaf-leaf edge), degree n
+        assert out[0] == (3, n)
+        # each wired leaf: 2 hub triangles + the leaf triangle, degree 3
+        assert out[1] == (3, 3) and out[2] == (3, 3) and out[3] == (3, 3)
+        # nobody else participates
+        assert set(out) == {0, 1, 2, 3}
