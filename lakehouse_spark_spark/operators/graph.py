@@ -261,8 +261,18 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     Returns ``(doc_id, tri_count, degree)`` for every vertex that
     participates in >= 1 triangle (degree = undirected match degree).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") != F.col("b")
+    # The edge list feeds deg (twice via the union), the stamping join,
+    # and — through the orientation — three more consumers. Without
+    # lineage truncation every reuse REPLICATES the upstream plan (for
+    # the ER similarity graph that multiplied the whole canopy
+    # candidate pipeline ~8x: 191 Exchange nodes in the physical plan);
+    # checkpointing the slim frames keeps the plan linear. At scale
+    # these are the standard triangle-counting materializations: e is
+    # 2 longs/row, o is 3 longs/row.
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("doc_id"))
@@ -281,7 +291,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddst"),
-    )
+    ).localCheckpoint(eager=False)  # consumed by both wedge sides + the closing join
     # wedge at the pivot: two out-edges, dst endpoints ordered by the
     # same (degree, id) total order so the closing edge is v->w
     x = o.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddst").alias("dv"))
