@@ -77,3 +77,17 @@ def test_no_registered_query_reaches_bounded_baselines():
     from tools.plan_lint import lint_bounded_reachability
 
     assert lint_bounded_reachability() == []
+
+
+def test_linter_flags_plan_explosion(spark):
+    """A reused-without-checkpoint frame replicates its plan per
+    consumer (the round-8 triangle_counts bug: 191 exchanges). The
+    fixture unions 26 copies of a distinct() — 26 shuffle exchanges in
+    one plan — which must trip the _MAX_SHUFFLES rule."""
+    from plan_lint import _MAX_SHUFFLES
+
+    d = spark.range(100).select((F.col("id") % 7).alias("k")).distinct()
+    df = d
+    for _ in range(_MAX_SHUFFLES + 1):
+        df = df.union(d)
+    assert "plan_explosion" in lint_df(df)

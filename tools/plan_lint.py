@@ -107,6 +107,15 @@ def _unhashable_fields(schema) -> list[str]:
     ]
 
 
+# A registry query's pre-AQE physical plan should stay well under this
+# many shuffle exchanges; the deepest legitimate chain (curation_v3,
+# 10 stages) has 14. Blowing past it means a reused DataFrame is
+# replicating its upstream plan per consumer (the round-8
+# triangle_counts bug: 191 exchanges from an uncheckpointed frame
+# feeding five consumers) — truncate lineage at the reused frame.
+_MAX_SHUFFLES = 24
+
+
 def lint_df(df) -> dict[str, list[str]]:
     """Lint one DataFrame; returns {pattern: [details]} for violations
     BEFORE whitelisting."""
@@ -141,6 +150,19 @@ def lint_df(df) -> dict[str, list[str]]:
                 issues["nested_loop_join"].append("BroadcastNestedLoopJoin (non-scalar build side)")
 
     _walk(phys, pvisit)
+    # Shuffle count comes from the formatted EXPLAIN string (sparkPlan()
+    # predates EnsureRequirements, so it carries no Exchange nodes yet)
+    # — the same basis tools/plan_report.py reports in PLANS.md.
+    jvm = df.sparkSession._jvm
+    tree = qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    ).split("\n\n(")[0]
+    n_shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    if n_shuffles > _MAX_SHUFFLES:
+        issues["plan_explosion"] = [
+            f"{n_shuffles} shuffle exchanges (> {_MAX_SHUFFLES}) — a reused frame is "
+            "replicating its upstream plan; localCheckpoint the reused frame"
+        ]
     return {k: v for k, v in issues.items() if v}
 
 
@@ -191,6 +213,9 @@ def lint_registry(spark, sf_dir: str, names: list[str] | None = None):
         if issues.get("driver_unhashable_schema"):
             # no whitelist: every registry output must be driver-hashable
             real["driver_unhashable_schema"] = issues["driver_unhashable_schema"]
+        if issues.get("plan_explosion"):
+            # no whitelist: replicated-subtree plans are always a bug
+            real["plan_explosion"] = issues["plan_explosion"]
         if win:
             if name in WINDOW_WHITELIST:
                 flagged_ok.add(name)
