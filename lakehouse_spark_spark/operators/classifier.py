@@ -26,6 +26,11 @@ Scale design (the part that matters at 100 TB):
   driver-side CONTROL only (like operators/graph.py and bpe.py); the
   per-epoch lineage starts from the (cached) feature frame, so no
   lineage growth and nothing to checkpoint.
+- Distillation trains on a corpus-size-independent SAMPLE, so the
+  default registry path collects that bounded sample's sparse feature
+  rows once and runs the epochs in numpy (``collect_cap`` — the PQ
+  codebook-training contract); the distributed loop is the fallback
+  for label sets beyond driver bounds.
 
 Float caveat: distributed double sums are ordering-dependent, so
 trained weights are reproducible only to ~1e-12 relative — the twin
@@ -168,6 +173,7 @@ def train_logreg(
     dim: int = 1024,
     epochs: int = 8,
     lr: float = 2.0,
+    collect_cap: int | None = None,
 ):
     """Full-batch logistic regression: returns ``(weights, bias)`` as
     (list[float] of length ``dim``, float).
@@ -178,7 +184,33 @@ def train_logreg(
     map-side-combinable groupBy, collect the <= dim+1 gradient rows,
     and update driver-side. The corpus is touched ``epochs`` times and
     collected never.
+
+    ``collect_cap``: the bounded-sample fast path (the same contract as
+    the PQ/IVF codebook training in operators/similarity.py). When the
+    labeled set has at most ``collect_cap`` docs, the (<= cap * (dim+2)
+    row) feature block for those docs is collected ONCE and the epochs
+    run in numpy on the driver — identical full-batch semantics, zero
+    Spark jobs per epoch. Distillation always trains on a
+    corpus-size-independent sample, so this is the mode a 100 TB run
+    uses too; the distributed loop remains for engine-generated label
+    sets beyond driver bounds, and is the automatic fallback when
+    ``n > collect_cap``.
     """
+    if collect_cap is not None:
+        # one action decides the path AND feeds the fast path: collect
+        # up to cap+1 label rows — if the cap holds, these are ALL the
+        # labels and the count() below is never run
+        lab_rows = (
+            labels.select(id_col, F.col(label_col).cast("double").alias("__y"))
+            .limit(collect_cap + 1)
+            .collect()
+        )
+        if len(lab_rows) == 0:
+            return [0.0] * dim, 0.0
+        if len(lab_rows) <= collect_cap:
+            return _train_logreg_collected(
+                features, lab_rows, id_col, dim, epochs, lr
+            )
     n = labels.count()
     if n == 0:
         return [0.0] * dim, 0.0
@@ -219,6 +251,46 @@ def train_logreg(
         feats.unpersist()
         lab.unpersist()
     return weights, bias
+
+
+def _train_logreg_collected(
+    features: DataFrame,
+    lab_rows: list,
+    id_col: str,
+    dim: int,
+    epochs: int,
+    lr: float,
+):
+    """Driver-side twin of the distributed loop for a bounded labeled
+    sample (``lab_rows``: pre-collected ``(id, __y)`` rows): one
+    semi-filtered collect of the sample's sparse feature rows, then
+    numpy full-batch GD. Matches the distributed path to
+    float-sum-reordering tolerance (~1e-9 relative, pinned by
+    tests/test_classifier.py)."""
+    import numpy as np
+
+    spark = features.sparkSession
+    ids = [r[id_col] for r in lab_rows]
+    y = np.array([r["__y"] for r in lab_rows])
+    row_of = {i: j for j, i in enumerate(ids)}
+    n = len(ids)
+    id_df = spark.createDataFrame([(i,) for i in ids], [id_col])
+    feat_rows = (
+        features.join(F.broadcast(id_df), id_col, "semi")
+        .select(id_col, "fidx", "v")
+        .collect()
+    )
+    X = np.zeros((n, dim))
+    for r in feat_rows:
+        X[row_of[r[id_col]], int(r["fidx"])] = r["v"]
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(epochs):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        e = p - y
+        w -= lr * (X.T @ e) / n
+        b -= lr * e.sum() / n
+    return [float(v) for v in w], float(b)
 
 
 def score_documents(

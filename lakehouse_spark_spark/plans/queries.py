@@ -7708,6 +7708,10 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=1024 + 2,
         epochs=8,
         lr=8.0,
+        # the sample is hard-capped at 2000 docs above, so training
+        # takes the bounded-collect fast path (zero Spark jobs per
+        # epoch); scoring below stays the one corpus-wide pass
+        collect_cap=2000,
     )
     return score_documents(
         docs, weights, bias, "doc_id", "text", dim=1024, with_stats=True, standardizer=std

@@ -146,6 +146,25 @@ def test_train_logreg_matches_numpy_twin(spark):
     np.testing.assert_allclose(np.array(w), w_ref, rtol=1e-9, atol=1e-12)
 
 
+def test_collected_fast_path_matches_distributed_trainer(spark):
+    """collect_cap takes the bounded-collect numpy path; its model must
+    agree with the distributed loop to float-reordering tolerance, and
+    a cap below n must fall back to the distributed loop exactly."""
+    from lakehouse_spark_spark.operators.classifier import hashed_features, train_logreg
+
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    labels = spark.createDataFrame(list(LABELS.items()), ["doc_id", "label"])
+    feats = hashed_features(docs, dim=DIM)
+    w_d, b_d = train_logreg(feats, labels, dim=DIM, epochs=8, lr=2.0)
+    w_c, b_c = train_logreg(feats, labels, dim=DIM, epochs=8, lr=2.0, collect_cap=100)
+    assert b_c == pytest.approx(b_d, rel=1e-9, abs=1e-12)
+    np.testing.assert_allclose(np.array(w_c), np.array(w_d), rtol=1e-9, atol=1e-12)
+    # cap below the label count -> distributed fallback
+    w_f, b_f = train_logreg(feats, labels, dim=DIM, epochs=8, lr=2.0, collect_cap=3)
+    assert b_f == pytest.approx(b_d, rel=1e-12, abs=1e-15)
+    np.testing.assert_allclose(np.array(w_f), np.array(w_d), rtol=1e-12, atol=1e-15)
+
+
 def test_classifier_learns_planted_signal(spark):
     """Learnability floor: scoring the training corpus must separate
     the planted spam/clean signal (accuracy >= 7/8) and score spammy
