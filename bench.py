@@ -80,9 +80,11 @@ HEADLINE = [
     "embedding_ivfpq_topk",
     "bpe_learned_merges",
     # round 8: learned quality filter (distill-then-filter) + the
-    # borderline-similarity triangle census
+    # borderline-similarity triangle census + the v4 chain with the
+    # learned stage woven in
     "quality_classifier_scores",
     "similarity_graph_triangles",
+    "curation_v4_learned_disposition",
 ]
 
 

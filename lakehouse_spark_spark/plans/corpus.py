@@ -140,6 +140,12 @@ def curation_v3(
     seq_len: int = 256,
     pin: str = "local",
     pin_dir: str | None = None,
+    learned_filter: bool = False,
+    clf_drop_frac: float = 0.3,
+    clf_sample_n: int = 2000,
+    clf_dim: int = 1024,
+    clf_epochs: int = 8,
+    clf_lr: float = 8.0,
 ) -> DataFrame:
     """End-to-end pretraining curation (round-4 verdict ask #6): the
     FULL chain as one composed plan, every input doc landing in exactly
@@ -182,6 +188,26 @@ def curation_v3(
       clean columnar scan with pushdown. This is the 1000-executor
       setting; both modes produce hash-identical dispositions
       (tests/test_curation_v3.py pins the equivalence).
+
+    ``learned_filter`` (the v4 stage — FineWeb/DCLM distill-then-
+    filter, woven into the chain): a logistic-regression quality
+    classifier (operators/classifier.py) is distilled from the chain's
+    OWN rule gates — weak labels = ``word_ok AND line_ok`` on a
+    ``clf_sample_n``-doc md5-rank sample of the raw corpus — and then
+    scored over the deduped, span-trimmed, non-holdout survivors. The
+    cutoff is QUANTILE-CALIBRATED, the way production learned filters
+    tune theirs to a kept-token target: the bottom ``clf_drop_frac``
+    of survivors by learned score land in a new ``learned_filter``
+    disposition (priority: after eval_holdout, before
+    contamination) — an absolute probability threshold would be
+    corpus-dependent, a quantile is self-calibrating at any scale.
+    ``clf_drop_frac=0.0`` disables the drop and the report is
+    IDENTICAL to the flag-off chain (pinned by
+    tests/test_corpus_pipeline.py). Scale: training reads only the
+    bounded sample (collect_cap fast path); scoring is one linear pass
+    over survivors plus one approx-percentile agg for the cutoff — the
+    model (dim+2 floats) and the scalar cutoff are the only
+    broadcasts.
     """
     from pyspark.sql import Window
 
@@ -304,6 +330,74 @@ def curation_v3(
         "s3_span_trimmed",
     )
 
+    # --- stage 7b (v4, optional): learned quality filter — distill a
+    # linear classifier from the chain's own rule gates (weak labels =
+    # word_ok AND line_ok on a bounded md5-rank sample of the RAW
+    # corpus, so the teacher saw both classes) and score the deduped
+    # span-trimmed survivors; sub-threshold docs drop here. Training
+    # cost is corpus-size-independent (collect_cap fast path); scoring
+    # is one linear pass with a (clf_dim+2)-float broadcast model.
+    if learned_filter:
+        from lakehouse_spark_spark.operators.classifier import (
+            apply_stats_standardizer,
+            fit_stats_standardizer,
+            hashed_features,
+            score_documents,
+            train_logreg,
+        )
+
+        sample = flags.orderBy(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        ).limit(clf_sample_n)
+        clf_labels = sample.select(
+            "doc_id",
+            (F.col("word_ok") & F.col("line_ok")).cast("int").alias("label"),
+        )
+        clf_raw = hashed_features(sample, "doc_id", "text", dim=clf_dim, with_stats=True)
+        clf_std = fit_stats_standardizer(clf_raw, clf_dim)
+        clf_w, clf_b = train_logreg(
+            apply_stats_standardizer(clf_raw, clf_std),
+            clf_labels,
+            "doc_id",
+            "label",
+            dim=clf_dim + 2,
+            epochs=clf_epochs,
+            lr=clf_lr,
+            collect_cap=clf_sample_n,
+        )
+        # pinned: the scored frame is consumed three times (the cutoff
+        # agg, the drop filter via train_side, and the disposition
+        # join) — without the stage boundary each consumer replicates
+        # the whole upstream chain incl. feature hashing.
+        scored = _pin(
+            score_documents(
+                s3t.filter(F.col("doc_id") % eval_mod != 0).select("doc_id", "text"),
+                clf_w,
+                clf_b,
+                "doc_id",
+                "text",
+                dim=clf_dim,
+                with_stats=True,
+                standardizer=clf_std,
+            ).select("doc_id", "score"),
+            "clf_scored",
+        )
+        # quantile-calibrated cutoff: one t-digest agg, broadcast as a
+        # scalar. drop_frac=0.0 gives cutoff=min(score) and the strict
+        # < comparison drops nothing (the v3-equivalence seam).
+        cut = scored.agg(
+            F.expr(f"percentile_approx(score, {float(clf_drop_frac)})").alias("__cut")
+        )
+        # pinned: consumed by train_side AND the disposition join
+        lf_dropped = _pin(
+            scored.crossJoin(F.broadcast(cut))
+            .filter(F.col("score") < F.col("__cut"))
+            .select("doc_id", F.lit(True).alias("__lf")),
+            "lf_dropped",
+        )
+    else:
+        lf_dropped = None
+
     # --- stage 8: eval holdout + n-gram decontamination. The eval set
     # is the synthetic doc_id % eval_mod slice of the RAW corpus (an
     # external benchmark in production); survivors sharing any
@@ -312,6 +406,12 @@ def curation_v3(
     # corpus has short random-word docs; the operator is n-agnostic.)
     eval_docs = base.filter(F.col("doc_id") % eval_mod == 0).select("doc_id", "text")
     train_side = s3t.filter(F.col("doc_id") % eval_mod != 0)
+    if lf_dropped is not None:
+        train_side = (
+            train_side.join(lf_dropped, "doc_id", "left")
+            .filter(F.col("__lf").isNull())
+            .drop("__lf")
+        )
     cont = contamination_hits(
         train_side.select("doc_id", "text"), eval_docs, "doc_id", "text", n=decon_n
     ).select("doc_id", F.lit(True).alias("__cont"))
@@ -348,25 +448,31 @@ def curation_v3(
 
     # --- disposition CASE over the full corpus (priority order = chain
     # order); markers joined back so every input doc gets exactly one.
-    disp = (
+    marked = (
         flags.join(s2.select("doc_id", F.lit(True).alias("__ek")), "doc_id", "left")
         .join(near_dropped, "doc_id", "left")
         .join(s3t.select("doc_id", "kept_tokens"), "doc_id", "left")
         .join(cont, "doc_id", "left")
         .join(budget, "doc_id", "left")
-        .withColumn(
-            "disposition",
-            F.when(~F.col("word_ok"), "quality_word")
-            .when(~F.col("line_ok"), "quality_line")
-            .when(~F.col("lang_ok"), "lang_filtered")
-            .when(F.col("blocked"), "blocked")
-            .when(F.col("__ek").isNull(), "exact_dup")
-            .when(F.col("__nd").isNotNull(), "near_dup")
-            .when(F.col("doc_id") % eval_mod == 0, "eval_holdout")
-            .when(F.col("__cont").isNotNull(), "contaminated")
-            .when(~F.col("budget_keep"), "budget_excess")
-            .otherwise(F.concat(F.lit("kept_"), split_col)),
-        )
+    )
+    if lf_dropped is not None:
+        marked = marked.join(lf_dropped, "doc_id", "left")
+    case = (
+        F.when(~F.col("word_ok"), "quality_word")
+        .when(~F.col("line_ok"), "quality_line")
+        .when(~F.col("lang_ok"), "lang_filtered")
+        .when(F.col("blocked"), "blocked")
+        .when(F.col("__ek").isNull(), "exact_dup")
+        .when(F.col("__nd").isNotNull(), "near_dup")
+        .when(F.col("doc_id") % eval_mod == 0, "eval_holdout")
+    )
+    if lf_dropped is not None:
+        case = case.when(F.col("__lf").isNotNull(), "learned_filter")
+    disp = marked.withColumn(
+        "disposition",
+        case.when(F.col("__cont").isNotNull(), "contaminated")
+        .when(~F.col("budget_keep"), "budget_excess")
+        .otherwise(F.concat(F.lit("kept_"), split_col)),
     )
     shipped = F.col("disposition").startswith("kept_")
     return disp.groupBy("disposition").agg(

@@ -638,14 +638,16 @@ _GATE_ROTATION_R8 = [
     "supplier_nation_volume",
     "tfidf_top_terms",
     "token_counts",
-    "top100_orders",
     "top_orders_per_customer",
-    # -- rows-only tail (3): the r7 red row (now scalar-projected), the
-    #    oldest rows-only coverage (last gated r2), and the round-8
-    #    learned quality classifier (new — gated in its birth round) --
+    # -- rows-only tail (4): the r7 red row (now scalar-projected), the
+    #    oldest rows-only coverage (last gated r2), and the two
+    #    round-8 learned-classifier queries (new — gated in their
+    #    birth round; top100_orders, r3-gated and untouched since,
+    #    was displaced to keep the window at 50) --
     "multimodal_audio_features",
     "embedding_ann_ivf",
     "quality_classifier_scores",
+    "curation_v4_learned_disposition",
 ]
 
 
@@ -7715,4 +7717,33 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return score_documents(
         docs, weights, bias, "doc_id", "text", dim=1024, with_stats=True, standardizer=std
+    )
+
+
+# ==========================================================================
+# Curation v4 (round 8): the v3 chain with the learned-filter stage
+# woven in — the classifier distilled from the chain's own rule gates
+# (plans/corpus.py stage 7b) drops sub-threshold survivors AFTER
+# dedup/span-trim and BEFORE decontamination, the FineWeb/DCLM
+# pipeline shape. The cutoff is quantile-calibrated (drop the bottom
+# clf_drop_frac of survivors by learned score — production filters
+# tune their cutoff to a kept-token target the same way), so the
+# stage is exercised at every SF. rows-only: the stage inherits the
+# classifier's iterative-GD float nondeterminism (weights reproducible
+# only to ~1e-12), so a doc scoring exactly at the quantile could flip
+# engines; correctness rests on (1) the pinned v3 oracle for every
+# OTHER stage (clf_drop_frac=0.0 makes v4 report-identical to v3 —
+# tests/test_corpus_pipeline.py asserts it), (2) conservation
+# (Σ n_docs = |corpus|), (3) the classifier twin tests.
+# ==========================================================================
+@register(
+    "curation_v4_learned_disposition",
+    oracle=None,  # iterative GD inside the chain; see block comment
+    doc="curation chain v4: v3 + distilled learned quality filter between span-trim and decon",
+)
+def curation_v4_learned_disposition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.plans.corpus import curation_v3
+
+    return curation_v3(
+        _t(spark, sf_dir, "documents"), learned_filter=True, clf_drop_frac=0.3
     )

@@ -186,6 +186,13 @@ class TestCurationV3PinModes:
         local = curation_v3(docs).collect()
         parquet = curation_v3(docs, pin="parquet", pin_dir=str(tmp_path / "pins")).collect()
         assert key(parquet) == key(local)
+        # the v4 learned stage adds two more pinned frames (clf_scored,
+        # lf_dropped) — the seam must hold for them too
+        local4 = curation_v3(docs, learned_filter=True).collect()
+        parquet4 = curation_v3(
+            docs, learned_filter=True, pin="parquet", pin_dir=str(tmp_path / "pins4")
+        ).collect()
+        assert key(parquet4) == key(local4)
 
     def test_unknown_pin_mode_raises(self, spark):
         import pytest
@@ -209,3 +216,53 @@ class TestCurationV3PinModes:
         docs = load_table(spark, SF_SMALL, "documents")
         with pytest.raises(ValueError, match="pin_dir"):
             curation_v3(docs, pin="parquet")
+
+
+class TestCurationV4LearnedFilter:
+    def test_drop_frac_zero_is_report_identical_to_v3(self, spark):
+        """The v4 seam: clf_drop_frac=0.0 calibrates the cutoff to
+        min(score) and the strict < drops nothing, so the learned
+        stage is a no-op and the report equals the flag-off chain."""
+        from lakehouse_spark_spark.plans.corpus import curation_v3
+        from lakehouse_spark_spark.sources.loaders import load_table
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        key = lambda rows: sorted(map(tuple, rows))
+        v3 = curation_v3(docs).collect()
+        v4_off = curation_v3(docs, learned_filter=True, clf_drop_frac=0.0).collect()
+        assert key(v4_off) == key(v3)
+
+    def test_learned_filter_drops_bottom_fraction_and_conserves(self, spark):
+        """Default v4: conservation still holds doc- and token-exact,
+        the learned_filter disposition is populated (the quantile
+        cutoff guarantees it whenever survivors exist), its docs came
+        OUT of the v3 survivor pool (downstream dispositions can only
+        shrink), and dropped docs ship nothing."""
+        from lakehouse_spark_spark.operators.text import n_tokens
+        from lakehouse_spark_spark.plans.corpus import curation_v3
+        from lakehouse_spark_spark.sources.loaders import load_table
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        out = {r["disposition"]: r for r in
+               curation_v3(docs, learned_filter=True, clf_drop_frac=0.3).collect()}
+        n_corpus = docs.count()
+        tok_corpus = docs.select(
+            F.sum(n_tokens("text").cast("long")).alias("t")
+        ).collect()[0]["t"]
+        assert sum(r["n_docs"] for r in out.values()) == n_corpus
+        assert sum(r["tokens_in"] for r in out.values()) == tok_corpus
+        lf = out["learned_filter"]
+        assert lf["n_docs"] > 0
+        assert lf["tokens_out"] == 0 and lf["n_sequences"] == 0
+        # upstream dispositions are untouched by the new stage; the
+        # learned drops come out of the post-dedup survivor pool
+        v3 = {r["disposition"]: r for r in curation_v3(docs).collect()}
+        for d in ("quality_word", "quality_line", "lang_filtered", "blocked",
+                  "exact_dup", "near_dup", "eval_holdout"):
+            if d in v3 or d in out:
+                assert out.get(d) and v3.get(d) and out[d]["n_docs"] == v3[d]["n_docs"], d
+        downstream_v3 = sum(r["n_docs"] for d, r in v3.items()
+                            if d.startswith("kept_") or d in ("contaminated", "budget_excess"))
+        downstream_v4 = sum(r["n_docs"] for d, r in out.items()
+                            if d.startswith("kept_") or d in ("contaminated", "budget_excess"))
+        assert downstream_v4 == downstream_v3 - lf["n_docs"]
