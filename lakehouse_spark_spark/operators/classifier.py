@@ -207,7 +207,13 @@ def train_logreg(
         )
         if len(lab_rows) == 0:
             return [0.0] * dim, 0.0
-        if len(lab_rows) <= collect_cap:
+        # fast path requires one label row per id (the registry
+        # contract); duplicated ids would drop all but one dup's
+        # features from X, silently diverging from the distributed
+        # loop (which counts every labeled row) — fall through to it.
+        if len(lab_rows) <= collect_cap and len({r[id_col] for r in lab_rows}) == len(
+            lab_rows
+        ):
             return _train_logreg_collected(
                 features, lab_rows, id_col, dim, epochs, lr
             )

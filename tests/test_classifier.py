@@ -228,3 +228,21 @@ def test_registry_query_scores_every_document(spark):
     base = max(sum(lab.values()), len(lab) - sum(lab.values())) / len(lab)
     assert acc >= 0.8, (acc, base)
     assert acc > base + 0.1, (acc, base)
+
+
+def test_duplicate_label_ids_fall_back_to_distributed(spark):
+    """The fast path requires one label row per id; duplicated ids
+    would drop all but one dup's features from the dense X. With dups,
+    collect_cap must fall through to the distributed loop, whose
+    semantics (every labeled row contributes) are the reference."""
+    from lakehouse_spark_spark.operators.classifier import hashed_features, train_logreg
+
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    dup_labels = spark.createDataFrame(
+        list(LABELS.items()) + [(2, 0)], ["doc_id", "label"]
+    )
+    feats = hashed_features(docs, dim=DIM)
+    w_d, b_d = train_logreg(feats, dup_labels, dim=DIM, epochs=4, lr=2.0)
+    w_c, b_c = train_logreg(feats, dup_labels, dim=DIM, epochs=4, lr=2.0, collect_cap=100)
+    assert b_c == pytest.approx(b_d, rel=1e-12, abs=1e-15)
+    np.testing.assert_allclose(np.array(w_c), np.array(w_d), rtol=1e-12, atol=1e-15)
