@@ -591,6 +591,10 @@ _GATE_ROTATION_R7 = [
 _GATE_ROTATION_R8 = [
     # -- never-gated (1) --
     "similarity_graph_triangles",
+    # -- new in r8, oracle-bearing: bloom-prefiltered incremental dedup
+    #    (gated in its birth round; displaced dim_date — r3-gated and
+    #    untouched since — to keep the window at 50) --
+    "bloom_incremental_dedup",
     # -- re-gate: code/oracle changed in r8 (4 oracle-bearing) --
     "entity_resolution_clusters",
     "levenshtein_prefix_pairs",
@@ -609,7 +613,6 @@ _GATE_ROTATION_R8 = [
     "customers_with_big_order",
     "daily_user_reach",
     "dim_customer_unknown",
-    "dim_date",
     "doc_fingerprints",
     "doc_quality",
     "dq_summary",
@@ -4426,6 +4429,50 @@ def incremental_dedup_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return dedup_against_corpus(batch, corpus, "doc_id", "text")
+
+
+# ==========================================================================
+# Bloom-prefiltered incremental dedup (operators/bloom.py; round 8):
+# the Dolma/CCNet dedup-index shape for 100 TB ingest. The corpus hash
+# set is summarized into a declaratively-built Bloom filter (explode k
+# probe positions -> bit_or per 64-bit word: <= m/64 rows, map-side
+# combined, broadcastable); the batch is membership-tested against the
+# broadcast filter, and ONLY bloom-positive candidates are verified
+# against the real index via a broadcast semi-join (the manual runtime
+# filter — the index is scanned, never shuffled). No false negatives +
+# exact verify of positives makes the OUTPUT byte-identical to plain
+# exact dedup — the oracle below is the exact semantics; the bloom only
+# reshapes the plan. FP behavior and exact-equivalence are pinned by
+# tests/test_bloom.py.
+# ==========================================================================
+@register(
+    "bloom_incremental_dedup",
+    oracle=f"""
+    WITH batch AS (
+      SELECT doc_id, md5({_NORM}) AS content_hash FROM documents WHERE doc_id % 7 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT md5({_NORM}) AS content_hash FROM documents WHERE doc_id % 7 <> 0
+    ),
+    r AS (
+      SELECT b.doc_id, b.content_hash,
+             c.content_hash IS NOT NULL AS dup_of_corpus,
+             ROW_NUMBER() OVER (PARTITION BY b.content_hash ORDER BY b.doc_id) > 1 AS dup_in_batch
+      FROM batch b LEFT JOIN corpus c USING (content_hash)
+    )
+    SELECT doc_id, content_hash, dup_of_corpus, dup_in_batch,
+           NOT dup_of_corpus AND NOT dup_in_batch AS keep
+    FROM r
+    """,
+    doc="incremental exact dedup behind a broadcast Bloom prefilter: negatives never touch the corpus index",
+)
+def bloom_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.bloom import dedup_against_corpus_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return dedup_against_corpus_bloom(batch, corpus, "doc_id", "text")
 
 
 # ==========================================================================

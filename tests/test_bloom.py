@@ -1,0 +1,121 @@
+"""Bloom filter + bloom-prefiltered incremental dedup
+(operators/bloom.py): no-false-negative guarantee, exact-equivalence of
+the dedup output at any (m, k) — including a deliberately undersized
+filter where false positives are common — and the m/64 size bound that
+makes the filter broadcastable."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from lakehouse_spark_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    dedup_against_corpus_bloom,
+)
+from lakehouse_spark_spark.operators.dedup import dedup_against_corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus_batch(spark):
+    # corpus: 40 docs; batch: 12 docs of which 4 duplicate corpus text
+    # (two of them via whitespace/case variants the normalizer folds),
+    # 2 duplicate each other inside the batch, 6 novel.
+    corpus = _docs(spark, [(i, f"corpus document number {i} body") for i in range(40)])
+    batch = _docs(
+        spark,
+        [
+            (100, "corpus document number 3 body"),       # exact corpus dup
+            (101, "  Corpus  Document Number 7 BODY "),   # normalized corpus dup
+            (102, "corpus\tdocument\nnumber 11 body"),    # whitespace-folded dup
+            (103, "CORPUS DOCUMENT NUMBER 39 BODY"),      # case-folded dup
+            (104, "novel text alpha"),
+            (105, "novel text beta"),
+            (106, "novel text gamma"),
+            (107, "twin batch text"),
+            (108, "twin batch text"),                     # in-batch dup of 107
+            (109, "novel text delta"),
+            (110, "novel text epsilon"),
+            (111, "novel text zeta"),
+        ],
+    )
+    return corpus, batch
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bloom_no_false_negatives(spark, corpus_batch):
+    corpus, _ = corpus_batch
+    hashes = corpus.select(F.md5(F.lower(F.trim("text"))).alias("h"), F.col("doc_id"))
+    bloom = bloom_build(hashes, "h", m_bits=1 << 14, k=5)
+    flagged = bloom_might_contain(hashes, "h", bloom, "doc_id", m_bits=1 << 14, k=5)
+    assert flagged.filter(~F.col("__bloom_hit")).count() == 0
+
+
+def test_bloom_word_count_bounded(spark, corpus_batch):
+    corpus, _ = corpus_batch
+    hashes = corpus.select(F.md5("text").alias("h"))
+    m = 1 << 10
+    bloom = bloom_build(hashes, "h", m_bits=m, k=7).collect()
+    assert len(bloom) <= m // 64
+    assert all(0 <= r["word"] < m // 64 for r in bloom)
+    # determinism: rebuilding yields the identical word/bits set
+    again = bloom_build(hashes, "h", m_bits=m, k=7).collect()
+    assert sorted((r["word"], r["bits"]) for r in bloom) == sorted(
+        (r["word"], r["bits"]) for r in again
+    )
+
+
+def test_bloom_dedup_matches_exact_operator(spark, corpus_batch):
+    corpus, batch = corpus_batch
+    exact = _collect_sorted(dedup_against_corpus(batch, corpus, "doc_id", "text"))
+    bloomed = _collect_sorted(dedup_against_corpus_bloom(batch, corpus, "doc_id", "text"))
+    assert bloomed == exact
+    # sanity on the fixture itself: 4 corpus dups, 1 in-batch dup, 7 keeps
+    by_id = {r[0]: r for r in bloomed}
+    assert sum(1 for r in bloomed if r[2]) == 4       # dup_of_corpus
+    assert sum(1 for r in bloomed if r[3]) == 1       # dup_in_batch
+    assert by_id[107][4] and not by_id[108][4]        # keep = first twin only
+    assert sum(1 for r in bloomed if r[4]) == 7
+
+
+def test_bloom_dedup_exact_even_when_filter_saturated(spark, corpus_batch):
+    """An undersized filter (m=64 bits, k=7, 40 elements → near-100% FP
+    rate) must still produce the exact answer: every batch doc becomes a
+    candidate and the verify join removes all false positives. This
+    pins the operator's central claim — bloom parameters affect the
+    plan, never the output."""
+    corpus, batch = corpus_batch
+    exact = _collect_sorted(dedup_against_corpus(batch, corpus, "doc_id", "text"))
+    saturated = _collect_sorted(
+        dedup_against_corpus_bloom(batch, corpus, "doc_id", "text", m_bits=64, k=7)
+    )
+    assert saturated == exact
+    # and the saturated filter really does fire on novel docs (FPs exist)
+    bh = batch.select("doc_id", F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h"))
+    ch = corpus.select(F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h")).distinct()
+    bloom = bloom_build(ch, "h", m_bits=64, k=7)
+    flagged = bloom_might_contain(bh, "h", bloom, "doc_id", m_bits=64, k=7)
+    n_hits = flagged.filter(F.col("__bloom_hit")).count()
+    assert n_hits > 4  # more candidates than the 4 true corpus dups → FPs exercised
+
+
+def test_bloom_prefilter_skips_true_negatives(spark, corpus_batch):
+    """With a well-sized filter the candidate set is (almost always)
+    exactly the true-dup hash set — the property that lets negatives
+    skip the corpus index. Probabilistic in general; deterministic for
+    this pinned fixture + parameters (verified stable)."""
+    corpus, batch = corpus_batch
+    bh = batch.select("doc_id", F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h"))
+    ch = corpus.select(F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h")).distinct()
+    bloom = bloom_build(ch, "h", m_bits=1 << 20, k=7)
+    flagged = bloom_might_contain(bh, "h", bloom, "doc_id", m_bits=1 << 20, k=7)
+    hits = {r["doc_id"] for r in flagged.filter(F.col("__bloom_hit")).collect()}
+    assert hits == {100, 101, 102, 103}
