@@ -259,6 +259,127 @@ def train_logreg(
     return weights, bias
 
 
+def train_logreg_distill(
+    features: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    dim: int = 1024,
+    bow_dim: int | None = None,
+    epochs: int = 8,
+    lr: float = 2.0,
+    collect_cap: int | None = None,
+):
+    """Fused distillation trainer: standardizer fit + label collect +
+    feature collect in ONE Spark action. Returns
+    ``(weights, bias, std_params)`` where ``std_params`` is the
+    ``fit_stats_standardizer``-shaped dict for the reserved stats
+    features (``fidx >= bow_dim``; ``{}`` when ``bow_dim`` is None).
+
+    ``features`` must be the RAW (unstandardized) frame — the
+    standardizer is fitted and applied inside. The separate
+    fit → apply → train composition runs three actions, each of which
+    re-executes the bounded-sample lineage (TakeOrdered + tokenize +
+    explode + two groupBys); distillation call sites are exactly that
+    shape, so fusing the collects cuts the training wall-clock to one
+    sample pass. Driver-side mean/std over the collected sample equals
+    the Spark avg/stddev_pop fit to float-reordering tolerance (same
+    contract as the GD twin, pinned by tests/test_classifier.py).
+
+    Fast path requires ``collect_cap`` and at most ``collect_cap``
+    uniquely-labeled docs; duplicated label ids or an over-cap label set
+    fall back to the distributed path (Spark-fitted standardizer +
+    per-epoch gradient collects), preserving ``train_logreg``'s
+    semantics exactly.
+    """
+    if collect_cap is not None:
+        from pyspark.sql import Window
+
+        lab = labels.select(
+            id_col, F.col(label_col).cast("double").alias("__y")
+        ).limit(collect_cap + 1)
+        # dup guard rides along in the same action: a duplicated label
+        # id would silently diverge from the distributed loop (which
+        # counts every labeled row) — detect and fall back.
+        lab = lab.withColumn(
+            "__nl", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        rows = (
+            lab.join(features, id_col, "left")
+            .select(id_col, "__y", "__nl", "fidx", "v")
+            .collect()
+        )
+        if not rows:
+            return [0.0] * dim, 0.0, {}
+        dup = any(r["__nl"] > 1 for r in rows)
+        y_of: dict = {}
+        for r in rows:
+            y_of.setdefault(r[id_col], r["__y"])
+        if not dup and len(y_of) <= collect_cap:
+            return _train_distill_rows(rows, y_of, id_col, dim, bow_dim, epochs, lr)
+    std = fit_stats_standardizer(features, bow_dim) if bow_dim is not None else {}
+    w, b = train_logreg(
+        apply_stats_standardizer(features, std),
+        labels,
+        id_col,
+        label_col,
+        dim=dim,
+        epochs=epochs,
+        lr=lr,
+    )
+    return w, b, std
+
+
+def _train_distill_rows(
+    rows: list,
+    y_of: dict,
+    id_col: str,
+    dim: int,
+    bow_dim: int | None,
+    epochs: int,
+    lr: float,
+):
+    """Driver-side half of ``train_logreg_distill``: fit the stats
+    standardizer over the collected sample rows (population std, docs
+    WITH the feature only — the Spark fit aggregates rows, not docs, so
+    absent features contribute nothing there either), standardize while
+    filling X, then numpy full-batch GD."""
+    import numpy as np
+
+    ids = list(y_of)
+    row_of = {i: j for j, i in enumerate(ids)}
+    y = np.array([y_of[i] for i in ids])
+    n = len(ids)
+    std: dict[int, tuple[float, float]] = {}
+    if bow_dim is not None:
+        vals: dict[int, list] = {}
+        for r in rows:
+            if r["fidx"] is not None and int(r["fidx"]) >= bow_dim:
+                vals.setdefault(int(r["fidx"]), []).append(r["v"])
+        for j, vs in vals.items():
+            a = np.array(vs)
+            sd = float(a.std())
+            std[j] = (float(a.mean()), sd if sd else 1.0)
+    X = np.zeros((n, dim))
+    for r in rows:
+        if r["fidx"] is None:
+            continue
+        j = int(r["fidx"])
+        v = r["v"]
+        if j in std:
+            mu, sd = std[j]
+            v = (v - mu) / sd
+        X[row_of[r[id_col]], j] = v
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(epochs):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        e = p - y
+        w -= lr * (X.T @ e) / n
+        b -= lr * e.sum() / n
+    return [float(v) for v in w], float(b), std
+
+
 def _train_logreg_collected(
     features: DataFrame,
     lab_rows: list,

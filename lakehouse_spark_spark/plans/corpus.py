@@ -339,11 +339,9 @@ def curation_v3(
     # is one linear pass with a (clf_dim+2)-float broadcast model.
     if learned_filter:
         from lakehouse_spark_spark.operators.classifier import (
-            apply_stats_standardizer,
-            fit_stats_standardizer,
             hashed_features,
             score_documents,
-            train_logreg,
+            train_logreg_distill,
         )
 
         sample = flags.orderBy(
@@ -354,13 +352,16 @@ def curation_v3(
             (F.col("word_ok") & F.col("line_ok")).cast("int").alias("label"),
         )
         clf_raw = hashed_features(sample, "doc_id", "text", dim=clf_dim, with_stats=True)
-        clf_std = fit_stats_standardizer(clf_raw, clf_dim)
-        clf_w, clf_b = train_logreg(
-            apply_stats_standardizer(clf_raw, clf_std),
+        # fused trainer: standardizer fit + label + feature collect in
+        # one Spark action over the (pinned) sample lineage; epochs run
+        # in numpy (sample is hard-capped at clf_sample_n)
+        clf_w, clf_b, clf_std = train_logreg_distill(
+            clf_raw,
             clf_labels,
             "doc_id",
             "label",
             dim=clf_dim + 2,
+            bow_dim=clf_dim,
             epochs=clf_epochs,
             lr=clf_lr,
             collect_cap=clf_sample_n,

@@ -7728,7 +7728,7 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.classifier import (
         hashed_features,
         score_documents,
-        train_logreg,
+        train_logreg_distill,
     )
     from lakehouse_spark_spark.operators.text import gopher_quality_flags
 
@@ -7742,24 +7742,20 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = gopher_quality_flags(
         sample, "doc_id", "text", min_words=40, stopword_min=1
     ).select("doc_id", F.col("keep").cast("int").alias("label"))
-    from lakehouse_spark_spark.operators.classifier import (
-        apply_stats_standardizer,
-        fit_stats_standardizer,
-    )
-
     raw = hashed_features(sample, "doc_id", "text", dim=1024, with_stats=True)
-    std = fit_stats_standardizer(raw, 1024)
-    weights, bias = train_logreg(
-        apply_stats_standardizer(raw, std),
+    # the sample is hard-capped at 2000 docs above, so the fused
+    # trainer does standardizer fit + label + feature collect in ONE
+    # Spark action and runs the epochs in numpy (zero Spark jobs per
+    # epoch); scoring below stays the one corpus-wide pass
+    weights, bias, std = train_logreg_distill(
+        raw,
         labels,
         "doc_id",
         "label",
         dim=1024 + 2,
+        bow_dim=1024,
         epochs=8,
         lr=8.0,
-        # the sample is hard-capped at 2000 docs above, so training
-        # takes the bounded-collect fast path (zero Spark jobs per
-        # epoch); scoring below stays the one corpus-wide pass
         collect_cap=2000,
     )
     return score_documents(

@@ -246,3 +246,92 @@ def test_duplicate_label_ids_fall_back_to_distributed(spark):
     w_c, b_c = train_logreg(feats, dup_labels, dim=DIM, epochs=4, lr=2.0, collect_cap=100)
     assert b_c == pytest.approx(b_d, rel=1e-12, abs=1e-15)
     np.testing.assert_allclose(np.array(w_c), np.array(w_d), rtol=1e-12, atol=1e-15)
+
+
+def test_fused_distill_matches_separate_composition(spark):
+    """train_logreg_distill (one-action fused fit+collect+train) must
+    produce the same model as the separate fit_stats_standardizer ->
+    apply_stats_standardizer -> train_logreg composition, to
+    float-reordering tolerance, and return the same standardizer."""
+    from lakehouse_spark_spark.operators.classifier import (
+        apply_stats_standardizer,
+        fit_stats_standardizer,
+        hashed_features,
+        train_logreg,
+        train_logreg_distill,
+    )
+
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    labels = spark.createDataFrame(list(LABELS.items()), ["doc_id", "label"])
+    raw = hashed_features(docs, dim=DIM, with_stats=True)
+    std_ref = fit_stats_standardizer(raw, DIM)
+    w_ref, b_ref = train_logreg(
+        apply_stats_standardizer(raw, std_ref),
+        labels,
+        dim=DIM + 2,
+        epochs=8,
+        lr=2.0,
+        collect_cap=100,
+    )
+    w_f, b_f, std_f = train_logreg_distill(
+        raw, labels, dim=DIM + 2, bow_dim=DIM, epochs=8, lr=2.0, collect_cap=100
+    )
+    assert set(std_f) == set(std_ref)
+    for j in std_ref:
+        assert std_f[j][0] == pytest.approx(std_ref[j][0], rel=1e-9, abs=1e-12)
+        assert std_f[j][1] == pytest.approx(std_ref[j][1], rel=1e-9, abs=1e-12)
+    assert b_f == pytest.approx(b_ref, rel=1e-9, abs=1e-12)
+    np.testing.assert_allclose(np.array(w_f), np.array(w_ref), rtol=1e-9, atol=1e-9)
+
+
+def test_fused_distill_dup_and_overcap_fall_back(spark):
+    """Duplicated label ids or an over-cap label set must push the
+    fused trainer onto the distributed path (Spark-fitted standardizer
+    + per-epoch gradients) — same reference semantics as train_logreg's
+    own fallback."""
+    from lakehouse_spark_spark.operators.classifier import (
+        apply_stats_standardizer,
+        fit_stats_standardizer,
+        hashed_features,
+        train_logreg,
+        train_logreg_distill,
+    )
+
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    raw = hashed_features(docs, dim=DIM, with_stats=True)
+    std = fit_stats_standardizer(raw, DIM)
+    feats_std = apply_stats_standardizer(raw, std)
+
+    dup_labels = spark.createDataFrame(
+        list(LABELS.items()) + [(2, 0)], ["doc_id", "label"]
+    )
+    w_d, b_d = train_logreg(feats_std, dup_labels, dim=DIM + 2, epochs=4, lr=2.0)
+    w_f, b_f, std_f = train_logreg_distill(
+        raw, dup_labels, dim=DIM + 2, bow_dim=DIM, epochs=4, lr=2.0, collect_cap=100
+    )
+    assert std_f == std
+    assert b_f == pytest.approx(b_d, rel=1e-12, abs=1e-15)
+    np.testing.assert_allclose(np.array(w_f), np.array(w_d), rtol=1e-12, atol=1e-15)
+
+    labels = spark.createDataFrame(list(LABELS.items()), ["doc_id", "label"])
+    w_o, b_o = train_logreg(feats_std, labels, dim=DIM + 2, epochs=4, lr=2.0)
+    w_g, b_g, _ = train_logreg_distill(
+        raw, labels, dim=DIM + 2, bow_dim=DIM, epochs=4, lr=2.0, collect_cap=3
+    )
+    assert b_g == pytest.approx(b_o, rel=1e-12, abs=1e-15)
+    np.testing.assert_allclose(np.array(w_g), np.array(w_o), rtol=1e-12, atol=1e-15)
+
+
+def test_fused_distill_empty_labels(spark):
+    from lakehouse_spark_spark.operators.classifier import (
+        hashed_features,
+        train_logreg_distill,
+    )
+
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    raw = hashed_features(docs, dim=DIM, with_stats=True)
+    empty = spark.createDataFrame([], "doc_id long, label int")
+    w, b, std = train_logreg_distill(
+        raw, empty, dim=DIM + 2, bow_dim=DIM, epochs=4, lr=2.0, collect_cap=100
+    )
+    assert w == [0.0] * (DIM + 2) and b == 0.0 and std == {}
