@@ -85,6 +85,7 @@ HEADLINE = [
     "quality_classifier_scores",
     "similarity_graph_triangles",
     "curation_v4_learned_disposition",
+    "bloom_incremental_dedup",
 ]
 
 

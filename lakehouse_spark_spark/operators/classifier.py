@@ -436,12 +436,63 @@ def score_documents(
     score (left join keeps every input doc). ``weights`` must cover the
     feature space hashed_features produced (dim, or dim+2 with
     ``with_stats``); pass the SAME ``standardizer`` the training
-    features were transformed with."""
-    feats = hashed_features(docs, id_col, text_col, dim, with_stats=with_stats)
-    if standardizer:
-        feats = apply_stats_standardizer(feats, standardizer)
+    features were transformed with.
+
+    Scoring does NOT materialize the feature vectors: since
+    tf_j = cnt_j / n_tok, the BoW logit block
+    ``sum_j w_j * cnt_j / n_tok`` equals ``(sum_tokens w[h(tok)]) /
+    n_tok`` — each token is weighted directly via one broadcast join
+    and ONE per-doc groupBy computes sum-of-weights, token count, and
+    char count together; the stats features fold in as scalar
+    arithmetic on those aggregates. The hashed_features + _scores
+    composition needs three key shuffles over the exploded token frame
+    ((doc,fidx) groupBy, doc-length groupBy + join-back, logit groupBy)
+    for the identical number — at corpus scale this pass IS the
+    operator's cost. Equal to the composition up to float
+    re-association (pinned by tests/test_classifier.py)."""
+    from lakehouse_spark_spark.operators.text import norm_text
+
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(i), float(w)) for i, w in enumerate(weights[:dim])], "fidx long, w double"
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(norm_text(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    fidx = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long") % dim
+    ).alias("fidx")
+    per_doc = (
+        toks.select(id_col, fidx, F.length("tok").alias("__tl"))
+        .join(F.broadcast(wdf), "fidx")
+        .groupBy(id_col)
+        .agg(
+            F.sum("w").alias("__sw"),
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum("__tl").cast("double").alias("__chars"),
+        )
+    )
+    logit = F.col("__sw") / F.col("__n")
+    if with_stats:
+        std = standardizer or {}
+        mu1, sd1 = std.get(dim, (0.0, 1.0))
+        mu2, sd2 = std.get(dim + 1, (0.0, 1.0))
+        w1 = float(weights[dim]) if len(weights) > dim else 0.0
+        w2 = float(weights[dim + 1]) if len(weights) > dim + 1 else 0.0
+        logit = (
+            logit
+            + F.lit(w1)
+            * ((F.log1p("__n") / 10.0 - F.lit(float(mu1))) / F.lit(float(sd1)))
+            + F.lit(w2)
+            * (
+                (F.col("__chars") / F.col("__n") / 10.0 - F.lit(float(mu2)))
+                / F.lit(float(sd2))
+            )
+        )
     scored = docs.select(id_col).join(
-        _scores(feats, weights, bias, id_col), id_col, "left"
+        per_doc.select(id_col, (logit + F.lit(float(bias))).alias("logit")),
+        id_col,
+        "left",
     )
     p = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-F.coalesce(F.col("logit"), F.lit(float(bias))))

@@ -335,3 +335,43 @@ def test_fused_distill_empty_labels(spark):
         raw, empty, dim=DIM + 2, bow_dim=DIM, epochs=4, lr=2.0, collect_cap=100
     )
     assert w == [0.0] * (DIM + 2) and b == 0.0 and std == {}
+
+
+def test_collapsed_scorer_matches_feature_composition(spark):
+    """score_documents folds the BoW logit into a single per-doc
+    groupBy over token weights; it must equal the explicit
+    hashed_features -> standardize -> _scores composition up to float
+    re-association, including the stats features and empty docs."""
+    from lakehouse_spark_spark.operators.classifier import (
+        _scores,
+        apply_stats_standardizer,
+        fit_stats_standardizer,
+        hashed_features,
+        score_documents,
+        train_logreg_distill,
+    )
+
+    docs = spark.createDataFrame(
+        CORPUS + [(9, ""), (10, "   ")], ["doc_id", "text"]
+    )
+    labels = spark.createDataFrame(list(LABELS.items()), ["doc_id", "label"])
+    raw_train = hashed_features(docs, dim=DIM, with_stats=True)
+    w, b, std = train_logreg_distill(
+        raw_train, labels, dim=DIM + 2, bow_dim=DIM, epochs=6, lr=2.0, collect_cap=100
+    )
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in score_documents(
+            docs, w, b, dim=DIM, with_stats=True, standardizer=std
+        ).collect()
+    }
+    feats = apply_stats_standardizer(
+        hashed_features(docs, dim=DIM, with_stats=True), std
+    )
+    ref_logit = {r["doc_id"]: r["logit"] for r in _scores(feats, w, b, "doc_id").collect()}
+    assert set(got) == {r["doc_id"] for r in docs.collect()}
+    for d, s in got.items():
+        logit = ref_logit.get(d, b)  # empty docs: bias-only
+        ref = 1.0 / (1.0 + math.exp(-logit))
+        assert s == pytest.approx(ref, rel=1e-9, abs=1e-12), d
