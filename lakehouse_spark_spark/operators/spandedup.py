@@ -13,13 +13,13 @@ boilerplate-heavy documents in RefinedWeb/SlimPajama-style curation.
 
 Scale design (100 TB):
 - Shingling is pure array expressions over the scan — no shuffle, no
-  Python.
-- The global shingle count groups by ``xxhash64(shingle)`` (8-byte
-  shuffle key) instead of the raw k-token string — the shuffle carries
-  hashes, not text. A 64-bit collision would need ~2^32 distinct
-  shingles in flight to become likely (birthday bound); the oracle
-  groups by the string itself, and the driver-gated hash-match at two
-  scale factors is the empirical collision check.
+  Python — and each shingle is REPRESENTED by its ``xxhash64`` from
+  the moment it is materialized: the posexplode emits 8-byte longs,
+  never k-token strings, so both the exploded frame and the global
+  count's shuffle carry hashes, not text. A 64-bit collision would
+  need ~2^32 distinct shingles in flight to become likely (birthday
+  bound); the oracle groups by the string itself, and the driver-gated
+  hash-match at two scale factors is the empirical collision check.
 - The merge step windows PER DOCUMENT ordered by span start — the
   partition key is the document id, so state is bounded by the longest
   document, never the corpus.
@@ -43,9 +43,19 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
-    """(id, n_tokens, start_pos, shingle): every k-token shingle with its
-    1-based start position. Documents shorter than k tokens emit no
-    rows; empty documents are excluded entirely."""
+    """(id, n_tokens, start_pos, shingle_h): every k-token shingle —
+    as its 64-bit ``xxhash64`` — with its 1-based start position.
+    Documents shorter than k tokens emit no rows; empty documents are
+    excluded entirely.
+
+    The hash is computed INSIDE the per-position transform (over the
+    token-array slice; tokens are whitespace-split so slice equality ≡
+    joined-string equality), so the exploded frame carries one long per
+    position instead of a k-token string — at corpus scale the explode
+    output is the operator's biggest frame, and this cuts its width
+    ~10×. Collision bound unchanged (64-bit birthday: ~2^32 distinct
+    shingles in flight), and the string-keyed oracle plus the two-SF
+    driver hash-match remain the empirical collision check."""
     base = _tokenized(df, id_col, text_col)
     sh = base.filter(F.col("n_tokens") >= k).select(
         F.col(id_col),
@@ -53,11 +63,13 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataF
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), (F.col("n_tokens") - k).cast("int")),
-                lambda i: F.array_join(F.slice("__w", i + 1, k), " "),
+                lambda i: F.xxhash64(F.slice("__w", i + 1, k)),
             )
-        ).alias("__i", "shingle"),
+        ).alias("__i", "shingle_h"),
     )
-    return sh.select(F.col(id_col), "n_tokens", (F.col("__i") + 1).alias("start_pos"), "shingle")
+    return sh.select(
+        F.col(id_col), "n_tokens", (F.col("__i") + 1).alias("start_pos"), "shingle_h"
+    )
 
 
 def duplicated_spans(
@@ -66,10 +78,14 @@ def duplicated_spans(
     """(id, __s, __e): maximal merged duplicated spans per document
     (1-based inclusive token positions) — the shared core of the stats
     and trimming operators."""
-    sh = doc_shingles(df, id_col, text_col, k)
-    sh = sh.withColumn("__h", F.xxhash64("shingle")).localCheckpoint(eager=False)
-    dup = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__c")).filter(F.col("__c") >= min_count).select("__h")
-    occ = sh.join(dup, "__h").select(
+    sh = doc_shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
+    dup = (
+        sh.groupBy("shingle_h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("shingle_h")
+    )
+    occ = sh.join(dup, "shingle_h").select(
         F.col(id_col), "start_pos", (F.col("start_pos") + k - 1).alias("end_pos")
     )
     w_prev = Window.partitionBy(id_col).orderBy("start_pos").rowsBetween(Window.unboundedPreceding, -1)
@@ -122,30 +138,32 @@ def span_trimmed_corpus(
     clean_text is the kept tokens rejoined in order ('' when the whole
     doc was duplicated boilerplate).
 
-    Scale: the kept/cut decision is a LEFT ANTI join of token positions
-    against the span table — hash-keyed by document id (the range
-    predicate is a residual filter on the id-matched rows, bounded by
-    spans-per-doc), then one per-doc ordered reassembly."""
+    Scale: the span table is tiny (maximal merged spans, a handful per
+    doc), so it is aggregated to one ``array<struct<s,e>>`` row per
+    document and joined back to the doc-level frame; the excision is
+    then a pure array expression (``filter`` with the position lambda
+    testing ``exists`` over the span array). The corpus-wide token
+    frame is never exploded and never shuffled — the doc-level join on
+    the id is the only data movement, versus a posexplode + anti-join +
+    regroup formulation that pushes every token through two shuffles."""
     base = _tokenized(df, id_col, text_col)
     spans = duplicated_spans(df, id_col, text_col, k, min_count)
-    toks = base.select(
-        F.col(id_col), F.posexplode("__w").alias("__p0", "token")
-    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "token")
-    sp = spans.select(F.col(id_col).alias("__sid"), "__s", "__e")
-    kept = toks.join(
-        sp,
-        (toks[id_col] == sp["__sid"]) & (F.col("pos") >= F.col("__s")) & (F.col("pos") <= F.col("__e")),
-        "left_anti",
+    spans_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("__s", "__e")).alias("__spans")
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("kept_tokens"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "token"))), lambda s: s["token"]), " "
-        ).alias("clean_text"),
+    joined = base.join(spans_arr, id_col, "left").withColumn(
+        "__spans", F.coalesce(F.col("__spans"), F.array())
     )
-    return base.select(id_col, "n_tokens").join(rebuilt, id_col, "left").select(
+    kept = F.filter(
+        "__w",
+        lambda t, i: ~F.exists(
+            "__spans",
+            lambda sp: ((i + 1) >= sp["__s"]) & ((i + 1) <= sp["__e"]),
+        ),
+    )
+    return joined.select(
         F.col(id_col),
         "n_tokens",
-        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
