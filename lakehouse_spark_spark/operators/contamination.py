@@ -48,12 +48,9 @@ def contamination_hits(
     (measured 3x at sf0.1; counts are exact up to 64-bit collisions,
     negligible below ~10^9 distinct shingles).
     """
-    t = word_shingles(train, id_col, text_col, n).select(
-        id_col, F.xxhash64("shingle").alias("shingle")
-    )
-    e = (
-        word_shingles(eval_df, id_col, text_col, n)
-        .select(F.col(id_col).alias("__eval_id"), F.xxhash64("shingle").alias("shingle"))
+    t = word_shingles(train, id_col, text_col, n, hashed=True)
+    e = word_shingles(eval_df, id_col, text_col, n, hashed=True).select(
+        F.col(id_col).alias("__eval_id"), "shingle"
     )
     return (
         t.join(F.broadcast(e), "shingle")

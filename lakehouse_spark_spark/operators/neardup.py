@@ -28,12 +28,30 @@ from pyspark.sql import DataFrame, functions as F
 from lakehouse_spark_spark.operators.text import norm_text
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hashed: bool = False
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
-    Documents with fewer than n tokens yield no shingles."""
+    Documents with fewer than n tokens yield no shingles.
+
+    ``hashed=True`` emits each shingle as its ``xxhash64`` computed
+    directly on the token-array SLICE inside the per-position transform
+    — the ' '-joined n-word string is never materialized, the per-doc
+    ``array_distinct`` dedups longs instead of strings, and the explode
+    emits 8 bytes per shingle. Slice equality ≡ joined-string equality
+    (tokens are whitespace-split), so equality-based consumers
+    (Jaccard/containment/contamination counts) are exact up to the same
+    64-bit collision bound their post-hoc hashing already carried.
+    Consumers that hash the shingle STRING again with per-seed salts
+    (MinHash) keep the default string form."""
     toks = F.split(norm_text(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    mk = (
+        (lambda i: F.xxhash64(F.slice(toks, i + 1, n)))
+        if hashed
+        else (lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+    shingles = F.transform(idx, mk)
     return (
         df.filter(F.size(toks) >= n)
         .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
@@ -71,9 +89,10 @@ def ngram_jaccard_pairs(
     per branch — the in-plan stand-in for persisting the shingle table
     between pipeline stages at scale.
 
-    ``hash_shingles`` (default) replaces each shingle string with its
-    xxhash64 before anything shuffles: the inverted-index self-join —
-    the widest exchange of the operator — then carries (long, long)
+    ``hash_shingles`` (default) hashes each shingle at MATERIALIZATION
+    (xxhash64 over the token slice, inside word_shingles' transform —
+    the n-word string never exists): the inverted-index self-join —
+    the widest exchange of the operator — carries (long, long)
     rows instead of (long, ~n·8-byte string), measured 2.5x faster at
     sf0.1 with bit-identical output. Jaccard only needs shingle
     EQUALITY, so hashing is semantics-preserving up to 64-bit
@@ -84,9 +103,7 @@ def ngram_jaccard_pairs(
         from lakehouse_spark_spark.operators.guards import guard_bruteforce
 
         guard_bruteforce(df, max_rows_uncapped, "ngram_jaccard_pairs (uncapped)", allow_bruteforce)
-    sh = word_shingles(df, id_col, text_col, n)
-    if hash_shingles:
-        sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    sh = word_shingles(df, id_col, text_col, n, hashed=hash_shingles)
     if materialize:
         sh = sh.localCheckpoint(eager=False)
     if max_df is not None:
@@ -279,9 +296,7 @@ def ngram_containment_pairs(
     page has Jaccard ~0.01 but containment ~1.0 in the quote's
     direction). Same inverted-index join shape (and df-cap treatment)
     as ``ngram_jaccard_pairs``."""
-    sh = word_shingles(df, id_col, text_col, n)
-    if hash_shingles:
-        sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    sh = word_shingles(df, id_col, text_col, n, hashed=hash_shingles)
     sh = sh.localCheckpoint(eager=False)
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
@@ -324,11 +339,8 @@ def cross_batch_jaccard(
 
     Output: (new_id, corpus_id, shared, size_new, size_corpus, jaccard).
     """
-    shn = word_shingles(new_df, id_col, text_col, n)
-    shc = word_shingles(corpus_df, id_col, text_col, n)
-    if hash_shingles:
-        shn = shn.select(id_col, F.xxhash64("shingle").alias("shingle"))
-        shc = shc.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    shn = word_shingles(new_df, id_col, text_col, n, hashed=hash_shingles)
+    shc = word_shingles(corpus_df, id_col, text_col, n, hashed=hash_shingles)
     shn = shn.localCheckpoint(eager=False)
     shc = shc.localCheckpoint(eager=False)
     sizes_n = shn.groupBy(id_col).agg(F.count(F.lit(1)).alias("size_new"))
