@@ -93,7 +93,7 @@ def bloom_might_contain(
     df: DataFrame,
     col: str,
     bloom: DataFrame,
-    id_col: str,
+    id_col: str | None = None,
     m_bits: int = 1 << 20,
     k: int = 7,
 ) -> DataFrame:
@@ -101,29 +101,40 @@ def bloom_might_contain(
     ``df[col]`` are set in ``bloom`` (no false negatives; false
     positives at the filter's designed rate).
 
-    ``bloom`` is broadcast (<= m/64 rows by construction); the per-probe
-    flags reduce with a map-side-combinable ``min`` on ``id_col`` — the
-    only shuffle is slim (id, bool) rows.
+    Membership is a property of the VALUE, so the test runs over the
+    DISTINCT values of ``col`` and left-joins the flags back: duplicate
+    values probe once, EVERY input row survives (a NULL value — which
+    has no hash — comes back ``__bloom_hit = false``, matching the
+    exact operator's null-never-equal join semantics; an inner join on
+    a row id would silently drop such rows). ``bloom`` is broadcast
+    (<= m/64 rows by construction); the per-probe flags reduce with a
+    map-side-combinable ``min`` keyed by the value — the only shuffle
+    is slim (value, bool) rows, bounded by |distinct values|.
+
+    ``id_col`` is accepted for call-site compatibility and unused.
     """
-    probes = df.select(
-        F.col(id_col), F.posexplode(_probe_positions(F.col(col), k, m_bits)).alias("__j", "__pos")
+    vals = df.select(col).filter(F.col(col).isNotNull()).distinct()
+    probes = vals.select(
+        F.col(col), F.posexplode(_probe_positions(F.col(col), k, m_bits)).alias("__j", "__pos")
     ).select(
-        id_col,
+        col,
         (F.col("__pos") / 64).cast("bigint").alias("word"),
         _bit_mask().alias("__mask"),
     )
     hit_j = (
         probes.join(F.broadcast(bloom), "word", "left")
         .select(
-            id_col,
+            col,
             (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("__mask")) != 0)).alias(
                 "__h"
             ),
         )
-        .groupBy(id_col)
+        .groupBy(col)
         .agg(F.min("__h").alias("__bloom_hit"))
     )
-    return df.join(hit_j, id_col)
+    return df.join(hit_j, col, "left").withColumn(
+        "__bloom_hit", F.coalesce("__bloom_hit", F.lit(False))
+    )
 
 
 def dedup_against_corpus_bloom(

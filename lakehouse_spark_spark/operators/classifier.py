@@ -43,6 +43,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok): the SHARED tokenization for training features and
+    scoring — one definition so the two can never drift apart (a model
+    trained in one feature space and scored in another fails silently)."""
+    from lakehouse_spark_spark.operators.text import norm_text
+
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(norm_text(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def _fidx(dim: int):
+    """The SHARED token -> feature-index hash (cross-engine md5
+    pattern), over the ``tok`` column."""
+    return (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long") % dim
+    ).alias("fidx")
+
+
 def hashed_features(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -67,16 +87,8 @@ def hashed_features(
     rules; every practical quality classifier mixes stats features
     into the lexical ones for exactly this reason.
     """
-    from lakehouse_spark_spark.operators.text import norm_text
-
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.split(norm_text(text_col), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    fidx = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long") % dim
-    ).alias("fidx")
-    per_doc = toks.select(id_col, fidx, F.length("tok").alias("__tl")).groupBy(
+    toks = _doc_tokens(docs, id_col, text_col)
+    per_doc = toks.select(id_col, _fidx(dim), F.length("tok").alias("__tl")).groupBy(
         id_col, "fidx"
     ).agg(
         F.count(F.lit(1)).cast("double").alias("cnt"),
@@ -220,7 +232,13 @@ def train_logreg(
     n = labels.count()
     if n == 0:
         return [0.0] * dim, 0.0
-    feats = features.persist()
+    # restrict the feature frame to the LABELED docs once, before the
+    # loop: every epoch's _scores pass and gradient join only ever use
+    # labeled rows (the right join / inner join discard the rest), so
+    # without the semi-join each epoch pays a full feature-frame
+    # aggregation for rows that never contribute. Numerically identical
+    # (the discarded rows never entered a kept sum).
+    feats = features.join(labels.select(id_col).distinct(), id_col, "semi").persist()
     lab = labels.select(
         id_col, F.col(label_col).cast("double").alias("__y")
     ).persist()
@@ -289,8 +307,11 @@ def train_logreg_distill(
     Fast path requires ``collect_cap`` and at most ``collect_cap``
     uniquely-labeled docs; duplicated label ids or an over-cap label set
     fall back to the distributed path (Spark-fitted standardizer +
-    per-epoch gradient collects), preserving ``train_logreg``'s
-    semantics exactly.
+    per-epoch gradient collects). The fallback fits the standardizer
+    over the LABELED docs' feature rows (a semi-join on the label ids),
+    the same population the fast path fits on — so the two paths train
+    the same model even when ``features`` covers more docs than
+    ``labels``.
     """
     if collect_cap is not None:
         from pyspark.sql import Window
@@ -317,9 +338,10 @@ def train_logreg_distill(
             y_of.setdefault(r[id_col], r["__y"])
         if not dup and len(y_of) <= collect_cap:
             return _train_distill_rows(rows, y_of, id_col, dim, bow_dim, epochs, lr)
-    std = fit_stats_standardizer(features, bow_dim) if bow_dim is not None else {}
+    lab_feats = features.join(labels.select(id_col).distinct(), id_col, "semi")
+    std = fit_stats_standardizer(lab_feats, bow_dim) if bow_dim is not None else {}
     w, b = train_logreg(
-        apply_stats_standardizer(features, std),
+        apply_stats_standardizer(lab_feats, std),
         labels,
         id_col,
         label_col,
@@ -450,20 +472,13 @@ def score_documents(
     for the identical number — at corpus scale this pass IS the
     operator's cost. Equal to the composition up to float
     re-association (pinned by tests/test_classifier.py)."""
-    from lakehouse_spark_spark.operators.text import norm_text
-
     spark = docs.sparkSession
     wdf = spark.createDataFrame(
         [(int(i), float(w)) for i, w in enumerate(weights[:dim])], "fidx long, w double"
     )
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(norm_text(text_col), " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    fidx = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long") % dim
-    ).alias("fidx")
     per_doc = (
-        toks.select(id_col, fidx, F.length("tok").alias("__tl"))
+        _doc_tokens(docs, id_col, text_col)
+        .select(id_col, _fidx(dim), F.length("tok").alias("__tl"))
         .join(F.broadcast(wdf), "fidx")
         .groupBy(id_col)
         .agg(

@@ -604,7 +604,7 @@ _GATE_ROTATION_R8 = [
     "corpus_token_accounting",
     "deduped_corpus",
     "quality_filter_documents",
-    # -- staleness re-gate: last gated r3, oracle-bearing (40) --
+    # -- staleness re-gate: last gated r3, oracle-bearing (37) --
     "asof_purchase_last_view",
     "avg_ticket_per_order",
     "brand_sales",
@@ -2715,12 +2715,16 @@ def training_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split is SQL-expressible, so the result now carries a full oracle
     # — the zipped double-unnest emits (sentence, 0-based idx) over the
     # stripped non-empty segments exactly like SplitSentences.eval.
+    # the trim class is EXPLICIT [ \t\n\r\f\v], not RE2 \s: \s in RE2
+    # is [\t\n\f\r ] WITHOUT \v (0x0B), while the UDTF strips the full
+    # ASCII-whitespace set (pyfuncs.SplitSentences._WS) — a \v at a
+    # segment edge would diverge under \s.
     oracle=r"""
     WITH p AS (
       SELECT doc_id,
              list_filter(
                list_transform(regexp_split_to_array(text, '[.!?]+'),
-                              x -> regexp_replace(regexp_replace(x, '^\s+', ''), '\s+$', '')),
+                              x -> regexp_replace(regexp_replace(x, '^[ \t\n\r\f\v]+', ''), '[ \t\n\r\f\v]+$', '')),
                x -> x <> '') AS sents
       FROM documents
     )
@@ -6689,6 +6693,20 @@ _ER_PAIRS_SQL = f"""
 """
 
 
+def _er_canopy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canopy input frame shared by the whole ER family
+    (levenshtein_prefix_pairs, entity_resolution_clusters via it, and
+    similarity_graph_triangles): (doc_id, lang, source, 40-char
+    normalized prefix). ONE definition so the Python sites can never
+    drift from each other — and it must stay in lockstep with
+    _ER_PAIRS_SQL's ``d`` CTE, which the oracles derive from."""
+    from lakehouse_spark_spark.operators.text import norm_text
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.substring(norm_text("text"), 1, 40).alias("pfx")
+    )
+
+
 def _er_candidate_pairs(d: DataFrame, cap: int = _ER_BLOCK_CAP) -> DataFrame:
     """Canopy-blocked ER candidate pairs over (doc_id, lang, source,
     pfx): explode distinct prefix 4-grams (a too-short prefix is its
@@ -6743,11 +6761,7 @@ def _er_candidate_pairs(d: DataFrame, cap: int = _ER_BLOCK_CAP) -> DataFrame:
     doc="fuzzy near-dup: Levenshtein <= 10 on 40-char normalized prefixes, 4-gram canopy blocking with a per-block cap",
 )
 def levenshtein_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_spark_spark.operators.text import norm_text
-
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", F.substring(norm_text("text"), 1, 40).alias("pfx")
-    )
+    d = _er_canopy_docs(spark, sf_dir)
     return (
         _er_candidate_pairs(d)
         .select(
@@ -7686,7 +7700,6 @@ def price_qty_histogram2d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.graph import triangle_counts
-    from lakehouse_spark_spark.operators.text import norm_text
 
     # The DENSITY analysis runs on the BORDERLINE-match graph (edit
     # distance <= 25 on the canopy candidates), not the strict ER match
@@ -7694,9 +7707,7 @@ def similarity_graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise-similar clusters from transitive chains, which needs the
     # borderline edges ER itself would drop. (<= 10 yields a near-empty
     # graph on the synthetic corpus: 1 edge at sf0.01.)
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", F.substring(norm_text("text"), 1, 40).alias("pfx")
-    )
+    d = _er_canopy_docs(spark, sf_dir)
     edges = (
         _er_candidate_pairs(d)
         .filter(F.levenshtein("__pa", "__pb") <= 25)

@@ -119,3 +119,23 @@ def test_bloom_prefilter_skips_true_negatives(spark, corpus_batch):
     flagged = bloom_might_contain(bh, "h", bloom, "doc_id", m_bits=1 << 20, k=7)
     hits = {r["doc_id"] for r in flagged.filter(F.col("__bloom_hit")).collect()}
     assert hits == {100, 101, 102, 103}
+
+
+def test_bloom_dedup_matches_exact_on_null_text(spark, corpus_batch):
+    """Rows whose tested value is NULL (null text -> null content_hash)
+    must survive with __bloom_hit=false and get the same disposition as
+    the exact operator's null-never-equal join semantics — the
+    value-keyed left-join membership test keeps them, where an inner
+    join on a row id would silently drop them (r8 review fix)."""
+    corpus, batch = corpus_batch
+    extra = spark.createDataFrame(
+        [(900, None), (901, None)], "doc_id long, text string"
+    )
+    batch_n = batch.unionByName(extra)
+    exact = _collect_sorted(dedup_against_corpus(batch_n, corpus, "doc_id", "text"))
+    bloomed = _collect_sorted(
+        dedup_against_corpus_bloom(batch_n, corpus, "doc_id", "text")
+    )
+    assert bloomed == exact
+    ids = {r[0] for r in bloomed}
+    assert {900, 901} <= ids  # null-text rows present in BOTH outputs

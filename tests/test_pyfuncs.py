@@ -74,6 +74,9 @@ def test_udtf_strip_matches_regex_ws_class_not_python_strip(spark):
         (2, "\x1f."),                   # segment that is ONLY \x1f
         (3, "a\xa0. b\x85c!"),         # NBSP / NEL edges
         (4, " spaced . normal ! "),
+        (5, "a\x0b. \x0bb! \x0b."),    # \v: STRIPPED (in _WS and the
+                                        # oracle's explicit class, but
+                                        # NOT in RE2 \s — r8 review fix)
     ]
     docs = spark.createDataFrame(texts, ["doc_id", "text"])
     out = explode_sentences(spark, docs)
@@ -85,23 +88,16 @@ def test_udtf_strip_matches_regex_ws_class_not_python_strip(spark):
     assert got[(3, 0)] == "a\xa0"
     assert got[(3, 1)] == "b\x85c"
     assert got[(4, 0)] == "spaced"
-    # and the DuckDB oracle's trim agrees row-for-row
+    # \v IS trimmed on both sides, and a \v-only segment drops
+    assert got[(5, 0)] == "a"
+    assert got[(5, 1)] == "b"
+    assert (5, 2) not in got
+    # and the REGISTERED DuckDB oracle's trim agrees row-for-row (use
+    # the registry string itself, not a copy that could drift)
+    from lakehouse_spark_spark.plans.queries import registry
+
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
-    oracle = con.execute(
-        r"""
-        WITH p AS (
-          SELECT doc_id,
-                 list_filter(
-                   list_transform(regexp_split_to_array(text, '[.!?]+'),
-                                  x -> regexp_replace(regexp_replace(x, '^\s+', ''), '\s+$', '')),
-                   x -> x <> '') AS sents
-          FROM documents
-        )
-        SELECT doc_id, unnest(sents) AS sentence,
-               CAST(unnest(generate_series(0, len(sents) - 1)) AS INTEGER) AS sentence_idx
-        FROM p
-        """
-    ).fetchall()
+    oracle = con.execute(registry()["doc_sentences_udtf"].oracle).fetchall()
     assert {(d, i): s for d, s, i in oracle} == got

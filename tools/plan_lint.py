@@ -18,6 +18,7 @@ Also imported by tests/test_plan_lint.py.
 
 from __future__ import annotations
 
+import re
 import sys
 
 # Unpartitioned-window whitelist: name -> why the global window is
@@ -157,7 +158,13 @@ def lint_df(df) -> dict[str, list[str]]:
     tree = qe.explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     ).split("\n\n(")[0]
-    n_shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    # \bExchange\b matches ONLY the shuffle-exchange node: no word
+    # boundary exists inside BroadcastExchange or ReusedExchange, so
+    # neither broadcasts nor reuses (which re-read existing shuffle
+    # files, they don't re-shuffle) inflate the count — a substring
+    # count would tally every ReusedExchange as a shuffle and could
+    # hard-fail a healthy reuse-heavy plan.
+    n_shuffles = len(re.findall(r"\bExchange\b", tree))
     if n_shuffles > _MAX_SHUFFLES:
         issues["plan_explosion"] = [
             f"{n_shuffles} shuffle exchanges (> {_MAX_SHUFFLES}) — a reused frame is "
