@@ -303,3 +303,30 @@ def test_top_ngrams_deterministic_tiebreak(spark):
     df = spark.createDataFrame([(1, "b c"), (2, "a b"), (3, "a b")], ["doc_id", "text"])
     got = [(r["bigram"], r["n"]) for r in top_ngrams(df, "text", k=2).collect()]
     assert got == [("a b", 2), ("b c", 1)]
+
+
+def test_hashed_shingles_output_identical_to_string_shingles(spark):
+    """hash_shingles=True computes xxhash64 on the token-array slice at
+    materialization (r8); its pair/jaccard output must be IDENTICAL to
+    the exact-string path — equality is the only property Jaccard and
+    containment consume, and slice equality == joined-string equality."""
+    from lakehouse_spark_spark.operators.neardup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "completely different words with no overlap here today"),
+        (5, "the quick brown fox leaps over the lazy dog sometimes"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    for fn, kw in (
+        (ngram_jaccard_pairs, {"threshold": 0.2, "allow_bruteforce": True}),
+        (ngram_containment_pairs, {"threshold": 0.2}),
+    ):
+        hashed = sorted(map(tuple, fn(df, "doc_id", "text", n=3, hash_shingles=True, **kw).collect()))
+        exact = sorted(map(tuple, fn(df, "doc_id", "text", n=3, hash_shingles=False, **kw).collect()))
+        assert hashed == exact, fn.__name__
