@@ -345,7 +345,9 @@ def curation_v3(
         )
 
         sample = flags.orderBy(
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+                "bigint"
+            )
         ).limit(clf_sample_n)
         clf_labels = sample.select(
             "doc_id",

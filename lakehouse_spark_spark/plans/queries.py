@@ -7748,7 +7748,7 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training): md5-rank TakeOrdered caps training cost independent of
     # corpus size; scoring below is the one corpus-wide pass.
     sample = docs.orderBy(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("bigint")
     ).limit(2000)
     labels = gopher_quality_flags(
         sample, "doc_id", "text", min_words=40, stopword_min=1

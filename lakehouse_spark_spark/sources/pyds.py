@@ -190,10 +190,16 @@ class _ParquetReplayReader(DataSourceStreamReader):
         # under-reports, re-exposing the committed gap — is closed by
         # the optional ``cursor_path`` option: commit() persists the
         # committed offset there (atomic tmp+rename) and a fresh reader
-        # seeds its cursor from it, making paced replay exactly-once
-        # across restarts. Without cursor_path the paced mode stays
-        # documented at-least-once (a test-harness knob; production
-        # sources derive latestOffset from upstream state, not memory).
+        # seeds its cursor from it. That NARROWS the window, it does not
+        # close it: a crash after the engine commits a batch but before
+        # commit() persists the cursor still re-exposes that batch on a
+        # checkpoint-less restart — paced replay with cursor_path is
+        # at-least-once with a one-batch replay window (exactly-once
+        # needs the engine's own checkpoint, whose WAL replay the
+        # partitions() re-sync above handles). Without cursor_path the
+        # paced mode stays documented at-least-once (a test-harness
+        # knob; production sources derive latestOffset from upstream
+        # state, not memory).
         self._per_trigger = int(options.get("rows_per_trigger", 0))
         self._cursor_path = options.get("cursor_path")
         import pyarrow.parquet as pq
@@ -258,7 +264,9 @@ class _ParquetReplayReader(DataSourceStreamReader):
             # atomic tmp+rename so a crash mid-write never truncates
             # the cursor; the engine calls commit() only after the
             # batch is fully processed, so seeding latestOffset() from
-            # this value on restart is exactly-once for the paced replay
+            # this value on restart skips everything committed BEFORE
+            # the last persisted cursor (a crash in the commit→persist
+            # gap can still replay that one batch — see pacing contract)
             tmp = f"{self._cursor_path}.tmp"
             with open(tmp, "w") as fh:
                 fh.write(str(int(end["row"])))
@@ -274,9 +282,10 @@ class ParquetReplayDataSource(DataSource):
     harness streams events, documents, or any other fixture.
 
     Paced mode (``rows_per_trigger`` > 0) is at-least-once across
-    restarts unless ``cursor_path`` is also set, in which case commit()
-    persists the committed offset there and restarts resume
-    exactly-once (see the _ParquetReplayReader pacing contract)."""
+    restarts; setting ``cursor_path`` persists the committed offset on
+    commit() and narrows the replay window to at most the one batch
+    between engine commit and cursor persistence (see the
+    _ParquetReplayReader pacing contract)."""
 
     @classmethod
     def name(cls) -> str:

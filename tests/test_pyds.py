@@ -305,11 +305,14 @@ class TestSchemaInferredReplay:
         r2 = _ParquetReplayReader(opts)
         assert r2.latestOffset() == {"row": 120}
 
-    def test_paced_restart_with_cursor_path_is_exactly_once(self, tmp_path):
-        """cursor_path closes the hole: commit() persists the committed
+    def test_paced_restart_with_cursor_path_resumes_from_commit(self, tmp_path):
+        """cursor_path narrows the hole: commit() persists the committed
         offset, a restarted reader seeds its cursor from it, and pacing
-        resumes exactly where the checkpoint left off — no re-exposed
-        rows, no backward offsets."""
+        resumes forward from the last PERSISTED commit. (A crash in the
+        engine-commit → cursor-persist gap can still replay that one
+        batch — the contract is at-least-once with a one-batch window,
+        not exactly-once; this test exercises the persisted-cursor
+        resume path.)"""
         from lakehouse_spark_spark.sources.pyds import _ParquetReplayReader
 
         path = f"{SF_SMALL}/documents.parquet"
