@@ -21,10 +21,29 @@ driver-side bitmaps, no Python UDFs:
   most ``partitions x m/64`` rows REGARDLESS of corpus size — the
   filter itself is a DataFrame of <= m/64 rows (1 M bits = 16 K rows),
   a broadcastable dim table.
-- TEST: explode the batch's probe positions, broadcast-join the filter
-  on the word index, AND the masks, and require all k probes to hit
-  (min over the probe flags — map-side combinable). One slim shuffle
-  on the batch id, nothing on the corpus.
+- TEST: explode the batch's probe positions, join the filter on the
+  word index (broadcast while the filter is dim-sized, shuffle join
+  above ``broadcast_cap_words`` — see below), AND the masks, and
+  require all k probes to hit (min over the probe flags — map-side
+  combinable). One slim shuffle on the batch id, nothing on the corpus.
+- PERSIST: the filter is a plain (word, bits) parquet plus a tiny
+  (m_bits, k) meta table (:func:`bloom_write` / :func:`bloom_load`);
+  the full dedup index adds the exact hash set
+  (:func:`write_dedup_index` / :func:`load_dedup_index`), and
+  :func:`update_dedup_index` folds a batch's novel hashes in (Bloom
+  filters merge by bitwise OR — :func:`bloom_merge`). With a persisted
+  index, :func:`dedup_against_corpus_bloom` never touches the corpus:
+  ingest run N is O(batch + index), not O(corpus)
+  (tests/test_bloom.py plan-asserts run 2 contains zero corpus scans).
+
+Broadcast ceiling: at the documented ~10 bits/element sizing a 10^9-doc
+corpus gives m/64 ≈ 156 M filter rows — past broadcast comfort. Above
+``broadcast_cap_words`` (default 8 M words ≈ 128 MB of packed longs)
+the probe join switches to a shuffle join on ``word`` and the verify
+join drops its broadcast hints (AQE picks the strategy from the real
+candidate-set size). The decision is static on m_bits — m is sized for
+the corpus cardinality, so it is the honest scale signal and the plan
+stays deterministic.
 
 Spark's own runtime bloom-join injection (InjectRuntimeFilter) does
 this transparently for some join shapes, but only within one query and
@@ -35,7 +54,9 @@ batch never re-reads the corpus at all).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
@@ -45,6 +66,30 @@ from lakehouse_spark_spark.operators.dedup import content_hash
 # from md5(c || US || j) (the first 15 hex digits — sign-safe in a
 # bigint), reduced mod m. Deterministic across sessions and engines.
 _SEP = "\x1f"
+
+# Above this many filter words (64-bit packed rows) the probe join
+# stops broadcasting: 8 M words = 512 M bits ≈ 128 MB of (word, bits)
+# longs — around Spark's practical broadcast comfort limit. The filter
+# frame is <= m/64 rows by construction, so the switch is static on
+# m_bits (no extra action to size the frame).
+BROADCAST_CAP_WORDS = 8 * 1024 * 1024
+
+
+class BloomFilter(NamedTuple):
+    """A built Bloom filter: the (word, bits) frame plus the build
+    parameters a membership test must reuse verbatim."""
+
+    frame: DataFrame
+    m_bits: int
+    k: int
+
+
+class DedupIndex(NamedTuple):
+    """Persisted incremental-dedup state: the exact distinct hash set
+    (the verify side) and its Bloom summary (the prefilter side)."""
+
+    hashes: DataFrame  # (content_hash string), distinct
+    bloom: BloomFilter
 
 
 def _probe_positions(c: Column, k: int, m_bits: int) -> Column:
@@ -72,13 +117,19 @@ def bloom_build(values: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 7) 
     """Build a Bloom filter over ``values[col]`` as a DataFrame of
     ``(word bigint, bits bigint)`` — word ``w`` holds bit positions
     ``[64w, 64w+64)``. Only words with >= 1 set bit are materialized,
-    so the frame is <= m_bits/64 rows and usually far smaller.
+    so the frame is <= m_bits/64 rows and usually far smaller. NULL
+    values carry no membership information and are skipped (a NULL
+    probes to a junk (null, null) row — harmless for the equi-joins
+    here but pollution in a filter persisted across ingest runs).
 
     Scale shape: the explode emits k slim rows per value; ``bit_or``
     partial-aggregates map-side, capping the shuffle at
     partitions x m/64 rows no matter how many values stream through.
     """
-    pos = values.select(F.explode(_probe_positions(F.col(col), k, m_bits)).alias("__pos"))
+    pos = (
+        values.filter(F.col(col).isNotNull())
+        .select(F.explode(_probe_positions(F.col(col), k, m_bits)).alias("__pos"))
+    )
     return (
         pos.select(
             (F.col("__pos") / 64).cast("bigint").alias("word"),
@@ -89,6 +140,102 @@ def bloom_build(values: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 7) 
     )
 
 
+def bloom_merge(*frames: DataFrame) -> DataFrame:
+    """Union of Bloom filters built with the SAME (m_bits, k): bitwise
+    OR per word. The merged filter answers membership for the union of
+    the input value sets — the property that makes per-batch index
+    updates one tiny aggregation instead of a corpus rebuild. Caller
+    owns the same-parameters contract (``update_dedup_index`` reads
+    them from the persisted meta)."""
+    if not frames:
+        raise ValueError("bloom_merge: need at least one filter frame")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_write(bloom: DataFrame, path: str, m_bits: int, k: int) -> None:
+    """Persist a filter frame: plain (word, bits) parquet at
+    ``path/filter`` plus a 1-row (m_bits, k) meta table at
+    ``path/meta`` so a later load probes with the exact same geometry.
+    Any Spark-writable URI works (HDFS/S3 on a cluster)."""
+    spark = bloom.sparkSession
+    bloom.select("word", "bits").write.mode("overwrite").parquet(f"{path}/filter")
+    spark.createDataFrame([(int(m_bits), int(k))], "m_bits long, k int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def bloom_load(spark: SparkSession, path: str) -> BloomFilter:
+    """Load a persisted filter + its build parameters."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return BloomFilter(
+        spark.read.parquet(f"{path}/filter"), int(meta["m_bits"]), int(meta["k"])
+    )
+
+
+def write_dedup_index(
+    corpus: DataFrame,
+    text_col: str,
+    path: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DedupIndex:
+    """One-time (or periodic-rebuild) index construction: hash the
+    corpus once, persist the distinct hash set at ``path/hashes``, and
+    build + persist its Bloom summary (``path/filter``, ``path/meta``).
+    This is the ONLY operation that scans the corpus; every subsequent
+    ingest run consumes the index alone. The filter is built FROM the
+    written hash parquet, so the corpus text is read exactly once."""
+    spark = corpus.sparkSession
+    hashes = (
+        corpus.select(content_hash(text_col).alias("content_hash"))
+        .filter(F.col("content_hash").isNotNull())
+        .distinct()
+    )
+    hashes.write.mode("overwrite").parquet(f"{path}/hashes")
+    stored = spark.read.parquet(f"{path}/hashes")
+    bloom_write(bloom_build(stored, "content_hash", m_bits, k), path, m_bits, k)
+    return load_dedup_index(spark, path)
+
+
+def load_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
+    return DedupIndex(
+        hashes=spark.read.parquet(f"{path}/hashes"), bloom=bloom_load(spark, path)
+    )
+
+
+def update_dedup_index(path: str, kept_hashes: DataFrame, hash_col: str = "content_hash") -> DedupIndex:
+    """Fold a batch's novel hashes into a persisted index: append them
+    to the hash set and bit-OR their Bloom build into the filter
+    (filters over the same geometry merge exactly — no rebuild, no
+    corpus scan; the update cost is O(batch)).
+
+    ``kept_hashes`` should be the hashes an ingest run decided to KEEP
+    (``keep = true`` rows of :func:`dedup_against_corpus_bloom`) — by
+    construction those are not in the index yet, so the append stays
+    duplicate-free. Single-writer contract (one ingest run at a time);
+    the filter swap is crash-safe via rename-aside."""
+    from lakehouse_spark_spark.sources.sinks import _swap_dirs
+
+    spark = kept_hashes.sparkSession
+    idx = load_dedup_index(spark, path)
+    m_bits, k = idx.bloom.m_bits, idx.bloom.k
+    new_rows = (
+        kept_hashes.select(F.col(hash_col).alias("content_hash"))
+        .filter(F.col("content_hash").isNotNull())
+        .distinct()
+    )
+    new_rows.write.mode("append").parquet(f"{path}/hashes")
+    merged = bloom_merge(idx.bloom.frame, bloom_build(new_rows, "content_hash", m_bits, k))
+    # write-to-tmp + rename-aside swap: the merge plan READS the live
+    # filter dir, so an in-place overwrite would corrupt its own input
+    merged.write.mode("overwrite").parquet(f"{path}/filter__tmp")
+    _swap_dirs(f"{path}/filter__tmp", f"{path}/filter")
+    return load_dedup_index(spark, path)
+
+
 def bloom_might_contain(
     df: DataFrame,
     col: str,
@@ -96,6 +243,7 @@ def bloom_might_contain(
     id_col: str | None = None,
     m_bits: int = 1 << 20,
     k: int = 7,
+    broadcast_cap_words: int = BROADCAST_CAP_WORDS,
 ) -> DataFrame:
     """Stamp ``df`` with ``__bloom_hit``: true iff ALL k probe bits for
     ``df[col]`` are set in ``bloom`` (no false negatives; false
@@ -107,9 +255,12 @@ def bloom_might_contain(
     has no hash — comes back ``__bloom_hit = false``, matching the
     exact operator's null-never-equal join semantics; an inner join on
     a row id would silently drop such rows). ``bloom`` is broadcast
-    (<= m/64 rows by construction); the per-probe flags reduce with a
-    map-side-combinable ``min`` keyed by the value — the only shuffle
-    is slim (value, bool) rows, bounded by |distinct values|.
+    while ``m_bits/64 <= broadcast_cap_words`` (the frame is <= m/64
+    rows by construction); above the cap the probe join shuffles on
+    ``word`` instead — a 10^9-element filter is past broadcast range.
+    The per-probe flags reduce with a map-side-combinable ``min`` keyed
+    by the value — the only shuffle is slim (value, bool) rows, bounded
+    by |distinct values|.
 
     ``id_col`` is accepted for call-site compatibility and unused.
     """
@@ -121,8 +272,9 @@ def bloom_might_contain(
         (F.col("__pos") / 64).cast("bigint").alias("word"),
         _bit_mask().alias("__mask"),
     )
+    filt = F.broadcast(bloom) if (m_bits // 64) <= broadcast_cap_words else bloom
     hit_j = (
-        probes.join(F.broadcast(bloom), "word", "left")
+        probes.join(filt, "word", "left")
         .select(
             col,
             (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("__mask")) != 0)).alias(
@@ -139,24 +291,42 @@ def bloom_might_contain(
 
 def dedup_against_corpus_bloom(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     text_col: str,
     m_bits: int = 1 << 20,
     k: int = 7,
+    *,
+    index: DedupIndex | None = None,
+    broadcast_cap_words: int = BROADCAST_CAP_WORDS,
 ) -> DataFrame:
     """Bloom-prefiltered incremental exact dedup — same output contract
     as ``dedup.dedup_against_corpus`` (one row per batch doc:
     ``(id, content_hash, dup_of_corpus, dup_in_batch, keep)``), but the
     corpus index is only consulted for bloom-positive candidates.
 
-    Plan: build (or in production: load) the corpus-hash Bloom filter;
-    membership-test the batch; broadcast the candidate hash set INTO the
-    corpus index scan as a semi-join (the manual version of a runtime
-    filter — the index is scanned but never shuffled); left-join the
-    verified hits back. Bloom negatives skip the index entirely, and
-    false positives die at the verify join, so the result is
-    byte-identical to the exact operator for every (m_bits, k).
+    Two modes:
+
+    - ``corpus=`` (demo/one-shot): hash the corpus, build the filter
+      in-plan. The corpus hash set is lineage-truncated
+      (``localCheckpoint``) so its scan+hash runs once even though both
+      the filter build and the verify join consume it.
+    - ``index=`` (production, pass ``corpus=None``): consume a
+      persisted :class:`DedupIndex` — the batch is the only non-index
+      input, so ingest run N never re-reads the corpus at all
+      (plan-asserted in tests/test_bloom.py). m_bits/k come from the
+      index meta; the ``m_bits``/``k`` arguments are ignored.
+
+    Plan: membership-test the batch against the filter; feed the
+    candidate hash set INTO the hash-index scan as a semi-join (the
+    manual version of a runtime filter — the index is scanned but never
+    shuffled); left-join the verified hits back. Bloom negatives skip
+    the index entirely, and false positives die at the verify join, so
+    the result is byte-identical to the exact operator for every
+    (m_bits, k). The candidate/verified frames broadcast while the
+    filter is under ``broadcast_cap_words``; above it the hints drop
+    and AQE sizes the joins (an over-cap filter usually means an
+    over-cap candidate set is possible too).
 
     Candidate-set bound (the broadcast contract): |batch ∩ corpus| plus
     ~fp_rate x |batch| — for a dedup-ingest workload both are tiny
@@ -164,17 +334,38 @@ def dedup_against_corpus_bloom(
     (~10 bits/element for ~1% FP at k=7).
     """
     bh = batch.select(F.col(id_col), content_hash(text_col).alias("content_hash"))
-    corpus_hashes = corpus.select(content_hash(text_col).alias("content_hash")).distinct()
-    bloom = bloom_build(corpus_hashes, "content_hash", m_bits, k)
-    flagged = bloom_might_contain(bh, "content_hash", bloom, id_col, m_bits, k)
+    if index is not None:
+        if corpus is not None:
+            raise ValueError("pass either corpus= or index=, not both")
+        corpus_hashes = index.hashes.select("content_hash")
+        bloom, m_bits, k = index.bloom.frame, index.bloom.m_bits, index.bloom.k
+    else:
+        if corpus is None:
+            raise ValueError("need corpus= (build mode) or index= (persisted mode)")
+        # lineage-truncated: consumed by BOTH the filter build and the
+        # verify semi-join — without the checkpoint each consumer
+        # replicates the corpus scan+hash plan (r8 ADVICE).
+        corpus_hashes = (
+            corpus.select(content_hash(text_col).alias("content_hash"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        bloom = bloom_build(corpus_hashes, "content_hash", m_bits, k)
+    small = (m_bits // 64) <= broadcast_cap_words
+    # lineage-truncated: `flagged` fans out to the candidate filter and
+    # the final join (r8 ADVICE — same plan-replication shape the
+    # registry shuffle-cap lint exists to catch).
+    flagged = bloom_might_contain(
+        bh, "content_hash", bloom, id_col, m_bits, k, broadcast_cap_words
+    ).localCheckpoint(eager=False)
     cand = flagged.filter(F.col("__bloom_hit")).select("content_hash").distinct()
     verified = (
-        corpus_hashes.join(F.broadcast(cand), "content_hash", "semi")
+        corpus_hashes.join(F.broadcast(cand) if small else cand, "content_hash", "semi")
         .withColumn("__in_corpus", F.lit(True))
     )
     w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
     return (
-        flagged.join(F.broadcast(verified), "content_hash", "left")
+        flagged.join(F.broadcast(verified) if small else verified, "content_hash", "left")
         .withColumn("dup_of_corpus", F.coalesce("__in_corpus", F.lit(False)))
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("dup_in_batch", F.col("__rn") > 1)

@@ -123,7 +123,7 @@ def corpus_report(docs: DataFrame, disposition: DataFrame) -> DataFrame:
     )
 
 
-def curation_v3(
+def curation_v3_docs(
     docs: DataFrame,
     *,
     min_words: int = 20,
@@ -137,7 +137,6 @@ def curation_v3(
     span_k: int = 8,
     decon_n: int = 4,
     eval_mod: int = 97,
-    seq_len: int = 256,
     pin: str = "local",
     pin_dir: str | None = None,
     learned_filter: bool = False,
@@ -158,14 +157,17 @@ def curation_v3(
         eval holdout + ``decon_n``-gram decontamination → per-source
         token-budget
         sample (UniMax-style uniform cap = total/|sources|) → hash
-        split (train/val/test) → sequence count at ``seq_len``.
+        split (train/val/test).
 
-    Returns one row per disposition: (disposition, n_docs, tokens_in,
-    tokens_out, n_sequences). Conservation by construction: the CASE
-    assigns each doc exactly one disposition, so Σ n_docs = |corpus|
-    and Σ tokens_in = corpus token total; tokens_out / n_sequences are
-    nonzero only for the shipped (kept_*) dispositions and reflect the
-    span-trimmed token counts the budget was charged against.
+    This is the DOC-LEVEL frame: one row per input doc —
+    (doc_id, source, disposition, n_tokens, kept_tokens) where
+    ``kept_tokens`` is the span-trimmed count (NULL for docs dropped
+    before span trim). :func:`curation_v3` aggregates it into the
+    per-disposition report; :func:`curation_v5_ship` packs and
+    materializes the shipped split. Conservation by construction: the
+    CASE assigns each doc exactly one disposition, so Σ n_docs =
+    |corpus| and Σ n_tokens = corpus token total over any downstream
+    aggregation.
 
     Scale: each stage is the registry's production operator — scan-speed
     projections for the gates, hash-groupBy dedup, inverted-index
@@ -477,6 +479,19 @@ def curation_v3(
         .when(~F.col("budget_keep"), "budget_excess")
         .otherwise(F.concat(F.lit("kept_"), split_col)),
     )
+    return disp.select("doc_id", "source", "disposition", "n_tokens", "kept_tokens")
+
+
+def curation_v3(docs: DataFrame, *, seq_len: int = 256, **kwargs) -> DataFrame:
+    """Per-disposition report over :func:`curation_v3_docs` (the
+    original v3/v4 surface — the oracle-exact registry query): one row
+    per disposition with (n_docs, tokens_in, tokens_out, n_sequences at
+    ``seq_len``). Conservation: Σ n_docs = |corpus| and Σ tokens_in =
+    corpus token total; tokens_out / n_sequences are nonzero only for
+    the shipped (kept_*) dispositions and reflect the span-trimmed
+    token counts the budget was charged against. All chain parameters
+    pass through to :func:`curation_v3_docs`."""
+    disp = curation_v3_docs(docs, **kwargs)
     shipped = F.col("disposition").startswith("kept_")
     return disp.groupBy("disposition").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -488,6 +503,78 @@ def curation_v3(
             )
         ).alias("n_sequences"),
     )
+
+
+def curation_v5_ship(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    seq_budget: int = 2048,
+    split: str = "kept_train",
+    disposition: DataFrame | None = None,
+    **v3_kwargs,
+) -> DataFrame:
+    """Curation v5 (round-9 verdict task 3): MATERIALIZE the shipped
+    corpus. v3/v4 end at a disposition REPORT; a training-data pipeline
+    must ship packed shards. This composes the chain's doc-level
+    disposition with best-fit-decreasing sequence packing
+    (operators/packing.pack_bins_bfd — docs never straddle sequence
+    boundaries) over the ``split`` docs, writes the result as
+    source-partitioned parquet under ``out_dir``/shards, writes the
+    per-shard accounting under ``out_dir``/accounting (the reference's
+    run-log discipline, src/pipeline.py:340-361, applied to the
+    extension scope), and returns the accounting frame:
+
+        (shard, n_docs, total_tokens, n_sequences, n_overflow,
+         fill_ratio)
+
+    Reconciliation contract (pinned in tests/test_curation_v5.py): the
+    accounting's Σ n_docs / Σ total_tokens equal the report's ``split``
+    row (n_docs / tokens_out) for the SAME doc-level frame, and every
+    non-overflow bin fits ``seq_budget``.
+
+    ``disposition`` injects a precomputed :func:`curation_v3_docs`
+    frame so one chain run feeds report + ship (also how you avoid
+    retraining the v4 classifier per consumer); by default the chain
+    runs here with ``learned_filter=True`` (the v4 configuration).
+
+    Scale: packing state is per shard (one applyInPandas shuffle keyed
+    by source); the shard write is one pass over the kept docs' text
+    (joined back by id — the disposition frame stays slim); partitioned
+    parquet gives downstream loaders partition pruning per shard.
+    """
+    from lakehouse_spark_spark.operators.packing import pack_bins_bfd
+    from lakehouse_spark_spark.sources.sinks import write_parquet
+
+    if disposition is None:
+        v3_kwargs.setdefault("learned_filter", True)
+        disposition = curation_v3_docs(docs, **v3_kwargs)
+    kept = disposition.filter(F.col("disposition") == split).select(
+        "doc_id", "source", "kept_tokens"
+    )
+    # pinned: the packed frame feeds BOTH the shard write and the
+    # accounting agg — without the boundary each consumer replays the
+    # whole chain (incl. classifier training when learned_filter=True)
+    packed = pack_bins_bfd(kept, "doc_id", "kept_tokens", seq_budget, "source").localCheckpoint(
+        eager=False
+    )
+    shipped = packed.join(docs.select("doc_id", "text"), "doc_id")
+    write_parquet(
+        shipped.select("doc_id", "shard", "n_tokens", "bin_id", "overflow", "text"),
+        f"{out_dir}/shards",
+        partition_by=["shard"],
+    )
+    acct = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct("bin_id").alias("n_sequences"),
+        F.sum(F.col("overflow").cast("long")).alias("n_overflow"),
+        (
+            F.sum("n_tokens") / (F.count_distinct("bin_id") * F.lit(seq_budget))
+        ).alias("fill_ratio"),
+    )
+    write_parquet(acct, f"{out_dir}/accounting")
+    return docs.sparkSession.read.parquet(f"{out_dir}/accounting")
 
 
 def _main() -> None:

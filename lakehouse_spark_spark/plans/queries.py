@@ -654,8 +654,84 @@ _GATE_ROTATION_R8 = [
 ]
 
 
+# Round-9 rotation: r01∪…∪r08 covers the whole pre-r9 registry (gate
+# debt hit zero in r8), so this round is pure freshness + birth-round
+# gating. Leads: the two NEW r9 queries (persisted-Bloom ingest run 2,
+# curation v5 shipped accounting), then the queries whose CODE or
+# ORACLE changed this round (bloom_incremental_dedup: null-filtered
+# build + lineage truncation + broadcast cap; curation_v3_disposition:
+# shared-CTE oracle refactor adds f.source to `final` and the builder
+# became the docs-level wrapper). The staleness re-gate pulls the
+# OLDEST driver hashes: everything last gated r3 (7 oracle-bearing +
+# the 4 rows-only in the tail) and the first 33 of the 44 r4-gated
+# oracle-bearing queries (alphabetical; the remaining 11 are r10's
+# staleness pool). Rows-only tail also re-gates the two classifier
+# queries (their md5-rank training sample changed to numeric order
+# this round). Invariant (tests/test_gate_rotation.py): any query
+# added after this list was cut MUST be added here in the same commit.
+_GATE_ROTATION_R9 = [
+    # -- new in r9, oracle-bearing (2) --
+    "bloom_persisted_ingest_run2",
+    "curation_v5_shipped_accounting",
+    # -- re-gate: code/oracle changed in r9 (2 oracle-bearing) --
+    "bloom_incremental_dedup",
+    "curation_v3_disposition",
+    # -- staleness re-gate: last gated r3, oracle-bearing (7) --
+    "dim_date",
+    "embedding_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "salted_join_events_customer",
+    "sql_revenue_by_customer_90d",
+    "top100_orders",
+    "volume_shipping_by_nation_pair",
+    # -- staleness re-gate: last gated r4, oracle-bearing (33 of 44;
+    #    the alphabetical tail from sequence_packing on is r10's pool) --
+    "blocklist_flagged_docs",
+    "cluster_canonical_docs",
+    "corpus_kl_drift_en_de",
+    "corpus_mixture_plan",
+    "corpus_split_assignment",
+    "curation_disposition_v2",
+    "customer_spend_distribution",
+    "daily_events_ewma",
+    "doc_bigram_logprob",
+    "doc_chunking",
+    "doc_length_outliers",
+    "doc_quality_score",
+    "doc_repetition",
+    "doc_trigram_logprob_interp",
+    "dpp_selective_year_revenue",
+    "dsir_importance_weights",
+    "event_transition_matrix",
+    "events_sliding_1h_30m",
+    "gopher_quality_flags",
+    "incremental_dedup_batch",
+    "incremental_minmax_refresh",
+    "incremental_neardup_batch",
+    "langid_confusion_matrix",
+    "neardup_cluster_stats",
+    "neardup_components",
+    "ngram_containment_pairs",
+    "order_price_exact_percentiles",
+    "order_price_recency_skyline",
+    "orders_json_roundtrip",
+    "pii_redacted",
+    "pii_scan",
+    "price_quantiles_monthly_tier",
+    "semantic_decontamination_flags",
+    # -- rows-only tail (6): the two classifier queries (training
+    #    sample changed this round) + the r3-stale rows-only set --
+    "quality_classifier_scores",
+    "curation_v4_learned_disposition",
+    "daily_user_reach_approx",
+    "embedding_ann_lsh",
+    "minhash_lsh_candidates",
+    "simhash_candidates",
+]
+
+
 def _ordered_names() -> list[str]:
-    rot = [n for n in _GATE_ROTATION_R8 if n in _REGISTRY]
+    rot = [n for n in _GATE_ROTATION_R9 if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(rot)]
     return rot + rest
 
@@ -4480,6 +4556,71 @@ def bloom_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Persisted-index incremental ingest, run 2 (round 9): the Bloom
+# operator's PRODUCTION story. Run 0 builds the dedup index ONCE
+# (write_dedup_index — the only corpus scan); run 1 dedups batch 1
+# against the index and folds its novel hashes back in
+# (update_dedup_index: hash append + bit-OR filter merge, cost
+# O(batch)); run 2 dedups batch 2 against the UPDATED index. The
+# returned frame is run 2's disposition — its plan consumes only the
+# index parquet and the batch, never the corpus
+# (tests/test_bloom.py plan-asserts it by deleting the corpus files).
+# The oracle recomputes run 2 exactly: batch 2 vs corpus ∪ batch-1
+# keeps. At 100 TB this is the difference between O(batch + index) and
+# O(corpus) per ingest run.
+# ==========================================================================
+@register(
+    "bloom_persisted_ingest_run2",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),
+    corpus AS (SELECT DISTINCT content_hash FROM n WHERE doc_id % 7 <> 0),
+    b1 AS (SELECT doc_id, content_hash FROM n WHERE doc_id % 14 = 0),
+    b1keep AS (
+      SELECT content_hash FROM (
+        SELECT b.content_hash,
+               c.content_hash IS NOT NULL AS dup_c,
+               ROW_NUMBER() OVER (PARTITION BY b.content_hash ORDER BY b.doc_id) AS rn
+        FROM b1 b LEFT JOIN corpus c USING (content_hash)
+      ) WHERE NOT dup_c AND rn = 1 AND content_hash IS NOT NULL
+    ),
+    corpus2 AS (SELECT content_hash FROM corpus
+                UNION SELECT content_hash FROM b1keep),
+    b2 AS (SELECT doc_id, content_hash FROM n WHERE doc_id % 14 = 7),
+    r AS (
+      SELECT b.doc_id, b.content_hash,
+             c.content_hash IS NOT NULL AS dup_of_corpus,
+             ROW_NUMBER() OVER (PARTITION BY b.content_hash ORDER BY b.doc_id) > 1 AS dup_in_batch
+      FROM b2 b LEFT JOIN corpus2 c USING (content_hash)
+    )
+    SELECT doc_id, content_hash, dup_of_corpus, dup_in_batch,
+           NOT dup_of_corpus AND NOT dup_in_batch AS keep
+    FROM r
+    """,
+    doc="ingest run 2 against a persisted Bloom dedup index: O(batch+index), zero corpus scans",
+)
+def bloom_persisted_ingest_run2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from lakehouse_spark_spark.operators.bloom import (
+        dedup_against_corpus_bloom,
+        update_dedup_index,
+        write_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    b1 = docs.filter(F.col("doc_id") % 14 == 0)
+    b2 = docs.filter(F.col("doc_id") % 14 == 7)
+    # fresh dir per call: update_dedup_index APPENDS, so reusing a path
+    # across gate/bench reps would accumulate state and change answers
+    path = tempfile.mkdtemp(prefix="bloom_dedup_index_")
+    idx = write_dedup_index(corpus, "text", path)  # run 0: the only corpus scan
+    run1 = dedup_against_corpus_bloom(b1, None, "doc_id", "text", index=idx)
+    idx = update_dedup_index(path, run1.filter("keep").select("content_hash"))
+    return dedup_against_corpus_bloom(b2, None, "doc_id", "text", index=idx)
+
+
+# ==========================================================================
 # UNPIVOT / melt (DataFrame.unpivot → Expand): the wide daily per-type
 # aggregate melted into (day, event_type, metric, value) — one pass,
 # no re-scan per metric.
@@ -6329,9 +6470,11 @@ def curation_disposition_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cluster closure). The minhash near-dup backend is asserted
 # disposition-identical in tests/test_corpus_pipeline.py.
 # ==========================================================================
-@register(
-    "curation_v3_disposition",
-    oracle="""
+# Shared CTE tree for the v3 chain oracle: every stage through the
+# doc-level `final` frame (doc_id, source, n_tokens, kept_tokens,
+# disposition). curation_v3_disposition aggregates it per disposition;
+# curation_v5_shipped_accounting packs the kept_train split per source.
+_CURATION_V3_CTES = """
     WITH RECURSIVE
     base AS (
       SELECT doc_id, lang, source, text,
@@ -6454,7 +6597,7 @@ def curation_disposition_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      <= (SELECT t // ns FROM btot) AS budget_keep
             FROM s4),
     final AS (
-      SELECT f.doc_id, f.n_tokens, t.kept_tokens,
+      SELECT f.doc_id, f.source, f.n_tokens, t.kept_tokens,
         CASE WHEN NOT f.word_ok THEN 'quality_word'
              WHEN NOT f.line_ok THEN 'quality_line'
              WHEN NOT f.lang_ok THEN 'lang_filtered'
@@ -6475,7 +6618,13 @@ def curation_disposition_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN (SELECT doc_id, kept_tokens FROM s3t) t USING (doc_id)
       LEFT JOIN contdocs c USING (doc_id)
       LEFT JOIN bud b USING (doc_id)
-    )
+    )"""
+
+
+@register(
+    "curation_v3_disposition",
+    oracle=_CURATION_V3_CTES
+    + """
     SELECT disposition,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
@@ -6489,6 +6638,61 @@ def curation_v3_disposition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.plans.corpus import curation_v3
 
     return curation_v3(_t(spark, sf_dir, "documents"))
+
+
+# ==========================================================================
+# Curation v5 shipped-corpus accounting (round 9): the chain no longer
+# ends at a report — the kept_train split is laid out into fixed-budget
+# training sequences and accounted per shard (source). This registry
+# query is the ORACLE-EXACT packing twin: concatenate-and-chunk
+# sequence packing (operators/packing.pack_sequences — a closed-form
+# window cumsum, so the whole layout is SQL) at budget 256 over the v3
+# chain's kept_train docs. Output per shard: docs, span-trimmed tokens,
+# packed sequence count (= ceil(tokens/budget) for chunked packing),
+# and boundary-straddle count (the quantity BFD packing exists to drive
+# to zero — plans/corpus.curation_v5_ship ships the BFD layout, whose
+# greedy loop is not SQL; its accounting reconciles against this
+# chain's report in tests/test_curation_v5.py). Reconciliation: Σ
+# n_docs / Σ total_tokens here = the kept_train row of
+# curation_v3_disposition.
+# ==========================================================================
+@register(
+    "curation_v5_shipped_accounting",
+    oracle=_CURATION_V3_CTES
+    + """,
+    kept AS (SELECT doc_id, source, kept_tokens FROM final
+             WHERE disposition = 'kept_train'),
+    packed AS (
+      SELECT source AS shard, kept_tokens,
+             SUM(kept_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM kept
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(kept_tokens) + 255) // 256 AS BIGINT) AS n_sequences,
+           CAST(SUM(CASE WHEN (cum - kept_tokens) // 256 <> (cum - 1) // 256
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles
+    FROM packed GROUP BY shard
+    """,
+    doc="per-shard packed-sequence accounting of the shipped kept_train split (chunk packing twin of the BFD ship)",
+)
+def curation_v5_shipped_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.packing import pack_sequences
+    from lakehouse_spark_spark.plans.corpus import curation_v3_docs
+
+    disp = curation_v3_docs(_t(spark, sf_dir, "documents"))
+    kept = disp.filter(F.col("disposition") == "kept_train").select(
+        "doc_id", "source", "kept_tokens"
+    )
+    packed = pack_sequences(kept, "doc_id", "kept_tokens", 256, "source")
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("CAST((sum(n_tokens) + 255) DIV 256 AS BIGINT)").alias("n_sequences"),
+        F.sum(F.col("straddles").cast("long")).alias("n_straddles"),
+    )
 
 
 # ==========================================================================

@@ -11,10 +11,14 @@ import pytest
 
 from lakehouse_spark_spark.operators.bloom import (
     bloom_build,
+    bloom_merge,
     bloom_might_contain,
     dedup_against_corpus_bloom,
+    load_dedup_index,
+    update_dedup_index,
+    write_dedup_index,
 )
-from lakehouse_spark_spark.operators.dedup import dedup_against_corpus
+from lakehouse_spark_spark.operators.dedup import content_hash, dedup_against_corpus
 
 
 def _docs(spark, rows):
@@ -139,3 +143,115 @@ def test_bloom_dedup_matches_exact_on_null_text(spark, corpus_batch):
     assert bloomed == exact
     ids = {r[0] for r in bloomed}
     assert {900, 901} <= ids  # null-text rows present in BOTH outputs
+
+
+def test_persisted_index_run2_never_rescans_corpus(spark, corpus_batch, tmp_path):
+    """The incremental-ingest contract (r8 verdict task 1): after
+    write_dedup_index, a dedup run consumes ONLY the persisted index +
+    the batch. Proven operationally — the corpus parquet is DELETED
+    before run 2, so any lingering corpus scan would throw — and by
+    plan inspection (the corpus path never appears in the physical
+    plan)."""
+    import shutil
+
+    corpus, batch = corpus_batch
+    expected = _collect_sorted(dedup_against_corpus(batch, corpus, "doc_id", "text"))
+
+    corpus_dir = str(tmp_path / "corpus_parquet")
+    corpus.write.parquet(corpus_dir)
+    idx_path = str(tmp_path / "bloom_idx")
+    write_dedup_index(spark.read.parquet(corpus_dir), "text", idx_path)
+
+    shutil.rmtree(corpus_dir)  # the index is now the ONLY corpus state
+    idx = load_dedup_index(spark, idx_path)
+    out = dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "corpus_parquet" not in plan  # zero scans of the corpus files
+    assert _collect_sorted(out) == expected  # executes fine post-delete
+
+
+def test_update_index_incremental_equals_exact_on_union(spark, corpus_batch, tmp_path):
+    """Run 1 dedups batch1 against the index; its keeps fold in via
+    update_dedup_index (bit-OR merge + hash append, no corpus rebuild);
+    run 2's output must equal exact dedup of batch2 against
+    corpus ∪ batch1-keeps."""
+    corpus, batch = corpus_batch
+    b1 = batch.filter(F.col("doc_id") <= 105)
+    b2 = batch.filter(F.col("doc_id") > 105)
+
+    idx_path = str(tmp_path / "idx2")
+    idx = write_dedup_index(corpus, "text", idx_path)
+    r1 = dedup_against_corpus_bloom(b1, None, "doc_id", "text", index=idx)
+    idx = update_dedup_index(idx_path, r1.filter("keep").select("content_hash"))
+    r2 = dedup_against_corpus_bloom(b2, None, "doc_id", "text", index=idx)
+
+    b1_keep_ids = [
+        r["doc_id"]
+        for r in dedup_against_corpus(b1, corpus, "doc_id", "text").filter("keep").collect()
+    ]
+    corpus2 = corpus.unionByName(b1.filter(F.col("doc_id").isin(b1_keep_ids)))
+    expected = _collect_sorted(dedup_against_corpus(b2, corpus2, "doc_id", "text"))
+    assert _collect_sorted(r2) == expected
+    # the in-batch twins (107, 108) land in b2: first keeps, second not
+    by_id = {r[0]: r for r in _collect_sorted(r2)}
+    assert by_id[107][4] and not by_id[108][4]
+
+
+def test_bloom_merge_equals_build_of_union(spark, corpus_batch):
+    """bit-OR merge of two same-geometry filters is EXACTLY the filter
+    built over the unioned value set — the property update_dedup_index
+    rests on."""
+    corpus, _ = corpus_batch
+    a = corpus.filter("doc_id < 20").select(F.md5("text").alias("h"))
+    b = corpus.filter("doc_id >= 20").select(F.md5("text").alias("h"))
+    u = corpus.select(F.md5("text").alias("h"))
+    m = 1 << 12
+    merged = sorted(
+        (r["word"], r["bits"])
+        for r in bloom_merge(bloom_build(a, "h", m), bloom_build(b, "h", m)).collect()
+    )
+    direct = sorted((r["word"], r["bits"]) for r in bloom_build(u, "h", m).collect())
+    assert merged == direct
+
+
+def test_bloom_build_skips_nulls(spark):
+    """NULLs carry no membership info: the filter over values-with-null
+    equals the filter over the non-null values, with no junk
+    (null, null) row (r8 ADVICE — matters for persisted filters)."""
+    vals = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+    rows = bloom_build(vals, "v", m_bits=1 << 10, k=3).collect()
+    assert all(r["word"] is not None and r["bits"] is not None for r in rows)
+    nn = spark.createDataFrame([("a",), ("b",)], "v string")
+    assert sorted((r["word"], r["bits"]) for r in rows) == sorted(
+        (r["word"], r["bits"]) for r in bloom_build(nn, "v", m_bits=1 << 10, k=3).collect()
+    )
+
+
+def test_broadcast_cap_switches_probe_join(spark, corpus_batch):
+    """Above broadcast_cap_words the probe join must drop its broadcast
+    hint (a 10^9-element filter is past broadcast range) and the dedup
+    output must stay byte-identical (r8 verdict task 2)."""
+    corpus, batch = corpus_batch
+    exact = _collect_sorted(dedup_against_corpus(batch, corpus, "doc_id", "text"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ch = corpus.select(content_hash("text").alias("h")).distinct()
+        bloom = bloom_build(ch, "h", m_bits=1 << 20, k=7)
+        bh = batch.select("doc_id", content_hash("text").alias("h"))
+        under = bloom_might_contain(bh, "h", bloom, m_bits=1 << 20, k=7)
+        over = bloom_might_contain(
+            bh, "h", bloom, m_bits=1 << 20, k=7, broadcast_cap_words=1024
+        )
+        p_under = under._jdf.queryExecution().executedPlan().toString()
+        p_over = over._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p_under  # dim-sized filter: hinted broadcast
+        assert "BroadcastHashJoin" not in p_over  # over cap: shuffle join on word
+        capped = _collect_sorted(
+            dedup_against_corpus_bloom(
+                batch, corpus, "doc_id", "text", broadcast_cap_words=1024
+            )
+        )
+        assert capped == exact
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -1,12 +1,13 @@
 """Gate-rotation invariants: the driver's correctness gate covers the
 FIRST 50 registry entries. Round 5 rotated in queries never covered by
 rounds 1-4; round 7 retired the then-outstanding verification debt;
-round 8 gates the one query added after the r7 gate ran and re-gates
-this round's code changes plus the stalest (r2/r3) coverage. The
-standing rule (the r7 verdict's ask): EVERY registry query must either
-already have a driver-recorded CORRECTNESS row or sit inside the
-current gate prefix — so adding a query to the registry after the gate
-list was cut must extend the rotation in the same commit."""
+round 8 closed gate debt to zero; round 9 gates its two new queries,
+re-gates this round's code/oracle changes, and refreshes the stalest
+(r3/r4) coverage. The standing rule (the r7 verdict's ask): EVERY
+registry query must either already have a driver-recorded CORRECTNESS
+row or sit inside the current gate prefix — so adding a query to the
+registry after the gate list was cut must extend the rotation in the
+same commit."""
 
 from __future__ import annotations
 
@@ -24,7 +25,7 @@ def _gate_keys(pattern: str) -> set[str]:
 
 
 def test_no_query_escapes_driver_verification():
-    """The standing invariant: registry ⊆ gated(r01..r07) ∪ the current
+    """The standing invariant: registry ⊆ gated(r01..r08) ∪ the current
     50-query gate prefix. A query added without extending the rotation
     fails here — the failure class of round 7
     (similarity_graph_triangles was added post-gate and broke the
@@ -33,16 +34,16 @@ def test_no_query_escapes_driver_verification():
 
     first50 = list(Q.queries())[:50]
     assert len(first50) == 50
-    prior = _gate_keys("CORRECTNESS_r0[1-7].json")
-    assert prior, "expected committed CORRECTNESS_r01..r07 artifacts"
+    prior = _gate_keys("CORRECTNESS_r0[1-8].json")
+    assert prior, "expected committed CORRECTNESS_r01..r08 artifacts"
     leftover = set(Q._REGISTRY) - prior - set(first50)
     assert leftover == set(), (
         f"queries with no driver check and outside the gate prefix "
-        f"(extend _GATE_ROTATION_R8 in the same commit): {sorted(leftover)}"
+        f"(extend _GATE_ROTATION_R9 in the same commit): {sorted(leftover)}"
     )
 
 
-def test_r8_gate_front_loads_oracle_bearing_entries():
+def test_r9_gate_front_loads_oracle_bearing_entries():
     """Oracle-bearing gate entries precede rows-only ones, so the
     driver records full hash checks for all of them even if it ever
     truncates below 50."""
@@ -53,21 +54,22 @@ def test_r8_gate_front_loads_oracle_bearing_entries():
     assert oracle_flags == sorted(oracle_flags, reverse=True), first50
 
 
-def test_r8_gate_covers_this_rounds_code_changes():
-    """Everything whose code or oracle changed in round 8 gets a fresh
-    driver hash: the ER family (shared _er_candidate_pairs rework), the
-    sentences-UDTF oracle fix, the curation pin contract, and the
-    scalar-projected audio query (the r7 red row)."""
+def test_r9_gate_covers_this_rounds_code_changes():
+    """Everything new or whose code/oracle changed in round 9 gets a
+    driver hash: the persisted-Bloom ingest query and the v5 shipped
+    accounting (born this round), the reworked Bloom dedup, the
+    shared-CTE v3 oracle refactor, and the two classifier queries
+    (numeric md5-rank sample)."""
     from lakehouse_spark_spark.plans import queries as Q
 
     first50 = set(list(Q.queries())[:50])
     changed = {
-        "similarity_graph_triangles",
-        "entity_resolution_clusters",
-        "levenshtein_prefix_pairs",
-        "doc_sentences_udtf",
+        "bloom_persisted_ingest_run2",
+        "curation_v5_shipped_accounting",
+        "bloom_incremental_dedup",
         "curation_v3_disposition",
-        "multimodal_audio_features",
+        "quality_classifier_scores",
+        "curation_v4_learned_disposition",
     }
     assert changed <= first50, sorted(changed - first50)
 
@@ -99,8 +101,41 @@ def test_r5_gate_prefix_was_fresh_and_oracle_bearing():
 def test_rotation_lists_match_registry():
     from lakehouse_spark_spark.plans import queries as Q
 
-    for rot in (Q._GATE_ROTATION_R5, Q._GATE_ROTATION_R7, Q._GATE_ROTATION_R8):
+    for rot in (
+        Q._GATE_ROTATION_R5,
+        Q._GATE_ROTATION_R7,
+        Q._GATE_ROTATION_R8,
+        Q._GATE_ROTATION_R9,
+    ):
         unknown = [n for n in rot if n not in Q._REGISTRY]
         assert unknown == [], f"rotation names not in registry: {unknown}"
         assert len(rot) == len(set(rot))
     assert len(Q._GATE_ROTATION_R8) == 50
+    assert len(Q._GATE_ROTATION_R9) == 50
+
+
+def test_r9_gate_refreshes_the_stalest_coverage():
+    """The staleness contract: every non-(new/changed/rows-only-tail)
+    slot in the r9 window re-gates a query whose most recent driver
+    hash is r3 or r4 — the oldest in the fleet after r8."""
+    import glob
+
+    from lakehouse_spark_spark.plans import queries as Q
+
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(str(REPO / "CORRECTNESS_r0*.json"))):
+        rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        for k in json.loads(pathlib.Path(p).read_text()):
+            last[k] = max(last.get(k, 0), rnd)
+    new_or_changed = {
+        "bloom_persisted_ingest_run2",
+        "curation_v5_shipped_accounting",
+        "bloom_incremental_dedup",
+        "curation_v3_disposition",
+        "quality_classifier_scores",
+        "curation_v4_learned_disposition",
+    }
+    stale_slots = [n for n in Q._GATE_ROTATION_R9 if n not in new_or_changed]
+    assert all(last.get(n, 99) <= 4 for n in stale_slots), [
+        (n, last.get(n)) for n in stale_slots if last.get(n, 99) > 4
+    ]
