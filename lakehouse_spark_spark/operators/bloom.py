@@ -272,7 +272,15 @@ def bloom_might_contain(
         (F.col("__pos") / 64).cast("bigint").alias("word"),
         _bit_mask().alias("__mask"),
     )
-    filt = F.broadcast(bloom) if (m_bits // 64) <= broadcast_cap_words else bloom
+    # over the cap the hint must FORCE the shuffle strategy, not merely
+    # drop the broadcast hint: Catalyst's size estimate for an
+    # agg-derived filter frame can undershoot and statically broadcast
+    # a multi-GB filter anyway (observed in the over-cap stress run)
+    filt = (
+        F.broadcast(bloom)
+        if (m_bits // 64) <= broadcast_cap_words
+        else bloom.hint("shuffle_hash")
+    )
     hit_j = (
         probes.join(filt, "word", "left")
         .select(

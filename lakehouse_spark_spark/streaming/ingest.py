@@ -1,0 +1,69 @@
+"""Streaming incremental-dedup ingest: the persisted Bloom dedup index
+(operators/bloom.py) wired into Structured Streaming via foreachBatch.
+
+This is the production loop the batch operator's docstring promises:
+documents arrive in micro-batches; each batch is deduped against the
+ACCUMULATED corpus state — which is the persisted index alone, never
+the corpus itself — kept docs land in the output table, and the
+batch's novel hashes fold into the index (bit-OR filter merge + hash
+append, O(batch) per batch). At 100 TB of accumulated corpus the
+per-batch cost depends only on |batch| + |index|.
+
+Semantics: streaming dedup keeps the FIRST-SEEN copy of each novel
+hash (arrival order). The batch operator keeps the min-id copy; the
+two agree whenever ids are assigned in arrival order (the usual ingest
+contract, and what tests/test_pyds.py pins on an id-ascending replay).
+
+Delivery: at-least-once on the kept output. The kept rows are
+materialized and appended BEFORE the index update, so a crash between
+the two replays the batch against the PRE-UPDATE index and re-appends
+the same kept rows (duplicates downstream-dedupable on the id) —
+updating the index first would instead silently drop the replayed
+batch's docs as index-dups (data loss). Exactly-once needs a
+transactional sink for the (output, index) pair.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from lakehouse_spark_spark.operators.bloom import (
+    dedup_against_corpus_bloom,
+    load_dedup_index,
+    update_dedup_index,
+)
+
+
+def bloom_ingest_foreach_batch(
+    index_path: str, id_col: str, text_col: str, kept_out: str
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` body for a bloom-dedup ingest stream:
+
+        stream.writeStream.foreachBatch(
+            bloom_ingest_foreach_batch(idx, "doc_id", "text", out))
+
+    Per micro-batch: load the current index (two slim parquet scans),
+    dedup the batch against it, eagerly materialize the keeps (the
+    index files are about to be swapped — the plan must not re-read
+    them afterwards), append keeps to ``kept_out``, then fold the kept
+    hashes into the index.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        idx = load_dedup_index(spark, index_path)
+        disp = dedup_against_corpus_bloom(batch_df, None, id_col, text_col, index=idx)
+        # EAGER checkpoint: pins the keep decision against the
+        # pre-update index before update_dedup_index swaps the filter
+        # files the lazy plan would otherwise re-read
+        kept = (
+            disp.filter("keep").select(id_col, "content_hash").localCheckpoint(eager=True)
+        )
+        kept.write.mode("append").parquet(kept_out)
+        update_dedup_index(index_path, kept.select("content_hash"))
+
+    return fn

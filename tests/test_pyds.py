@@ -341,3 +341,90 @@ class TestSchemaInferredReplay:
             fh.write("999999")
         r3 = _ParquetReplayReader(opts)
         assert r3.latestOffset() == {"row": 500}
+
+
+class TestStreamingBloomIngest:
+    def test_streaming_bloom_ingest_matches_batch_operator(self, spark, tmp_path):
+        """The persisted-index ingest loop end-to-end (r8 verdict task
+        4): a paced multi-batch replay foreachBatch-dedups each
+        micro-batch against the persisted Bloom index, appends keeps,
+        and folds the batch's novel hashes back in. The streamed
+        keep-set must equal the batch operator's on the UNION of all
+        batches (ids ascend in arrival order, so first-seen == min-id),
+        and the index must grow by exactly the kept hashes."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lakehouse_spark_spark.operators.bloom import (
+            load_dedup_index,
+            write_dedup_index,
+        )
+        from lakehouse_spark_spark.operators.dedup import dedup_against_corpus
+        from lakehouse_spark_spark.sources import pyds
+        from lakehouse_spark_spark.streaming.ingest import bloom_ingest_foreach_batch
+
+        pyds.register_streaming(spark)
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        corpus = docs.filter("doc_id < 300").select("doc_id", "text")
+        texts = [r["text"] for r in docs.orderBy("doc_id").collect()]
+
+        # synthetic stream (the fixture has no exact dups): 50 corpus
+        # dups, 140 novels, then 10 cross-batch dups of earlier novels —
+        # ids ascend in arrival order, spread over 4 paced micro-batches
+        rows: list[tuple[int, str]] = []
+        rows += [(1000 + i, texts[i]) for i in range(50)]            # corpus dups
+        rows += [(1050 + i, texts[300 + i]) for i in range(140)]     # novel
+        rows += [(1200 + i, texts[300 + i]) for i in range(10)]      # in-stream dups
+        stream_file = str(tmp_path / "stream_in.parquet")
+        pq.write_table(
+            pa.table(
+                {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+            ),
+            stream_file,
+            row_group_size=50,
+        )
+
+        idx_path = str(tmp_path / "ingest_idx")
+        write_dedup_index(corpus, "text", idx_path)
+        n_corpus_hashes = load_dedup_index(spark, idx_path).hashes.count()
+
+        kept_out = str(tmp_path / "kept_out")
+        ck = str(tmp_path / "ck")
+        stream = (
+            spark.readStream.format("parquet_replay")
+            .option("path", stream_file)
+            .option("batch_rows", 50)
+            .option("rows_per_trigger", 60)  # 200 rows -> 4 micro-batches
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                bloom_ingest_foreach_batch(idx_path, "doc_id", "text", kept_out)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        q.stop()
+        assert len(progress) >= 3  # genuinely multi-batch
+
+        got = {
+            (r["doc_id"], r["content_hash"])
+            for r in spark.read.parquet(kept_out).collect()
+        }
+        union = spark.createDataFrame(rows, "doc_id bigint, text string")
+        want = {
+            (r["doc_id"], r["content_hash"])
+            for r in dedup_against_corpus(union, corpus, "doc_id", "text")
+            .filter("keep")
+            .collect()
+        }
+        assert got == want
+        assert len(got) == 140  # the novel firsts, nothing else
+
+        # index grew by exactly the kept hash set
+        idx = load_dedup_index(spark, idx_path)
+        assert idx.hashes.count() == n_corpus_hashes + 140
+        assert idx.hashes.distinct().count() == idx.hashes.count()
