@@ -86,6 +86,11 @@ HEADLINE = [
     "similarity_graph_triangles",
     "curation_v4_learned_disposition",
     "bloom_incremental_dedup",
+    # round 9: persisted-index ingest (run 0+1+2 inside the builder —
+    # the timed cost includes the index build + update, the honest
+    # end-to-end ingest loop) + the shipped-corpus packing accounting
+    "bloom_persisted_ingest_run2",
+    "curation_v5_shipped_accounting",
 ]
 
 

@@ -159,7 +159,10 @@ def bloom_write(bloom: DataFrame, path: str, m_bits: int, k: int) -> None:
     """Persist a filter frame: plain (word, bits) parquet at
     ``path/filter`` plus a 1-row (m_bits, k) meta table at
     ``path/meta`` so a later load probes with the exact same geometry.
-    Any Spark-writable URI works (HDFS/S3 on a cluster)."""
+    Writing/loading works against any Spark-writable URI (HDFS/S3 on a
+    cluster); :func:`update_dedup_index`'s crash-safe filter SWAP is
+    local-filesystem rename-based — on an object store, substitute the
+    store's atomic rename/commit for sinks._swap_dirs."""
     spark = bloom.sparkSession
     bloom.select("word", "bits").write.mode("overwrite").parquet(f"{path}/filter")
     spark.createDataFrame([(int(m_bits), int(k))], "m_bits long, k int").write.mode(
@@ -215,24 +218,40 @@ def update_dedup_index(path: str, kept_hashes: DataFrame, hash_col: str = "conte
     ``kept_hashes`` should be the hashes an ingest run decided to KEEP
     (``keep = true`` rows of :func:`dedup_against_corpus_bloom`) — by
     construction those are not in the index yet, so the append stays
-    duplicate-free. Single-writer contract (one ingest run at a time);
-    the filter swap is crash-safe via rename-aside."""
+    duplicate-free. Single-writer contract (one ingest run at a time).
+
+    Crash ordering follows Bloom's one-sided error model: the FILTER
+    swaps first, the hash append runs second. A crash between the two
+    leaves bits set for hashes the exact index lacks — pure false
+    positives, which the verify join eliminates; the replayed batch
+    re-keeps and re-appends (at-least-once). The reverse order would
+    instead create FALSE NEGATIVES on replay (hashes present, bits
+    missing), breaking the operator's no-false-negative invariant. The
+    filter swap itself is the local-filesystem rename-aside of
+    sinks._swap_dirs — on an object store / HDFS deployment replace it
+    with the filesystem's atomic rename (see bloom_write's path note).
+    """
     from lakehouse_spark_spark.sources.sinks import _swap_dirs
 
     spark = kept_hashes.sparkSession
     idx = load_dedup_index(spark, path)
     m_bits, k = idx.bloom.m_bits, idx.bloom.k
+    # EAGER materialization: the caller's kept frame is often a live
+    # dedup plan — without the boundary the filter-merge job and the
+    # hash-append job would each replay it (and could even see
+    # different data if its inputs move underneath)
     new_rows = (
         kept_hashes.select(F.col(hash_col).alias("content_hash"))
         .filter(F.col("content_hash").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    new_rows.write.mode("append").parquet(f"{path}/hashes")
     merged = bloom_merge(idx.bloom.frame, bloom_build(new_rows, "content_hash", m_bits, k))
     # write-to-tmp + rename-aside swap: the merge plan READS the live
     # filter dir, so an in-place overwrite would corrupt its own input
     merged.write.mode("overwrite").parquet(f"{path}/filter__tmp")
     _swap_dirs(f"{path}/filter__tmp", f"{path}/filter")
+    new_rows.write.mode("append").parquet(f"{path}/hashes")
     return load_dedup_index(spark, path)
 
 
@@ -345,7 +364,11 @@ def dedup_against_corpus_bloom(
     if index is not None:
         if corpus is not None:
             raise ValueError("pass either corpus= or index=, not both")
-        corpus_hashes = index.hashes.select("content_hash")
+        # distinct: defense against duplicate hash rows in a persisted
+        # index (e.g. a partially-completed append replayed) — a dup in
+        # the semi-join's LEFT side would otherwise emit two verified
+        # rows per hash and double the disposition rows downstream
+        corpus_hashes = index.hashes.select("content_hash").distinct()
         bloom, m_bits, k = index.bloom.frame, index.bloom.m_bits, index.bloom.k
     else:
         if corpus is None:

@@ -4607,13 +4607,19 @@ def bloom_persisted_ingest_run2_q(spark: SparkSession, sf_dir: str) -> DataFrame
         write_dedup_index,
     )
 
+    import atexit
+    import shutil
+
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     b1 = docs.filter(F.col("doc_id") % 14 == 0)
     b2 = docs.filter(F.col("doc_id") % 14 == 7)
     # fresh dir per call: update_dedup_index APPENDS, so reusing a path
-    # across gate/bench reps would accumulate state and change answers
+    # across gate/bench reps would accumulate state and change answers.
+    # Removed at interpreter exit, not before return — the returned
+    # frame lazily reads the index parquet when the caller collects it.
     path = tempfile.mkdtemp(prefix="bloom_dedup_index_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     idx = write_dedup_index(corpus, "text", path)  # run 0: the only corpus scan
     run1 = dedup_against_corpus_bloom(b1, None, "doc_id", "text", index=idx)
     idx = update_dedup_index(path, run1.filter("keep").select("content_hash"))

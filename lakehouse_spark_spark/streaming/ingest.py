@@ -13,6 +13,12 @@ Semantics: streaming dedup keeps the FIRST-SEEN copy of each novel
 hash (arrival order). The batch operator keeps the min-id copy; the
 two agree whenever ids are assigned in arrival order (the usual ingest
 contract, and what tests/test_pyds.py pins on an id-ascending replay).
+NULL-text docs are the one divergence: a NULL hash can never enter the
+index (no membership information), so the stream keeps the first
+null-text doc of EVERY micro-batch, while the batch operator's window
+groups all NULL hashes together and keeps one per union. Pipelines
+that care should drop/quarantine null-text docs upstream (the curation
+gates already do).
 
 Delivery: at-least-once on the kept output. The kept rows are
 materialized and appended BEFORE the index update, so a crash between

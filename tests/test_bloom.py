@@ -10,6 +10,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from lakehouse_spark_spark.operators.bloom import (
+    BloomFilter,
+    DedupIndex,
     bloom_build,
     bloom_merge,
     bloom_might_contain,
@@ -195,6 +197,55 @@ def test_update_index_incremental_equals_exact_on_union(spark, corpus_batch, tmp
     # the in-batch twins (107, 108) land in b2: first keeps, second not
     by_id = {r[0]: r for r in _collect_sorted(r2)}
     assert by_id[107][4] and not by_id[108][4]
+
+
+def test_filter_ahead_of_hashes_crash_window_is_safe(spark, corpus_batch, tmp_path):
+    """update_dedup_index swaps the filter BEFORE appending hashes; a
+    crash between the two leaves bits set for hashes the exact index
+    lacks — pure false positives, which the verify join eliminates.
+    This constructs that exact state and asserts the dedup output still
+    equals the exact operator against the on-disk hash set. (The
+    REVERSE ordering would create false negatives — keep-loss — which
+    is why the operator swaps filter-first.)"""
+    corpus, batch = corpus_batch
+    idx_path = str(tmp_path / "crash_idx")
+    idx = write_dedup_index(corpus, "text", idx_path)
+    # crash-window state: the batch's hashes merged into the FILTER
+    # only, the hash set untouched
+    bh = (
+        batch.select(content_hash("text").alias("content_hash"))
+        .filter("content_hash is not null")
+        .distinct()
+    )
+    merged_path = str(tmp_path / "filter_ahead")
+    bloom_merge(
+        idx.bloom.frame, bloom_build(bh, "content_hash", idx.bloom.m_bits, idx.bloom.k)
+    ).write.parquet(merged_path)
+    crashed = DedupIndex(
+        hashes=idx.hashes,
+        bloom=BloomFilter(
+            spark.read.parquet(merged_path), idx.bloom.m_bits, idx.bloom.k
+        ),
+    )
+    out = _collect_sorted(dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=crashed))
+    exact = _collect_sorted(dedup_against_corpus(batch, corpus, "doc_id", "text"))
+    assert out == exact  # replayed batch re-keeps; nothing lost
+
+
+def test_duplicate_index_hash_rows_are_harmless(spark, corpus_batch, tmp_path):
+    """Defense-in-depth for a partially-replayed hash append: duplicate
+    rows in the persisted hash set must not double disposition rows
+    (dedup_against_corpus_bloom distincts the index side)."""
+    corpus, batch = corpus_batch
+    idx_path = str(tmp_path / "dup_idx")
+    idx = write_dedup_index(corpus, "text", idx_path)
+    dup_idx = DedupIndex(
+        hashes=idx.hashes.unionByName(idx.hashes.limit(5)), bloom=idx.bloom
+    )
+    out = _collect_sorted(dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=dup_idx))
+    exact = _collect_sorted(dedup_against_corpus(batch, corpus, "doc_id", "text"))
+    assert out == exact
+    assert len(out) == batch.count()  # one row per batch doc, no inflation
 
 
 def test_bloom_merge_equals_build_of_union(spark, corpus_batch):
