@@ -73,3 +73,62 @@ def bloom_ingest_foreach_batch(
         update_dedup_index(index_path, kept.select("content_hash"))
 
     return fn
+
+
+def curated_ingest_foreach_batch(
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    kept_out: str,
+    *,
+    min_words: int = 20,
+    max_words: int = 1000,
+    stopword_min: int = 1,
+) -> Callable[[DataFrame, int], None]:
+    """The composed streaming ingest a training-data pipeline actually
+    runs: per micro-batch, Gopher word-rule QUALITY GATES (pure per-doc
+    projections — batch-local by nature) drop junk docs BEFORE they
+    cost a dedup probe, then the survivors dedup against the persisted
+    index and fold in, exactly as :func:`bloom_ingest_foreach_batch`.
+
+    Output rows: (id, content_hash, n_words) for each kept doc — the
+    slim ingest ledger; the text itself stays in the source (join back
+    by id when shipping, the curation_v5_ship pattern).
+
+    Scope note (the honest 100 TB contract): per-doc gates and
+    vs-corpus exact dedup are the ONLY curation stages that are
+    batch-local. Near-dup clustering, span trim, and decontamination
+    are corpus-global — production pipelines run those as periodic
+    compaction jobs over the accumulated kept set (plans/corpus.py),
+    not per micro-batch. This loop is the front half: it bounds what
+    the periodic jobs ever have to read.
+    """
+    from lakehouse_spark_spark.operators.text import gopher_quality_flags
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        flags = gopher_quality_flags(
+            batch_df,
+            id_col,
+            text_col,
+            min_words=min_words,
+            max_words=max_words,
+            stopword_min=stopword_min,
+        ).select(id_col, "n_words", "keep")
+        gated = batch_df.join(flags.filter("keep").drop("keep"), id_col)
+        if gated.isEmpty():
+            return
+        idx = load_dedup_index(spark, index_path)
+        disp = dedup_against_corpus_bloom(gated, None, id_col, text_col, index=idx)
+        kept = (
+            disp.filter("keep")
+            .join(gated.select(id_col, "n_words"), id_col)
+            .select(id_col, "content_hash", "n_words")
+            .localCheckpoint(eager=True)
+        )
+        kept.write.mode("append").parquet(kept_out)
+        update_dedup_index(index_path, kept.select("content_hash"))
+
+    return fn

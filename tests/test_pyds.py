@@ -428,3 +428,79 @@ class TestStreamingBloomIngest:
         idx = load_dedup_index(spark, idx_path)
         assert idx.hashes.count() == n_corpus_hashes + 140
         assert idx.hashes.distinct().count() == idx.hashes.count()
+
+    def test_streaming_curated_ingest_matches_batch(self, spark, tmp_path):
+        """The composed front-half ingest (quality gates -> persisted
+        Bloom dedup -> index fold-in) over a paced multi-batch replay
+        equals the same gates + exact dedup run as one batch over the
+        union. Uses the real documents fixture (which contains
+        gate-failing docs) plus synthetic cross-batch duplicates."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lakehouse_spark_spark.operators.bloom import write_dedup_index
+        from lakehouse_spark_spark.operators.dedup import dedup_against_corpus
+        from lakehouse_spark_spark.operators.text import gopher_quality_flags
+        from lakehouse_spark_spark.sources import pyds
+        from lakehouse_spark_spark.streaming.ingest import curated_ingest_foreach_batch
+
+        pyds.register_streaming(spark)
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        corpus = docs.filter("doc_id < 200").select("doc_id", "text")
+        texts = [r["text"] for r in docs.orderBy("doc_id").collect()]
+
+        rows: list[tuple[int, str]] = []
+        rows += [(2000 + i, texts[i]) for i in range(40)]            # corpus dups
+        rows += [(2040 + i, texts[200 + i]) for i in range(150)]     # mixed novel
+        rows += [(2200 + i, texts[200 + i]) for i in range(10)]      # in-stream dups
+        stream_file = str(tmp_path / "curated_in.parquet")
+        pq.write_table(
+            pa.table(
+                {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+            ),
+            stream_file,
+            row_group_size=50,
+        )
+
+        idx_path = str(tmp_path / "curated_idx")
+        write_dedup_index(corpus, "text", idx_path)
+        kept_out = str(tmp_path / "curated_kept")
+        stream = (
+            spark.readStream.format("parquet_replay")
+            .option("path", stream_file)
+            .option("batch_rows", 50)
+            .option("rows_per_trigger", 64)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                curated_ingest_foreach_batch(idx_path, "doc_id", "text", kept_out)
+            )
+            .option("checkpointLocation", str(tmp_path / "curated_ck"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r["doc_id"], r["content_hash"], r["n_words"])
+            for r in spark.read.parquet(kept_out).collect()
+        }
+        # batch twin: same gates, exact dedup against the corpus, over
+        # the whole union at once
+        union = spark.createDataFrame(rows, "doc_id bigint, text string")
+        flags = gopher_quality_flags(
+            union, "doc_id", "text", min_words=20, max_words=1000, stopword_min=1
+        ).select("doc_id", "n_words", "keep")
+        gated = union.join(flags.filter("keep").drop("keep"), "doc_id")
+        want = {
+            (r["doc_id"], r["content_hash"], r["n_words"])
+            for r in dedup_against_corpus(gated, corpus, "doc_id", "text")
+            .filter("keep")
+            .join(gated.select("doc_id", "n_words"), "doc_id")
+            .collect()
+        }
+        assert got == want
+        # the gates really dropped something and dedup really fired
+        assert 0 < len(got) < len(rows)
