@@ -255,6 +255,35 @@ def update_dedup_index(path: str, kept_hashes: DataFrame, hash_col: str = "conte
     return load_dedup_index(spark, path)
 
 
+def compact_dedup_index(spark: SparkSession, path: str, target_file_mb: int = 256) -> int:
+    """Periodic maintenance for a streamed-into index: every
+    ``update_dedup_index`` call APPENDS a hash parquet, so after N
+    micro-batches the hash set is N small files and the verify scan
+    turns into a metadata storm. Rewrites ``path/hashes`` into
+    size-targeted files (distinct-ing away any rows duplicated by a
+    partially-replayed append) via the same crash-safe rename-aside
+    swap the filter update uses. The filter needs no compaction — it
+    is a single bounded overwrite (<= m/64 rows) by construction.
+    Returns the new file count. Single-writer contract, like updates."""
+    import math
+    import os
+
+    from lakehouse_spark_spark.sources.sinks import _swap_dirs
+
+    hashes_dir = f"{path}/hashes"
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(hashes_dir)
+        for f in fs
+    )
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(hashes_dir).distinct()
+    tmp = f"{path}/hashes__compact"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    _swap_dirs(tmp, hashes_dir)
+    return n_files
+
+
 def bloom_might_contain(
     df: DataFrame,
     col: str,

@@ -248,6 +248,49 @@ def test_duplicate_index_hash_rows_are_harmless(spark, corpus_batch, tmp_path):
     assert len(out) == batch.count()  # one row per batch doc, no inflation
 
 
+def test_compact_dedup_index_preserves_answers(spark, corpus_batch, tmp_path):
+    """After several appends the hash set is many small files (one per
+    update); compaction must rewrite it to few files, drop any
+    replay-duplicated rows, and leave every dedup answer unchanged."""
+    import glob as _glob
+
+    from lakehouse_spark_spark.operators.bloom import compact_dedup_index
+
+    corpus, batch = corpus_batch
+    idx_path = str(tmp_path / "compact_idx")
+    idx = write_dedup_index(corpus, "text", idx_path)
+    b1 = batch.filter(F.col("doc_id") <= 105)
+    b2 = batch.filter(F.col("doc_id") > 105)
+    r1 = dedup_against_corpus_bloom(b1, None, "doc_id", "text", index=idx)
+    idx = update_dedup_index(idx_path, r1.filter("keep").select("content_hash"))
+    r2 = dedup_against_corpus_bloom(b2, None, "doc_id", "text", index=idx)
+    idx = update_dedup_index(idx_path, r2.filter("keep").select("content_hash"))
+    # simulate a partially-replayed append: duplicate hash rows on disk
+    idx.hashes.limit(3).write.mode("append").parquet(f"{idx_path}/hashes")
+
+    before = {r["content_hash"] for r in idx.hashes.collect()}
+    files_before = len(_glob.glob(f"{idx_path}/hashes/part-*"))
+    n_files = compact_dedup_index(spark, idx_path)
+    files_after = len(_glob.glob(f"{idx_path}/hashes/part-*"))
+    assert n_files == 1 and files_after < files_before
+
+    idx2 = load_dedup_index(spark, idx_path)
+    assert {r["content_hash"] for r in idx2.hashes.collect()} == before
+    assert idx2.hashes.count() == len(before)  # replay dups gone
+    # and a post-compaction dedup run still answers exactly
+    out = _collect_sorted(dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx2))
+    b1_keep_ids = [
+        r["doc_id"]
+        for r in dedup_against_corpus(batch, corpus, "doc_id", "text").filter("keep").collect()
+    ]
+    # every previously-kept batch doc is now an index dup; nothing kept
+    assert all(not r[4] for r in out)
+    assert sum(1 for r in out if r[2]) == len(out) - sum(
+        1 for r in out if r[1] is None
+    )  # all non-null hashes are corpus dups now
+    assert len(b1_keep_ids) > 0  # fixture sanity
+
+
 def test_bloom_merge_equals_build_of_union(spark, corpus_batch):
     """bit-OR merge of two same-geometry filters is EXACTLY the filter
     built over the unioned value set — the property update_dedup_index
