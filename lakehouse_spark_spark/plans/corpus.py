@@ -511,6 +511,7 @@ def curation_v5_ship(
     *,
     seq_budget: int = 2048,
     split: str = "kept_train",
+    shard_buckets: int = 1,
     disposition: DataFrame | None = None,
     **v3_kwargs,
 ) -> DataFrame:
@@ -539,9 +540,17 @@ def curation_v5_ship(
     runs here with ``learned_filter=True`` (the v4 configuration).
 
     Scale: packing state is per shard (one applyInPandas shuffle keyed
-    by source); the shard write is one pass over the kept docs' text
-    (joined back by id — the disposition frame stays slim); partitioned
-    parquet gives downstream loaders partition pruning per shard.
+    by the shard column); the shard write is one pass over the kept
+    docs' text (joined back by id — the disposition frame stays slim);
+    partitioned parquet gives downstream loaders partition pruning per
+    shard. ``shard_buckets`` is the 100 TB knob: with the default 1 the
+    shard is the source alone, which caps packing parallelism at the
+    SOURCE CARDINALITY (one greedy task per source — fine locally,
+    a straggler at petabyte sources); >1 composes
+    ``source × (doc_id % buckets)`` so each source packs as
+    ``shard_buckets`` independent deterministic tasks
+    (the composite-key pattern the packing operator documents; fill
+    ratio gives up at most one partial bin per extra bucket).
     """
     from lakehouse_spark_spark.operators.packing import pack_bins_bfd
     from lakehouse_spark_spark.sources.sinks import write_parquet
@@ -549,8 +558,19 @@ def curation_v5_ship(
     if disposition is None:
         v3_kwargs.setdefault("learned_filter", True)
         disposition = curation_v3_docs(docs, **v3_kwargs)
+    # hash-bucket, not raw id mod: id residues correlate with other id
+    # derivations (in this corpus, source itself IS doc_id % 20, so
+    # id % k would put every source in exactly one bucket for k | 20);
+    # real ids correlate with time/source the same way
+    shard_col = (
+        F.col("source")
+        if shard_buckets <= 1
+        else F.concat_ws(
+            "_b", F.col("source"), F.pmod(F.xxhash64("doc_id"), F.lit(shard_buckets))
+        )
+    )
     kept = disposition.filter(F.col("disposition") == split).select(
-        "doc_id", "source", "kept_tokens"
+        "doc_id", shard_col.alias("source"), "kept_tokens"
     )
     # pinned: the packed frame feeds BOTH the shard write and the
     # accounting agg — without the boundary each consumer replays the

@@ -72,6 +72,45 @@ def test_v5_ship_reconciles_report_accounting_and_shards(spark, tmp_path):
     assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, rows))
 
 
+def test_v5_ship_bucketed_shards_conserve_and_fit(spark, tmp_path):
+    """shard_buckets (the 100 TB parallelism knob: source × id-bucket
+    composite shards) must preserve conservation exactly — same docs,
+    same tokens, every non-overflow bin still fits — while multiplying
+    the number of independent packing tasks."""
+    from lakehouse_spark_spark.plans.corpus import curation_v3_docs, curation_v5_ship
+    from tests.conftest import SF_ORACLE
+
+    # sf0.01: sf0.001's kept_train split has 1-4 docs per source, too
+    # few for 4 buckets to observably split a source
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    disp = curation_v3_docs(docs).localCheckpoint(eager=False)  # deterministic chain
+    flat = curation_v5_ship(
+        docs, str(tmp_path / "flat"), seq_budget=BUDGET, disposition=disp
+    ).collect()
+    buck = curation_v5_ship(
+        docs, str(tmp_path / "buck"), seq_budget=BUDGET, shard_buckets=4, disposition=disp
+    ).collect()
+    assert sum(r["n_docs"] for r in buck) == sum(r["n_docs"] for r in flat)
+    assert sum(r["total_tokens"] for r in buck) == sum(r["total_tokens"] for r in flat)
+    # more independent shards, bounded sequence-count give-up (at most
+    # one partial bin per extra bucket per source)
+    assert len(buck) > len(flat)
+    extra = sum(r["n_sequences"] for r in buck) - sum(r["n_sequences"] for r in flat)
+    assert 0 <= extra <= len(buck) - len(flat) + len(flat) * 3
+    shards = spark.read.parquet(str(tmp_path / "buck") + "/shards")
+    fills = (
+        shards.groupBy("shard", "bin_id")
+        .agg(
+            F.sum("n_tokens").alias("fill"),
+            F.max(F.col("overflow").cast("int")).alias("ov"),
+        )
+        .collect()
+    )
+    assert all(f["fill"] <= BUDGET or f["ov"] == 1 for f in fills)
+    # every composite shard name carries the bucket suffix
+    assert all("_b" in r["shard"] for r in buck)
+
+
 def test_v5_accounting_query_reconciles_with_v3_report(spark):
     """The oracle-exact registry twin (chunk packing over the
     deterministic v3 chain): its per-shard totals must sum to the v3
