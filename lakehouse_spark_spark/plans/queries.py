@@ -4523,7 +4523,9 @@ def incremental_dedup_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact verify of positives makes the OUTPUT byte-identical to plain
 # exact dedup — the oracle below is the exact semantics; the bloom only
 # reshapes the plan. FP behavior and exact-equivalence are pinned by
-# tests/test_bloom.py.
+# tests/test_bloom.py. This entry demonstrates BUILD mode (filter built
+# in-plan from the corpus); the production persisted-index loop is the
+# bloom_persisted_ingest_run2 query below it (r9).
 # ==========================================================================
 @register(
     "bloom_incremental_dedup",
