@@ -264,24 +264,12 @@ def compact_dedup_index(spark: SparkSession, path: str, target_file_mb: int = 25
     partially-replayed append) via the same crash-safe rename-aside
     swap the filter update uses. The filter needs no compaction — it
     is a single bounded overwrite (<= m/64 rows) by construction.
-    Returns the new file count. Single-writer contract, like updates."""
-    import math
-    import os
+    Returns the new file count. Single-writer contract, like updates.
+    (Delegates to sinks.compact_parquet — one copy of the
+    size/rewrite/swap recipe to maintain.)"""
+    from lakehouse_spark_spark.sources.sinks import compact_parquet
 
-    from lakehouse_spark_spark.sources.sinks import _swap_dirs
-
-    hashes_dir = f"{path}/hashes"
-    size = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(hashes_dir)
-        for f in fs
-    )
-    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(hashes_dir).distinct()
-    tmp = f"{path}/hashes__compact"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    _swap_dirs(tmp, hashes_dir)
-    return n_files
+    return compact_parquet(spark, f"{path}/hashes", target_file_mb, distinct=True)
 
 
 def bloom_might_contain(

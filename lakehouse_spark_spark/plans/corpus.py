@@ -547,10 +547,14 @@ def curation_v5_ship(
     shard is the source alone, which caps packing parallelism at the
     SOURCE CARDINALITY (one greedy task per source — fine locally,
     a straggler at petabyte sources); >1 composes
-    ``source × (doc_id % buckets)`` so each source packs as
-    ``shard_buckets`` independent deterministic tasks
-    (the composite-key pattern the packing operator documents; fill
-    ratio gives up at most one partial bin per extra bucket).
+    ``source × pmod(xxhash64(doc_id), buckets)`` so each source packs
+    as ``shard_buckets`` independent deterministic tasks (the
+    composite-key pattern the packing operator documents; the bucket
+    MUST be an id hash, not a raw modulus — see the inline comment).
+    Packing give-up is heuristic, roughly one partial bin per extra
+    bucket (BFD carries no hard bound; measured within the
+    extra-shard count at 10x in tools/scale_stress_packing.py, and
+    bounded loosely by tests/test_curation_v5.py).
     """
     from lakehouse_spark_spark.operators.packing import pack_bins_bfd
     from lakehouse_spark_spark.sources.sinks import write_parquet

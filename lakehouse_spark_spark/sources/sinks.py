@@ -56,7 +56,7 @@ def write_single_csv(df: DataFrame, out_path: str) -> None:
     shutil.rmtree(tmp)
 
 
-def compact_parquet(spark, path: str, target_file_mb: int = 256) -> int:
+def compact_parquet(spark, path: str, target_file_mb: int = 256, distinct: bool = False) -> int:
     """Small-files compaction: rewrite a parquet directory into
     ceil(bytes / target) files. The lakehouse maintenance op every
     streaming/incremental sink eventually needs — thousands of KB-scale
@@ -67,13 +67,18 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256) -> int:
     complete copy on disk for recovery; only the final cleanup deletes
     it. Single-directory renames are not one atomic op, so concurrent
     READERS still need a transactional table format — this protects
-    against data loss, not reader isolation.)"""
+    against data loss, not reader isolation.) ``distinct=True`` also
+    drops exact-duplicate rows during the rewrite — the repair pass for
+    append-mode sinks whose writer replayed a batch (e.g. the bloom
+    dedup index's hash set)."""
     import math
     import os
 
     size = sum(os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(path) for f in fs)
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
+    if distinct:
+        df = df.distinct()
     tmp = path.rstrip("/") + "__compact"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     _swap_dirs(tmp, path)

@@ -117,7 +117,13 @@ def curated_ingest_foreach_batch(
             max_words=max_words,
             stopword_min=stopword_min,
         ).select(id_col, "n_words", "keep")
-        gated = batch_df.join(flags.filter("keep").drop("keep"), id_col)
+        # eager pin: `gated` feeds the isEmpty probe, the dedup hash
+        # projection, AND the n_words join back — unpinned, each action
+        # re-executes the gate projection + self-join (same fan-out
+        # shape the module's other checkpoints exist for)
+        gated = batch_df.join(flags.filter("keep").drop("keep"), id_col).localCheckpoint(
+            eager=True
+        )
         if gated.isEmpty():
             return
         idx = load_dedup_index(spark, index_path)

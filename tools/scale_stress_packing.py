@@ -5,12 +5,15 @@ parallelism is bounded by the shard-column cardinality — with
 shard=source alone, a 20-source corpus uses 20 of 32 local cores (and
 at 100 TB a petabyte source becomes one straggler task). The composite
 source × hash-bucket shard key (curation_v5_ship's ``shard_buckets``)
-multiplies the independent tasks while conserving docs/tokens exactly
-and costing at most one partial bin per extra bucket.
+multiplies the independent tasks while conserving docs/tokens exactly,
+at a heuristic give-up of roughly one partial bin per extra bucket
+(BFD carries no hard bound; this tool measures it against the
+extra-shard count).
 
-Measures pack wall at 1x and 10x documents for buckets ∈ {1, 16} and
-asserts conservation between the two layouts. Reuses the bloom/span
-stress 10x synthesis. Usage:
+Measures pack wall at 1x and 10x documents for buckets ∈ {1, 16};
+exits nonzero if conservation or the measured give-up bound fails, so
+the tool doubles as a regression check. Reuses the bloom/span stress
+10x synthesis. Usage:
     python tools/scale_stress_packing.py [--base /root/testdata/sf0.1]
 Prints one JSON line per run plus a summary; paste into SCALE.md.
 """
@@ -113,6 +116,12 @@ def main() -> None:
         summary["extra_bins_10x"] <= summary["extra_bins_bound_10x"]
     )
     print(json.dumps(summary))
+    if not (
+        summary["conserved_1x"]
+        and summary["conserved_10x"]
+        and summary["extra_bins_within_bound"]
+    ):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
