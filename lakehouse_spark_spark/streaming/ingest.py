@@ -25,8 +25,15 @@ materialized and appended BEFORE the index update, so a crash between
 the two replays the batch against the PRE-UPDATE index and re-appends
 the same kept rows (duplicates downstream-dedupable on the id) —
 updating the index first would instead silently drop the replayed
-batch's docs as index-dups (data loss). Exactly-once needs a
-transactional sink for the (output, index) pair.
+batch's docs as index-dups (data loss). The INDEX side is
+effectively-once (r9 verdict task 3): foreachBatch's epoch id flows
+into ``update_dedup_index(batch_id=...)``, whose manifest keeps a
+``last_batch_id`` high-watermark — a replayed epoch's fold is a no-op,
+so replay can never duplicate hash rows or re-merge the filter. (And
+on a fully-replayed epoch the re-dedup finds every hash already in the
+index, so the output append is empty too — the duplicate window is
+only the crash BETWEEN output append and index fold.) Exactly-once on
+the output needs a transactional sink for the (output, index) pair.
 """
 
 from __future__ import annotations
@@ -70,7 +77,7 @@ def bloom_ingest_foreach_batch(
             disp.filter("keep").select(id_col, "content_hash").localCheckpoint(eager=True)
         )
         kept.write.mode("append").parquet(kept_out)
-        update_dedup_index(index_path, kept.select("content_hash"))
+        update_dedup_index(index_path, kept.select("content_hash"), batch_id=batch_id)
 
     return fn
 
@@ -135,6 +142,6 @@ def curated_ingest_foreach_batch(
             .localCheckpoint(eager=True)
         )
         kept.write.mode("append").parquet(kept_out)
-        update_dedup_index(index_path, kept.select("content_hash"))
+        update_dedup_index(index_path, kept.select("content_hash"), batch_id=batch_id)
 
     return fn

@@ -349,3 +349,147 @@ def test_broadcast_cap_switches_probe_join(spark, corpus_batch):
         assert capped == exact
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestManifestCommit:
+    """Round-10: object-store-safe index publish (versioned filter dirs
+    + atomic manifest-pointer flip) and the batch-id high-watermark
+    that makes replayed folds idempotent."""
+
+    def test_update_publishes_new_version_and_gcs_old(self, spark, corpus_batch, tmp_path):
+        import json
+        import os
+
+        corpus, batch = corpus_batch
+        path = str(tmp_path / "mf_idx")
+        idx = write_dedup_index(corpus, "text", path)
+        with open(os.path.join(path, "manifest.json")) as fh:
+            mf = json.load(fh)
+        assert mf["filter_dir"] == "filter_v1" and mf["m_bits"] == 1 << 20
+        r1 = dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx)
+        update_dedup_index(path, r1.filter("keep").select("content_hash"))
+        with open(os.path.join(path, "manifest.json")) as fh:
+            mf2 = json.load(fh)
+        assert mf2["filter_dir"] == "filter_v2"
+        assert os.path.isdir(os.path.join(path, "filter_v2"))
+        assert not os.path.exists(os.path.join(path, "filter_v1"))  # GC'd
+
+    def test_crash_before_pointer_flip_leaves_old_index_readable(
+        self, spark, corpus_batch, tmp_path
+    ):
+        """The r10 commit-protocol crash window: the new filter_v2 dir
+        is fully written but the manifest still points at v1. A reader
+        must see the OLD index, intact, and answer exactly; the next
+        successful update simply overwrites/GCs the orphan dir."""
+        corpus, batch = corpus_batch
+        path = str(tmp_path / "crash_mf")
+        idx = write_dedup_index(corpus, "text", path)
+        # simulate the crash: write the would-be next version, DON'T flip
+        bh = (
+            batch.select(content_hash("text").alias("content_hash"))
+            .filter("content_hash is not null")
+            .distinct()
+        )
+        bloom_merge(
+            idx.bloom.frame, bloom_build(bh, "content_hash", idx.bloom.m_bits, idx.bloom.k)
+        ).write.parquet(f"{path}/filter_v2")
+        reloaded = load_dedup_index(spark, path)
+        out = _collect_sorted(
+            dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=reloaded)
+        )
+        exact = _collect_sorted(dedup_against_corpus(batch, corpus, "doc_id", "text"))
+        assert out == exact  # old pointer, old answer — nothing torn
+        # recovery: a real update lands as v2 over the orphan, then GCs v1
+        import os
+        update_dedup_index(path, bh)
+        import json
+        with open(os.path.join(path, "manifest.json")) as fh:
+            assert json.load(fh)["filter_dir"] == "filter_v2"
+        assert not os.path.exists(os.path.join(path, "filter_v1"))
+
+    def test_batch_id_watermark_makes_replayed_fold_a_noop(
+        self, spark, corpus_batch, tmp_path
+    ):
+        corpus, batch = corpus_batch
+        path = str(tmp_path / "wm_idx")
+        idx = write_dedup_index(corpus, "text", path)
+        r1 = dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx)
+        keeps = r1.filter("keep").select("content_hash").localCheckpoint(eager=True)
+        idx = update_dedup_index(path, keeps, batch_id=7)
+        n_hashes = idx.hashes.count()
+        filt = sorted((r["word"], r["bits"]) for r in idx.bloom.frame.collect())
+        # replay the SAME epoch: no duplicate hash rows, filter unchanged
+        idx2 = update_dedup_index(path, keeps, batch_id=7)
+        assert idx2.hashes.count() == n_hashes
+        assert sorted((r["word"], r["bits"]) for r in idx2.bloom.frame.collect()) == filt
+        # an OLDER epoch is equally a no-op; a NEWER one folds
+        idx3 = update_dedup_index(path, keeps, batch_id=3)
+        assert idx3.hashes.count() == n_hashes
+        extra = spark.createDataFrame([("ffff00000000000000000000deadbeef",)], "content_hash string")
+        idx4 = update_dedup_index(path, extra, batch_id=8)
+        assert idx4.hashes.count() == n_hashes + 1
+
+    def test_foreach_batch_replay_is_idempotent_on_index(self, spark, corpus_batch, tmp_path):
+        """Re-invoking the streaming foreachBatch body with the SAME
+        batch_id (Structured Streaming's crash-replay model) must leave
+        the index byte-equal — no duplicate hash rows, same filter —
+        and append no new keeps (the batch's hashes are already in the
+        index, so the re-dedup keeps nothing)."""
+        from lakehouse_spark_spark.streaming.ingest import bloom_ingest_foreach_batch
+
+        corpus, batch = corpus_batch
+        path = str(tmp_path / "fb_idx")
+        write_dedup_index(corpus, "text", path)
+        kept_out = str(tmp_path / "fb_kept")
+        fn = bloom_ingest_foreach_batch(path, "doc_id", "text", kept_out)
+        fn(batch, 0)
+        idx = load_dedup_index(spark, path)
+        n_hashes, n_kept = idx.hashes.count(), spark.read.parquet(kept_out).count()
+        filt = sorted((r["word"], r["bits"]) for r in idx.bloom.frame.collect())
+        fn(batch, 0)  # full epoch replay
+        idx2 = load_dedup_index(spark, path)
+        assert idx2.hashes.count() == n_hashes
+        assert idx2.hashes.distinct().count() == n_hashes
+        assert sorted((r["word"], r["bits"]) for r in idx2.bloom.frame.collect()) == filt
+        assert spark.read.parquet(kept_out).count() == n_kept
+
+    def test_legacy_layout_loads_and_upgrades(self, spark, corpus_batch, tmp_path):
+        """A pre-r10 index (filter/ + meta/ parquet, no manifest) must
+        load as-is, recover from an interrupted _swap_dirs (only
+        filter__old on disk — the r9 ADVICE gap), and upgrade to the
+        manifest layout on its first update."""
+        import os
+
+        corpus, batch = corpus_batch
+        path = str(tmp_path / "legacy_idx")
+        hashes = (
+            corpus.select(content_hash("text").alias("content_hash"))
+            .filter("content_hash is not null")
+            .distinct()
+        )
+        hashes.write.parquet(f"{path}/hashes")
+        stored = spark.read.parquet(f"{path}/hashes")
+        bloom_build(stored, "content_hash", 1 << 20, 7).write.parquet(f"{path}/filter")
+        spark.createDataFrame([(1 << 20, 7)], "m_bits long, k int").write.parquet(f"{path}/meta")
+
+        idx = load_dedup_index(spark, path)
+        exact = _collect_sorted(dedup_against_corpus(batch, corpus, "doc_id", "text"))
+        assert _collect_sorted(
+            dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx)
+        ) == exact
+
+        # interrupted-swap crash state: filter moved aside, never replaced
+        os.rename(f"{path}/filter", f"{path}/filter__old")
+        idx_rec = load_dedup_index(spark, path)  # completes the swap
+        assert os.path.isdir(f"{path}/filter")
+        assert _collect_sorted(
+            dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx_rec)
+        ) == exact
+
+        # first update adopts the manifest layout and publishes v1
+        r1 = dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx_rec)
+        update_dedup_index(path, r1.filter("keep").select("content_hash"))
+        import json
+        with open(os.path.join(path, "manifest.json")) as fh:
+            assert json.load(fh)["filter_dir"] == "filter_v1"
+        assert not os.path.exists(f"{path}/filter")  # legacy dir GC'd
