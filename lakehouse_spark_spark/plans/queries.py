@@ -730,8 +730,82 @@ _GATE_ROTATION_R9 = [
 ]
 
 
+# Round-10 rotation: gate debt is zero (every registry query driver-
+# gated at least once across r01..r09), so the window is birth-round
+# gating + code-changed re-gates + maximal staleness refresh. Leads:
+# the NEW r10 queries (steady-state persisted-Bloom ingest and the
+# persisted-index family), then the queries whose CODE changed this
+# round (the bloom layout rework touches both bloom queries; the
+# curation_v5 ship/accounting family changed in corpus.py). The
+# staleness re-gate drains the r4 pool the r9 list left (11 queries —
+# the oldest driver hashes in the fleet) and then starts on the
+# r6-gated set (alphabetical). Rows-only entries sit at the tail per
+# the standing front-load invariant. Invariant
+# (tests/test_gate_rotation.py): any query added to the registry after
+# this list was cut MUST be added here in the same commit.
+_GATE_ROTATION_R10 = [
+    # -- new in r10, oracle-bearing --
+    "bloom_persisted_ingest_steady",
+    # -- re-gate: code changed in r10 (bloom manifest/watermark layout;
+    #    curation_v5 ship fixes) --
+    "bloom_persisted_ingest_run2",
+    "bloom_incremental_dedup",
+    "curation_v5_shipped_accounting",
+    # -- staleness re-gate: last gated r4 (the final 11 of the r4 pool,
+    #    all oracle-bearing) --
+    "sequence_packing",
+    "sequence_packing_stats",
+    "source_dedup_leakage",
+    "source_token_entropy",
+    "span_trimmed_corpus",
+    "stratified_sample_documents",
+    "temperature_mixture_plan",
+    "tfidf_cosine_pairs_blocked",
+    "token_budget_sample_docs",
+    "training_corpus_disposition",
+    "weighted_doc_sample",
+    # -- staleness re-gate: last gated r6, oracle-bearing
+    #    (alphabetical prefix of the 43-query r6 pool) --
+    "brand_qty_price_corr",
+    "bucketed_join_order_revenue",
+    "customer_order_statuses",
+    "daily_event_anomaly",
+    "doc_tokens_outer_explode",
+    "doc_unigram_logprob",
+    "doc_unigram_logprob_headtail",
+    "documents_jsonl_robust_scan",
+    "embedding_stats_by_label",
+    "event_type_audience_overlap",
+    "event_type_bag_ops",
+    "events_cube",
+    "events_gapfill_ffill",
+    "events_grouping_sets",
+    "events_key_skew_report",
+    "events_metrics_unpivot",
+    "forecast_revenue_change",
+    "important_part_value",
+    "incremental_revenue_refresh",
+    "latest_event_per_user_maxby",
+    "monthly_cohort_retention",
+    "nation_customer_supplier_full",
+    "nation_market_share",
+    "order_price_histogram",
+    "order_quartiles_by_segment",
+    "orders_column_profile",
+    "orders_integrity_checksum",
+    "orders_variant_extract",
+    "orders_year_status_pivot",
+    "partition_pruned_monthly_revenue",
+    "price_qty_histogram2d",
+    "price_variance_by_segment",
+    "product_type_profit",
+    "region_priority_grid",
+    "rolling_7d_customer_spend",
+]
+
+
 def _ordered_names() -> list[str]:
-    rot = [n for n in _GATE_ROTATION_R9 if n in _REGISTRY]
+    rot = [n for n in _GATE_ROTATION_R10 if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(rot)]
     return rot + rest
 
@@ -4601,16 +4675,11 @@ def bloom_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ingest run 2 against a persisted Bloom dedup index: O(batch+index), zero corpus scans",
 )
 def bloom_persisted_ingest_run2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from lakehouse_spark_spark.operators.bloom import (
         dedup_against_corpus_bloom,
         update_dedup_index,
         write_dedup_index,
     )
-
-    import atexit
-    import shutil
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
@@ -4618,13 +4687,105 @@ def bloom_persisted_ingest_run2_q(spark: SparkSession, sf_dir: str) -> DataFrame
     b2 = docs.filter(F.col("doc_id") % 14 == 7)
     # fresh dir per call: update_dedup_index APPENDS, so reusing a path
     # across gate/bench reps would accumulate state and change answers.
-    # Removed at interpreter exit, not before return — the returned
-    # frame lazily reads the index parquet when the caller collects it.
-    path = tempfile.mkdtemp(prefix="bloom_dedup_index_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    # The PREVIOUS invocation's dir is removed here (its returned frame
+    # has been consumed by then), so repeated reps in one long-lived
+    # driver hold at most one live copy (r9 ADVICE); interpreter-exit
+    # cleanup is the backstop for the last one.
+    path = _bloom_fixture_dir("run2", fresh=True)
     idx = write_dedup_index(corpus, "text", path)  # run 0: the only corpus scan
     run1 = dedup_against_corpus_bloom(b1, None, "doc_id", "text", index=idx)
     idx = update_dedup_index(path, run1.filter("keep").select("content_hash"))
+    return dedup_against_corpus_bloom(b2, None, "doc_id", "text", index=idx)
+
+
+# Live bloom-index fixture dirs, one slot per (kind, sf-independent)
+# key: `run2` is reset (deleted + recreated) per invocation because its
+# builder MUTATES the index inside the query body; `steady:{sf_dir}` is
+# built once per process and reused READ-ONLY. One atexit hook sweeps
+# whatever is live at interpreter exit — no per-call handler pileup.
+_BLOOM_FIXTURE_DIRS: dict[str, str] = {}
+
+
+def _bloom_fixture_dir(key: str, fresh: bool) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _BLOOM_FIXTURE_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _BLOOM_FIXTURE_DIRS.values()]
+        )
+    if fresh and key in _BLOOM_FIXTURE_DIRS:
+        shutil.rmtree(_BLOOM_FIXTURE_DIRS.pop(key), ignore_errors=True)
+    if key not in _BLOOM_FIXTURE_DIRS:
+        _BLOOM_FIXTURE_DIRS[key] = tempfile.mkdtemp(prefix=f"bloom_dedup_index_{key.split(':')[0]}_")
+    return _BLOOM_FIXTURE_DIRS[key]
+
+
+# ==========================================================================
+# Steady-state persisted-index ingest (round 10, r9 verdict task 5):
+# bloom_persisted_ingest_run2 keeps the honest end-to-end loop (runs
+# 0+1+2 inside the body — its bench line is dominated by the one-time
+# index BUILD). This twin answers the question the operator exists for:
+# what does ingest run N cost once the index EXISTS? The index (run 0
+# build + run 1 fold) is constructed ONCE per process in a cached
+# fixture dir, OUTSIDE the query body (the snapshots-query state
+# pattern); the body loads it and dedups batch 2 — O(batch + index),
+# zero corpus scans. Same math as run2, so the same oracle; the bench
+# line should sit at the stress tool's 0.24-0.30x of build mode.
+# ==========================================================================
+@register(
+    "bloom_persisted_ingest_steady",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),
+    corpus AS (SELECT DISTINCT content_hash FROM n WHERE doc_id % 7 <> 0),
+    b1 AS (SELECT doc_id, content_hash FROM n WHERE doc_id % 14 = 0),
+    b1keep AS (
+      SELECT content_hash FROM (
+        SELECT b.content_hash,
+               c.content_hash IS NOT NULL AS dup_c,
+               ROW_NUMBER() OVER (PARTITION BY b.content_hash ORDER BY b.doc_id) AS rn
+        FROM b1 b LEFT JOIN corpus c USING (content_hash)
+      ) WHERE NOT dup_c AND rn = 1 AND content_hash IS NOT NULL
+    ),
+    corpus2 AS (SELECT content_hash FROM corpus
+                UNION SELECT content_hash FROM b1keep),
+    b2 AS (SELECT doc_id, content_hash FROM n WHERE doc_id % 14 = 7),
+    r AS (
+      SELECT b.doc_id, b.content_hash,
+             c.content_hash IS NOT NULL AS dup_of_corpus,
+             ROW_NUMBER() OVER (PARTITION BY b.content_hash ORDER BY b.doc_id) > 1 AS dup_in_batch
+      FROM b2 b LEFT JOIN corpus2 c USING (content_hash)
+    )
+    SELECT doc_id, content_hash, dup_of_corpus, dup_in_batch,
+           NOT dup_of_corpus AND NOT dup_in_batch AS keep
+    FROM r
+    """,
+    doc="steady-state ingest against a PREBUILT persisted Bloom index: the run-N cost alone",
+)
+def bloom_persisted_ingest_steady_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from lakehouse_spark_spark.operators.bloom import (
+        dedup_against_corpus_bloom,
+        load_dedup_index,
+        update_dedup_index,
+        write_dedup_index,
+    )
+
+    path = _bloom_fixture_dir(f"steady:{sf_dir}", fresh=False)
+    ready = os.path.join(path, "__fixture_ready")
+    if not os.path.exists(ready):  # marker AFTER the full build: a
+        # failed half-build is rebuilt next call, never served
+        docs = _t(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        b1 = docs.filter(F.col("doc_id") % 14 == 0)
+        idx = write_dedup_index(corpus, "text", path)
+        run1 = dedup_against_corpus_bloom(b1, None, "doc_id", "text", index=idx)
+        update_dedup_index(path, run1.filter("keep").select("content_hash"))
+        open(ready, "w").close()
+    idx = load_dedup_index(spark, path)
+    b2 = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 14 == 7)
     return dedup_against_corpus_bloom(b2, None, "doc_id", "text", index=idx)
 
 

@@ -3,7 +3,9 @@ FIRST 50 registry entries. Round 5 rotated in queries never covered by
 rounds 1-4; round 7 retired the then-outstanding verification debt;
 round 8 closed gate debt to zero; round 9 gates its two new queries,
 re-gates this round's code/oracle changes, and refreshes the stalest
-(r3/r4) coverage. The standing rule (the r7 verdict's ask): EVERY
+(r3/r4) coverage; round 10 gates its new persisted-index queries,
+re-gates the bloom/curation_v5 code changes, drains the r4 staleness
+pool, and starts refreshing the r6-gated set. The standing rule (the r7 verdict's ask): EVERY
 registry query must either already have a driver-recorded CORRECTNESS
 row or sit inside the current gate prefix — so adding a query to the
 registry after the gate list was cut must extend the rotation in the
@@ -34,16 +36,16 @@ def test_no_query_escapes_driver_verification():
 
     first50 = list(Q.queries())[:50]
     assert len(first50) == 50
-    prior = _gate_keys("CORRECTNESS_r0[1-8].json")
-    assert prior, "expected committed CORRECTNESS_r01..r08 artifacts"
+    prior = _gate_keys("CORRECTNESS_r0[1-9].json")
+    assert prior, "expected committed CORRECTNESS_r01..r09 artifacts"
     leftover = set(Q._REGISTRY) - prior - set(first50)
     assert leftover == set(), (
         f"queries with no driver check and outside the gate prefix "
-        f"(extend _GATE_ROTATION_R9 in the same commit): {sorted(leftover)}"
+        f"(extend _GATE_ROTATION_R10 in the same commit): {sorted(leftover)}"
     )
 
 
-def test_r9_gate_front_loads_oracle_bearing_entries():
+def test_r10_gate_front_loads_oracle_bearing_entries():
     """Oracle-bearing gate entries precede rows-only ones, so the
     driver records full hash checks for all of them even if it ever
     truncates below 50."""
@@ -54,22 +56,19 @@ def test_r9_gate_front_loads_oracle_bearing_entries():
     assert oracle_flags == sorted(oracle_flags, reverse=True), first50
 
 
-def test_r9_gate_covers_this_rounds_code_changes():
-    """Everything new or whose code/oracle changed in round 9 gets a
-    driver hash: the persisted-Bloom ingest query and the v5 shipped
-    accounting (born this round), the reworked Bloom dedup, the
-    shared-CTE v3 oracle refactor, and the two classifier queries
-    (numeric md5-rank sample)."""
+def test_r10_gate_covers_this_rounds_code_changes():
+    """Everything new or whose code changed in round 10 gets a driver
+    hash: the steady-state persisted-Bloom ingest (born this round),
+    the two bloom queries riding the manifest/watermark layout rework,
+    and the curation_v5 accounting family (ship fixes in corpus.py)."""
     from lakehouse_spark_spark.plans import queries as Q
 
     first50 = set(list(Q.queries())[:50])
     changed = {
+        "bloom_persisted_ingest_steady",
         "bloom_persisted_ingest_run2",
-        "curation_v5_shipped_accounting",
         "bloom_incremental_dedup",
-        "curation_v3_disposition",
-        "quality_classifier_scores",
-        "curation_v4_learned_disposition",
+        "curation_v5_shipped_accounting",
     }
     assert changed <= first50, sorted(changed - first50)
 
@@ -106,39 +105,42 @@ def test_rotation_lists_match_registry():
         Q._GATE_ROTATION_R7,
         Q._GATE_ROTATION_R8,
         Q._GATE_ROTATION_R9,
+        Q._GATE_ROTATION_R10,
     ):
         unknown = [n for n in rot if n not in Q._REGISTRY]
         assert unknown == [], f"rotation names not in registry: {unknown}"
         assert len(rot) == len(set(rot))
     assert len(Q._GATE_ROTATION_R8) == 50
     assert len(Q._GATE_ROTATION_R9) == 50
+    assert len(Q._GATE_ROTATION_R10) == 50
 
 
-def test_r9_gate_refreshes_the_stalest_coverage():
-    """The staleness contract: every non-(new/changed/rows-only-tail)
-    slot in the r9 window re-gates a query whose most recent driver
-    hash is r3 or r4 — the oldest in the fleet after r8."""
+def test_r10_gate_refreshes_the_stalest_coverage():
+    """The staleness contract: every non-(new/changed) slot in the r10
+    window re-gates a query whose most recent driver hash is r4 or r6
+    — the oldest in the fleet after r9 drained r3 and most of r4."""
     import glob
 
     from lakehouse_spark_spark.plans import queries as Q
 
-    # r0[1-8] only: the staleness claim is about the state the R9 list
-    # was cut FROM — including this round's own CORRECTNESS_r09.json
-    # (committed by the driver later) would flip every stale slot to 9
+    # r0[1-9] only: the staleness claim is about the state the R10 list
+    # was cut FROM — including this round's own CORRECTNESS_r10.json
+    # (committed by the driver later) would flip every stale slot
     last: dict[str, int] = {}
-    for p in sorted(glob.glob(str(REPO / "CORRECTNESS_r0[1-8].json"))):
+    for p in sorted(glob.glob(str(REPO / "CORRECTNESS_r0[1-9].json"))):
         rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
         for k in json.loads(pathlib.Path(p).read_text()):
             last[k] = max(last.get(k, 0), rnd)
     new_or_changed = {
+        "bloom_persisted_ingest_steady",
         "bloom_persisted_ingest_run2",
-        "curation_v5_shipped_accounting",
         "bloom_incremental_dedup",
-        "curation_v3_disposition",
-        "quality_classifier_scores",
-        "curation_v4_learned_disposition",
+        "curation_v5_shipped_accounting",
     }
-    stale_slots = [n for n in Q._GATE_ROTATION_R9 if n not in new_or_changed]
-    assert all(last.get(n, 99) <= 4 for n in stale_slots), [
-        (n, last.get(n)) for n in stale_slots if last.get(n, 99) > 4
+    stale_slots = [
+        n for n in Q._GATE_ROTATION_R10
+        if n not in new_or_changed and n in last
+    ]
+    assert all(last.get(n, 99) in (4, 6) for n in stale_slots), [
+        (n, last.get(n)) for n in stale_slots if last.get(n, 99) not in (4, 6)
     ]
