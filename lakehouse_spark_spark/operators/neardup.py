@@ -23,7 +23,11 @@ All pure DataFrame ops — no UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import json
+import os
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lakehouse_spark_spark.operators.text import norm_text
 
@@ -146,6 +150,27 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, nu
     return sig.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"))
 
 
+def band_rows(signatures: DataFrame, id_col: str, bands: int = 16, num_hashes: int = 64) -> DataFrame:
+    """(id, band, band_hash) rows — each signature split into ``bands``
+    bands, each band hashed to one long. The LSH candidate-generation
+    key, shared verbatim by the one-shot self-join
+    (:func:`minhash_lsh_candidates`) and the persisted band index
+    (:func:`write_neardup_index`), so index-based candidates are
+    byte-identical to in-plan ones."""
+    rows_per_band = max(1, num_hashes // bands)
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, id_col: str, bands: int = 16, num_hashes: int = 64, materialize: bool = True
 ) -> DataFrame:
@@ -161,22 +186,12 @@ def minhash_lsh_candidates(
     (band explode + two re-attach joins) compute the expensive
     shingle→minhash pass exactly once — the single-query stand-in for
     what a production pipeline does by persisting the signature table
-    between stages. Pass False when the caller's ``signatures`` is
-    already a cheap scan of a materialized table."""
-    rows_per_band = max(1, num_hashes // bands)
+    between stages (:func:`write_neardup_index`). Pass False when the
+    caller's ``signatures`` is already a cheap scan of a materialized
+    table."""
     if materialize:
         signatures = signatures.localCheckpoint(eager=False)
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.concat_ws(",", *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = band_rows(signatures, id_col, bands, num_hashes)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     pairs = a.join(b, ["band", "band_hash"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
@@ -361,4 +376,183 @@ def cross_batch_jaccard(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "shared", "size_new", "size_corpus", "jaccard")
+    )
+
+
+# --- Persisted near-dup index: incremental MinHash-LSH ingest ---------
+#
+# The r9 Bloom template (operators/bloom.py) replayed for the near-dup
+# family (r9 verdict task 2): corpus signatures and their banded LSH
+# keys are computed ONCE at index build and persisted; every subsequent
+# batch finds its near-dup candidates against the accumulated corpus by
+# (a) signing ONLY the batch, (b) equi-joining the batch's band rows
+# against the persisted band table, and (c) re-attaching signatures
+# (batch side in-plan, corpus side from the index) for the est-Jaccard
+# filter. Ingest run N is O(batch + index) — the corpus text is never
+# re-shingled, never re-signed, never re-read
+# (tests/test_neardup_index.py plan-asserts run 2 is corpus-free).
+
+class NeardupIndex(NamedTuple):
+    """Persisted MinHash-LSH state: the signature table (the est-Jaccard
+    re-attach side), its banded key table (the candidate-generation
+    side), and the build parameters a probe must reuse verbatim."""
+
+    signatures: DataFrame  # (__id long, signature array<long>)
+    bands: DataFrame       # (__id long, band int, band_hash long)
+    n: int                 # shingle width
+    num_hashes: int
+    n_bands: int
+
+
+def _nd_manifest_path(path: str) -> str:
+    return os.path.join(path, "manifest.json")
+
+
+def _nd_write_manifest(path: str, manifest: dict) -> None:
+    """Atomic whole-file pointer write (os.replace — same
+    manifest-commit shape as operators/bloom._write_manifest)."""
+    tmp = _nd_manifest_path(path) + ".tmp"
+    os.makedirs(path, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _nd_manifest_path(path))
+
+
+def write_neardup_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> NeardupIndex:
+    """One-time index construction — the ONLY operation that shingles
+    the corpus. Signatures are written first; band rows are derived
+    FROM the written signature parquet (so the expensive shingle→
+    minhash pass runs exactly once and the two tables are guaranteed
+    consistent); the manifest commits the geometry + ingest watermark
+    last."""
+    spark = corpus.sparkSession
+    sigs = minhash_signatures(corpus, id_col, text_col, n=n, num_hashes=num_hashes)
+    sigs.select(F.col(id_col).alias("__id"), "signature").write.mode("overwrite").parquet(
+        f"{path}/signatures"
+    )
+    stored = spark.read.parquet(f"{path}/signatures")
+    band_rows(stored, "__id", bands, num_hashes).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+    _nd_write_manifest(
+        path,
+        {"format": 1, "n": int(n), "num_hashes": int(num_hashes), "bands": int(bands),
+         "last_batch_id": None},
+    )
+    return load_neardup_index(spark, path)
+
+
+def load_neardup_index(spark: SparkSession, path: str) -> NeardupIndex:
+    with open(_nd_manifest_path(path)) as fh:
+        mf = json.load(fh)
+    return NeardupIndex(
+        signatures=spark.read.parquet(f"{path}/signatures"),
+        bands=spark.read.parquet(f"{path}/bands"),
+        n=int(mf["n"]),
+        num_hashes=int(mf["num_hashes"]),
+        n_bands=int(mf["bands"]),
+    )
+
+
+def update_neardup_index(
+    path: str, batch: DataFrame, id_col: str, text_col: str, batch_id: int | None = None
+) -> NeardupIndex:
+    """Fold a batch into the index: sign the batch (O(batch) — the
+    accumulated corpus is untouched), append signatures, append band
+    rows, then advance the manifest watermark. Pass the docs the ingest
+    decided to KEEP (novel docs) — near-dup state for dropped docs
+    would only bloat the band table. Single-writer contract.
+
+    ``batch_id`` replays are no-ops past the watermark (the bloom
+    module's idempotence contract). The watermark advances strictly
+    LAST: a crash mid-update replays the whole fold, and the probe path
+    tolerates the resulting duplicate rows (pair-distinct on the band
+    join; id-dedup on the signature re-attach) — duplicated rows are
+    byte-identical, so answers never change. Append ORDER is
+    signatures-then-bands: a doc missing its band rows is merely
+    invisible as a candidate until the replay completes (at-least-once
+    recall, repaired by the replay), while the reverse order could
+    surface a candidate whose signature is missing and silently drop
+    the pair at the re-attach join."""
+    spark = batch.sparkSession
+    with open(_nd_manifest_path(path)) as fh:
+        mf = json.load(fh)
+    last = mf.get("last_batch_id")
+    if batch_id is not None and last is not None and batch_id <= last:
+        return load_neardup_index(spark, path)
+    sigs = (
+        minhash_signatures(batch, id_col, text_col, n=int(mf["n"]), num_hashes=int(mf["num_hashes"]))
+        .select(F.col(id_col).alias("__id"), "signature")
+        .localCheckpoint(eager=True)  # one shingle pass feeds both appends
+    )
+    sigs.write.mode("append").parquet(f"{path}/signatures")
+    band_rows(sigs, "__id", int(mf["bands"]), int(mf["num_hashes"])).write.mode("append").parquet(
+        f"{path}/bands"
+    )
+    if batch_id is not None:
+        _nd_write_manifest(path, {**mf, "last_batch_id": int(batch_id)})
+    return load_neardup_index(spark, path)
+
+
+def compact_neardup_index(spark: SparkSession, path: str, target_file_mb: int = 256) -> tuple[int, int]:
+    """Small-files + replay-duplicate maintenance for a streamed-into
+    index (the bloom module's compact recipe applied to both tables).
+    Returns the new (signature, band) file counts."""
+    from lakehouse_spark_spark.sources.sinks import compact_parquet
+
+    return (
+        compact_parquet(spark, f"{path}/signatures", target_file_mb, distinct=True),
+        compact_parquet(spark, f"{path}/bands", target_file_mb, distinct=True),
+    )
+
+
+def neardup_candidates_against_index(
+    batch: DataFrame, index: NeardupIndex, id_col: str, text_col: str
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against the accumulated
+    corpus, consuming a persisted :class:`NeardupIndex` — the
+    arrival-time twin of :func:`minhash_lsh_candidates`, with the
+    corpus side read from the index alone.
+
+    Output: (new_id, corpus_id, est_jaccard) — est_jaccard is the
+    fraction of agreeing minhashes, byte-identical to what the
+    one-shot operator reports for the same pair (same hash functions,
+    same banding — :func:`band_rows` is shared code).
+
+    Plan shape: the batch is shingled+signed once (localCheckpoint —
+    feeds the band explode and the re-attach), the band join carries
+    only (id, band, band_hash) slim rows, and signatures re-attach to
+    the DEDUPED pairs only. The index side is two plain parquet scans;
+    duplicate index rows (a partially-replayed append) are neutralized
+    by the pair-distinct and an id-dedup on the signature table."""
+    sigs = (
+        minhash_signatures(batch, id_col, text_col, n=index.n, num_hashes=index.num_hashes)
+        .select(F.col(id_col).alias("__id"), "signature")
+        .localCheckpoint(eager=False)
+    )
+    b_bands = band_rows(sigs, "__id", index.n_bands, index.num_hashes).select(
+        F.col("__id").alias("new_id"), "band", "band_hash"
+    )
+    c_bands = index.bands.select(F.col("__id").alias("corpus_id"), "band", "band_hash")
+    pairs = (
+        b_bands.join(c_bands, ["band", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sig_n = sigs.select(F.col("__id").alias("new_id"), F.col("signature").alias("sig_n"))
+    sig_c = index.signatures.dropDuplicates(["__id"]).select(
+        F.col("__id").alias("corpus_id"), F.col("signature").alias("sig_c")
+    )
+    withsigs = pairs.join(sig_n, "new_id").join(sig_c, "corpus_id")
+    agree = F.size(F.filter(F.zip_with("sig_n", "sig_c", lambda x, y: (x == y).cast("int")), lambda v: v == 1))
+    return withsigs.select(
+        "new_id", "corpus_id", F.round(agree.cast("double") / F.size("sig_n"), 6).alias("est_jaccard")
     )

@@ -800,7 +800,9 @@ _GATE_ROTATION_R10 = [
     "price_variance_by_segment",
     "product_type_profit",
     "region_priority_grid",
-    "rolling_7d_customer_spend",
+    # -- rows-only tail: new r10 persisted-index queries (birth-round
+    #    gated; rows-only is justified in their registration comments) --
+    "neardup_persisted_ingest",
 ]
 
 
@@ -1370,6 +1372,50 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64)
     return minhash_lsh_candidates(sigs, "doc_id", bands=16, num_hashes=64).filter(F.col("est_jaccard") >= 0.2)
+
+
+# ==========================================================================
+# Steady-state persisted near-dup ingest (round 10, r9 verdict task 2):
+# the Bloom steady-state pattern applied to the MinHash-LSH family. The
+# index (corpus signatures + banded keys, built once per process in a
+# cached fixture dir + one batch-1 fold) lives OUTSIDE the query body;
+# the body signs ONLY batch 2 and finds its near-dup candidates against
+# the accumulated corpus via the persisted band table — O(batch +
+# index), the corpus text never re-shingled
+# (tests/test_neardup_index.py plan-asserts corpus-freedom by deleting
+# the corpus files). rows-only: est_jaccard is xxhash64-specific (same
+# justification as minhash_lsh_candidates); the twin test pins exact
+# frame equality with the one-shot operator on the union.
+# ==========================================================================
+@register(
+    "neardup_persisted_ingest",
+    oracle=None,  # hash-function-specific: not ANSI-SQL-expressible
+    doc="batch-2 LSH near-dup candidates against a PREBUILT persisted MinHash index: O(batch+index)",
+)
+def neardup_persisted_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from lakehouse_spark_spark.operators.neardup import (
+        load_neardup_index,
+        neardup_candidates_against_index,
+        update_neardup_index,
+        write_neardup_index,
+    )
+
+    path = _bloom_fixture_dir(f"neardup:{sf_dir}", fresh=False)
+    ready = os.path.join(path, "__fixture_ready")
+    if not os.path.exists(ready):
+        docs = _tp(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        b1 = docs.filter(F.col("doc_id") % 6 == 0)
+        write_neardup_index(corpus, "doc_id", "text", path)
+        update_neardup_index(path, b1, "doc_id", "text", batch_id=1)
+        open(ready, "w").close()
+    idx = load_neardup_index(spark, path)
+    b2 = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 3)
+    return neardup_candidates_against_index(b2, idx, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 0.2
+    )
 
 
 @register(

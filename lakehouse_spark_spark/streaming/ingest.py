@@ -91,6 +91,8 @@ def curated_ingest_foreach_batch(
     min_words: int = 20,
     max_words: int = 1000,
     stopword_min: int = 1,
+    neardup_index_path: str | None = None,
+    neardup_threshold: float = 0.8,
 ) -> Callable[[DataFrame, int], None]:
     """The composed streaming ingest a training-data pipeline actually
     runs: per micro-batch, Gopher word-rule QUALITY GATES (pure per-doc
@@ -98,17 +100,27 @@ def curated_ingest_foreach_batch(
     cost a dedup probe, then the survivors dedup against the persisted
     index and fold in, exactly as :func:`bloom_ingest_foreach_batch`.
 
+    ``neardup_index_path`` (round 10) adds the NEAR-dup stage the r9
+    docstring deferred to periodic compaction: exact-dedup survivors
+    probe a persisted MinHash-LSH index
+    (operators/neardup.write_neardup_index) and docs whose estimated
+    Jaccard against ANY accumulated kept doc reaches
+    ``neardup_threshold`` drop as cross-batch near-dups; the remaining
+    keeps fold their signatures in (O(batch) — the corpus is never
+    re-signed). Near-dup pairs WITHIN one micro-batch are intentionally
+    not clustered here (neither side is in the index yet — both keep,
+    both fold, and any later copy is caught); within-batch clustering
+    remains the periodic compaction job's half, now with far less to
+    read.
+
     Output rows: (id, content_hash, n_words) for each kept doc — the
     slim ingest ledger; the text itself stays in the source (join back
     by id when shipping, the curation_v5_ship pattern).
 
-    Scope note (the honest 100 TB contract): per-doc gates and
-    vs-corpus exact dedup are the ONLY curation stages that are
-    batch-local. Near-dup clustering, span trim, and decontamination
-    are corpus-global — production pipelines run those as periodic
-    compaction jobs over the accumulated kept set (plans/corpus.py),
-    not per micro-batch. This loop is the front half: it bounds what
-    the periodic jobs ever have to read.
+    Crash ordering: output append first, then the Bloom index fold,
+    then the near-dup fold — both folds are batch_id-watermarked
+    no-ops on replay, and a crash between them replays into
+    already-folded watermarks (module docstring).
     """
     from lakehouse_spark_spark.operators.text import gopher_quality_flags
 
@@ -137,11 +149,33 @@ def curated_ingest_foreach_batch(
         disp = dedup_against_corpus_bloom(gated, None, id_col, text_col, index=idx)
         kept = (
             disp.filter("keep")
-            .join(gated.select(id_col, "n_words"), id_col)
-            .select(id_col, "content_hash", "n_words")
+            .join(gated.select(id_col, text_col, "n_words"), id_col)
+            .select(id_col, "content_hash", text_col, "n_words")
             .localCheckpoint(eager=True)
         )
-        kept.write.mode("append").parquet(kept_out)
+        if neardup_index_path is not None:
+            from pyspark.sql import functions as F
+
+            from lakehouse_spark_spark.operators.neardup import (
+                load_neardup_index,
+                neardup_candidates_against_index,
+                update_neardup_index,
+            )
+
+            nd_idx = load_neardup_index(spark, neardup_index_path)
+            near = (
+                neardup_candidates_against_index(kept, nd_idx, id_col, text_col)
+                .filter(F.col("est_jaccard") >= neardup_threshold)
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            kept = kept.join(near, id_col, "left_anti").localCheckpoint(eager=True)
+        kept.select(id_col, "content_hash", "n_words").write.mode("append").parquet(kept_out)
         update_dedup_index(index_path, kept.select("content_hash"), batch_id=batch_id)
+        if neardup_index_path is not None:
+            update_neardup_index(
+                neardup_index_path, kept.select(id_col, text_col), id_col, text_col,
+                batch_id=batch_id,
+            )
 
     return fn

@@ -69,6 +69,7 @@ def test_r10_gate_covers_this_rounds_code_changes():
         "bloom_persisted_ingest_run2",
         "bloom_incremental_dedup",
         "curation_v5_shipped_accounting",
+        "neardup_persisted_ingest",
     }
     assert changed <= first50, sorted(changed - first50)
 

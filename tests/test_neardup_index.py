@@ -1,0 +1,223 @@
+"""Persisted MinHash-LSH near-dup index (operators/neardup.py, round
+10): index-based candidates must be byte-identical to the one-shot
+operator's cross-set pairs, ingest run 2 must never re-read the corpus
+(plan-asserted by deleting the corpus files), and folds must be
+idempotent under a replayed batch_id."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from lakehouse_spark_spark.operators.neardup import (
+    load_neardup_index,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    neardup_candidates_against_index,
+    update_neardup_index,
+    write_neardup_index,
+)
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # real fixture text + planted near-dups: for each corpus doc i%9==0
+    # a batch doc that drops the last 2 words (high but <1 Jaccard)
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
+
+
+def _corpus_batch(docs):
+    corpus = docs.filter("doc_id % 3 != 0")
+    batch = docs.filter("doc_id % 3 = 0").union(
+        docs.filter("doc_id % 9 = 1").select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(F.split("text", " "), 1, 40), " ").alias("text"),
+        )
+    )
+    return corpus, batch
+
+
+def _oneshot_cross_pairs(corpus, batch):
+    """Reference: the ONE-SHOT operator over the union, restricted to
+    (batch, corpus) pairs, reoriented to (new_id, corpus_id)."""
+    union = corpus.unionByName(batch)
+    sigs = minhash_signatures(union, "doc_id", "text")
+    cand = minhash_lsh_candidates(sigs, "doc_id")
+    c_ids = corpus.select(F.col("doc_id").alias("cid"))
+    b_ids = batch.select(F.col("doc_id").alias("bid"))
+    ab = cand.join(b_ids, cand.id_a == F.col("bid")).join(c_ids, cand.id_b == F.col("cid")).select(
+        F.col("id_a").alias("new_id"), F.col("id_b").alias("corpus_id"), "est_jaccard"
+    )
+    ba = cand.join(b_ids, cand.id_b == F.col("bid")).join(c_ids, cand.id_a == F.col("cid")).select(
+        F.col("id_b").alias("new_id"), F.col("id_a").alias("corpus_id"), "est_jaccard"
+    )
+    return ab.unionByName(ba)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_index_candidates_equal_oneshot_cross_pairs(spark, docs, tmp_path):
+    corpus, batch = _corpus_batch(docs)
+    idx = write_neardup_index(corpus, "doc_id", "text", str(tmp_path / "nd_idx"))
+    got = _rows(neardup_candidates_against_index(batch, idx, "doc_id", "text"))
+    want = _rows(_oneshot_cross_pairs(corpus, batch))
+    assert got == want
+    assert len(got) > 0  # planted near-dups actually surface
+
+
+def test_run2_never_rescans_corpus_and_matches_union(spark, docs, tmp_path):
+    """The incremental contract: run 1 folds batch1 in; run 2's
+    candidates against corpus ∪ batch1 come from the index alone — the
+    corpus parquet is DELETED before run 2 executes, and the plan never
+    references it."""
+    import shutil
+
+    corpus, batch = _corpus_batch(docs)
+    b1 = batch.filter("doc_id < 500")
+    b2 = batch.filter("doc_id >= 500")
+    expected = _rows(_oneshot_cross_pairs(corpus.unionByName(b1), b2))
+
+    corpus_dir = str(tmp_path / "nd_corpus_parquet")
+    corpus.write.parquet(corpus_dir)
+    idx_path = str(tmp_path / "nd_idx2")
+    write_neardup_index(spark.read.parquet(corpus_dir), "doc_id", "text", idx_path)
+    update_neardup_index(idx_path, b1, "doc_id", "text", batch_id=1)
+
+    shutil.rmtree(corpus_dir)  # the index is now the ONLY corpus state
+    idx = load_neardup_index(spark, idx_path)
+    out = neardup_candidates_against_index(b2, idx, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "nd_corpus_parquet" not in plan
+    assert _rows(out) == expected
+
+
+def test_update_watermark_is_idempotent(spark, docs, tmp_path):
+    corpus, batch = _corpus_batch(docs)
+    idx_path = str(tmp_path / "nd_wm")
+    write_neardup_index(corpus, "doc_id", "text", idx_path)
+    idx = update_neardup_index(idx_path, batch, "doc_id", "text", batch_id=5)
+    n_sig, n_band = idx.signatures.count(), idx.bands.count()
+    idx2 = update_neardup_index(idx_path, batch, "doc_id", "text", batch_id=5)
+    assert (idx2.signatures.count(), idx2.bands.count()) == (n_sig, n_band)
+    idx3 = update_neardup_index(idx_path, batch, "doc_id", "text", batch_id=2)
+    assert (idx3.signatures.count(), idx3.bands.count()) == (n_sig, n_band)
+
+
+def test_duplicate_index_rows_are_harmless(spark, docs, tmp_path):
+    """A partially-replayed append leaves duplicate signature/band rows;
+    the probe path must still emit each candidate pair once with the
+    same est_jaccard (pair-distinct + id-dedup)."""
+    corpus, batch = _corpus_batch(docs)
+    idx_path = str(tmp_path / "nd_dup")
+    idx = write_neardup_index(corpus, "doc_id", "text", idx_path)
+    want = _rows(neardup_candidates_against_index(batch, idx, "doc_id", "text"))
+    # replay half the corpus through the append path (same rows again)
+    idx.signatures.limit(50).write.mode("append").parquet(f"{idx_path}/signatures")
+    idx.bands.limit(200).write.mode("append").parquet(f"{idx_path}/bands")
+    dup_idx = load_neardup_index(spark, idx_path)
+    assert _rows(neardup_candidates_against_index(batch, dup_idx, "doc_id", "text")) == want
+
+
+def test_compact_preserves_candidates(spark, docs, tmp_path):
+    from lakehouse_spark_spark.operators.neardup import compact_neardup_index
+
+    corpus, batch = _corpus_batch(docs)
+    b1 = batch.filter("doc_id < 500")
+    b2 = batch.filter("doc_id >= 500")
+    idx_path = str(tmp_path / "nd_compact")
+    write_neardup_index(corpus, "doc_id", "text", idx_path)
+    update_neardup_index(idx_path, b1, "doc_id", "text", batch_id=1)
+    idx = load_neardup_index(spark, idx_path)
+    # duplicate-row garbage, as a replayed append would leave
+    idx.signatures.limit(10).write.mode("append").parquet(f"{idx_path}/signatures")
+    want = _rows(neardup_candidates_against_index(b2, idx, "doc_id", "text"))
+    n_sig_files, n_band_files = compact_neardup_index(spark, idx_path)
+    assert n_sig_files >= 1 and n_band_files >= 1
+    idx2 = load_neardup_index(spark, idx_path)
+    assert idx2.signatures.count() == idx2.signatures.dropDuplicates(["__id"]).count()
+    assert _rows(neardup_candidates_against_index(b2, idx2, "doc_id", "text")) == want
+
+
+def test_curated_ingest_with_neardup_stage_matches_sequential_reference(
+    spark, docs, tmp_path
+):
+    """The streamed curated loop with the round-10 near-dup stage
+    (streaming/ingest.curated_ingest_foreach_batch(neardup_index_path=))
+    must equal a hand-rolled sequential reference built from the BATCH
+    operators: per micro-batch, gates -> exact dedup vs accumulated
+    hashes -> LSH near-dup vs accumulated keeps -> fold. Exercises the
+    foreachBatch body directly (deterministic batch boundaries)."""
+    from lakehouse_spark_spark.operators.bloom import write_dedup_index
+    from lakehouse_spark_spark.operators.dedup import dedup_against_corpus
+    from lakehouse_spark_spark.operators.text import gopher_quality_flags
+    from lakehouse_spark_spark.streaming.ingest import curated_ingest_foreach_batch
+
+    corpus = docs.filter("doc_id < 300")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    ids = sorted(texts)
+
+    def near_variant(t):  # drop the last 3 words: near- but not exact-dup
+        w = t.split(" ")
+        return " ".join(w[: max(3, len(w) - 3)])
+
+    # batch 1: novels; batch 2: exact dups of batch-1 keeps + near-dups
+    # of corpus docs; batch 3: near-dups of batch-1 keeps + novels
+    b1 = [(5000 + i, texts[ids[300 + i]]) for i in range(40)]
+    b2 = [(6000 + i, texts[ids[300 + i]]) for i in range(10)] + [
+        (6100 + i, near_variant(texts[ids[i]])) for i in range(10)
+    ]
+    b3 = [(7000 + i, near_variant(texts[ids[300 + i]])) for i in range(10)] + [
+        (7100 + i, texts[ids[340 + i]]) for i in range(20)
+    ]
+    batches = [
+        spark.createDataFrame(rows, "doc_id bigint, text string") for rows in (b1, b2, b3)
+    ]
+
+    bloom_path = str(tmp_path / "ci_bloom")
+    nd_path = str(tmp_path / "ci_nd")
+    write_dedup_index(corpus, "text", bloom_path)
+    write_neardup_index(corpus, "doc_id", "text", nd_path)
+    kept_out = str(tmp_path / "ci_kept")
+    fn = curated_ingest_foreach_batch(
+        bloom_path, "doc_id", "text", kept_out,
+        neardup_index_path=nd_path, neardup_threshold=0.5,
+    )
+    for i, b in enumerate(batches):
+        fn(b, i)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(kept_out).collect())
+
+    # sequential reference from the batch operators
+    acc = corpus  # accumulated kept corpus (docs visible to dedup stages)
+    want: list[int] = []
+    for b in batches:
+        gated = b.join(
+            gopher_quality_flags(
+                b, "doc_id", "text", min_words=20, max_words=1000, stopword_min=1
+            )  # the streamed loop's gate configuration
+            .filter("keep")
+            .select("doc_id"),
+            "doc_id",
+        )
+        ex = dedup_against_corpus(gated, acc, "doc_id", "text").filter("keep").select("doc_id")
+        ex_docs = gated.join(ex, "doc_id")
+        near_ids = {
+            r["new_id"]
+            for r in _oneshot_cross_pairs(acc, ex_docs)
+            .filter("est_jaccard >= 0.5")
+            .collect()
+        }
+        keeps = [r["doc_id"] for r in ex_docs.collect() if r["doc_id"] not in near_ids]
+        want += keeps
+        acc = acc.unionByName(ex_docs.filter(F.col("doc_id").isin(keeps)).select("doc_id", "text"))
+        acc = acc.localCheckpoint(eager=True)
+    assert got == sorted(want)
+    assert len(got) > 0
+    # the planted cross-batch near-dups were dropped: nothing from the
+    # 7000-block (near-dups of batch-1 keeps) survives
+    assert not [i for i in got if 7000 <= i < 7100]
+    # and batch-2's exact dups of batch-1 keeps died at the EXACT stage
+    assert not [i for i in got if 6000 <= i < 6010]
