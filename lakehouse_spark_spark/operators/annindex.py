@@ -1,0 +1,308 @@
+"""Persisted IVF-PQ ANN index: similarity search as O(batch + index).
+
+The r9 Bloom / r10 near-dup persistence template applied to the ANN
+family (r9 verdict task 1). ``operators/similarity.py`` holds the
+in-plan IVF-PQ machinery (train/encode/search in one query — every
+call retrains codebooks and re-encodes the corpus); this module makes
+the index a first-class on-disk artifact:
+
+- MODEL: the coarse centroids (n_cells × dim) and residual PQ
+  codebooks (m × k × dim/m) as two KB-sized parquet tables — trained
+  once on a bounded sample (similarity.train_ivfpq's determinism
+  contract), FROZEN thereafter. Freezing is the standard IVF-PQ ingest
+  shape (FAISS's add-with-trained-index): new vectors are encoded
+  against the existing model; retraining is a periodic offline rebuild,
+  not an ingest-path operation.
+- CELLS: the coded corpus as parquet PARTITIONED BY the coarse cell id,
+  columns (id, codes, vec). Partitioning is the IO story: a search
+  probing n_probe cells reads ONLY those cells' files (partition
+  pruning), and parquet's columnar layout means the ADC scan reads just
+  (id, codes) — the float vectors are fetched only for the shortlist
+  re-rank (column pruning + an id-semi-join within the probed cells).
+  Storing the original vector alongside the codes costs 1× storage and
+  buys exact re-rank without ever touching the source corpus — the
+  locality trade FAISS makes with its separate reconstruction store,
+  here collapsed into one columnar table.
+- COMMIT: a JSON manifest (atomic whole-file replace — the bloom
+  module's pointer-commit shape) records the geometry and the ingest
+  watermark; :func:`update_ann_index` appends are new files only and
+  are idempotent under a replayed ``batch_id``.
+
+Search against a loaded index never reads the corpus embeddings
+(tests/test_annindex.py deletes them before executing) and reads only
+the probed cell partitions (asserted on ``inputFiles``): at 100 TB the
+per-query cost is n_probe/n_cells of the CODED corpus (~32× smaller
+than the floats) plus |shortlist| vector fetches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_spark_spark.operators.similarity import ivfpq_encode, train_ivfpq
+
+
+class AnnIndex(NamedTuple):
+    """A loaded IVF-PQ index: the cells table (lazy, partition-prunable
+    scan), the frozen model as plain Python lists (KB-sized — broadcast
+    with the plan), and the path for partition-filtered re-reads."""
+
+    path: str
+    cells: DataFrame  # (id, codes array<int>, vec array<double>), partitioned by cell
+    centroids: list[list[float]]
+    codebooks: list[list[list[float]]]
+    id_col: str
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "manifest.json")
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = _manifest_path(path) + ".tmp"
+    os.makedirs(path, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(path))
+
+
+def _encode_with_vec(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, cell, codes, vec): the persisted row shape. ``vec`` is the
+    element-wise double cast of the input vector — exactly the value
+    the in-plan operators use (float→double casts are exact), so the
+    persisted re-rank is byte-identical to the in-plan one."""
+    coded = ivfpq_encode(df, id_col, vec_col, centroids, codebooks)
+    vecs = df.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec")
+    )
+    return coded.join(vecs, id_col).select(id_col, "cell", "codes", "vec")
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 50_000,
+) -> AnnIndex:
+    """One-time index construction — the ONLY operation that scans the
+    full corpus embeddings. Trains the model on a bounded sample,
+    encodes every vector (one Arrow-batched pass), and writes the
+    cell-partitioned cells table + model tables + manifest."""
+    spark = corpus.sparkSession
+    cents, books = train_ivfpq(
+        corpus, vec_col, n_cells=n_cells, m=m, k=k, seed=seed, max_train_rows=max_train_rows
+    )
+    _encode_with_vec(corpus, id_col, vec_col, cents, books).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(len(books)) for c in range(len(books[j]))],
+        "sub int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_manifest(
+        path,
+        {"format": 1, "id_col": id_col, "n_cells": int(n_cells), "m": int(m),
+         "k": int(k), "last_batch_id": None},
+    )
+    return load_ann_index(spark, path)
+
+
+def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    """Load the model tables to the driver (KB-sized by construction)
+    and open the cells table lazily."""
+    with open(_manifest_path(path)) as fh:
+        mf = json.load(fh)
+    cents_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [list(r["centroid"]) for r in sorted(cents_rows, key=lambda r: r["cell"])]
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m, k = int(mf["m"]), int(mf["k"])
+    books: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
+    for r in book_rows:
+        books[r["sub"]][r["code"]] = list(r["centroid"])
+    return AnnIndex(
+        path=path,
+        cells=spark.read.parquet(f"{path}/cells"),
+        centroids=cents,
+        codebooks=books,
+        id_col=str(mf["id_col"]),
+    )
+
+
+def update_ann_index(
+    path: str, batch: DataFrame, vec_col: str, batch_id: int | None = None
+) -> AnnIndex:
+    """Fold a batch of new vectors into the index: encode against the
+    FROZEN model (O(batch) — the accumulated corpus is untouched) and
+    append to the cell partitions (new files only — object-store-safe
+    by construction). ``batch_id`` replays are no-ops past the manifest
+    watermark, which advances strictly after the append (the bloom
+    module's idempotence contract; a replayed half-append leaves
+    duplicate id rows, which search tolerates via id-dedup and
+    :func:`compact_ann_index` repairs). Single-writer contract.
+
+    Model drift is the documented trade: vectors far from every trained
+    centroid still encode (to their nearest cell, with larger residual
+    error) — recall degrades gracefully until a periodic
+    :func:`write_ann_index` rebuild, exactly like FAISS add()."""
+    spark = batch.sparkSession
+    with open(_manifest_path(path)) as fh:
+        mf = json.load(fh)
+    last = mf.get("last_batch_id")
+    if batch_id is not None and last is not None and batch_id <= last:
+        return load_ann_index(spark, path)
+    idx = load_ann_index(spark, path)
+    _encode_with_vec(batch, idx.id_col, vec_col, idx.centroids, idx.codebooks).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+    if batch_id is not None:
+        _write_manifest(path, {**mf, "last_batch_id": int(batch_id)})
+    return load_ann_index(spark, path)
+
+
+def compact_ann_index(spark: SparkSession, path: str, target_file_mb: int = 256) -> int:
+    """Rewrite the cells table: merge the per-batch small files and drop
+    exact-duplicate rows a replayed half-append left behind. Local-FS
+    rename-swap via sinks.compact_parquet (per-partition layout is
+    preserved by rewriting with partitionBy)."""
+    import math
+
+    from lakehouse_spark_spark.sources.sinks import _swap_dirs
+
+    cells_path = f"{path}/cells"
+    size = sum(
+        os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(cells_path) for f in fs
+    )
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(cells_path).distinct()
+    tmp = cells_path + "__compact"
+    df.repartition(n_files).write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    _swap_dirs(tmp, cells_path)
+    return n_files
+
+
+def ann_index_topk(
+    index: AnnIndex,
+    queries: DataFrame,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ search consuming ONLY the persisted index — zero reads of
+    the source corpus. Same algorithm (and, for an index built from the
+    same model, the same output) as similarity.ivfpq_topk: per query,
+    per-probed-cell ADC lookup tables broadcast as slim rows; the
+    candidate scan is an equi-join on the cell id, so parquet partition
+    pruning restricts IO to the probed cells and column pruning keeps
+    the float vectors out of the ADC stage; shortlist survivors
+    re-attach their vectors FROM THE INDEX (a second partition-pruned,
+    id-joined read of the same probed cells) for the exact re-rank.
+    Returns (query_id, neighbor_id, sq_dist, rank<=k)."""
+    import numpy as np
+
+    spark = index.cells.sparkSession
+    id_col = index.id_col
+    C = np.asarray(index.centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in index.codebooks]
+    m, kk, d_sub = len(books), books[0].shape[0], books[0].shape[1]
+
+    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["__qv"], dtype=np.float64)
+        cd = ((C - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(cd, kind="stable")[:n_probe]:
+            resid = qv - C[cell]
+            lut = [
+                float(((resid[j * d_sub : (j + 1) * d_sub] - books[j][c]) ** 2).sum())
+                for j in range(m)
+                for c in range(kk)
+            ]
+            probe_rows.append((int(r["query_id"]), int(cell), lut))
+    probes = spark.createDataFrame(probe_rows, "query_id BIGINT, cell INT, lut ARRAY<DOUBLE>")
+    probed_cells = sorted({c for _, c, _ in probe_rows})
+
+    # ADC stage: (id, codes) only — the vec column never leaves parquet
+    # here (column pruning); the isin filter prunes to probed partitions
+    coded = (
+        spark.read.parquet(f"{index.path}/cells")
+        .filter(F.col("cell").isin(probed_cells))
+        .select(F.col(id_col).alias("neighbor_id"), "cell", "codes")
+        .dropDuplicates(["neighbor_id", "cell"])  # replayed-append defense
+    )
+    cand = coded.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, j: F.element_at(F.col("lut"), (j * kk + c + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adc_dist"),
+    )
+    w_sl = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    sl = scored.withColumn("__r", F.row_number().over(w_sl)).filter(F.col("__r") <= shortlist)
+
+    # re-rank: vectors come from the INDEX's probed cells, not the corpus
+    vecs = (
+        spark.read.parquet(f"{index.path}/cells")
+        .filter(F.col("cell").isin(probed_cells))
+        .select(F.col(id_col).alias("neighbor_id"), F.col("vec").alias("__cv"))
+        .dropDuplicates(["neighbor_id"])
+    )
+    # the query side is rebuilt from the ALREADY-COLLECTED probe rows —
+    # referencing the caller's lazy frame here would splice its source
+    # scan (often the corpus parquet) back into the search plan
+    q = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["__qv"]]) for r in qrows],
+        "query_id BIGINT, __qv ARRAY<DOUBLE>",
+    )
+    exact = (
+        sl.select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .join(vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "__qv",
+                        "__cv",
+                        lambda a, b: (a.cast("double") - b.cast("double"))
+                        * (a.cast("double") - b.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

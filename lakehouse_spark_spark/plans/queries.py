@@ -799,10 +799,10 @@ _GATE_ROTATION_R10 = [
     "price_qty_histogram2d",
     "price_variance_by_segment",
     "product_type_profit",
-    "region_priority_grid",
     # -- rows-only tail: new r10 persisted-index queries (birth-round
     #    gated; rows-only is justified in their registration comments) --
     "neardup_persisted_ingest",
+    "embedding_ivfpq_persisted_topk",
 ]
 
 
@@ -1699,6 +1699,49 @@ def embedding_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, index, probes, "vec_id", "embedding", cents, books,
         k=5, n_probe=6, shortlist=64,
     ).select("query_id", "neighbor_id", "sq_dist", F.col("rank").cast("long").alias("rank"))
+
+
+# ==========================================================================
+# Persisted IVF-PQ index search (round 10, r9 verdict task 1):
+# embedding_ivfpq_topk trains codebooks and re-encodes the corpus
+# INSIDE the query — honest as an end-to-end demo, but every call pays
+# the build. This twin consumes operators/annindex's persisted index
+# (model + cell-partitioned coded corpus, built once per process in a
+# cached fixture dir): the timed body collects the KB-sized model,
+# reads ONLY the probed cell partitions' (id, codes) columns for the
+# ADC scan, and re-ranks shortlist survivors against vectors stored IN
+# the index — zero reads of the corpus embeddings
+# (tests/test_annindex.py deletes them and asserts inputFiles stays
+# inside probed cells). rows-only (k-means); the parity test pins exact
+# frame equality with the in-plan operator under the same model.
+# ==========================================================================
+@register(
+    "embedding_ivfpq_persisted_topk",
+    oracle=None,  # k-means cells + codebooks: approximate by construction
+    doc="IVF-PQ search against a PREBUILT persisted index: probed-cells-only IO, steady-state cost",
+)
+def embedding_ivfpq_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from lakehouse_spark_spark.operators.annindex import (
+        ann_index_topk,
+        load_ann_index,
+        write_ann_index,
+    )
+
+    path = _bloom_fixture_dir(f"annidx:{sf_dir}", fresh=False)
+    ready = os.path.join(path, "__fixture_ready")
+    if not os.path.exists(ready):
+        write_ann_index(
+            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", path,
+            n_cells=16, m=8, k=16,
+        )
+        open(ready, "w").close()
+    idx = load_ann_index(spark, path)
+    probes = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return ann_index_topk(idx, probes, "embedding", k=5, n_probe=6, shortlist=64).select(
+        "query_id", "neighbor_id", "sq_dist", F.col("rank").cast("long").alias("rank")
+    )
 
 
 @register(

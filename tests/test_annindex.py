@@ -1,0 +1,134 @@
+"""Persisted IVF-PQ ANN index (operators/annindex.py, round 10):
+search parity with the in-plan operator, corpus-freedom (the index is
+the only state — proven by deleting the embeddings parquet), probed-
+cell-only IO, frozen-model incremental folds, and watermark
+idempotence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from lakehouse_spark_spark.operators.annindex import (
+    ann_index_topk,
+    load_ann_index,
+    update_ann_index,
+    write_ann_index,
+)
+from lakehouse_spark_spark.operators.similarity import ivfpq_encode, ivfpq_topk
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select("vec_id", "embedding")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_persisted_search_equals_inplan_operator(spark, emb, tmp_path):
+    """Same corpus, same (deterministic) training → the persisted-index
+    search and the in-plan ivfpq_topk return the IDENTICAL frame."""
+    idx = write_ann_index(emb, "vec_id", "embedding", str(tmp_path / "ann"), n_cells=8, m=8, k=16)
+    probes = emb.filter(F.col("vec_id") < 5)
+    got = ann_index_topk(idx, probes, "embedding", k=5, n_probe=3, shortlist=32)
+    inline_index = ivfpq_encode(emb, "vec_id", "embedding", idx.centroids, idx.codebooks)
+    want = ivfpq_topk(
+        emb, inline_index, probes, "vec_id", "embedding", idx.centroids, idx.codebooks,
+        k=5, n_probe=3, shortlist=32,
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() == 5 * 5
+
+
+def test_search_is_corpus_free_and_reads_only_probed_cells(spark, emb, tmp_path):
+    """The incremental contract: after write_ann_index, search consumes
+    ONLY the index. The embeddings parquet is DELETED before execution
+    (any lingering scan would throw), the plan never references it, and
+    the files actually read all live under probed cell partitions."""
+    import shutil
+
+    corpus_dir = str(tmp_path / "ann_corpus_parquet")
+    emb.write.parquet(corpus_dir)
+    idx_path = str(tmp_path / "ann_idx")
+    idx = write_ann_index(
+        spark.read.parquet(corpus_dir), "vec_id", "embedding", idx_path, n_cells=8
+    )
+    probes = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in emb.filter("vec_id < 5").collect()],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    expected = _rows(ann_index_topk(idx, probes, "embedding", k=5, n_probe=3, shortlist=32))
+
+    shutil.rmtree(corpus_dir)  # the index is now the ONLY corpus state
+    idx2 = load_ann_index(spark, idx_path)
+    out = ann_index_topk(idx2, probes, "embedding", k=5, n_probe=3, shortlist=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ann_corpus_parquet" not in plan
+    assert _rows(out) == expected
+
+    # IO bound: every data file the search reads is a probed cell's
+    files = [f for f in out.inputFiles() if "/cells/" in f]
+    assert files, "expected the search to read the cells table"
+    cells_read = {f.split("cell=")[1].split("/")[0] for f in files}
+    assert len(cells_read) <= 3 * 5  # <= n_probe per query, unioned
+
+
+def test_update_with_frozen_model_equals_encode_of_union(spark, emb, tmp_path):
+    """Folding a batch appends its codes/vectors under the FROZEN model;
+    search over the updated index equals the in-plan operator over the
+    union encoded with the same model."""
+    corpus = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+    idx_path = str(tmp_path / "ann_upd")
+    idx = write_ann_index(corpus, "vec_id", "embedding", idx_path, n_cells=8)
+    idx = update_ann_index(idx_path, batch, "embedding", batch_id=1)
+    probes = emb.filter(F.col("vec_id") < 5)
+    got = ann_index_topk(idx, probes, "embedding", k=5, n_probe=3, shortlist=32)
+    union = corpus.unionByName(batch)
+    inline_index = ivfpq_encode(union, "vec_id", "embedding", idx.centroids, idx.codebooks)
+    want = ivfpq_topk(
+        union, inline_index, probes, "vec_id", "embedding", idx.centroids, idx.codebooks,
+        k=5, n_probe=3, shortlist=32,
+    )
+    assert _rows(got) == _rows(want)
+    # batch members are actually findable post-fold
+    assert got.filter(F.col("neighbor_id") % 5 == 0).count() > 0
+
+
+def test_update_watermark_and_duplicate_tolerance(spark, emb, tmp_path):
+    corpus = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+    idx_path = str(tmp_path / "ann_wm")
+    write_ann_index(corpus, "vec_id", "embedding", idx_path, n_cells=8)
+    idx = update_ann_index(idx_path, batch, "embedding", batch_id=3)
+    n = idx.cells.count()
+    probes = emb.filter(F.col("vec_id") < 5)
+    want = _rows(ann_index_topk(idx, probes, "embedding", k=5, n_probe=3))
+    # same epoch replayed, and an older one: both no-ops
+    assert update_ann_index(idx_path, batch, "embedding", batch_id=3).cells.count() == n
+    assert update_ann_index(idx_path, batch, "embedding", batch_id=1).cells.count() == n
+    # a replayed half-append leaves duplicate rows; search is unchanged
+    idx.cells.limit(7).write.mode("append").partitionBy("cell").parquet(f"{idx_path}/cells")
+    dup_idx = load_ann_index(spark, idx_path)
+    assert _rows(ann_index_topk(dup_idx, probes, "embedding", k=5, n_probe=3)) == want
+
+
+def test_compact_preserves_search(spark, emb, tmp_path):
+    from lakehouse_spark_spark.operators.annindex import compact_ann_index
+
+    corpus = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+    idx_path = str(tmp_path / "ann_cp")
+    write_ann_index(corpus, "vec_id", "embedding", idx_path, n_cells=8)
+    idx = update_ann_index(idx_path, batch, "embedding", batch_id=1)
+    idx.cells.limit(5).write.mode("append").partitionBy("cell").parquet(f"{idx_path}/cells")
+    probes = emb.filter(F.col("vec_id") < 5)
+    want = _rows(ann_index_topk(load_ann_index(spark, idx_path), probes, "embedding", k=5, n_probe=3))
+    compact_ann_index(spark, idx_path)
+    idx2 = load_ann_index(spark, idx_path)
+    assert idx2.cells.count() == idx2.cells.distinct().count()  # replay dups gone
+    assert _rows(ann_index_topk(idx2, probes, "embedding", k=5, n_probe=3)) == want

@@ -70,6 +70,7 @@ def test_r10_gate_covers_this_rounds_code_changes():
         "bloom_incremental_dedup",
         "curation_v5_shipped_accounting",
         "neardup_persisted_ingest",
+        "embedding_ivfpq_persisted_topk",
     }
     assert changed <= first50, sorted(changed - first50)
 
