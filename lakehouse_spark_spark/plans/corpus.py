@@ -513,6 +513,7 @@ def curation_v5_ship(
     split: str = "kept_train",
     shard_buckets: int = 1,
     disposition: DataFrame | None = None,
+    span_k: int = 8,
     **v3_kwargs,
 ) -> DataFrame:
     """Curation v5 (round-9 verdict task 3): MATERIALIZE the shipped
@@ -538,6 +539,20 @@ def curation_v5_ship(
     frame so one chain run feeds report + ship (also how you avoid
     retraining the v4 classifier per consumer); by default the chain
     runs here with ``learned_filter=True`` (the v4 configuration).
+
+    The shipped ``text`` is the SPAN-TRIMMED document (r9 ADVICE): the
+    budget and accounting charge ``kept_tokens`` — the post-excision
+    count — so shipping the raw text would let a dup_tokens>0 doc
+    overflow its sequence at load time and make the shard's n_tokens
+    disagree with its own payload. The trim
+    (operators/spandedup.span_trimmed_corpus, same ``span_k``/min_count
+    over the same span-stage survivor set — the docs whose
+    ``kept_tokens`` is non-null) reproduces exactly the counts the
+    disposition carries, and the reconciliation test tokenizes the
+    shipped text to prove it. ``span_k`` must match the chain that
+    produced an injected ``disposition``. Note the shipped text is the
+    NORMALIZED token stream rejoined (lowercase, whitespace-folded) —
+    the representation every count in the pipeline is defined over.
 
     Scale: packing state is per shard (one applyInPandas shuffle keyed
     by the shard column); the shard write is one pass over the kept
@@ -582,20 +597,38 @@ def curation_v5_ship(
     packed = pack_bins_bfd(kept, "doc_id", "kept_tokens", seq_budget, "source").localCheckpoint(
         eager=False
     )
-    shipped = packed.join(docs.select("doc_id", "text"), "doc_id")
+    # span-trim over the SAME survivor set the chain trimmed (every doc
+    # with a non-null kept_tokens reached the span stage) — min_count
+    # satisfaction is corpus-set-dependent, so trimming only the
+    # shipped subset would excise different spans than the counts
+    # charged. The shipped split then joins its clean text by id.
+    from lakehouse_spark_spark.operators.spandedup import span_trimmed_corpus
+
+    survivors = docs.join(
+        disposition.filter(F.col("kept_tokens").isNotNull()).select("doc_id"), "doc_id"
+    )
+    trimmed = span_trimmed_corpus(survivors, "doc_id", "text", k=span_k, min_count=2)
+    shipped = packed.join(
+        trimmed.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+    )
     write_parquet(
         shipped.select("doc_id", "shard", "n_tokens", "bin_id", "overflow", "text"),
         f"{out_dir}/shards",
         partition_by=["shard"],
     )
+    # fill_ratio measures packing efficiency of the non-overflow bins
+    # only: an overflow singleton holds > seq_budget tokens by
+    # definition, so folding it in could report >1.0 and overstate the
+    # packing (r9 ADVICE); n_overflow stays the separate signal. NULL
+    # when a shard is all-overflow.
+    nov_tokens = F.sum(F.when(~F.col("overflow"), F.col("n_tokens")).otherwise(F.lit(0)))
+    nov_bins = F.count_distinct(F.when(~F.col("overflow"), F.col("bin_id")))
     acct = packed.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.count_distinct("bin_id").alias("n_sequences"),
         F.sum(F.col("overflow").cast("long")).alias("n_overflow"),
-        (
-            F.sum("n_tokens") / (F.count_distinct("bin_id") * F.lit(seq_budget))
-        ).alias("fill_ratio"),
+        F.when(nov_bins > 0, nov_tokens / (nov_bins * F.lit(seq_budget))).alias("fill_ratio"),
     )
     write_parquet(acct, f"{out_dir}/accounting")
     return docs.sparkSession.read.parquet(f"{out_dir}/accounting")

@@ -71,6 +71,30 @@ def test_v5_ship_reconciles_report_accounting_and_shards(spark, tmp_path):
     stored = spark.read.parquet(f"{out}/accounting")
     assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, rows))
 
+    # --- text ↔ count agreement (r9 ADVICE): tokenizing the SHIPPED
+    # text reproduces the n_tokens the budget/accounting charged —
+    # i.e. the payload is the span-trimmed document, so a loader can
+    # never overflow a non-overflow bin
+    from lakehouse_spark_spark.operators.text import tokens as _toks
+
+    mismatch = shards.filter(
+        F.size(_toks("text")) - F.when(F.col("text") == "", 1).otherwise(0)
+        != F.col("n_tokens")
+    ).count()
+    assert mismatch == 0
+    # (this fixture has no span-trimmed doc surviving to kept_train;
+    # test_v5_ship_ships_trimmed_text plants some so the trim path is
+    # exercised non-vacuously)
+
+    # --- fill_ratio is a true non-overflow packing efficiency: in
+    # (0, 1], never inflated by overflow singletons (NULL when a shard
+    # is all-overflow)
+    for r in rows:
+        if r["fill_ratio"] is not None:
+            assert 0.0 < r["fill_ratio"] <= 1.0
+        else:
+            assert r["n_overflow"] == r["n_sequences"]
+
 
 def test_v5_ship_bucketed_shards_conserve_and_fit(spark, tmp_path):
     """shard_buckets (the 100 TB parallelism knob: source × id-bucket
@@ -136,3 +160,64 @@ def test_v5_accounting_query_reconciles_with_v3_report(spark):
     for r in acct.values():
         if r["n_sequences"] <= 1:
             assert r["n_straddles"] == 0
+
+
+def test_v5_ship_ships_trimmed_text(spark, tmp_path):
+    """The r9 ADVICE bug, exercised non-vacuously: docs carrying a
+    corpus-duplicated 8+-gram span that SURVIVE to kept_train must ship
+    with that span excised — the shipped text tokenizes to exactly the
+    kept_tokens the budget/accounting charged, never the raw count.
+    The fixture corpus has no such survivor, so boilerplate-bearing
+    docs are planted: six distinct doc prefixes sharing one 12-word
+    boilerplate tail (enough occurrences for min_count=2, prefixes
+    distinct enough to clear exact/near dedup)."""
+    from lakehouse_spark_spark.operators.text import tokens as _toks
+    from lakehouse_spark_spark.plans.corpus import curation_v3_docs, curation_v5_ship
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    base = docs.filter("lang = 'en'").orderBy("doc_id").limit(6).collect()
+    assert len(base) == 6
+    boiler = "subscribe to our newsletter today and follow the channel for weekly updates"
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    planted_rows = []
+    for i, r in enumerate(base):
+        words = r["text"].split(" ")
+        prefix = " ".join(words[: max(20, int(len(words) * 0.6))])
+        pid = max_id + 1 + i
+        if pid % 97 == 0:  # dodge the eval-holdout residue
+            pid += 1
+        planted_rows.append((pid, f"{prefix} {boiler}", r["lang"], r["source"], 0))
+    planted = spark.createDataFrame(
+        planted_rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    aug = docs.unionByName(planted)
+    disp = curation_v3_docs(aug).localCheckpoint(eager=False)
+    pids = [p[0] for p in planted_rows]
+    pd_rows = {r["doc_id"]: r for r in disp.filter(F.col("doc_id").isin(pids)).collect()}
+    # the planted docs reached the span stage and were genuinely trimmed
+    surv = [r for r in pd_rows.values() if r["kept_tokens"] is not None]
+    assert len(surv) >= 2
+    assert all(r["kept_tokens"] < r["n_tokens"] for r in surv)
+    shipped_pids = [r["doc_id"] for r in surv if r["disposition"] == "kept_train"]
+    assert shipped_pids, "expected >=1 planted doc in kept_train"
+
+    out = str(tmp_path / "trim_ship")
+    curation_v5_ship(aug, out, seq_budget=BUDGET, disposition=disp)
+    shards = spark.read.parquet(f"{out}/shards")
+    got = {r["doc_id"]: r for r in shards.filter(F.col("doc_id").isin(shipped_pids)).collect()}
+    assert set(got) == set(shipped_pids)
+    for pid in shipped_pids:
+        row = got[pid]
+        # the boilerplate span is gone from the payload...
+        assert boiler not in row["text"]
+        # ...and the payload tokenizes to exactly the charged count
+        n = len(row["text"].split(" ")) if row["text"] else 0
+        assert n == row["n_tokens"] == pd_rows[pid]["kept_tokens"]
+    # global text↔count agreement over the whole augmented ship
+    assert (
+        shards.filter(
+            F.size(_toks("text")) - F.when(F.col("text") == "", 1).otherwise(0)
+            != F.col("n_tokens")
+        ).count()
+        == 0
+    )
