@@ -91,6 +91,12 @@ HEADLINE = [
     # end-to-end ingest loop) + the shipped-corpus packing accounting
     "bloom_persisted_ingest_run2",
     "curation_v5_shipped_accounting",
+    # round 10: the steady-state persisted-index family — each builds
+    # its index ONCE (first, non-headline rep) in a cached fixture dir,
+    # so the warm-median lines report the run-N search/probe cost alone
+    "bloom_persisted_ingest_steady",
+    "neardup_persisted_ingest",
+    "embedding_ivfpq_persisted_topk",
 ]
 
 
@@ -222,31 +228,36 @@ def main() -> None:
     names = [n for n in HEADLINE if n in reg]
     _warm(spark)
 
-    # Round-5 split basis (verdict ask #1): per query, a FIRST run split
-    # into build_sec (builder call — charges checkpoint-bearing queries
-    # their materialization) + exec_sec (noop write), then >=2 WARM
-    # repetitions of the whole query in the shared session — the
-    # steady-state number that is comparable round-over-round. The
-    # legacy "queries" map keeps first-run totals (= the r4 basis) so
-    # r4->r5 stays directly comparable; SCALE.md states the mapping.
+    # Round-10 basis (r9 verdict "What's wrong" #1: the single-pass
+    # headline was too noisy to compare round-over-round — two
+    # exclusive r9 runs swung ±9% total / ±25% per query). Per query:
+    # one FIRST run (build/exec split — absorbs cold codegen, fixture
+    # builds for the cached-index queries, and the r4-comparable
+    # number), then THREE warm repetitions; the COMMITTED per-query
+    # value and the headline total are the median of the 3 warm reps —
+    # a real median, robust to one outlier rep, unlike r5-r9's
+    # median-of-2 (= mean). First-run totals stay available as
+    # first_run_total_sec / queries_detail for historical comparison.
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     t_all = time.perf_counter()
     for name in names:
         first = _timed_run(reg[name], spark)
         warms = []
-        for _ in range(2):
+        for _ in range(3):
             w = _timed_run(reg[name], spark)
             warms.append(round(w["build_sec"] + w["exec_sec"], 3))
-        timings[name] = round(first["build_sec"] + first["exec_sec"], 3)
-        # warm median: the round-over-round regression basis (SCALE.md
-        # "Round-7 clean-machine A/B") — first-run totals fold in cold
-        # codegen + whatever else the machine is doing; warm reps are
-        # the steady state.
         warm_median = round(statistics.median(warms), 3)
-        detail[name] = {**first, "warm_secs": warms, "warm_median_sec": warm_median}
+        timings[name] = warm_median
+        detail[name] = {
+            **first,
+            "first_run_sec": round(first["build_sec"] + first["exec_sec"], 3),
+            "warm_secs": warms,
+            "warm_median_sec": warm_median,
+        }
     total = round(sum(timings.values()), 3)
-    warm_median_total = round(sum(d["warm_median_sec"] for d in detail.values()), 3)
+    first_run_total = round(sum(d["first_run_sec"] for d in detail.values()), 3)
+    warm_median_total = total
     wall_with_warm = round(time.perf_counter() - t_all, 3)
 
     # Apples-to-apples with the reference's ONLY published number: its
@@ -300,13 +311,19 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_wall",
+                # r10 basis change: `value` and `queries` are per-query
+                # MEDIANS OF 3 WARM REPS (the steady state), not the
+                # r4-r9 single first pass — the committed artifact is
+                # now variance-proof by construction (r9 verdict task
+                # 4). First-run totals (the old basis) are kept below.
                 "value": total,
                 "unit": "sec",
+                "basis": "median_of_3_warm_reps",
                 "queries": {k: round(v, 2) for k, v in timings.items()},
-                # round-over-round regression basis (SCALE.md "Round-7
-                # clean-machine A/B"): sum of per-query warm medians —
-                # load- and cold-codegen-insensitive, unlike `value`.
                 "warm_median_total_sec": warm_median_total,
+                # the r4-r9-comparable single-first-pass total (folds
+                # in cold codegen + cached-fixture index builds)
+                "first_run_total_sec": first_run_total,
                 "sf": sf_val,
                 # same workload as the reference's 37.8s run log
                 # (BASELINE.md): full medallion pipeline on its dirty
