@@ -70,11 +70,25 @@ def test_search_is_corpus_free_and_reads_only_probed_cells(spark, emb, tmp_path)
     assert "ann_corpus_parquet" not in plan
     assert _rows(out) == expected
 
-    # IO bound: every data file the search reads is a probed cell's
-    files = [f for f in out.inputFiles() if "/cells/" in f]
-    assert files, "expected the search to read the cells table"
-    cells_read = {f.split("cell=")[1].split("/")[0] for f in files}
-    assert len(cells_read) <= 3 * 5  # <= n_probe per query, unioned
+    # IO bound: the cells scans carry PartitionFilters restricted to the
+    # probed cells (inputFiles() ignores pruning, so the plan is the
+    # honest signal — given a partition-column filter, Spark's scan
+    # reads only those partitions' files)
+    import re
+
+    pfs = re.findall(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", plan)
+    assert pfs, f"expected cell partition filters in the search plan:\n{plan[:2000]}"
+    import numpy as np
+
+    C = np.asarray(idx2.centroids)
+    probed = set()
+    for r in probes.collect():
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        cd = ((C - qv) ** 2).sum(axis=1)
+        probed |= {int(c) for c in np.argsort(cd, kind="stable")[:3]}
+    for pf in pfs:
+        cells_in_filter = {int(x) for x in pf.split(",")}
+        assert cells_in_filter == probed
 
 
 def test_update_with_frozen_model_equals_encode_of_union(spark, emb, tmp_path):
