@@ -493,3 +493,30 @@ class TestManifestCommit:
         with open(os.path.join(path, "manifest.json")) as fh:
             assert json.load(fh)["filter_dir"] == "filter_v1"
         assert not os.path.exists(f"{path}/filter")  # legacy dir GC'd
+
+
+def test_run2_builder_reuses_one_fixture_slot(spark):
+    """The r9 ADVICE tempdir fix: repeated bloom_persisted_ingest_run2
+    builder calls in one process hold at most ONE live index dir (the
+    previous invocation's is removed at the next call), and the answer
+    is identical across invocations."""
+    import os
+
+    from lakehouse_spark_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    b = Q._REGISTRY["bloom_persisted_ingest_run2"].builder
+    out1 = sorted(tuple(r) for r in b(spark, sf).collect())
+    dir1 = Q._BLOOM_FIXTURE_DIRS["run2"]
+    out2 = sorted(tuple(r) for r in b(spark, sf).collect())
+    dir2 = Q._BLOOM_FIXTURE_DIRS["run2"]
+    assert out1 == out2
+    assert dir1 != dir2 and not os.path.exists(dir1)  # old slot reclaimed
+    assert os.path.exists(dir2)
+    # the steady fixture is reused read-only across calls, by contrast
+    s = Q._REGISTRY["bloom_persisted_ingest_steady"].builder
+    s1 = sorted(tuple(r) for r in s(spark, sf).collect())
+    sd1 = Q._BLOOM_FIXTURE_DIRS[f"steady:{sf}"]
+    s2 = sorted(tuple(r) for r in s(spark, sf).collect())
+    assert s1 == s2 == out1  # same math as run2's oracle
+    assert Q._BLOOM_FIXTURE_DIRS[f"steady:{sf}"] == sd1
