@@ -296,7 +296,10 @@ def main() -> None:
     # side file: the driver's BENCH artifact keeps only the LAST ~2000
     # chars of stdout and parses the final JSON line, so the stdout
     # line must stay compact or the artifact records parsed=null (the
-    # r7 housekeeping item). The side file is committed per round.
+    # r7 housekeeping item). The side file is LOCAL-ONLY (gitignored —
+    # the driver overwrites it, which drifted the working tree two
+    # rounds running); round close commits a round-named copy
+    # (BENCH_DETAIL_r{N}.json) instead.
     detail_payload = {
         "metric": "headline_queries_detail",
         "queries_detail": detail,

@@ -30,9 +30,11 @@ the index a first-class on-disk artifact:
 
 Search against a loaded index never reads the corpus embeddings
 (tests/test_annindex.py deletes them before executing) and reads only
-the probed cell partitions (asserted on ``inputFiles``): at 100 TB the
-per-query cost is n_probe/n_cells of the CODED corpus (~32× smaller
-than the floats) plus |shortlist| vector fetches.
+the probed cell partitions — asserted on the plan's PartitionFilters,
+NOT on ``DataFrame.inputFiles()``, which lists the relation's files
+ignoring partition pruning entirely (verified; see SCALE.md r10 note).
+At 100 TB the per-query cost is n_probe/n_cells of the CODED corpus
+(~32× smaller than the floats) plus |shortlist| vector fetches.
 """
 
 from __future__ import annotations
@@ -180,9 +182,16 @@ def update_ann_index(
 
 def compact_ann_index(spark: SparkSession, path: str, target_file_mb: int = 256) -> int:
     """Rewrite the cells table: merge the per-batch small files and drop
-    exact-duplicate rows a replayed half-append left behind. Local-FS
-    rename-swap via sinks.compact_parquet (per-partition layout is
-    preserved by rewriting with partitionBy)."""
+    exact-duplicate rows a replayed half-append left behind, keeping
+    the cell-partitioned layout. The rewrite hash-partitions the rows
+    BY CELL into ~ceil(bytes/target) tasks — each cell's rows land in
+    one task, so the output is ~one file per cell (a bare
+    ``repartition(n)`` would scatter every cell across all n tasks and
+    emit up to n × n_cells files, re-creating the small-files problem
+    the compaction exists to fix). Publishes via sinks._swap_dirs'
+    rename-aside swap (local-FS; route through a transactional format
+    on an object store). Returns the actual data-file count after the
+    rewrite."""
     import math
 
     from lakehouse_spark_spark.sources.sinks import _swap_dirs
@@ -191,12 +200,17 @@ def compact_ann_index(spark: SparkSession, path: str, target_file_mb: int = 256)
     size = sum(
         os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(cells_path) for f in fs
     )
-    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    n_tasks = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(cells_path).distinct()
     tmp = cells_path + "__compact"
-    df.repartition(n_files).write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    df.repartition(n_tasks, "cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
     _swap_dirs(tmp, cells_path)
-    return n_files
+    return sum(
+        1
+        for dp, _, fs in os.walk(cells_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
 
 
 def ann_index_topk(
@@ -217,28 +231,24 @@ def ann_index_topk(
     re-attach their vectors FROM THE INDEX (a second partition-pruned,
     id-joined read of the same probed cells) for the exact re-rank.
     Returns (query_id, neighbor_id, sq_dist, rank<=k)."""
-    import numpy as np
+    from lakehouse_spark_spark.operators.similarity import (
+        adc_dist,
+        ivfpq_probe_lut_rows,
+        sq_dist,
+    )
 
     spark = index.cells.sparkSession
     id_col = index.id_col
-    C = np.asarray(index.centroids, dtype=np.float64)
-    books = [np.asarray(b, dtype=np.float64) for b in index.codebooks]
-    m, kk, d_sub = len(books), books[0].shape[0], books[0].shape[1]
+    m, kk = len(index.codebooks), len(index.codebooks[0])
+    # the search supports whatever id dtype the index was built over —
+    # the probe/query frames carry it through verbatim
+    id_dt = dict(queries.dtypes)[id_col]
 
     qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")).collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r["__qv"], dtype=np.float64)
-        cd = ((C - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(cd, kind="stable")[:n_probe]:
-            resid = qv - C[cell]
-            lut = [
-                float(((resid[j * d_sub : (j + 1) * d_sub] - books[j][c]) ** 2).sum())
-                for j in range(m)
-                for c in range(kk)
-            ]
-            probe_rows.append((int(r["query_id"]), int(cell), lut))
-    probes = spark.createDataFrame(probe_rows, "query_id BIGINT, cell INT, lut ARRAY<DOUBLE>")
+    probe_rows = ivfpq_probe_lut_rows(qrows, index.centroids, index.codebooks, n_probe)
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id {id_dt}, cell INT, lut ARRAY<DOUBLE>"
+    )
     probed_cells = sorted({c for _, c, _ in probe_rows})
 
     # ADC stage: (id, codes) only — the vec column never leaves parquet
@@ -252,19 +262,7 @@ def ann_index_topk(
     cand = coded.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda c, j: F.element_at(F.col("lut"), (j * kk + c + 1).cast("int")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("adc_dist"),
-    )
+    scored = cand.select("query_id", "neighbor_id", adc_dist(m, kk).alias("adc_dist"))
     w_sl = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
     sl = scored.withColumn("__r", F.row_number().over(w_sl)).filter(F.col("__r") <= shortlist)
 
@@ -279,30 +277,14 @@ def ann_index_topk(
     # referencing the caller's lazy frame here would splice its source
     # scan (often the corpus parquet) back into the search plan
     q = spark.createDataFrame(
-        [(int(r["query_id"]), [float(x) for x in r["__qv"]]) for r in qrows],
-        "query_id BIGINT, __qv ARRAY<DOUBLE>",
+        [(r["query_id"], [float(x) for x in r["__qv"]]) for r in qrows],
+        f"query_id {id_dt}, __qv ARRAY<DOUBLE>",
     )
     exact = (
         sl.select("query_id", "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .join(vecs, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "__qv",
-                        "__cv",
-                        lambda a, b: (a.cast("double") - b.cast("double"))
-                        * (a.cast("double") - b.cast("double")),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("sq_dist"),
-        )
+        .select("query_id", "neighbor_id", sq_dist().alias("sq_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -463,13 +463,25 @@ def load_neardup_index(spark: SparkSession, path: str) -> NeardupIndex:
 
 
 def update_neardup_index(
-    path: str, batch: DataFrame, id_col: str, text_col: str, batch_id: int | None = None
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_id: int | None = None,
+    *,
+    signatures: DataFrame | None = None,
 ) -> NeardupIndex:
     """Fold a batch into the index: sign the batch (O(batch) — the
     accumulated corpus is untouched), append signatures, append band
     rows, then advance the manifest watermark. Pass the docs the ingest
     decided to KEEP (novel docs) — near-dup state for dropped docs
     would only bloat the band table. Single-writer contract.
+
+    ``signatures`` (``(id, signature)``, computed with THIS index's
+    geometry — the caller's contract) skips the batch re-signing when
+    the ingest loop already signed the batch for its probe — the
+    shingle→minhash pass is the dominant per-batch cost and should run
+    once, not once per stage.
 
     ``batch_id`` replays are no-ops past the watermark (the bloom
     module's idempotence contract). The watermark advances strictly
@@ -488,9 +500,12 @@ def update_neardup_index(
     last = mf.get("last_batch_id")
     if batch_id is not None and last is not None and batch_id <= last:
         return load_neardup_index(spark, path)
+    if signatures is None:
+        signatures = minhash_signatures(
+            batch, id_col, text_col, n=int(mf["n"]), num_hashes=int(mf["num_hashes"])
+        )
     sigs = (
-        minhash_signatures(batch, id_col, text_col, n=int(mf["n"]), num_hashes=int(mf["num_hashes"]))
-        .select(F.col(id_col).alias("__id"), "signature")
+        signatures.select(F.col(id_col).alias("__id"), "signature")
         .localCheckpoint(eager=True)  # one shingle pass feeds both appends
     )
     sigs.write.mode("append").parquet(f"{path}/signatures")
@@ -515,17 +530,29 @@ def compact_neardup_index(spark: SparkSession, path: str, target_file_mb: int = 
 
 
 def neardup_candidates_against_index(
-    batch: DataFrame, index: NeardupIndex, id_col: str, text_col: str
+    batch: DataFrame,
+    index: NeardupIndex,
+    id_col: str,
+    text_col: str,
+    *,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against the accumulated
     corpus, consuming a persisted :class:`NeardupIndex` — the
     arrival-time twin of :func:`minhash_lsh_candidates`, with the
-    corpus side read from the index alone.
+    corpus side read from the index alone. ``signatures`` injects a
+    precomputed ``(id, signature)`` frame (this index's geometry) so a
+    caller that also folds the batch signs it exactly once.
 
     Output: (new_id, corpus_id, est_jaccard) — est_jaccard is the
     fraction of agreeing minhashes, byte-identical to what the
     one-shot operator reports for the same pair (same hash functions,
-    same banding — :func:`band_rows` is shared code).
+    same banding — :func:`band_rows` is shared code). Pairs whose ids
+    are EQUAL are excluded: fresh-batch ids never collide with the
+    index in normal operation (the ingest id contract), but a replayed
+    micro-batch probes an index already holding its own docs — without
+    the exclusion every replayed doc would flag as a 1.0 near-dup of
+    itself and the replay would drop the whole batch.
 
     Plan shape: the batch is shingled+signed once (localCheckpoint —
     feeds the band explode and the re-attach), the band join carries
@@ -533,9 +560,12 @@ def neardup_candidates_against_index(
     the DEDUPED pairs only. The index side is two plain parquet scans;
     duplicate index rows (a partially-replayed append) are neutralized
     by the pair-distinct and an id-dedup on the signature table."""
+    if signatures is None:
+        signatures = minhash_signatures(
+            batch, id_col, text_col, n=index.n, num_hashes=index.num_hashes
+        )
     sigs = (
-        minhash_signatures(batch, id_col, text_col, n=index.n, num_hashes=index.num_hashes)
-        .select(F.col(id_col).alias("__id"), "signature")
+        signatures.select(F.col(id_col).alias("__id"), "signature")
         .localCheckpoint(eager=False)
     )
     b_bands = band_rows(sigs, "__id", index.n_bands, index.num_hashes).select(
@@ -544,6 +574,7 @@ def neardup_candidates_against_index(
     c_bands = index.bands.select(F.col("__id").alias("corpus_id"), "band", "band_hash")
     pairs = (
         b_bands.join(c_bands, ["band", "band_hash"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id")
         .distinct()
     )

@@ -544,18 +544,7 @@ def pq_adc_topk(
     ).select(
         F.col("q.query_id").alias("query_id"),
         "neighbor_id",
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda c, j: F.element_at(F.col("q.lut"), (j * kk + c + 1).cast("int")),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        ).alias("adc_dist"),
+        F.round(adc_dist(m, kk, lut_col="q.lut"), 6).alias("adc_dist"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -590,29 +579,79 @@ def pq_adc_topk_reranked(
         sl.select("query_id", "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "__qv",
-                        "__cv",
-                        lambda a, b: (a.cast("double") - b.cast("double"))
-                        * (a.cast("double") - b.cast("double")),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("sq_dist"),
-        )
+        .select("query_id", "neighbor_id", sq_dist().alias("sq_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 # --- IVF-PQ: coarse cells + residual product quantization -------------
+
+def ivfpq_probe_lut_rows(
+    qrows: list,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int,
+) -> list[tuple]:
+    """Driver-side probe construction shared by the in-plan search
+    (:func:`ivfpq_topk`) and the persisted-index search
+    (operators/annindex.ann_index_topk): for each collected query row
+    ``(query_id, __qv)``, the ``n_probe`` nearest cells and a per-cell
+    ADC lookup table over the query's RESIDUAL against that cell.
+    Returns ``[(query_id, cell, lut)]`` with the query id passed
+    through untouched (callers own the id dtype)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, kk, d_sub = len(books), books[0].shape[0], books[0].shape[1]
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["__qv"], dtype=np.float64)
+        cd = ((C - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(cd, kind="stable")[:n_probe]:
+            resid = qv - C[cell]
+            lut = [
+                float(((resid[j * d_sub : (j + 1) * d_sub] - books[j][c]) ** 2).sum())
+                for j in range(m)
+                for c in range(kk)
+            ]
+            probe_rows.append((r["query_id"], int(cell), lut))
+    return probe_rows
+
+
+def adc_dist(m: int, kk: int, lut_col: str = "lut", codes_col: str = "codes") -> Column:
+    """Σ_j LUT[j·kk + codes[j]] — the asymmetric-distance table-lookup
+    sum, pure JVM expressions (one copy of the 1-based element_at
+    indexing for every ADC consumer)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(F.col(lut_col), (j * kk + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq_dist(a: Column | str = "__qv", b: Column | str = "__cv") -> Column:
+    """round(Σ (aᵢ-bᵢ)², 6) in element-wise doubles — the exact re-rank
+    distance shared by every shortlist verifier."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
 
 def train_ivfpq(
     corpus: DataFrame,
@@ -708,26 +747,14 @@ def ivfpq_topk(
     The full composed 100 TB ANN shape: cell pruning bounds IO, codes
     bound bandwidth, re-rank bounds accuracy loss.
     Returns (query_id, neighbor_id, sq_dist, rank≤k)."""
-    import numpy as np
-
-    C = np.asarray(centroids, dtype=np.float64)
-    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    m, kk, d_sub = len(books), books[0].shape[0], books[0].shape[1]
+    m, kk = len(codebooks), len(codebooks[0])
     spark = corpus.sparkSession
 
     qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")).collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r["__qv"], dtype=np.float64)
-        cd = ((C - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(cd, kind="stable")[:n_probe]:
-            resid = qv - C[cell]
-            lut = [
-                float(((resid[j * d_sub : (j + 1) * d_sub] - books[j][c]) ** 2).sum())
-                for j in range(m)
-                for c in range(kk)
-            ]
-            probe_rows.append((int(r["query_id"]), int(cell), lut))
+    probe_rows = [
+        (int(qid), cell, lut)
+        for qid, cell, lut in ivfpq_probe_lut_rows(qrows, centroids, codebooks, n_probe)
+    ]
     probes = spark.createDataFrame(
         probe_rows, "query_id BIGINT, cell INT, lut ARRAY<DOUBLE>"
     )
@@ -735,19 +762,7 @@ def ivfpq_topk(
     cand = index.select(F.col(id_col).alias("neighbor_id"), "cell", "codes").join(
         F.broadcast(probes), "cell"
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda c, j: F.element_at(F.col("lut"), (j * kk + c + 1).cast("int")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("adc_dist"),
-    )
+    scored = cand.select("query_id", "neighbor_id", adc_dist(m, kk).alias("adc_dist"))
     w_sl = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
     sl = scored.withColumn("__r", F.row_number().over(w_sl)).filter(F.col("__r") <= shortlist)
 
@@ -757,23 +772,7 @@ def ivfpq_topk(
         sl.select("query_id", "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "__qv",
-                        "__cv",
-                        lambda a, b: (a.cast("double") - b.cast("double"))
-                        * (a.cast("double") - b.cast("double")),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("sq_dist"),
-        )
+        .select("query_id", "neighbor_id", sq_dist().alias("sq_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -576,7 +576,11 @@ def curation_v5_ship(
 
     if disposition is None:
         v3_kwargs.setdefault("learned_filter", True)
-        disposition = curation_v3_docs(docs, **v3_kwargs)
+        # forward span_k explicitly: v5's named parameter captures it
+        # out of v3_kwargs, so without this the chain would charge
+        # kept_tokens at ITS default k while the ship trims at span_k —
+        # re-creating the text↔count divergence this function fixes
+        disposition = curation_v3_docs(docs, span_k=span_k, **v3_kwargs)
     # hash-bucket, not raw id mod: id residues correlate with other id
     # derivations (in this corpus, source itself IS doc_id % 20, so
     # id % k would put every source in exactly one bucket for k | 20);

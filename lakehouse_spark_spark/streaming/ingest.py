@@ -117,10 +117,11 @@ def curated_ingest_foreach_batch(
     slim ingest ledger; the text itself stays in the source (join back
     by id when shipping, the curation_v5_ship pattern).
 
-    Crash ordering: output append first, then the Bloom index fold,
-    then the near-dup fold — both folds are batch_id-watermarked
-    no-ops on replay, and a crash between them replays into
-    already-folded watermarks (module docstring).
+    Crash ordering: output append first, then the NEAR-DUP fold, then
+    the Bloom fold — the Bloom index decides keep/drop on a replay, so
+    it commits last (see the inline comment at the fold site for the
+    full crash-window argument; both folds are batch_id-watermarked
+    no-ops once committed).
     """
     from lakehouse_spark_spark.operators.text import gopher_quality_flags
 
@@ -153,29 +154,58 @@ def curated_ingest_foreach_batch(
             .select(id_col, "content_hash", text_col, "n_words")
             .localCheckpoint(eager=True)
         )
+        nd_sigs = None
         if neardup_index_path is not None:
             from pyspark.sql import functions as F
 
             from lakehouse_spark_spark.operators.neardup import (
                 load_neardup_index,
+                minhash_signatures,
                 neardup_candidates_against_index,
                 update_neardup_index,
             )
 
             nd_idx = load_neardup_index(spark, neardup_index_path)
+            # sign ONCE per batch: the same signature frame feeds the
+            # probe here and the index fold below (the shingle→minhash
+            # pass is the dominant per-batch cost)
+            sigs = minhash_signatures(
+                kept, id_col, text_col, n=nd_idx.n, num_hashes=nd_idx.num_hashes
+            ).localCheckpoint(eager=True)
             near = (
-                neardup_candidates_against_index(kept, nd_idx, id_col, text_col)
+                neardup_candidates_against_index(
+                    kept, nd_idx, id_col, text_col, signatures=sigs
+                )
                 .filter(F.col("est_jaccard") >= neardup_threshold)
                 .select(F.col("new_id").alias(id_col))
                 .distinct()
             )
             kept = kept.join(near, id_col, "left_anti").localCheckpoint(eager=True)
+            nd_sigs = sigs.join(kept.select(id_col), id_col)
         kept.select(id_col, "content_hash", "n_words").write.mode("append").parquet(kept_out)
-        update_dedup_index(index_path, kept.select("content_hash"), batch_id=batch_id)
+        # fold ORDER: near-dup index strictly BEFORE the Bloom index.
+        # The Bloom index is what decides keep/drop on a replay, so it
+        # must commit LAST: a crash between the two folds leaves the
+        # batch's signatures in the near-dup index but its hashes out
+        # of the Bloom index, and the replay re-derives the SAME keeps
+        # (hashes absent → still novel; self-pairs are excluded from
+        # the probe, so the batch's own just-folded signatures cannot
+        # drop it) and completes the Bloom fold. The REVERSE order
+        # (r10 review finding) silently lost the signatures forever: a
+        # committed Bloom fold makes the replayed batch all-dups, so
+        # the near-dup fold would fold an EMPTY keep set and advance
+        # its watermark — every future near-dup of those docs would
+        # sail through. Residual window (crash after the near-dup
+        # fold): within-batch near-dup pairs among the keeps can
+        # cross-flag each other on replay, leaving some hashes out of
+        # the Bloom index — harmless, because any future exact dup of
+        # those docs scores est_jaccard 1.0 against the folded
+        # signatures and drops at this stage instead.
         if neardup_index_path is not None:
             update_neardup_index(
                 neardup_index_path, kept.select(id_col, text_col), id_col, text_col,
-                batch_id=batch_id,
+                batch_id=batch_id, signatures=nd_sigs,
             )
+        update_dedup_index(index_path, kept.select("content_hash"), batch_id=batch_id)
 
     return fn

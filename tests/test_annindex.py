@@ -146,3 +146,28 @@ def test_compact_preserves_search(spark, emb, tmp_path):
     idx2 = load_ann_index(spark, idx_path)
     assert idx2.cells.count() == idx2.cells.distinct().count()  # replay dups gone
     assert _rows(ann_index_topk(idx2, probes, "embedding", k=5, n_probe=3)) == want
+
+
+def test_index_supports_non_integer_ids(spark, emb, tmp_path):
+    """The id dtype flows through write/search untouched (r10 review:
+    the first cut hard-coded BIGINT query ids and crashed on string
+    ids at search time)."""
+    s_emb = emb.select(F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding")
+    idx = write_ann_index(s_emb, "vec_id", "embedding", str(tmp_path / "ann_str"), n_cells=8)
+    probes = s_emb.filter(F.col("vec_id").isin("doc-0", "doc-1", "doc-2"))
+    out = ann_index_topk(idx, probes, "embedding", k=5, n_probe=3, shortlist=32)
+    rows = out.collect()
+    assert len(rows) == 3 * 5
+    assert all(isinstance(r["query_id"], str) and isinstance(r["neighbor_id"], str) for r in rows)
+    # numeric-id twin agrees modulo the id rendering (same vectors)
+    idx_n = write_ann_index(emb, "vec_id", "embedding", str(tmp_path / "ann_num"), n_cells=8)
+    probes_n = emb.filter(F.col("vec_id") < 3)
+    want = {
+        (f"doc-{r['query_id']}", f"doc-{r['neighbor_id']}", r["sq_dist"], r["rank"])
+        for r in ann_index_topk(idx_n, probes_n, "embedding", k=5, n_probe=3, shortlist=32).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"], r["sq_dist"], r["rank"]) for r in rows}
+    # NOTE: ranks can differ where sq_dist ties break on the id's sort
+    # order (string vs numeric) — compare the (query, neighbor, dist)
+    # triples instead
+    assert {g[:3] for g in got} == {w[:3] for w in want}

@@ -179,14 +179,23 @@ def test_v5_ship_ships_trimmed_text(spark, tmp_path):
     assert len(base) == 6
     boiler = "subscribe to our newsletter today and follow the channel for weekly updates"
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    # choose ids that deterministically land in kept_train: the split
+    # is substr(md5(id),1,4) < 'e666' and the per-source budget admits
+    # docs in md5-rank order, so a LOW md5 prefix pins both; skip the
+    # %97 eval-holdout residues. Scanning upward from max_id+1 keeps
+    # the choice stable for a fixed fixture.
+    import hashlib
+
+    pids, pid = [], max_id + 1
+    while len(pids) < len(base):
+        if pid % 97 != 0 and hashlib.md5(str(pid).encode()).hexdigest()[:4] < "4000":
+            pids.append(pid)
+        pid += 1
     planted_rows = []
     for i, r in enumerate(base):
         words = r["text"].split(" ")
         prefix = " ".join(words[: max(20, int(len(words) * 0.6))])
-        pid = max_id + 1 + i
-        if pid % 97 == 0:  # dodge the eval-holdout residue
-            pid += 1
-        planted_rows.append((pid, f"{prefix} {boiler}", r["lang"], r["source"], 0))
+        planted_rows.append((pids[i], f"{prefix} {boiler}", r["lang"], r["source"], 0))
     planted = spark.createDataFrame(
         planted_rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
     )

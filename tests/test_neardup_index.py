@@ -221,3 +221,116 @@ def test_curated_ingest_with_neardup_stage_matches_sequential_reference(
     assert not [i for i in got if 7000 <= i < 7100]
     # and batch-2's exact dups of batch-1 keeps died at the EXACT stage
     assert not [i for i in got if 6000 <= i < 6010]
+
+
+def test_curated_ingest_crash_between_folds_loses_nothing(spark, docs, tmp_path):
+    """The r10 review's crash window: output appended and the NEAR-DUP
+    fold committed, crash before the Bloom fold, then Structured
+    Streaming replays the epoch. The replay must (a) not duplicate
+    near-dup index rows (watermark), (b) not drop the batch as
+    near-dups of its own just-folded signatures (self-id exclusion),
+    and (c) leave the pipeline blocking every future exact and near
+    duplicate of the batch's keeps — the reverse fold order silently
+    lost the signatures forever."""
+    from lakehouse_spark_spark.operators.bloom import (
+        dedup_against_corpus_bloom,
+        load_dedup_index,
+        write_dedup_index,
+    )
+    from lakehouse_spark_spark.streaming.ingest import curated_ingest_foreach_batch
+
+    corpus = docs.filter("doc_id < 300")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    ids = sorted(texts)
+    raw_batch = spark.createDataFrame(
+        [(8000 + i, texts[ids[300 + i]]) for i in range(30)], "doc_id bigint, text string"
+    )
+    # restrict to docs with NO est>=0.5 near-dup relationship to the
+    # corpus or to each other: in normal operation they all keep, so
+    # the replay's (b)/(c) assertions are exact instead of subset-y
+    nd_probe_idx = write_neardup_index(corpus, "doc_id", "text", str(tmp_path / "cw_probe"))
+    vs_corpus = {
+        r["new_id"]
+        for r in neardup_candidates_against_index(raw_batch, nd_probe_idx, "doc_id", "text")
+        .filter("est_jaccard >= 0.5")
+        .collect()
+    }
+    in_batch = {
+        x
+        for r in minhash_lsh_candidates(
+            minhash_signatures(raw_batch, "doc_id", "text"), "doc_id"
+        )
+        .filter("est_jaccard >= 0.5")
+        .collect()
+        for x in (r["id_a"], r["id_b"])
+    }
+    from lakehouse_spark_spark.operators.text import gopher_quality_flags
+
+    gate_pass = {
+        r["doc_id"]
+        for r in gopher_quality_flags(
+            raw_batch, "doc_id", "text", min_words=20, max_words=1000, stopword_min=1
+        )
+        .filter("keep")
+        .collect()
+    }  # the loop's gate config — gate-failing docs never fold anywhere
+    clean_ids = [
+        r["doc_id"]
+        for r in raw_batch.collect()
+        if r["doc_id"] in gate_pass
+        and r["doc_id"] not in vs_corpus
+        and r["doc_id"] not in in_batch
+    ]
+    assert len(clean_ids) >= 10
+    batch = raw_batch.filter(F.col("doc_id").isin(clean_ids)).localCheckpoint(eager=True)
+
+    bloom_path = str(tmp_path / "cw_bloom")
+    nd_path = str(tmp_path / "cw_nd")
+    write_dedup_index(corpus, "text", bloom_path)
+    write_neardup_index(corpus, "doc_id", "text", nd_path)
+    kept_out = str(tmp_path / "cw_kept")
+
+    # --- construct the exact crash state by hand: gates pass (real
+    # fixture text), all novel and near-dup-clean -> kept = batch;
+    # output appended; NEAR-DUP fold committed with the epoch id; the
+    # Bloom fold never ran (the crash point)
+    idx0 = load_dedup_index(spark, bloom_path)
+    disp0 = dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx0)
+    kept0 = disp0.filter("keep").select("doc_id", "content_hash").localCheckpoint(eager=True)
+    n_kept0 = kept0.count()
+    assert n_kept0 == len(clean_ids)
+    kept0.withColumn("n_words", F.lit(0)).write.mode("append").parquet(kept_out)
+    update_neardup_index(
+        nd_path, batch.join(kept0.select("doc_id"), "doc_id"), "doc_id", "text", batch_id=0
+    )
+
+    # --- replay epoch 0 through the real foreachBatch body
+    fn = curated_ingest_foreach_batch(
+        bloom_path, "doc_id", "text", kept_out,
+        neardup_index_path=nd_path, neardup_threshold=0.5,
+    )
+    fn(batch, 0)
+
+    nd_idx = load_neardup_index(spark, nd_path)
+    # (a) watermark: replay did not duplicate the signature rows
+    assert nd_idx.signatures.filter(F.col("__id") >= 8000).count() == n_kept0
+    # (b) self-exclusion: the replay re-kept the batch (it is NOT a
+    # near-dup of itself), so the Bloom fold completed
+    bloom_idx = load_dedup_index(spark, bloom_path)
+    replayed_hashes = {r["content_hash"] for r in kept0.collect()}
+    on_disk = {r["content_hash"] for r in bloom_idx.hashes.collect()}
+    assert replayed_hashes <= on_disk
+
+    # (c) the future: an exact dup and a near variant of kept docs
+    def near_variant(t):
+        w = t.split(" ")
+        return " ".join(w[: max(3, len(w) - 3)])
+
+    t0_, t1_ = (texts[ids[300 + (cid - 8000)]] for cid in clean_ids[:2])
+    future = spark.createDataFrame(
+        [(9000, t0_), (9001, near_variant(t1_))],
+        "doc_id bigint, text string",
+    )
+    fn(future, 1)
+    future_kept = spark.read.parquet(kept_out).filter("doc_id >= 9000").count()
+    assert future_kept == 0  # both blocked (exact + near)
