@@ -796,13 +796,17 @@ _GATE_ROTATION_R10 = [
     "orders_variant_extract",
     "orders_year_status_pivot",
     "partition_pruned_monthly_revenue",
-    "price_qty_histogram2d",
-    "price_variance_by_segment",
-    "product_type_profit",
-    # -- rows-only tail: new r10 persisted-index queries (birth-round
-    #    gated; rows-only is justified in their registration comments) --
+    # -- rows-only tail: the new r10 persisted-index queries
+    #    (birth-round gated; rows-only is justified in their
+    #    registration comments) plus re-gates of the rows-only queries
+    #    whose CODE the r10 shared-helper refactor touched (the
+    #    adc_dist/sq_dist/band_rows extraction — plans verified
+    #    byte-identical in PLANS.md, and the driver hash re-confirms) --
     "neardup_persisted_ingest",
     "embedding_ivfpq_persisted_topk",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "minhash_lsh_candidates",
 ]
 
 

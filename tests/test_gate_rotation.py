@@ -71,6 +71,9 @@ def test_r10_gate_covers_this_rounds_code_changes():
         "curation_v5_shipped_accounting",
         "neardup_persisted_ingest",
         "embedding_ivfpq_persisted_topk",
+        "embedding_pq_topk",
+        "embedding_ivfpq_topk",
+        "minhash_lsh_candidates",
     }
     assert changed <= first50, sorted(changed - first50)
 
@@ -138,6 +141,13 @@ def test_r10_gate_refreshes_the_stalest_coverage():
         "bloom_persisted_ingest_run2",
         "bloom_incremental_dedup",
         "curation_v5_shipped_accounting",
+        "neardup_persisted_ingest",
+        "embedding_ivfpq_persisted_topk",
+        # rows-only re-gates: code touched by the r10 shared-helper
+        # refactor (adc_dist/sq_dist/band_rows extraction)
+        "embedding_pq_topk",
+        "embedding_ivfpq_topk",
+        "minhash_lsh_candidates",
     }
     stale_slots = [
         n for n in Q._GATE_ROTATION_R10
