@@ -288,3 +288,75 @@ def ann_index_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup_against_index(
+    batch: DataFrame,
+    index: AnnIndex,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup at arrival time: flag batch vectors whose cosine to ANY
+    indexed corpus vector in the SAME coarse cell reaches ``threshold``
+    — the incremental form of similarity.semantic_dedup, with the
+    corpus side read from the persisted index alone (cell-pruned, zero
+    corpus-embedding reads).
+
+    Unlike :func:`ann_index_topk` this never collects the batch to the
+    driver: the batch is cell-assigned by the FROZEN quantizer in one
+    Arrow pass (the same assignment the index's own rows got, so a
+    true duplicate always lands in its twin's cell), the candidate join
+    is an equi-join on the cell id, and only in-cell pairs pay the
+    exact-cosine cost — the SemDeDup cell-partition semantics (a
+    near-dup straddling a cell boundary is missed at the same
+    documented rate as the batch operator). The driver sees only the
+    DISTINCT batch cell ids (≤ n_cells — for the partition-pruning
+    isin), never the vectors.
+
+    Id-equal pairs are excluded so a REPLAYED batch (its vectors
+    already folded into the index) is not flagged as a duplicate of
+    itself — the same replay contract as the near-dup index probe.
+
+    Returns one row per batch vector:
+    (id, cell, max_corpus_cos, dup) — max_corpus_cos NULL when the
+    probed cell holds no other corpus vector.
+    """
+    from lakehouse_spark_spark.operators.similarity import dot, l2_norm
+
+    spark = index.cells.sparkSession
+    id_col = index.id_col
+    enc = (
+        _encode_with_vec(batch, id_col, vec_col, index.centroids, index.codebooks)
+        .select(id_col, "cell", "vec")
+        .withColumn("__n", l2_norm("vec"))
+        .localCheckpoint(eager=True)  # feeds the cell collect + the join
+    )
+    batch_cells = sorted(r["cell"] for r in enc.select("cell").distinct().collect())
+    corpus_side = (
+        spark.read.parquet(f"{index.path}/cells")
+        .filter(F.col("cell").isin(batch_cells))
+        .select(F.col(id_col).alias("__cid"), "cell", F.col("vec").alias("__cv"))
+        .dropDuplicates(["__cid"])  # replayed-append defense
+        .withColumn("__cn", l2_norm("__cv"))
+    )
+    scored = (
+        enc.join(corpus_side, "cell")
+        .filter(F.col(id_col) != F.col("__cid"))
+        .select(
+            id_col,
+            "cell",
+            F.round(dot("vec", "__cv") / (F.col("__n") * F.col("__cn")), 6).alias("__cos"),
+        )
+        .groupBy(id_col, "cell")
+        .agg(F.max("__cos").alias("max_corpus_cos"))
+    )
+    return (
+        enc.select(id_col, "cell")
+        .join(scored, [id_col, "cell"], "left")
+        .select(
+            id_col,
+            "cell",
+            "max_corpus_cos",
+            F.coalesce(F.col("max_corpus_cos") >= threshold, F.lit(False)).alias("dup"),
+        )
+    )

@@ -795,7 +795,6 @@ _GATE_ROTATION_R10 = [
     "orders_integrity_checksum",
     "orders_variant_extract",
     "orders_year_status_pivot",
-    "partition_pruned_monthly_revenue",
     # -- rows-only tail: the new r10 persisted-index queries
     #    (birth-round gated; rows-only is justified in their
     #    registration comments) plus re-gates of the rows-only queries
@@ -804,6 +803,7 @@ _GATE_ROTATION_R10 = [
     #    byte-identical in PLANS.md, and the driver hash re-confirms) --
     "neardup_persisted_ingest",
     "embedding_ivfpq_persisted_topk",
+    "embedding_semdedup_persisted_ingest",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "minhash_lsh_candidates",
@@ -1745,6 +1745,52 @@ def embedding_ivfpq_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFr
     probes = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
     return ann_index_topk(idx, probes, "embedding", k=5, n_probe=6, shortlist=64).select(
         "query_id", "neighbor_id", "sq_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ==========================================================================
+# Streaming-shape semantic dedup against the persisted ANN index
+# (round 10): the arrival-time SemDeDup — batch vectors (novels plus
+# planted scaled near-copies of corpus vectors, cosine ~1.0) flag
+# against the accumulated corpus via an in-cell exact-cosine join under
+# the index's FROZEN quantizer. The index is a cached process fixture
+# (the steady-state pattern); the timed body encodes ONLY the batch and
+# joins the probed cell partitions — no driver collect of vectors, no
+# corpus-embedding reads. rows-only (k-means cells);
+# tests/test_annindex.py pins exact equality with a driver-side
+# within-cell reference and the planted-dup recall.
+# ==========================================================================
+@register(
+    "embedding_semdedup_persisted_ingest",
+    oracle=None,  # k-means cell partition: approximate by construction
+    doc="arrival-time SemDeDup vs a PREBUILT persisted IVF-PQ index: in-cell cosine, O(batch+cells)",
+)
+def embedding_semdedup_persisted_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from lakehouse_spark_spark.operators.annindex import (
+        load_ann_index,
+        semantic_dedup_against_index,
+        write_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _bloom_fixture_dir(f"semdedup:{sf_dir}", fresh=False)
+    ready = os.path.join(path, "__fixture_ready")
+    if not os.path.exists(ready):
+        write_ann_index(
+            emb.filter(F.col("vec_id") % 4 != 0), "vec_id", "embedding", path, n_cells=16
+        )
+        open(ready, "w").close()
+    idx = load_ann_index(spark, path)
+    batch = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding").union(
+        emb.filter(F.col("vec_id") % 8 == 1).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        )
+    )
+    return semantic_dedup_against_index(batch, idx, "embedding", threshold=0.98).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "max_corpus_cos", "dup"
     )
 
 

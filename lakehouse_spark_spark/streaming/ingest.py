@@ -209,3 +209,55 @@ def curated_ingest_foreach_batch(
         update_dedup_index(index_path, kept.select("content_hash"), batch_id=batch_id)
 
     return fn
+
+
+def ann_ingest_foreach_batch(
+    index_path: str,
+    vec_col: str,
+    kept_out: str,
+    *,
+    threshold: float = 0.95,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming EMBEDDING ingest with semantic dedup against the
+    persisted IVF-PQ index (operators/annindex) — the third leg of the
+    persisted-index streaming family (exact-hash: Bloom; text near-dup:
+    MinHash-LSH; semantic: this). Per micro-batch of (id, vector):
+
+    1. flag batch vectors whose in-cell cosine to ANY accumulated
+       corpus vector reaches ``threshold``
+       (semantic_dedup_against_index — cell-pruned, no driver collect
+       of vectors, zero corpus-embedding reads);
+    2. append the novel vectors' ledger rows (id, cell,
+       max_corpus_cos) to ``kept_out``;
+    3. fold the novel vectors into the index under the FROZEN model
+       (update_ann_index, batch_id-watermarked).
+
+    Delivery matches the module contract: output before the index fold
+    (at-least-once ledger; a replayed epoch's fold is a watermark
+    no-op, and the probe's id-exclusion keeps a replayed batch from
+    flagging itself). Within-batch semantic dups keep (neither side is
+    indexed yet) — the periodic-compaction half, exactly like the
+    near-dup loop. Model drift under a long stream is the documented
+    FAISS-add() trade: periodic write_ann_index rebuilds re-train.
+    """
+    from lakehouse_spark_spark.operators.annindex import (
+        load_ann_index,
+        semantic_dedup_against_index,
+        update_ann_index,
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        idx = load_ann_index(spark, index_path)
+        id_col = idx.id_col
+        disp = semantic_dedup_against_index(batch_df, idx, vec_col, threshold=threshold)
+        kept_ids = disp.filter("NOT dup").select(id_col, "cell", "max_corpus_cos")
+        kept = (
+            batch_df.join(kept_ids, id_col).localCheckpoint(eager=True)
+        )
+        kept.select(id_col, "cell", "max_corpus_cos").write.mode("append").parquet(kept_out)
+        update_ann_index(index_path, kept.select(id_col, vec_col), vec_col, batch_id=batch_id)
+
+    return fn

@@ -171,3 +171,112 @@ def test_index_supports_non_integer_ids(spark, emb, tmp_path):
     # order (string vs numeric) — compare the (query, neighbor, dist)
     # triples instead
     assert {g[:3] for g in got} == {w[:3] for w in want}
+
+
+def _within_cell_semdedup_reference(spark, corpus, batch, idx, threshold):
+    """Reference: exact cosine of every (batch, corpus) pair whose
+    FROZEN-quantizer cells agree — the SemDeDup cell-partition
+    semantics the operator documents."""
+    import numpy as np
+
+    C = np.asarray(idx.centroids, dtype=np.float64)
+
+    def cell_of(v):
+        v = np.asarray(v, dtype=np.float64)
+        return int(((C - v) ** 2).sum(axis=1).argmin())
+
+    corpus_rows = [(r["vec_id"], cell_of(r["embedding"]), np.asarray(r["embedding"], float)) for r in corpus.collect()]
+    out = {}
+    for r in batch.collect():
+        bid, bc = r["vec_id"], cell_of(r["embedding"])
+        bv = np.asarray(r["embedding"], float)
+        best = None
+        for cid, cc, cv in corpus_rows:
+            if cc != bc or cid == bid:
+                continue
+            cos = round(float(bv @ cv / (np.linalg.norm(bv) * np.linalg.norm(cv))), 6)
+            best = cos if best is None else max(best, cos)
+        out[bid] = (bc, best, best is not None and best >= threshold)
+    return out
+
+
+def test_semantic_dedup_against_index_matches_reference(spark, emb, tmp_path):
+    from lakehouse_spark_spark.operators.annindex import semantic_dedup_against_index
+
+    corpus = emb.filter("vec_id % 4 != 0")
+    # batch: novel vectors + planted semantic dups (slightly scaled
+    # copies of corpus vectors — cosine 1.0 to their source)
+    batch = emb.filter("vec_id % 4 = 0").union(
+        corpus.filter("vec_id % 8 = 1").select(
+            (F.col("vec_id") + 50000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        )
+    )
+    idx = write_ann_index(corpus, "vec_id", "embedding", str(tmp_path / "sd_idx"), n_cells=8)
+    got = {
+        r["vec_id"]: (r["cell"], r["max_corpus_cos"], r["dup"])
+        for r in semantic_dedup_against_index(batch, idx, "embedding", threshold=0.98).collect()
+    }
+    want = _within_cell_semdedup_reference(spark, corpus, batch, idx, 0.98)
+    assert got == want
+    # planted dups flagged; the operator is non-vacuous both ways
+    planted = [k for k in got if k >= 50000]
+    assert planted and all(got[k][2] for k in planted)
+    assert any(not got[k][2] for k in got)
+
+
+def test_ann_ingest_foreach_batch_replay_idempotent(spark, emb, tmp_path):
+    """The streaming loop: two batches fold sequentially; a full epoch
+    replay neither duplicates index rows (watermark) nor drops the
+    batch as a dup of itself (id-exclusion), and a later semantic dup
+    of a folded vector is blocked."""
+    from lakehouse_spark_spark.operators.annindex import load_ann_index
+    from lakehouse_spark_spark.streaming.ingest import ann_ingest_foreach_batch
+
+    corpus = emb.filter("vec_id % 4 != 0")
+    b1 = emb.filter("vec_id % 8 = 0")
+    idx_path = str(tmp_path / "ai_idx")
+    write_ann_index(corpus, "vec_id", "embedding", idx_path, n_cells=8)
+    kept_out = str(tmp_path / "ai_kept")
+    fn = ann_ingest_foreach_batch(idx_path, "embedding", kept_out, threshold=0.98)
+
+    fn(b1, 0)
+    idx = load_ann_index(spark, idx_path)
+    n_cells_rows = idx.cells.count()
+    n_kept = spark.read.parquet(kept_out).count()
+    assert n_kept == b1.count()  # all novel vs this corpus at 0.98
+
+    fn(b1, 0)  # full epoch replay
+    idx2 = load_ann_index(spark, idx_path)
+    assert idx2.cells.count() == n_cells_rows  # watermark: no re-fold
+    # replay re-kept the batch (id-exclusion) — ledger is at-least-once
+    assert spark.read.parquet(kept_out).count() == 2 * n_kept
+
+    # batch 2: semantic dups of batch-1 vectors (scaled copies) drop
+    b2 = b1.select(
+        (F.col("vec_id") + 70000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.999)).alias("embedding"),
+    )
+    fn(b2, 1)
+    ledger = spark.read.parquet(kept_out)
+    assert ledger.filter("vec_id >= 70000").count() == 0  # all blocked
+    assert load_ann_index(spark, idx_path).cells.count() == n_cells_rows
+
+
+def test_ann_ingest_is_corpus_free(spark, emb, tmp_path):
+    """The loop's per-batch plans consume only the index + the batch:
+    the corpus embeddings parquet is deleted before the first batch."""
+    import shutil
+
+    from lakehouse_spark_spark.streaming.ingest import ann_ingest_foreach_batch
+
+    corpus_dir = str(tmp_path / "ai_corpus_parquet")
+    emb.filter("vec_id % 4 != 0").write.parquet(corpus_dir)
+    idx_path = str(tmp_path / "ai_cf_idx")
+    write_ann_index(spark.read.parquet(corpus_dir), "vec_id", "embedding", idx_path, n_cells=8)
+    batch = emb.filter("vec_id % 8 = 0").localCheckpoint(eager=True)
+    shutil.rmtree(corpus_dir)
+    kept_out = str(tmp_path / "ai_cf_kept")
+    fn = ann_ingest_foreach_batch(idx_path, "embedding", kept_out, threshold=0.98)
+    fn(batch, 0)  # executes fine with the corpus gone
+    assert spark.read.parquet(kept_out).count() == batch.count()

@@ -71,6 +71,7 @@ def test_r10_gate_covers_this_rounds_code_changes():
         "curation_v5_shipped_accounting",
         "neardup_persisted_ingest",
         "embedding_ivfpq_persisted_topk",
+        "embedding_semdedup_persisted_ingest",
         "embedding_pq_topk",
         "embedding_ivfpq_topk",
         "minhash_lsh_candidates",
@@ -143,6 +144,7 @@ def test_r10_gate_refreshes_the_stalest_coverage():
         "curation_v5_shipped_accounting",
         "neardup_persisted_ingest",
         "embedding_ivfpq_persisted_topk",
+        "embedding_semdedup_persisted_ingest",
         # rows-only re-gates: code touched by the r10 shared-helper
         # refactor (adc_dist/sq_dist/band_rows extraction)
         "embedding_pq_topk",
