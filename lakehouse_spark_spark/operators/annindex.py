@@ -43,6 +43,8 @@ import json
 import os
 from typing import NamedTuple
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type hints here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -150,7 +152,12 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
 
 
 def update_ann_index(
-    path: str, batch: DataFrame, vec_col: str, batch_id: int | None = None
+    path: str,
+    batch: DataFrame,
+    vec_col: str,
+    batch_id: int | None = None,
+    *,
+    encoded: DataFrame | None = None,
 ) -> AnnIndex:
     """Fold a batch of new vectors into the index: encode against the
     FROZEN model (O(batch) — the accumulated corpus is untouched) and
@@ -160,6 +167,10 @@ def update_ann_index(
     module's idempotence contract; a replayed half-append leaves
     duplicate id rows, which search tolerates via id-dedup and
     :func:`compact_ann_index` repairs). Single-writer contract.
+
+    ``encoded`` injects a precomputed :func:`_encode_with_vec` frame
+    (this index's model — the caller's contract) so an ingest loop that
+    also probed the batch encodes it exactly once.
 
     Model drift is the documented trade: vectors far from every trained
     centroid still encode (to their nearest cell, with larger residual
@@ -172,7 +183,9 @@ def update_ann_index(
     if batch_id is not None and last is not None and batch_id <= last:
         return load_ann_index(spark, path)
     idx = load_ann_index(spark, path)
-    _encode_with_vec(batch, idx.id_col, vec_col, idx.centroids, idx.codebooks).write.mode(
+    if encoded is None:
+        encoded = _encode_with_vec(batch, idx.id_col, vec_col, idx.centroids, idx.codebooks)
+    encoded.select(idx.id_col, "cell", "codes", "vec").write.mode(
         "append"
     ).partitionBy("cell").parquet(f"{path}/cells")
     if batch_id is not None:
@@ -290,11 +303,38 @@ def ann_index_topk(
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _assign_cells(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """(id, cell, vec): nearest-coarse-centroid assignment only — the
+    first step of :func:`ivfpq_encode` without the PQ code computation
+    (the m × k per-subspace distance matrices), for consumers that need
+    the cell but not the codes."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1).astype("int32"))
+
+    return df.select(
+        F.col(id_col),
+        cell_of(F.col(vec_col)).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+
+
 def semantic_dedup_against_index(
     batch: DataFrame,
     index: AnnIndex,
     vec_col: str,
     threshold: float = 0.95,
+    *,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup at arrival time: flag batch vectors whose cosine to ANY
     indexed corpus vector in the SAME coarse cell reaches ``threshold``
@@ -317,6 +357,21 @@ def semantic_dedup_against_index(
     already folded into the index) is not flagged as a duplicate of
     itself — the same replay contract as the near-dup index probe.
 
+    ``encoded`` injects a precomputed :func:`_encode_with_vec` frame
+    ``(id, cell, codes, vec)`` so an ingest loop that also FOLDS the
+    batch encodes it exactly once (the Arrow encode pass is the
+    dominant per-batch cost); standalone probes leave it None and get
+    the cheaper cell-only assignment (:func:`_assign_cells` — the PQ
+    codes are fold-side state the probe never reads).
+
+    Zero-norm vectors (a failed/degenerate embedder) have no direction,
+    so cosine is undefined; the similarity is DEFINED here as 1.0 for a
+    zero-vs-zero pair (byte-identical payloads — the second copy must
+    flag as a dup or identical zero vectors would accumulate without
+    bound in an ingest loop) and -1.0 for zero-vs-nonzero (nothing in
+    common). Without this the division's NULL coalesced to dup=False
+    forever (r10 second-review finding).
+
     Returns one row per batch vector:
     (id, cell, max_corpus_cos, dup) — max_corpus_cos NULL when the
     probed cell holds no other corpus vector.
@@ -325,9 +380,10 @@ def semantic_dedup_against_index(
 
     spark = index.cells.sparkSession
     id_col = index.id_col
+    if encoded is None:
+        encoded = _assign_cells(batch, id_col, vec_col, index.centroids)
     enc = (
-        _encode_with_vec(batch, id_col, vec_col, index.centroids, index.codebooks)
-        .select(id_col, "cell", "vec")
+        encoded.select(id_col, "cell", "vec")
         .withColumn("__n", l2_norm("vec"))
         .localCheckpoint(eager=True)  # feeds the cell collect + the join
     )
@@ -339,14 +395,18 @@ def semantic_dedup_against_index(
         .dropDuplicates(["__cid"])  # replayed-append defense
         .withColumn("__cn", l2_norm("__cv"))
     )
+    cos = (
+        F.when(
+            (F.col("__n") > 0) & (F.col("__cn") > 0),
+            F.round(dot("vec", "__cv") / (F.col("__n") * F.col("__cn")), 6),
+        )
+        .when((F.col("__n") == 0) & (F.col("__cn") == 0), F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+    )
     scored = (
         enc.join(corpus_side, "cell")
         .filter(F.col(id_col) != F.col("__cid"))
-        .select(
-            id_col,
-            "cell",
-            F.round(dot("vec", "__cv") / (F.col("__n") * F.col("__cn")), 6).alias("__cos"),
-        )
+        .select(id_col, "cell", cos.alias("__cos"))
         .groupBy(id_col, "cell")
         .agg(F.max("__cos").alias("max_corpus_cos"))
     )

@@ -241,6 +241,7 @@ def ann_ingest_foreach_batch(
     FAISS-add() trade: periodic write_ann_index rebuilds re-train.
     """
     from lakehouse_spark_spark.operators.annindex import (
+        _encode_with_vec,
         load_ann_index,
         semantic_dedup_against_index,
         update_ann_index,
@@ -252,12 +253,21 @@ def ann_ingest_foreach_batch(
         spark = batch_df.sparkSession
         idx = load_ann_index(spark, index_path)
         id_col = idx.id_col
-        disp = semantic_dedup_against_index(batch_df, idx, vec_col, threshold=threshold)
-        kept_ids = disp.filter("NOT dup").select(id_col, "cell", "max_corpus_cos")
-        kept = (
-            batch_df.join(kept_ids, id_col).localCheckpoint(eager=True)
+        # encode ONCE per batch: the same (id, cell, codes, vec) frame
+        # feeds the dedup probe and the index fold (the Arrow encode
+        # pass is the dominant per-batch cost — the near-dup loop's
+        # sign-once rationale, applied here)
+        enc = _encode_with_vec(
+            batch_df, id_col, vec_col, idx.centroids, idx.codebooks
+        ).localCheckpoint(eager=True)
+        disp = semantic_dedup_against_index(
+            batch_df, idx, vec_col, threshold=threshold, encoded=enc
         )
+        kept_ids = disp.filter("NOT dup").select(id_col, "max_corpus_cos")
+        kept = enc.join(kept_ids, id_col).localCheckpoint(eager=True)
         kept.select(id_col, "cell", "max_corpus_cos").write.mode("append").parquet(kept_out)
-        update_ann_index(index_path, kept.select(id_col, vec_col), vec_col, batch_id=batch_id)
+        update_ann_index(
+            index_path, kept, vec_col, batch_id=batch_id, encoded=kept
+        )
 
     return fn

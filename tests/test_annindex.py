@@ -280,3 +280,32 @@ def test_ann_ingest_is_corpus_free(spark, emb, tmp_path):
     fn = ann_ingest_foreach_batch(idx_path, "embedding", kept_out, threshold=0.98)
     fn(batch, 0)  # executes fine with the corpus gone
     assert spark.read.parquet(kept_out).count() == batch.count()
+
+
+def test_semantic_dedup_zero_norm_vectors(spark, emb, tmp_path):
+    """Zero-norm vectors (degenerate embedder output) have undefined
+    cosine; the operator defines zero-vs-zero as 1.0 (the second copy
+    must flag) and zero-vs-nonzero as -1.0 — without this the NULL
+    division coalesced every zero vector to dup=False forever (r10
+    second-review finding)."""
+    from lakehouse_spark_spark.operators.annindex import semantic_dedup_against_index
+
+    dim = len(emb.first()["embedding"])
+    zero = [0.0] * dim
+    corpus = emb.filter("vec_id % 2 != 0").select("vec_id", "embedding").union(
+        spark.createDataFrame([(99990, zero)], f"vec_id bigint, embedding array<double>")
+    )
+    idx = write_ann_index(corpus, "vec_id", "embedding", str(tmp_path / "z_idx"), n_cells=4)
+    batch = spark.createDataFrame(
+        [(99991, zero), (99992, zero)], "vec_id bigint, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup_against_index(batch, idx, "embedding", 0.98).collect()}
+    # both batch zeros are dups of the INDEXED zero vector (cos 1.0)
+    assert out[99991]["dup"] and out[99992]["dup"]
+    assert out[99991]["max_corpus_cos"] == 1.0
+    # a zero vector vs a nonzero-only cell is NOT a dup
+    corpus_nz = emb.filter("vec_id % 2 != 0").select("vec_id", "embedding")
+    idx2 = write_ann_index(corpus_nz, "vec_id", "embedding", str(tmp_path / "z_idx2"), n_cells=4)
+    out2 = semantic_dedup_against_index(batch, idx2, "embedding", 0.98).collect()
+    assert all(not r["dup"] for r in out2)
+    assert all(r["max_corpus_cos"] in (None, -1.0) for r in out2)

@@ -202,6 +202,8 @@ def main() -> None:
     ap.add_argument("--workdir", default="/tmp/scale_stress_100x")
     ap.add_argument("--emb-workdir", default="/tmp/scale_stress_emb_100x")
     args = ap.parse_args()
+    if args.copies < 2:
+        ap.error("--copies must be >= 2 (at 1 the summary's scaled keys would collide with the 1x baseline keys)")
 
     if not os.path.exists(f"{args.workdir}/documents.parquet"):
         synthesize(args.base, args.workdir, args.copies)
