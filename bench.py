@@ -97,6 +97,7 @@ HEADLINE = [
     "bloom_persisted_ingest_steady",
     "neardup_persisted_ingest",
     "embedding_ivfpq_persisted_topk",
+    "embedding_semdedup_persisted_ingest",
 ]
 
 
