@@ -54,17 +54,50 @@ from lakehouse_spark_spark.operators.similarity import ivfpq_encode, train_ivfpq
 class AnnIndex(NamedTuple):
     """A loaded IVF-PQ index: the cells table (lazy, partition-prunable
     scan), the frozen model as plain Python lists (KB-sized — broadcast
-    with the plan), and the path for partition-filtered re-reads."""
+    with the plan), and the resolved cells directory for
+    partition-filtered re-reads (the manifest pointer's CURRENT version
+    dir — search must reuse it, not re-derive ``path/cells``, or a
+    compaction flip would strand the plan on a GC'd dir)."""
 
     path: str
     cells: DataFrame  # (id, codes array<int>, vec array<double>), partitioned by cell
     centroids: list[list[float]]
     codebooks: list[list[list[float]]]
     id_col: str
+    cells_path: str
 
 
 def _manifest_path(path: str) -> str:
     return os.path.join(path, "manifest.json")
+
+
+def _resolve_cells_dir(path: str, mf: dict) -> str:
+    """The manifest-pointed cells dir (``cells_dir``; pre-r11 manifests
+    lack the field and mean the original ``cells``), tolerating the
+    legacy interrupted-``_swap_dirs`` crash state where only
+    ``cells__old`` survives — served DIRECTLY, no disk mutation on a
+    read path (the bloom module's r10 ADVICE rule); the write path
+    (:func:`update_ann_index`) performs the durable repair."""
+    cur = mf.get("cells_dir", "cells")
+    full = os.path.join(path, cur)
+    if not os.path.exists(full) and os.path.exists(full + "__old"):
+        return full + "__old"
+    return full
+
+
+def _gc_cells_versions(path: str, keep_dir: str, retain_dir: str | None) -> None:
+    """Best-effort cleanup of superseded cells version dirs after a
+    pointer flip, with ONE-version retention: the dir the flip just
+    superseded stays until the NEXT compaction so in-flight reader
+    frames (lazy scans under the previous manifest) keep resolving.
+    Crash here only leaves garbage — the next compaction retries."""
+    import shutil
+
+    for name in os.listdir(path):
+        if name == keep_dir or (retain_dir is not None and name == retain_dir):
+            continue
+        if name.startswith("cells_v") or name in ("cells", "cells__compact", "cells__old"):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
@@ -125,7 +158,7 @@ def write_ann_index(
     _write_manifest(
         path,
         {"format": 1, "id_col": id_col, "n_cells": int(n_cells), "m": int(m),
-         "k": int(k), "last_batch_id": None},
+         "k": int(k), "cells_dir": "cells", "last_batch_id": None},
     )
     return load_ann_index(spark, path)
 
@@ -142,12 +175,14 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     books: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
     for r in book_rows:
         books[r["sub"]][r["code"]] = list(r["centroid"])
+    cells_path = _resolve_cells_dir(path, mf)
     return AnnIndex(
         path=path,
-        cells=spark.read.parquet(f"{path}/cells"),
+        cells=spark.read.parquet(cells_path),
         centroids=cents,
         codebooks=books,
         id_col=str(mf["id_col"]),
+        cells_path=cells_path,
     )
 
 
@@ -182,12 +217,17 @@ def update_ann_index(
     last = mf.get("last_batch_id")
     if batch_id is not None and last is not None and batch_id <= last:
         return load_ann_index(spark, path)
+    # single-writer path: repair a legacy interrupted-_swap_dirs crash
+    # (only cells__old on disk) before appending — readers never mutate
+    cur_dir = os.path.join(path, mf.get("cells_dir", "cells"))
+    if not os.path.exists(cur_dir) and os.path.exists(cur_dir + "__old"):
+        os.rename(cur_dir + "__old", cur_dir)
     idx = load_ann_index(spark, path)
     if encoded is None:
         encoded = _encode_with_vec(batch, idx.id_col, vec_col, idx.centroids, idx.codebooks)
     encoded.select(idx.id_col, "cell", "codes", "vec").write.mode(
         "append"
-    ).partitionBy("cell").parquet(f"{path}/cells")
+    ).partitionBy("cell").parquet(cur_dir)
     if batch_id is not None:
         _write_manifest(path, {**mf, "last_batch_id": int(batch_id)})
     return load_ann_index(spark, path)
@@ -201,29 +241,98 @@ def compact_ann_index(spark: SparkSession, path: str, target_file_mb: int = 256)
     one task, so the output is ~one file per cell (a bare
     ``repartition(n)`` would scatter every cell across all n tasks and
     emit up to n × n_cells files, re-creating the small-files problem
-    the compaction exists to fix). Publishes via sinks._swap_dirs'
-    rename-aside swap (local-FS; route through a transactional format
-    on an object store). Returns the actual data-file count after the
-    rewrite."""
+    the compaction exists to fix).
+
+    Publish protocol (r11 — the bloom module's versioned-dir +
+    manifest-pointer commit, replacing the r10 ``_swap_dirs`` rename
+    dance whose mid-swap crash left the index unreadable): the rewrite
+    lands in a FRESH ``cells_v{n+1}`` dir — never touching the current
+    dir, which the rewrite plan is still reading — and becomes current
+    only when the manifest pointer flips (atomic whole-file replace; no
+    rename-atomicity assumption, object-store-safe). Crash before the
+    flip: old index fully readable, the orphan dir is GC'd by the next
+    compaction. The superseded dir is retained ONE cycle for in-flight
+    readers. Returns the data-file count after the rewrite.
+    Single-writer contract, like updates."""
     import math
 
-    from lakehouse_spark_spark.sources.sinks import _swap_dirs
-
-    cells_path = f"{path}/cells"
+    with open(_manifest_path(path)) as fh:
+        mf = json.load(fh)
+    cur = mf.get("cells_dir", "cells")
+    cells_path = _resolve_cells_dir(path, mf)
     size = sum(
         os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(cells_path) for f in fs
     )
     n_tasks = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(cells_path).distinct()
-    tmp = cells_path + "__compact"
-    df.repartition(n_tasks, "cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    _swap_dirs(tmp, cells_path)
+    cur_v = int(cur.rsplit("_v", 1)[-1]) if "_v" in cur else 0
+    next_dir = f"cells_v{cur_v + 1}"
+    df.repartition(n_tasks, "cell").write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, next_dir)
+    )
+    _write_manifest(path, {**mf, "cells_dir": next_dir})
+    # retain the dir the rewrite actually read (== cur, except in the
+    # legacy crash state where the data lives at cells__old)
+    _gc_cells_versions(path, next_dir, retain_dir=os.path.basename(cells_path))
     return sum(
         1
-        for dp, _, fs in os.walk(cells_path)
+        for dp, _, fs in os.walk(os.path.join(path, next_dir))
         for f in fs
         if f.endswith(".parquet")
     )
+
+
+def _topk_against_cells(
+    index: AnnIndex,
+    probes: DataFrame,
+    q: DataFrame,
+    probed_cells: list[int],
+    k: int,
+    shortlist: int,
+) -> DataFrame:
+    """Shared search tail for the collected and distributed probe
+    fronts: ADC scan over the probed cell partitions (equi-join on the
+    cell id — parquet partition pruning restricts IO to the probed
+    cells, column pruning keeps the float vectors out of the ADC
+    stage), per-query shortlist, exact re-rank of the survivors against
+    vectors stored IN the index (a second partition-pruned, id-joined
+    read of the same cells). ``probes`` = (query_id, cell, lut);
+    ``q`` = (query_id, __qv array<double>) — both must already be
+    SOURCE-FREE frames (collected literals or checkpointed), or the
+    caller's corpus scan would splice back into the search plan.
+    Returns (query_id, neighbor_id, sq_dist, rank<=k)."""
+    from lakehouse_spark_spark.operators.similarity import adc_dist, sq_dist
+
+    spark = index.cells.sparkSession
+    id_col = index.id_col
+    m, kk = len(index.codebooks), len(index.codebooks[0])
+    coded = (
+        spark.read.parquet(index.cells_path)
+        .filter(F.col("cell").isin(probed_cells))
+        .select(F.col(id_col).alias("neighbor_id"), "cell", "codes")
+        .dropDuplicates(["neighbor_id", "cell"])  # replayed-append defense
+    )
+    cand = coded.join(probes, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select("query_id", "neighbor_id", adc_dist(m, kk).alias("adc_dist"))
+    w_sl = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    sl = scored.withColumn("__r", F.row_number().over(w_sl)).filter(F.col("__r") <= shortlist)
+
+    vecs = (
+        spark.read.parquet(index.cells_path)
+        .filter(F.col("cell").isin(probed_cells))
+        .select(F.col(id_col).alias("neighbor_id"), F.col("vec").alias("__cv"))
+        .dropDuplicates(["neighbor_id"])
+    )
+    exact = (
+        sl.select("query_id", "neighbor_id")
+        .join(q, "query_id")
+        .join(vecs, "neighbor_id")
+        .select("query_id", "neighbor_id", sq_dist().alias("sq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ann_index_topk(
@@ -237,22 +346,19 @@ def ann_index_topk(
     """IVF-PQ search consuming ONLY the persisted index — zero reads of
     the source corpus. Same algorithm (and, for an index built from the
     same model, the same output) as similarity.ivfpq_topk: per query,
-    per-probed-cell ADC lookup tables broadcast as slim rows; the
-    candidate scan is an equi-join on the cell id, so parquet partition
-    pruning restricts IO to the probed cells and column pruning keeps
-    the float vectors out of the ADC stage; shortlist survivors
-    re-attach their vectors FROM THE INDEX (a second partition-pruned,
-    id-joined read of the same probed cells) for the exact re-rank.
-    Returns (query_id, neighbor_id, sq_dist, rank<=k)."""
-    from lakehouse_spark_spark.operators.similarity import (
-        adc_dist,
-        ivfpq_probe_lut_rows,
-        sq_dist,
-    )
+    per-probed-cell ADC lookup tables broadcast as slim rows into the
+    shared :func:`_topk_against_cells` tail.
+
+    This is the COLLECTED-probe front: the query vectors come to the
+    driver (one LUT pass, then broadcast literals). Right for the small
+    interactive probe sets it is gated with; a batch-scale probe frame
+    (millions of queries) belongs on :func:`ann_index_topk_distributed`,
+    which computes the same LUTs executor-side and never collects a
+    vector. Returns (query_id, neighbor_id, sq_dist, rank<=k)."""
+    from lakehouse_spark_spark.operators.similarity import ivfpq_probe_lut_rows
 
     spark = index.cells.sparkSession
     id_col = index.id_col
-    m, kk = len(index.codebooks), len(index.codebooks[0])
     # the search supports whatever id dtype the index was built over —
     # the probe/query frames carry it through verbatim
     id_dt = dict(queries.dtypes)[id_col]
@@ -263,29 +369,6 @@ def ann_index_topk(
         probe_rows, f"query_id {id_dt}, cell INT, lut ARRAY<DOUBLE>"
     )
     probed_cells = sorted({c for _, c, _ in probe_rows})
-
-    # ADC stage: (id, codes) only — the vec column never leaves parquet
-    # here (column pruning); the isin filter prunes to probed partitions
-    coded = (
-        spark.read.parquet(f"{index.path}/cells")
-        .filter(F.col("cell").isin(probed_cells))
-        .select(F.col(id_col).alias("neighbor_id"), "cell", "codes")
-        .dropDuplicates(["neighbor_id", "cell"])  # replayed-append defense
-    )
-    cand = coded.join(F.broadcast(probes), "cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = cand.select("query_id", "neighbor_id", adc_dist(m, kk).alias("adc_dist"))
-    w_sl = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
-    sl = scored.withColumn("__r", F.row_number().over(w_sl)).filter(F.col("__r") <= shortlist)
-
-    # re-rank: vectors come from the INDEX's probed cells, not the corpus
-    vecs = (
-        spark.read.parquet(f"{index.path}/cells")
-        .filter(F.col("cell").isin(probed_cells))
-        .select(F.col(id_col).alias("neighbor_id"), F.col("vec").alias("__cv"))
-        .dropDuplicates(["neighbor_id"])
-    )
     # the query side is rebuilt from the ALREADY-COLLECTED probe rows —
     # referencing the caller's lazy frame here would splice its source
     # scan (often the corpus parquet) back into the search plan
@@ -293,14 +376,74 @@ def ann_index_topk(
         [(r["query_id"], [float(x) for x in r["__qv"]]) for r in qrows],
         f"query_id {id_dt}, __qv ARRAY<DOUBLE>",
     )
-    exact = (
-        sl.select("query_id", "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .join(vecs, "neighbor_id")
-        .select("query_id", "neighbor_id", sq_dist().alias("sq_dist"))
+    return _topk_against_cells(
+        index, F.broadcast(probes), F.broadcast(q), probed_cells, k, shortlist
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
-    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_index_topk_distributed(
+    index: AnnIndex,
+    queries: DataFrame,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Batch-scale IVF-PQ search against the persisted index with NO
+    driver collect of query vectors (r10 verdict task 1): the frozen
+    model (KB-sized centroids + codebooks) ships inside a mapInPandas
+    closure, and the per-query, per-probed-cell ADC lookup tables are
+    computed executor-side in Arrow batches — the same
+    ``ivfpq_probe_lut_rows`` math as the collected front, so for the
+    same index, queries, and geometry the output frame is EXACTLY equal
+    (tests/test_annindex.py pins it). The driver sees only the ≤n_cells
+    DISTINCT probed cell ids (for partition pruning), never a vector —
+    a million-probe batch-vs-index top-k runs without driver memory in
+    the plan.
+
+    Plan shape: the slim (query_id, __qv) frame is checkpointed ONCE
+    (feeds the LUT pass and the re-rank join without re-reading the
+    caller's source — corpus-freedom holds even when the queries came
+    from the indexed corpus itself); probes/q join WITHOUT a broadcast
+    hint (they scale with |queries| — Catalyst/AQE picks broadcast when
+    small, shuffle otherwise, and the cell-key join's low key
+    cardinality is AQE-skew-splittable). Returns
+    (query_id, neighbor_id, sq_dist, rank<=k)."""
+    id_col = index.id_col
+    id_dt = dict(queries.dtypes)[id_col]
+    cents, books = index.centroids, index.codebooks
+    probe_n = n_probe
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def lut_batches(batches):
+        from lakehouse_spark_spark.operators.similarity import ivfpq_probe_lut_rows
+
+        for pdf in batches:
+            rows = [
+                {"query_id": qid, "__qv": qv}
+                for qid, qv in zip(pdf["query_id"], pdf["__qv"])
+            ]
+            out = ivfpq_probe_lut_rows(rows, cents, books, probe_n)
+            yield pd.DataFrame(
+                {
+                    "query_id": [t[0] for t in out],
+                    "cell": [t[1] for t in out],
+                    "lut": [t[2] for t in out],
+                }
+            )
+
+    probes = q.mapInPandas(
+        lut_batches, schema=f"query_id {id_dt}, cell int, lut array<double>"
+    ).localCheckpoint(eager=True)  # one Arrow pass feeds the cell collect + the join
+    probed_cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    return _topk_against_cells(index, probes, q, probed_cells, k, shortlist)
 
 
 def _assign_cells(
@@ -370,7 +513,11 @@ def semantic_dedup_against_index(
     flag as a dup or identical zero vectors would accumulate without
     bound in an ingest loop) and -1.0 for zero-vs-nonzero (nothing in
     common). Without this the division's NULL coalesced to dup=False
-    forever (r10 second-review finding).
+    forever (r10 second-review finding). This INTENTIONALLY diverges
+    from the one-shot similarity.semantic_dedup, whose NULL cosine
+    keeps every zero vector: a batch operator sees the whole corpus at
+    once so keep-and-quarantine is safe there, while an unbounded
+    stream must self-limit — see the mirror note in its docstring.
 
     Returns one row per batch vector:
     (id, cell, max_corpus_cos, dup) — max_corpus_cos NULL when the
@@ -389,7 +536,7 @@ def semantic_dedup_against_index(
     )
     batch_cells = sorted(r["cell"] for r in enc.select("cell").distinct().collect())
     corpus_side = (
-        spark.read.parquet(f"{index.path}/cells")
+        spark.read.parquet(index.cells_path)
         .filter(F.col("cell").isin(batch_cells))
         .select(F.col(id_col).alias("__cid"), "cell", F.col("vec").alias("__cv"))
         .dropDuplicates(["__cid"])  # replayed-append defense

@@ -191,13 +191,18 @@ def _write_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(path))
 
 
-def _gc_filter_versions(path: str, keep_dir: str) -> None:
+def _gc_filter_versions(path: str, keep_dir: str, retain_dir: str | None = None) -> None:
     """Best-effort cleanup of superseded filter version dirs (and any
     legacy ``filter``/``filter__tmp``/``filter__old`` leftovers). Runs
     AFTER the manifest flip, so a crash here only leaves garbage — the
-    next update retries. Never touches ``keep_dir``."""
+    next update retries. Never touches ``keep_dir``, nor ``retain_dir``
+    — the version the flip just superseded, retained for ONE update
+    cycle so a reader frame obtained from the previous manifest (a lazy
+    scan over that dir) survives a concurrent commit; it is GC'd by the
+    NEXT update, whose manifest no reader this old can still hold
+    (r10 ADVICE: deleting it immediately broke in-flight readers)."""
     for name in os.listdir(path):
-        if name == keep_dir:
+        if name == keep_dir or (retain_dir is not None and name == retain_dir):
             continue
         if name.startswith("filter_v") or name in ("filter", "filter__tmp", "filter__old"):
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
@@ -226,8 +231,12 @@ def bloom_load(spark: SparkSession, path: str) -> BloomFilter:
     manifest-pointer layout; falls back to the legacy r8/r9 layout
     (``path/filter`` + ``path/meta`` parquet), including the
     interrupted-_swap_dirs crash state where only ``filter__old``
-    survives (completing the swap the crashed writer promised —
-    the r9 ADVICE recoverability gap)."""
+    survives — read DIRECTLY from the set-aside dir, without mutating
+    disk: a read path that renames can race a legacy writer between
+    _swap_dirs' two renames and re-create ``filter`` under it (r10
+    ADVICE). The durable repair (rename back + manifest adoption)
+    belongs to the single-writer update path
+    (:func:`update_dedup_index`)."""
     mf = _read_manifest(path)
     if mf is not None:
         return BloomFilter(
@@ -239,9 +248,7 @@ def bloom_load(spark: SparkSession, path: str) -> BloomFilter:
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     filt_dir = f"{path}/filter"
     if not os.path.exists(filt_dir) and os.path.exists(f"{path}/filter__old"):
-        # crash between _swap_dirs' two renames: data is intact at the
-        # set-aside dir — finish the interrupted publish, then load
-        os.rename(f"{path}/filter__old", filt_dir)
+        filt_dir = f"{path}/filter__old"
     return BloomFilter(
         spark.read.parquet(filt_dir), int(meta["m_bits"]), int(meta["k"])
     )
@@ -324,7 +331,12 @@ def update_dedup_index(
     mf = _read_manifest(path)
     if mf is None:
         # legacy r8/r9 layout: adopt it into the manifest layout first
-        # (pointer names the legacy `filter` dir; next publish is v1)
+        # (pointer names the legacy `filter` dir; next publish is v1).
+        # An interrupted-_swap_dirs crash state (only `filter__old` on
+        # disk) is repaired HERE — the single-writer path — never by
+        # readers (r10 ADVICE: a reader's rename races the writer).
+        if not os.path.exists(f"{path}/filter") and os.path.exists(f"{path}/filter__old"):
+            os.rename(f"{path}/filter__old", f"{path}/filter")
         legacy = bloom_load(spark, path)
         mf = {"format": 2, "filter_dir": "filter", "m_bits": legacy.m_bits,
               "k": legacy.k, "last_batch_id": None}
@@ -349,7 +361,9 @@ def update_dedup_index(
     next_dir = f"filter_v{cur_v + 1}"
     merged.write.mode("overwrite").parquet(os.path.join(path, next_dir))
     _write_manifest(path, {**mf, "filter_dir": next_dir})
-    _gc_filter_versions(path, next_dir)
+    # one-version retention: the dir this flip superseded stays on disk
+    # until the NEXT update so in-flight reader frames keep resolving
+    _gc_filter_versions(path, next_dir, retain_dir=mf["filter_dir"])
     new_rows.write.mode("append").parquet(f"{path}/hashes")
     if batch_id is not None:
         _write_manifest(path, {**mf, "filter_dir": next_dir, "last_batch_id": int(batch_id)})

@@ -408,6 +408,35 @@ def _nd_manifest_path(path: str) -> str:
     return os.path.join(path, "manifest.json")
 
 
+def _nd_resolve_dir(path: str, mf: dict, family: str) -> str:
+    """The manifest-pointed dir for ``family`` ("signatures"/"bands";
+    pre-r11 manifests lack the pointer fields and mean the original
+    unversioned dirs), tolerating the legacy interrupted-``_swap_dirs``
+    crash state where only ``<dir>__old`` survives — served DIRECTLY,
+    never renamed from a read path (the bloom module's r10 ADVICE
+    rule); :func:`update_neardup_index` performs the durable repair."""
+    cur = mf.get(f"{family}_dir", family)
+    full = os.path.join(path, cur)
+    if not os.path.exists(full) and os.path.exists(full + "__old"):
+        return full + "__old"
+    return full
+
+
+def _nd_gc_versions(path: str, family: str, keep_dir: str, retain_dir: str | None) -> None:
+    """Cleanup of superseded version dirs after a pointer flip, with
+    ONE-version retention (in-flight reader frames under the previous
+    manifest keep resolving; the NEXT compaction GCs them)."""
+    import shutil
+
+    for name in os.listdir(path):
+        if name == keep_dir or (retain_dir is not None and name == retain_dir):
+            continue
+        if name.startswith(f"{family}_v") or name in (
+            family, f"{family}__compact", f"{family}__old"
+        ):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
 def _nd_write_manifest(path: str, manifest: dict) -> None:
     """Atomic whole-file pointer write (os.replace — same
     manifest-commit shape as operators/bloom._write_manifest)."""
@@ -454,8 +483,8 @@ def load_neardup_index(spark: SparkSession, path: str) -> NeardupIndex:
     with open(_nd_manifest_path(path)) as fh:
         mf = json.load(fh)
     return NeardupIndex(
-        signatures=spark.read.parquet(f"{path}/signatures"),
-        bands=spark.read.parquet(f"{path}/bands"),
+        signatures=spark.read.parquet(_nd_resolve_dir(path, mf, "signatures")),
+        bands=spark.read.parquet(_nd_resolve_dir(path, mf, "bands")),
         n=int(mf["n"]),
         num_hashes=int(mf["num_hashes"]),
         n_bands=int(mf["bands"]),
@@ -504,13 +533,19 @@ def update_neardup_index(
         signatures = minhash_signatures(
             batch, id_col, text_col, n=int(mf["n"]), num_hashes=int(mf["num_hashes"])
         )
+    # single-writer path: repair legacy interrupted-_swap_dirs crash
+    # states (only <dir>__old on disk) before appending
+    for family in ("signatures", "bands"):
+        cur = os.path.join(path, mf.get(f"{family}_dir", family))
+        if not os.path.exists(cur) and os.path.exists(cur + "__old"):
+            os.rename(cur + "__old", cur)
     sigs = (
         signatures.select(F.col(id_col).alias("__id"), "signature")
         .localCheckpoint(eager=True)  # one shingle pass feeds both appends
     )
-    sigs.write.mode("append").parquet(f"{path}/signatures")
+    sigs.write.mode("append").parquet(_nd_resolve_dir(path, mf, "signatures"))
     band_rows(sigs, "__id", int(mf["bands"]), int(mf["num_hashes"])).write.mode("append").parquet(
-        f"{path}/bands"
+        _nd_resolve_dir(path, mf, "bands")
     )
     if batch_id is not None:
         _nd_write_manifest(path, {**mf, "last_batch_id": int(batch_id)})
@@ -519,14 +554,48 @@ def update_neardup_index(
 
 def compact_neardup_index(spark: SparkSession, path: str, target_file_mb: int = 256) -> tuple[int, int]:
     """Small-files + replay-duplicate maintenance for a streamed-into
-    index (the bloom module's compact recipe applied to both tables).
-    Returns the new (signature, band) file counts."""
-    from lakehouse_spark_spark.sources.sinks import compact_parquet
+    index. Publish protocol (r11 — the bloom module's versioned-dir +
+    manifest-pointer commit, replacing the r10 ``_swap_dirs`` rename
+    dance whose mid-swap crash left the index unreadable): each table
+    is rewritten distinct into a FRESH ``<family>_v{n+1}`` dir, and
+    BOTH become current in ONE atomic manifest flip — the
+    signature/band tables can never point at mixed generations. Crash
+    before the flip: old index fully readable, orphan dirs GC'd by the
+    next compaction. Superseded dirs are retained ONE cycle for
+    in-flight readers. Returns the new (signature, band) file counts.
+    Single-writer contract, like updates."""
+    import math
 
-    return (
-        compact_parquet(spark, f"{path}/signatures", target_file_mb, distinct=True),
-        compact_parquet(spark, f"{path}/bands", target_file_mb, distinct=True),
+    with open(_nd_manifest_path(path)) as fh:
+        mf = json.load(fh)
+    new_dirs: dict[str, str] = {}
+    counts: list[int] = []
+    for family in ("signatures", "bands"):
+        cur = mf.get(f"{family}_dir", family)
+        src = _nd_resolve_dir(path, mf, family)
+        size = sum(
+            os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(src) for f in fs
+        )
+        n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+        cur_v = int(cur.rsplit("_v", 1)[-1]) if "_v" in cur else 0
+        next_dir = f"{family}_v{cur_v + 1}"
+        spark.read.parquet(src).distinct().repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, next_dir))
+        new_dirs[family] = next_dir
+        counts.append(n_files)
+    _nd_write_manifest(
+        path,
+        {**mf, "signatures_dir": new_dirs["signatures"], "bands_dir": new_dirs["bands"]},
     )
+    for family in ("signatures", "bands"):
+        # retain the dir the rewrite actually read (== the pointed dir,
+        # except in the legacy crash state where data lives at __old)
+        _nd_gc_versions(
+            path, family, new_dirs[family],
+            retain_dir=os.path.basename(_nd_resolve_dir(path, mf, family)),
+        )
+    return (counts[0], counts[1])
 
 
 def neardup_candidates_against_index(

@@ -327,6 +327,17 @@ def semantic_dedup(
     exactly like IVF); the join is an equi-join on cell id, vectors
     re-attached by id, norms computed once. The quadratic term never
     sees the corpus, only a cell.
+
+    Zero-norm vectors (INTENTIONAL divergence from the streaming form,
+    annindex.semantic_dedup_against_index): here the 0/0 division
+    yields NULL cosine, which never reaches ``threshold`` — zero
+    vectors are always KEPT. This one-shot operator sees the whole
+    corpus at once, so "keep every degenerate row and let the caller
+    quarantine them" is safe and preserves the oracle-gated contract;
+    the STREAMING form must instead define zero-vs-zero as cosine 1.0
+    (dup) or identical zero vectors would accumulate without bound
+    across batches (and zero-vs-nonzero as -1.0). Same rationale, two
+    regimes — see the streaming docstring's mirror note.
     """
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_cells=n_cells, seed=seed, max_train_rows=max_train_rows)

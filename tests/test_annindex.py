@@ -309,3 +309,132 @@ def test_semantic_dedup_zero_norm_vectors(spark, emb, tmp_path):
     out2 = semantic_dedup_against_index(batch, idx2, "embedding", 0.98).collect()
     assert all(not r["dup"] for r in out2)
     assert all(r["max_corpus_cos"] in (None, -1.0) for r in out2)
+
+
+def test_compact_pointer_commit_crash_windows(spark, emb, tmp_path):
+    """r11: compaction publishes cells_v{n+1} under an atomic
+    manifest-pointer flip (the bloom commit protocol — the r10
+    _swap_dirs rename dance left a mid-swap crash unreadable).
+    Windows: (a) fully-written next version WITHOUT the flip — old
+    index readable, answers unchanged, orphan GC'd later; (b) after a
+    real compaction the superseded dir is RETAINED one cycle so
+    in-flight reader frames keep resolving, and the next compaction
+    GCs it; (c) the legacy crash state (only cells__old on disk) is
+    served by the loader WITHOUT disk mutation and repaired by the
+    single-writer update path."""
+    import json
+    import os
+    import shutil
+
+    from lakehouse_spark_spark.operators.annindex import compact_ann_index
+
+    corpus = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+    idx_path = str(tmp_path / "ann_ptr")
+    write_ann_index(corpus, "vec_id", "embedding", idx_path, n_cells=8)
+    idx = update_ann_index(idx_path, batch, "embedding", batch_id=1)
+    probes = emb.filter(F.col("vec_id") < 5)
+    want = _rows(ann_index_topk(idx, probes, "embedding", k=5, n_probe=3))
+
+    # (a) crash BEFORE the pointer flip: next version fully written,
+    # manifest still points at `cells` — reader sees the old index
+    idx.cells.distinct().write.partitionBy("cell").parquet(f"{idx_path}/cells_v1")
+    with open(os.path.join(idx_path, "manifest.json")) as fh:
+        assert json.load(fh)["cells_dir"] == "cells"
+    reloaded = load_ann_index(spark, idx_path)
+    assert reloaded.cells_path.endswith("/cells")
+    assert _rows(ann_index_topk(reloaded, probes, "embedding", k=5, n_probe=3)) == want
+
+    # (b) a real compaction flips the pointer ("cells" -> cells_v1,
+    # overwriting the orphan) and retains the superseded dir one cycle
+    old_reader = load_ann_index(spark, idx_path)  # pins the pre-flip pointer
+    compact_ann_index(spark, idx_path)
+    with open(os.path.join(idx_path, "manifest.json")) as fh:
+        assert json.load(fh)["cells_dir"] == "cells_v1"
+    assert os.path.isdir(f"{idx_path}/cells")  # retained for in-flight readers
+    assert old_reader.cells.count() > 0       # their lazy frames still resolve
+    idx_v1 = load_ann_index(spark, idx_path)
+    assert _rows(ann_index_topk(idx_v1, probes, "embedding", k=5, n_probe=3)) == want
+    compact_ann_index(spark, idx_path)
+    with open(os.path.join(idx_path, "manifest.json")) as fh:
+        assert json.load(fh)["cells_dir"] == "cells_v2"
+    assert os.path.isdir(f"{idx_path}/cells_v1")   # new previous, retained
+    assert not os.path.exists(f"{idx_path}/cells")  # two generations old: GC'd
+    assert _rows(
+        ann_index_topk(load_ann_index(spark, idx_path), probes, "embedding", k=5, n_probe=3)
+    ) == want
+
+    # (c) legacy interrupted-_swap_dirs state: only cells_v2__old exists.
+    # The loader serves it directly (read path mutates nothing); the
+    # update path repairs it durably.
+    os.rename(f"{idx_path}/cells_v2", f"{idx_path}/cells_v2__old")
+    rec = load_ann_index(spark, idx_path)
+    assert rec.cells_path.endswith("cells_v2__old")
+    assert not os.path.exists(f"{idx_path}/cells_v2")  # reader left disk alone
+    assert _rows(ann_index_topk(rec, probes, "embedding", k=5, n_probe=3)) == want
+    b2 = batch.select((F.col("vec_id") + 90000).alias("vec_id"), "embedding")
+    update_ann_index(idx_path, b2, "embedding", batch_id=2)
+    assert os.path.isdir(f"{idx_path}/cells_v2")       # writer repaired the swap
+    assert not os.path.exists(f"{idx_path}/cells_v2__old")
+    got = ann_index_topk(load_ann_index(spark, idx_path), probes, "embedding", k=5, n_probe=3)
+    assert got.count() == 5 * 5  # search over the repaired + appended index works
+
+
+def test_distributed_probe_equals_collected_front(spark, emb, tmp_path):
+    """r11: ann_index_topk_distributed computes the per-query ADC LUTs
+    executor-side (mapInPandas over the broadcast-with-the-closure
+    frozen model) — same math, so the output frame is EXACTLY equal to
+    the collected front's on the same index/queries/geometry, including
+    with a batch-scale probe set and with non-integer ids."""
+    from lakehouse_spark_spark.operators.annindex import ann_index_topk_distributed
+
+    idx = write_ann_index(emb, "vec_id", "embedding", str(tmp_path / "ann_d"), n_cells=8)
+    probes = emb.filter(F.col("vec_id") < 5)
+    want = _rows(ann_index_topk(idx, probes, "embedding", k=5, n_probe=3, shortlist=32))
+    got = _rows(ann_index_topk_distributed(idx, probes, "embedding", k=5, n_probe=3, shortlist=32))
+    assert got == want
+
+    # batch-scale probe set: every corpus vector plus scaled variants
+    big = emb.select("vec_id", "embedding").union(
+        emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+        )
+    )
+    want_big = _rows(ann_index_topk(idx, big, "embedding", k=3, n_probe=2, shortlist=16))
+    got_big = _rows(ann_index_topk_distributed(idx, big, "embedding", k=3, n_probe=2, shortlist=16))
+    assert got_big == want_big
+    assert len(got_big) == big.count() * 3
+
+    # string ids flow through the executor-side LUT pass untouched
+    s_emb = emb.select(F.concat(F.lit("d-"), F.col("vec_id")).alias("vec_id"), "embedding")
+    idx_s = write_ann_index(s_emb, "vec_id", "embedding", str(tmp_path / "ann_ds"), n_cells=8)
+    p_s = s_emb.filter(F.col("vec_id").isin("d-0", "d-1", "d-2"))
+    assert _rows(ann_index_topk_distributed(idx_s, p_s, "embedding", k=5, n_probe=3)) == _rows(
+        ann_index_topk(idx_s, p_s, "embedding", k=5, n_probe=3)
+    )
+
+
+def test_distributed_probe_is_corpus_free(spark, emb, tmp_path):
+    """The distributed front's plan consumes only the index + the
+    checkpointed query frame: the corpus parquet (which is ALSO the
+    query source here — the worst case for source-splicing) is deleted
+    before execution, and the executed plan never references it."""
+    import shutil
+
+    from lakehouse_spark_spark.operators.annindex import ann_index_topk_distributed
+
+    corpus_dir = str(tmp_path / "annd_corpus_parquet")
+    emb.write.parquet(corpus_dir)
+    src = spark.read.parquet(corpus_dir)
+    idx_path = str(tmp_path / "annd_idx")
+    idx = write_ann_index(src, "vec_id", "embedding", idx_path, n_cells=8)
+    out = ann_index_topk_distributed(
+        idx, src.filter("vec_id < 5"), "embedding", k=5, n_probe=3, shortlist=32
+    )
+    # the query frame is checkpointed inside the operator, so the
+    # corpus can vanish before the action
+    shutil.rmtree(corpus_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "annd_corpus_parquet" not in plan
+    assert out.count() == 5 * 5

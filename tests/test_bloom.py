@@ -356,7 +356,14 @@ class TestManifestCommit:
     + atomic manifest-pointer flip) and the batch-id high-watermark
     that makes replayed folds idempotent."""
 
-    def test_update_publishes_new_version_and_gcs_old(self, spark, corpus_batch, tmp_path):
+    def test_update_publishes_new_version_with_one_version_retention(
+        self, spark, corpus_batch, tmp_path
+    ):
+        """Each update publishes filter_v{n+1} and flips the pointer; the
+        superseded dir survives ONE more cycle so a reader frame loaded
+        under the previous manifest keeps resolving (r10 ADVICE:
+        immediate GC broke in-flight readers), then the next update GCs
+        it."""
         import json
         import os
 
@@ -366,13 +373,21 @@ class TestManifestCommit:
         with open(os.path.join(path, "manifest.json")) as fh:
             mf = json.load(fh)
         assert mf["filter_dir"] == "filter_v1" and mf["m_bits"] == 1 << 20
+        old_reader = idx.bloom.frame  # lazy scan over filter_v1
         r1 = dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx)
-        update_dedup_index(path, r1.filter("keep").select("content_hash"))
+        kept = r1.filter("keep").select("content_hash").localCheckpoint(eager=True)
+        update_dedup_index(path, kept)
         with open(os.path.join(path, "manifest.json")) as fh:
             mf2 = json.load(fh)
         assert mf2["filter_dir"] == "filter_v2"
         assert os.path.isdir(os.path.join(path, "filter_v2"))
-        assert not os.path.exists(os.path.join(path, "filter_v1"))  # GC'd
+        assert os.path.isdir(os.path.join(path, "filter_v1"))  # retained
+        assert old_reader.count() > 0  # in-flight reader frame still valid
+        update_dedup_index(path, kept.limit(0))
+        with open(os.path.join(path, "manifest.json")) as fh:
+            assert json.load(fh)["filter_dir"] == "filter_v3"
+        assert os.path.isdir(os.path.join(path, "filter_v2"))       # new previous
+        assert not os.path.exists(os.path.join(path, "filter_v1"))  # now GC'd
 
     def test_crash_before_pointer_flip_leaves_old_index_readable(
         self, spark, corpus_batch, tmp_path
@@ -405,7 +420,7 @@ class TestManifestCommit:
         import json
         with open(os.path.join(path, "manifest.json")) as fh:
             assert json.load(fh)["filter_dir"] == "filter_v2"
-        assert not os.path.exists(os.path.join(path, "filter_v1"))
+        assert os.path.isdir(os.path.join(path, "filter_v1"))  # retained one cycle
 
     def test_batch_id_watermark_makes_replayed_fold_a_noop(
         self, spark, corpus_batch, tmp_path
@@ -478,21 +493,33 @@ class TestManifestCommit:
             dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx)
         ) == exact
 
-        # interrupted-swap crash state: filter moved aside, never replaced
+        # interrupted-swap crash state: filter moved aside, never
+        # replaced. The READ path serves from the set-aside dir without
+        # mutating disk (r10 ADVICE: a loader rename races the writer)
         os.rename(f"{path}/filter", f"{path}/filter__old")
-        idx_rec = load_dedup_index(spark, path)  # completes the swap
-        assert os.path.isdir(f"{path}/filter")
+        idx_rec = load_dedup_index(spark, path)
+        assert not os.path.exists(f"{path}/filter")  # reader left disk alone
         assert _collect_sorted(
             dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx_rec)
         ) == exact
 
-        # first update adopts the manifest layout and publishes v1
+        # first update REPAIRS the interrupted swap (the single-writer
+        # path owns disk mutation), adopts the manifest layout, and
+        # publishes v1; the superseded legacy dir is retained one cycle
+        # for in-flight readers and GC'd by the SECOND update
         r1 = dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx_rec)
-        update_dedup_index(path, r1.filter("keep").select("content_hash"))
+        kept1 = r1.filter("keep").select("content_hash").localCheckpoint(eager=True)
+        update_dedup_index(path, kept1)
         import json
         with open(os.path.join(path, "manifest.json")) as fh:
             assert json.load(fh)["filter_dir"] == "filter_v1"
-        assert not os.path.exists(f"{path}/filter")  # legacy dir GC'd
+        assert os.path.isdir(f"{path}/filter")       # retained for readers
+        assert not os.path.exists(f"{path}/filter__old")
+        update_dedup_index(path, kept1.limit(0))
+        with open(os.path.join(path, "manifest.json")) as fh:
+            assert json.load(fh)["filter_dir"] == "filter_v2"
+        assert os.path.isdir(f"{path}/filter_v1")    # new previous, retained
+        assert not os.path.exists(f"{path}/filter")  # two-generations-old: GC'd
 
 
 def test_run2_builder_reuses_one_fixture_slot(spark):

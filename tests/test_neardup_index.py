@@ -334,3 +334,71 @@ def test_curated_ingest_crash_between_folds_loses_nothing(spark, docs, tmp_path)
     fn(future, 1)
     future_kept = spark.read.parquet(kept_out).filter("doc_id >= 9000").count()
     assert future_kept == 0  # both blocked (exact + near)
+
+
+def test_compact_pointer_commit_crash_windows(spark, docs, tmp_path):
+    """r11: compaction publishes signatures_v{n+1}/bands_v{n+1} under
+    ONE atomic manifest flip (the bloom commit protocol — the r10
+    _swap_dirs rename dance left a mid-swap crash unreadable, and the
+    two tables could never point at mixed generations anyway).
+    Windows: (a) fully-written next versions WITHOUT the flip — old
+    index readable, answers unchanged; (b) after a real compaction the
+    superseded dirs are RETAINED one cycle (in-flight readers), then
+    GC'd by the next; (c) the legacy crash state (only <dir>__old on
+    disk) is served by the loader WITHOUT disk mutation and repaired
+    by the single-writer update path."""
+    import json
+    import os
+
+    from lakehouse_spark_spark.operators.neardup import compact_neardup_index
+
+    corpus, batch = _corpus_batch(docs)
+    b1 = batch.filter("doc_id < 500")
+    b2 = batch.filter("doc_id >= 500")
+    idx_path = str(tmp_path / "nd_ptr")
+    write_neardup_index(corpus, "doc_id", "text", idx_path)
+    update_neardup_index(idx_path, b1, "doc_id", "text", batch_id=1)
+    idx = load_neardup_index(spark, idx_path)
+    want = _rows(neardup_candidates_against_index(b2, idx, "doc_id", "text"))
+
+    # (a) crash BEFORE the flip: next versions fully written, manifest
+    # still points at the unversioned dirs — reader sees the old index
+    idx.signatures.distinct().write.parquet(f"{idx_path}/signatures_v1")
+    idx.bands.distinct().write.parquet(f"{idx_path}/bands_v1")
+    reloaded = load_neardup_index(spark, idx_path)
+    assert _rows(neardup_candidates_against_index(b2, reloaded, "doc_id", "text")) == want
+
+    # (b) a real compaction flips BOTH pointers atomically and retains
+    # the superseded dirs one cycle
+    old_reader = load_neardup_index(spark, idx_path)
+    compact_neardup_index(spark, idx_path)
+    with open(os.path.join(idx_path, "manifest.json")) as fh:
+        mf = json.load(fh)
+    assert mf["signatures_dir"] == "signatures_v1" and mf["bands_dir"] == "bands_v1"
+    assert os.path.isdir(f"{idx_path}/signatures") and os.path.isdir(f"{idx_path}/bands")
+    assert old_reader.signatures.count() > 0 and old_reader.bands.count() > 0
+    idx_v1 = load_neardup_index(spark, idx_path)
+    assert _rows(neardup_candidates_against_index(b2, idx_v1, "doc_id", "text")) == want
+    compact_neardup_index(spark, idx_path)
+    with open(os.path.join(idx_path, "manifest.json")) as fh:
+        mf = json.load(fh)
+    assert mf["signatures_dir"] == "signatures_v2" and mf["bands_dir"] == "bands_v2"
+    assert os.path.isdir(f"{idx_path}/signatures_v1")   # new previous, retained
+    assert not os.path.exists(f"{idx_path}/signatures")  # two generations: GC'd
+    assert not os.path.exists(f"{idx_path}/bands")
+    assert _rows(
+        neardup_candidates_against_index(
+            b2, load_neardup_index(spark, idx_path), "doc_id", "text"
+        )
+    ) == want
+
+    # (c) legacy interrupted-_swap_dirs state on ONE family: only
+    # bands_v2__old exists. Loader serves it directly; update repairs.
+    os.rename(f"{idx_path}/bands_v2", f"{idx_path}/bands_v2__old")
+    rec = load_neardup_index(spark, idx_path)
+    assert not os.path.exists(f"{idx_path}/bands_v2")  # reader left disk alone
+    assert _rows(neardup_candidates_against_index(b2, rec, "doc_id", "text")) == want
+    update_neardup_index(idx_path, b2, "doc_id", "text", batch_id=2)
+    assert os.path.isdir(f"{idx_path}/bands_v2")       # writer repaired the swap
+    assert not os.path.exists(f"{idx_path}/bands_v2__old")
+    assert load_neardup_index(spark, idx_path).bands.count() > 0
