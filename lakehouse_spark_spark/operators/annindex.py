@@ -414,28 +414,35 @@ def ann_index_topk_distributed(
     cents, books = index.centroids, index.codebooks
     probe_n = n_probe
 
+    spark = index.cells.sparkSession
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
         )
+        # spread the Arrow LUT pass across the cluster — probe frames
+        # often arrive as one explode-of-a-small-scan partition
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
 
     def lut_batches(batches):
-        from lakehouse_spark_spark.operators.similarity import ivfpq_probe_lut_rows
+        import numpy as np
+
+        from lakehouse_spark_spark.operators.similarity import ivfpq_probe_luts_np
 
         for pdf in batches:
-            rows = [
-                {"query_id": qid, "__qv": qv}
-                for qid, qv in zip(pdf["query_id"], pdf["__qv"])
-            ]
-            out = ivfpq_probe_lut_rows(rows, cents, books, probe_n)
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": [], "cell": [], "lut": []})
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__qv"]])
+            cells, luts = ivfpq_probe_luts_np(X, cents, books, probe_n)
+            b, p = cells.shape
             yield pd.DataFrame(
                 {
-                    "query_id": [t[0] for t in out],
-                    "cell": [t[1] for t in out],
-                    "lut": [t[2] for t in out],
+                    "query_id": pdf["query_id"].to_numpy().repeat(p),
+                    "cell": cells.reshape(-1),
+                    "lut": list(luts.reshape(b * p, -1)),
                 }
             )
 

@@ -598,37 +598,67 @@ def pq_adc_topk_reranked(
 
 # --- IVF-PQ: coarse cells + residual product quantization -------------
 
+def ivfpq_probe_luts_np(
+    X,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int,
+):
+    """The vectorized probe kernel shared by BOTH search fronts: for a
+    query matrix ``X`` (b × d float64), the ``n_probe`` nearest coarse
+    cells per query and the per-(query, cell) ADC lookup table over the
+    query's RESIDUAL against that cell. Returns ``(cells b×p int,
+    luts b×p×(m·kk) float64)``. One numpy pass for the whole batch —
+    the per-row Python loop this replaces was fine for 10 collected
+    probes and 50× too slow for the 10k-probe distributed front; every
+    reduction keeps the same element order as the row-at-a-time form,
+    so the produced floats are bit-identical."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, kk, d_sub = len(books), books[0].shape[0], books[0].shape[1]
+    X = np.asarray(X, dtype=np.float64)
+    cd = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)          # b×n_cells
+    cells = np.argsort(cd, axis=1, kind="stable")[:, :n_probe]       # b×p
+    R = X[:, None, :] - C[cells]                                     # b×p×d
+    luts = np.empty((X.shape[0], cells.shape[1], m * kk), dtype=np.float64)
+    for j in range(m):
+        S = R[:, :, j * d_sub : (j + 1) * d_sub]
+        luts[:, :, j * kk : (j + 1) * kk] = (
+            (S[:, :, None, :] - books[j][None, None, :, :]) ** 2
+        ).sum(axis=3)
+    return cells, luts
+
+
 def ivfpq_probe_lut_rows(
     qrows: list,
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
     n_probe: int,
 ) -> list[tuple]:
-    """Driver-side probe construction shared by the in-plan search
-    (:func:`ivfpq_topk`) and the persisted-index search
-    (operators/annindex.ann_index_topk): for each collected query row
+    """Probe construction shared by the in-plan search
+    (:func:`ivfpq_topk`), the collected persisted-index search
+    (operators/annindex.ann_index_topk — driver-side over the collected
+    rows), and the distributed front (annindex.ann_index_topk_distributed
+    — executor-side per Arrow batch): for each query row
     ``(query_id, __qv)``, the ``n_probe`` nearest cells and a per-cell
-    ADC lookup table over the query's RESIDUAL against that cell.
-    Returns ``[(query_id, cell, lut)]`` with the query id passed
-    through untouched (callers own the id dtype)."""
+    ADC lookup table (:func:`ivfpq_probe_luts_np` — one shared kernel,
+    so the two fronts are exactly equal by construction). Returns
+    ``[(query_id, cell, lut)]`` with the query id passed through
+    untouched (callers own the id dtype)."""
     import numpy as np
 
-    C = np.asarray(centroids, dtype=np.float64)
-    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    m, kk, d_sub = len(books), books[0].shape[0], books[0].shape[1]
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r["__qv"], dtype=np.float64)
-        cd = ((C - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(cd, kind="stable")[:n_probe]:
-            resid = qv - C[cell]
-            lut = [
-                float(((resid[j * d_sub : (j + 1) * d_sub] - books[j][c]) ** 2).sum())
-                for j in range(m)
-                for c in range(kk)
-            ]
-            probe_rows.append((r["query_id"], int(cell), lut))
-    return probe_rows
+    if not qrows:
+        return []
+    qids = [r["query_id"] for r in qrows]
+    X = np.asarray([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
+    cells, luts = ivfpq_probe_luts_np(X, centroids, codebooks, n_probe)
+    return [
+        (qid, int(cells[i, p]), [float(v) for v in luts[i, p]])
+        for i, qid in enumerate(qids)
+        for p in range(cells.shape[1])
+    ]
 
 
 def adc_dist(m: int, kk: int, lut_col: str = "lut", codes_col: str = "codes") -> Column:

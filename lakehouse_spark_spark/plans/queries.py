@@ -1749,6 +1749,60 @@ def embedding_ivfpq_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ==========================================================================
+# Batch-scale distributed-probe search against the persisted IVF-PQ
+# index (round 11, r10 verdict task 1): embedding_ivfpq_persisted_topk
+# collects its 10 interactive probe vectors to the driver (fine,
+# contract-bounded); THIS query is the shape a 100 TB pipeline runs —
+# a ~10k-probe batch-vs-index top-k where the per-query ADC LUTs are
+# computed EXECUTOR-side (mapInPandas against the closure-shipped
+# frozen model) and the driver never sees a vector, only the ≤n_cells
+# distinct probed cell ids for partition pruning. The probe batch is
+# deterministic: every corpus vector replicated with per-copy scale
+# factors to ~10k rows. rows-only (k-means cells);
+# tests/test_annindex.py pins EXACT frame equality with the collected
+# front on the same index/geometry, including at batch scale.
+# ==========================================================================
+@register(
+    "embedding_ivfpq_distributed_topk",
+    oracle=None,  # k-means cells + codebooks: approximate by construction
+    doc="~10k-probe batch-vs-index IVF-PQ top-k: executor-side ADC LUTs, zero driver vector collects",
+)
+def embedding_ivfpq_distributed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from lakehouse_spark_spark.operators.annindex import (
+        ann_index_topk_distributed,
+        load_ann_index,
+        write_ann_index,
+    )
+
+    # same read-only cached index fixture as embedding_ivfpq_persisted_topk
+    path = _bloom_fixture_dir(f"annidx:{sf_dir}", fresh=False)
+    ready = os.path.join(path, "__fixture_ready")
+    if not os.path.exists(ready):
+        write_ann_index(
+            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", path,
+            n_cells=16, m=8, k=16,
+        )
+        open(ready, "w").close()
+    idx = load_ann_index(spark, path)
+    emb = _t(spark, sf_dir, "embeddings")
+    n_copies = max(1, 10_000 // emb.count())  # ~10k probes at any SF
+    probes = emb.select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(n_copies - 1))).alias("__j"),
+    ).select(
+        (F.col("vec_id") + F.col("__j") * F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * (F.lit(1.0) + F.col("__j") / F.lit(1000.0))
+        ).alias("embedding"),
+    )
+    return ann_index_topk_distributed(
+        idx, probes, "embedding", k=5, n_probe=4, shortlist=32
+    ).select("query_id", "neighbor_id", "sq_dist", F.col("rank").cast("long").alias("rank"))
+
+
+# ==========================================================================
 # Streaming-shape semantic dedup against the persisted ANN index
 # (round 10): the arrival-time SemDeDup — batch vectors (novels plus
 # planted scaled near-copies of corpus vectors, cosine ~1.0) flag
