@@ -120,3 +120,41 @@ def upsert_parquet(spark, path: str, updates: DataFrame, key_cols: list[str]) ->
     tmp = path.rstrip("/") + "__upsert"
     merged.write.mode("overwrite").parquet(tmp)
     _swap_dirs(tmp, path)
+
+
+def append_once_parquet(df: DataFrame, base_dir: str, batch_id: int) -> bool:
+    """Exactly-once micro-batch append for plain parquet (the
+    foreachBatch ledger sink): each batch's rows land in their own
+    ``batch_id={n}`` partition directory, committed by ONE atomic
+    rename from a dot-prefixed staging dir (hidden from Spark's file
+    index, so readers never see a half-written batch). If the partition
+    directory already exists, a prior attempt of this same epoch
+    committed it; the rows on disk were computed against the identical
+    pre-fold index state and are authoritative, so the replay skips the
+    write and returns False.
+
+    This closes BOTH replay windows a per-epoch ledger has:
+    - plain ``mode("append")`` duplicates rows when the crash lands
+      between the ledger append and the index fold (at-least-once);
+    - a naive per-batch ``mode("overwrite")`` of the partition dir
+      LOSES rows when the crash lands after the index fold — the
+      replayed batch re-dedups as all-dups and would overwrite the
+      committed ledger rows with an empty set.
+
+    Readers ``spark.read.parquet(base_dir)`` and see ``batch_id`` as an
+    inferred partition column — per-batch provenance for free. Scale:
+    O(batch) per call (no read-modify-write of the accumulated ledger,
+    unlike :func:`upsert_parquet`); small per-batch files are the
+    standing :func:`compact_parquet` maintenance job's input.
+    """
+    import os
+    import shutil
+
+    final = os.path.join(base_dir, f"batch_id={batch_id}")
+    if os.path.exists(final):
+        return False
+    staging = os.path.join(base_dir, f".staging__batch_{batch_id}")
+    shutil.rmtree(staging, ignore_errors=True)  # prior crashed attempt
+    df.write.mode("overwrite").parquet(staging)
+    os.rename(staging, final)
+    return True

@@ -20,20 +20,24 @@ groups all NULL hashes together and keeps one per union. Pipelines
 that care should drop/quarantine null-text docs upstream (the curation
 gates already do).
 
-Delivery: at-least-once on the kept output. The kept rows are
-materialized and appended BEFORE the index update, so a crash between
-the two replays the batch against the PRE-UPDATE index and re-appends
-the same kept rows (duplicates downstream-dedupable on the id) —
-updating the index first would instead silently drop the replayed
-batch's docs as index-dups (data loss). The INDEX side is
-effectively-once (r9 verdict task 3): foreachBatch's epoch id flows
-into ``update_dedup_index(batch_id=...)``, whose manifest keeps a
-``last_batch_id`` high-watermark — a replayed epoch's fold is a no-op,
-so replay can never duplicate hash rows or re-merge the filter. (And
-on a fully-replayed epoch the re-dedup finds every hash already in the
-index, so the output append is empty too — the duplicate window is
-only the crash BETWEEN output append and index fold.) Exactly-once on
-the output needs a transactional sink for the (output, index) pair.
+Delivery: exactly-once on the kept ledger AND effectively-once on the
+index. The kept rows are committed BEFORE the index update through
+``sources.sinks.append_once_parquet`` — each epoch's rows land in
+their own ``batch_id={n}`` partition dir published by one atomic
+rename, and a replayed epoch whose dir already exists skips the write
+(the rows on disk were computed against the identical pre-fold index
+state, so they are authoritative; see the sink's docstring for why
+neither plain append nor per-batch overwrite is safe here). Ordering
+still matters: output first, index second — updating the index first
+would make a replayed batch all-dups, and a first-attempt ledger that
+never committed could then never be reconstructed (data loss). The
+INDEX side is effectively-once (r9 verdict task 3): foreachBatch's
+epoch id flows into ``update_dedup_index(batch_id=...)``, whose
+manifest keeps a ``last_batch_id`` high-watermark — a replayed epoch's
+fold is a no-op, so replay can never duplicate hash rows or re-merge
+the filter. Together: every crash point replays to the same (ledger,
+index) pair, with no transactional sink required — the ledger commit
+is idempotent on batch_id, the fold is watermarked on batch_id.
 """
 
 from __future__ import annotations
@@ -47,6 +51,7 @@ from lakehouse_spark_spark.operators.bloom import (
     load_dedup_index,
     update_dedup_index,
 )
+from lakehouse_spark_spark.sources.sinks import append_once_parquet
 
 
 def bloom_ingest_foreach_batch(
@@ -60,8 +65,9 @@ def bloom_ingest_foreach_batch(
     Per micro-batch: load the current index (two slim parquet scans),
     dedup the batch against it, eagerly materialize the keeps (the
     index files are about to be swapped — the plan must not re-read
-    them afterwards), append keeps to ``kept_out``, then fold the kept
-    hashes into the index.
+    them afterwards), commit keeps to ``kept_out`` (exactly-once per
+    epoch via append_once_parquet), then fold the kept hashes into the
+    index.
     """
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -76,7 +82,7 @@ def bloom_ingest_foreach_batch(
         kept = (
             disp.filter("keep").select(id_col, "content_hash").localCheckpoint(eager=True)
         )
-        kept.write.mode("append").parquet(kept_out)
+        append_once_parquet(kept, kept_out, batch_id)
         update_dedup_index(index_path, kept.select("content_hash"), batch_id=batch_id)
 
     return fn
@@ -182,7 +188,7 @@ def curated_ingest_foreach_batch(
             )
             kept = kept.join(near, id_col, "left_anti").localCheckpoint(eager=True)
             nd_sigs = sigs.join(kept.select(id_col), id_col)
-        kept.select(id_col, "content_hash", "n_words").write.mode("append").parquet(kept_out)
+        append_once_parquet(kept.select(id_col, "content_hash", "n_words"), kept_out, batch_id)
         # fold ORDER: near-dup index strictly BEFORE the Bloom index.
         # The Bloom index is what decides keep/drop on a replay, so it
         # must commit LAST: a crash between the two folds leaves the
@@ -232,10 +238,10 @@ def ann_ingest_foreach_batch(
     3. fold the novel vectors into the index under the FROZEN model
        (update_ann_index, batch_id-watermarked).
 
-    Delivery matches the module contract: output before the index fold
-    (at-least-once ledger; a replayed epoch's fold is a watermark
-    no-op, and the probe's id-exclusion keeps a replayed batch from
-    flagging itself). Within-batch semantic dups keep (neither side is
+    Delivery matches the module contract: exactly-once ledger commit
+    (append_once_parquet, keyed on the epoch id) before the index fold;
+    a replayed epoch's fold is a watermark no-op, and the probe's
+    id-exclusion keeps a replayed batch from flagging itself. Within-batch semantic dups keep (neither side is
     indexed yet) — the periodic-compaction half, exactly like the
     near-dup loop. Model drift under a long stream is the documented
     FAISS-add() trade: periodic write_ann_index rebuilds re-train.
@@ -265,7 +271,7 @@ def ann_ingest_foreach_batch(
         )
         kept_ids = disp.filter("NOT dup").select(id_col, "max_corpus_cos")
         kept = enc.join(kept_ids, id_col).localCheckpoint(eager=True)
-        kept.select(id_col, "cell", "max_corpus_cos").write.mode("append").parquet(kept_out)
+        append_once_parquet(kept.select(id_col, "cell", "max_corpus_cos"), kept_out, batch_id)
         update_ann_index(
             index_path, kept, vec_col, batch_id=batch_id, encoded=kept
         )

@@ -246,11 +246,17 @@ def test_ann_ingest_foreach_batch_replay_idempotent(spark, emb, tmp_path):
     n_kept = spark.read.parquet(kept_out).count()
     assert n_kept == b1.count()  # all novel vs this corpus at 0.98
 
+    ledger0 = sorted(
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(kept_out).collect()
+    )
     fn(b1, 0)  # full epoch replay
     idx2 = load_ann_index(spark, idx_path)
     assert idx2.cells.count() == n_cells_rows  # watermark: no re-fold
-    # replay re-kept the batch (id-exclusion) — ledger is at-least-once
-    assert spark.read.parquet(kept_out).count() == 2 * n_kept
+    # exactly-once ledger (r11): the epoch's batch_id partition already
+    # committed, so the replay skips the write — row-SET equality
+    assert sorted(
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(kept_out).collect()
+    ) == ledger0
 
     # batch 2: semantic dups of batch-1 vectors (scaled copies) drop
     b2 = b1.select(

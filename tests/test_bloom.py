@@ -468,6 +468,49 @@ class TestManifestCommit:
         assert sorted((r["word"], r["bits"]) for r in idx2.bloom.frame.collect()) == filt
         assert spark.read.parquet(kept_out).count() == n_kept
 
+    def test_redrain_between_ledger_and_fold_is_exactly_once(
+        self, spark, corpus_batch, tmp_path
+    ):
+        """The remaining crash window (r11 exactly-once ledger): epoch 0
+        commits the ledger, crashes BEFORE the index fold, and the
+        stream redrains it. Under the old mode("append") ledger this
+        duplicated every kept row (the at-least-once caveat the module
+        docstring used to carry); append_once_parquet must instead see
+        epoch 0's committed batch_id partition, skip the write, and let
+        the fold complete — ending at the same (ledger, index) pair as
+        a crash-free run. The post-fold window (replay of a fully
+        committed epoch) is test_foreach_batch_replay_is_idempotent_
+        on_index."""
+        from lakehouse_spark_spark.sources.sinks import append_once_parquet
+        from lakehouse_spark_spark.streaming.ingest import bloom_ingest_foreach_batch
+
+        corpus, batch = corpus_batch
+        path = str(tmp_path / "rd_idx")
+        idx0 = write_dedup_index(corpus, "text", path)
+        kept_out = str(tmp_path / "rd_kept")
+        # construct the crash state by hand: ledger committed, no fold
+        kept0 = (
+            dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx0)
+            .filter("keep")
+            .select("doc_id", "content_hash")
+            .localCheckpoint(eager=True)
+        )
+        assert append_once_parquet(kept0, kept_out, 0) is True
+        ledger0 = sorted(
+            (r["doc_id"], r["content_hash"])
+            for r in spark.read.parquet(kept_out).collect()
+        )
+        assert ledger0  # non-vacuous: the batch had novel docs
+        # redrain epoch 0 through the real foreachBatch body
+        fn = bloom_ingest_foreach_batch(path, "doc_id", "text", kept_out)
+        fn(batch, 0)
+        assert sorted(
+            (r["doc_id"], r["content_hash"])
+            for r in spark.read.parquet(kept_out).collect()
+        ) == ledger0  # no duplicate rows: the replay skipped the write
+        on_disk = {r["content_hash"] for r in load_dedup_index(spark, path).hashes.collect()}
+        assert {h for _, h in ledger0} <= on_disk  # ...and the fold completed
+
     def test_legacy_layout_loads_and_upgrades(self, spark, corpus_batch, tmp_path):
         """A pre-r10 index (filter/ + meta/ parquet, no manifest) must
         load as-is, recover from an interrupted _swap_dirs (only

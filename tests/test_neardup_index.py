@@ -299,7 +299,9 @@ def test_curated_ingest_crash_between_folds_loses_nothing(spark, docs, tmp_path)
     kept0 = disp0.filter("keep").select("doc_id", "content_hash").localCheckpoint(eager=True)
     n_kept0 = kept0.count()
     assert n_kept0 == len(clean_ids)
-    kept0.withColumn("n_words", F.lit(0)).write.mode("append").parquet(kept_out)
+    # seed the crash-state ledger exactly as the loop's first attempt
+    # would have committed it: epoch 0's batch_id partition dir
+    kept0.withColumn("n_words", F.lit(0)).write.parquet(kept_out + "/batch_id=0")
     update_neardup_index(
         nd_path, batch.join(kept0.select("doc_id"), "doc_id"), "doc_id", "text", batch_id=0
     )
