@@ -485,6 +485,7 @@ def semantic_dedup_against_index(
     threshold: float = 0.95,
     *,
     encoded: DataFrame | None = None,
+    n_probe_cells: int = 1,
 ) -> DataFrame:
     """SemDeDup at arrival time: flag batch vectors whose cosine to ANY
     indexed corpus vector in the SAME coarse cell reaches ``threshold``
@@ -514,6 +515,18 @@ def semantic_dedup_against_index(
     the cheaper cell-only assignment (:func:`_assign_cells` — the PQ
     codes are fold-side state the probe never reads).
 
+    ``n_probe_cells`` (r11, multi-probe): with the default 1 each batch
+    vector probes only its HOME cell, so a near-dup pair straddling a
+    cell boundary (each side quantized to a different-but-adjacent
+    cell) is invisible — the documented single-cell miss. p > 1 probes
+    each vector's top-p nearest cells instead: p·|batch| slim
+    (id, cell) probe rows (still no driver vectors — the driver sees
+    only the distinct probed cell ids), the dup flag is the max cosine
+    over ALL probed cells, and the read cost grows to at most
+    p/n_cells of the cells table. The home cell (= fold cell) is
+    always probe rank 0, so p=1 output is byte-identical to the
+    pre-r11 operator.
+
     Zero-norm vectors (a failed/degenerate embedder) have no direction,
     so cosine is undefined; the similarity is DEFINED here as 1.0 for a
     zero-vs-zero pair (byte-identical payloads — the second copy must
@@ -541,14 +554,6 @@ def semantic_dedup_against_index(
         .withColumn("__n", l2_norm("vec"))
         .localCheckpoint(eager=True)  # feeds the cell collect + the join
     )
-    batch_cells = sorted(r["cell"] for r in enc.select("cell").distinct().collect())
-    corpus_side = (
-        spark.read.parquet(index.cells_path)
-        .filter(F.col("cell").isin(batch_cells))
-        .select(F.col(id_col).alias("__cid"), "cell", F.col("vec").alias("__cv"))
-        .dropDuplicates(["__cid"])  # replayed-append defense
-        .withColumn("__cn", l2_norm("__cv"))
-    )
     cos = (
         F.when(
             (F.col("__n") > 0) & (F.col("__cn") > 0),
@@ -557,16 +562,49 @@ def semantic_dedup_against_index(
         .when((F.col("__n") == 0) & (F.col("__cn") == 0), F.lit(1.0))
         .otherwise(F.lit(-1.0))
     )
+    if n_probe_cells <= 1:
+        probe = enc
+    else:
+        # top-p cell assignment: one more Arrow pass over the batch
+        # (the fold's home assignment can't be reused for ranks 1..p-1),
+        # exploded to p slim probe rows per vector. The probe JOIN key
+        # becomes the probed cell; the output keeps the home cell.
+        import numpy as np
+
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(index.centroids, dtype=np.float64)
+        p = min(n_probe_cells, len(index.centroids))
+
+        @pandas_udf("array<int>")
+        def top_cells(vs: pd.Series) -> pd.Series:
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1, kind="stable")[:, :p].astype("int32")
+            return pd.Series(list(order))
+
+        probe = enc.select(
+            id_col, "vec", "__n", F.explode(top_cells("vec")).alias("cell")
+        )
+    probe = probe.localCheckpoint(eager=True) if n_probe_cells > 1 else probe
+    batch_cells = sorted(r["cell"] for r in probe.select("cell").distinct().collect())
+    corpus_side = (
+        spark.read.parquet(index.cells_path)
+        .filter(F.col("cell").isin(batch_cells))
+        .select(F.col(id_col).alias("__cid"), "cell", F.col("vec").alias("__cv"))
+        .dropDuplicates(["__cid"])  # replayed-append defense
+        .withColumn("__cn", l2_norm("__cv"))
+    )
     scored = (
-        enc.join(corpus_side, "cell")
+        probe.join(corpus_side, "cell")
         .filter(F.col(id_col) != F.col("__cid"))
-        .select(id_col, "cell", cos.alias("__cos"))
-        .groupBy(id_col, "cell")
+        .select(id_col, cos.alias("__cos"))
+        .groupBy(id_col)
         .agg(F.max("__cos").alias("max_corpus_cos"))
     )
     return (
         enc.select(id_col, "cell")
-        .join(scored, [id_col, "cell"], "left")
+        .join(scored, [id_col], "left")
         .select(
             id_col,
             "cell",

@@ -223,6 +223,7 @@ def ann_ingest_foreach_batch(
     kept_out: str,
     *,
     threshold: float = 0.95,
+    n_probe_cells: int = 1,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming EMBEDDING ingest with semantic dedup against the
     persisted IVF-PQ index (operators/annindex) — the third leg of the
@@ -232,7 +233,10 @@ def ann_ingest_foreach_batch(
     1. flag batch vectors whose in-cell cosine to ANY accumulated
        corpus vector reaches ``threshold``
        (semantic_dedup_against_index — cell-pruned, no driver collect
-       of vectors, zero corpus-embedding reads);
+       of vectors, zero corpus-embedding reads; ``n_probe_cells`` > 1
+       multi-probes each vector's top-p cells to catch near-dups that
+       straddle a cell boundary, at ≤ p/n_cells of the cells-table
+       read);
     2. append the novel vectors' ledger rows (id, cell,
        max_corpus_cos) to ``kept_out``;
     3. fold the novel vectors into the index under the FROZEN model
@@ -267,7 +271,8 @@ def ann_ingest_foreach_batch(
             batch_df, id_col, vec_col, idx.centroids, idx.codebooks
         ).localCheckpoint(eager=True)
         disp = semantic_dedup_against_index(
-            batch_df, idx, vec_col, threshold=threshold, encoded=enc
+            batch_df, idx, vec_col, threshold=threshold, encoded=enc,
+            n_probe_cells=n_probe_cells,
         )
         kept_ids = disp.filter("NOT dup").select(id_col, "max_corpus_cos")
         kept = enc.join(kept_ids, id_col).localCheckpoint(eager=True)

@@ -444,3 +444,51 @@ def test_distributed_probe_is_corpus_free(spark, emb, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "annd_corpus_parquet" not in plan
     assert out.count() == 5 * 5
+
+
+def test_multi_probe_semdedup_catches_boundary_dups(spark, tmp_path):
+    """r11 multi-probe: a near-dup pair planted astride the midline of
+    two coarse cells — the corpus copy quantizes into one cell, the
+    batch copy into the other — is invisible at n_probe_cells=1 (the
+    documented single-cell miss) and caught at n_probe_cells=2, while
+    every non-boundary vector's row is identical under both settings
+    (p=1 stays the default behavior)."""
+    from lakehouse_spark_spark.operators.annindex import (
+        load_ann_index,
+        semantic_dedup_against_index,
+        write_ann_index,
+    )
+
+    dim = 8
+    def jit(i):
+        return (i % 7 - 3) / 50.0
+    cluster_a = [(i, [10.0 + jit(i), jit(i + 1)] + [jit(i + j) for j in range(2, dim)]) for i in range(40)]
+    cluster_b = [(100 + i, [jit(i + 3), 10.0 + jit(i)] + [jit(i + j) for j in range(2, dim)]) for i in range(40)]
+    # u: just B-side of the midline; its batch twin v sits just A-side.
+    # Planted at radius 10 along the inter-cluster diagonal with a ±0.2
+    # perpendicular offset: cosine(u,v) = (r²-δ²)/(r²+δ²) ≈ 0.9984,
+    # and the offset dominates the centroid drift u's own membership
+    # in the corpus induces (it pulls centroid B toward the midline).
+    c, delta = 10.0 / 2**0.5, 0.2
+    u = (500, [c - delta, c + delta] + [0.0] * (dim - 2))
+    v = (600, [c + delta, c - delta] + [0.0] * (dim - 2))
+    corpus = spark.createDataFrame(cluster_a + cluster_b + [u], "vec_id bigint, embedding array<double>")
+    idx = write_ann_index(corpus, "vec_id", "embedding", str(tmp_path / "mp_idx"), n_cells=2, m=8, k=16)
+    idx = load_ann_index(spark, str(tmp_path / "mp_idx"))
+    # fixture sanity: the pair really does straddle the cell boundary
+    u_cell = idx.cells.filter("vec_id = 500").first()["cell"]
+    batch = spark.createDataFrame(
+        [v] + cluster_a[:3], "vec_id bigint, embedding array<double>"
+    )
+    p1 = semantic_dedup_against_index(batch, idx, "embedding", threshold=0.99)
+    p2 = semantic_dedup_against_index(
+        batch, idx, "embedding", threshold=0.99, n_probe_cells=2
+    )
+    rows1 = {r["vec_id"]: r for r in p1.collect()}
+    rows2 = {r["vec_id"]: r for r in p2.collect()}
+    assert rows1[600]["cell"] != u_cell  # the straddle is real
+    assert rows1[600]["dup"] is False  # p=1: boundary dup invisible
+    assert rows2[600]["dup"] is True and rows2[600]["max_corpus_cos"] >= 0.99
+    assert rows2[600]["cell"] == rows1[600]["cell"]  # home cell unchanged
+    for i, _ in cluster_a[:3]:  # non-boundary vectors: p=2 == p=1
+        assert tuple(rows2[i]) == tuple(rows1[i])
