@@ -126,6 +126,63 @@ def _encode_with_vec(
     return coded.join(vecs, id_col).select(id_col, "cell", "codes", "vec")
 
 
+def _residual_stats(cell_vec: DataFrame, centroids: list[list[float]]) -> dict:
+    """Drift signal over a (cell, vec) frame: count, mean and exact-p99
+    L2 residual distance (vector to its assigned coarse centroid), and
+    cell-occupancy skew (max/mean cell count). Residuals are what the
+    PQ codebooks were trained on — when a stream's distribution shifts,
+    the residuals grow and ADC distances degrade long before anyone
+    notices recall loss, so this is the cheap observable that makes the
+    periodic-rebuild trigger a measurement instead of a guess. Cost:
+    one broadcast join against the KB-sized centroid table + two small
+    aggregates over the batch — O(batch), no corpus reads."""
+    from pyspark.sql.functions import broadcast
+
+    spark = cell_vec.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, __cent array<double>"
+    )
+    rd = cell_vec.join(broadcast(cent_df), "cell").select(
+        "cell",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("vec"), F.col("__cent"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("__rd"),
+    )
+    row = rd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__rd").alias("mean"),
+        F.expr("percentile(__rd, 0.99)").alias("p99"),
+    ).first()
+    occ = (
+        rd.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .agg((F.max("cn") / F.avg("cn")).alias("skew"))
+        .first()
+    )
+    if int(row["n"]) == 0:  # an all-dup fold: nothing to measure
+        return {"n": 0, "mean_resid": None, "p99_resid": None, "cell_skew": None}
+    return {
+        "n": int(row["n"]),
+        "mean_resid": float(row["mean"]),
+        "p99_resid": float(row["p99"]),
+        "cell_skew": float(occ["skew"]),
+    }
+
+
+# A fold whose mean residual reaches this multiple of the BUILD-time
+# baseline is flagged for rebuild (ann_index_health.rebuild_flag): the
+# frozen quantizer is no longer representative of what's being folded.
+ANN_REBUILD_RESID_RATIO = 1.5
+
+# The manifest keeps the most recent fold stats only — a long-lived
+# stream would otherwise grow the manifest without bound.
+_ANN_HEALTH_TRAIL_MAX = 64
+
+
 def write_ann_index(
     corpus: DataFrame,
     id_col: str,
@@ -155,10 +212,17 @@ def write_ann_index(
         [(j, c, books[j][c]) for j in range(len(books)) for c in range(len(books[j]))],
         "sub int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # drift baseline: residual stats of the corpus the model was trained
+    # to represent, from a column-pruned (cell, vec) read-back of the
+    # just-written cells table (no second encode pass)
+    baseline = _residual_stats(
+        spark.read.parquet(f"{path}/cells").select("cell", "vec"), cents
+    )
     _write_manifest(
         path,
         {"format": 1, "id_col": id_col, "n_cells": int(n_cells), "m": int(m),
-         "k": int(k), "cells_dir": "cells", "last_batch_id": None},
+         "k": int(k), "cells_dir": "cells", "last_batch_id": None,
+         "health": {"baseline": baseline, "trail": []}},
     )
     return load_ann_index(spark, path)
 
@@ -224,12 +288,26 @@ def update_ann_index(
         os.rename(cur_dir + "__old", cur_dir)
     idx = load_ann_index(spark, path)
     if encoded is None:
-        encoded = _encode_with_vec(batch, idx.id_col, vec_col, idx.centroids, idx.codebooks)
+        # eager pin: the frame feeds both the append and the drift
+        # stats below — unpinned, the Arrow encode pass would run twice
+        encoded = _encode_with_vec(
+            batch, idx.id_col, vec_col, idx.centroids, idx.codebooks
+        ).localCheckpoint(eager=True)
     encoded.select(idx.id_col, "cell", "codes", "vec").write.mode(
         "append"
     ).partitionBy("cell").parquet(cur_dir)
+    # drift observability (r11): per-fold residual/occupancy stats ride
+    # the SAME manifest write as the watermark — a crash before it
+    # loses neither or both, and a replayed epoch (no-op above) never
+    # double-records. Trail is capped; ann_index_health reads it.
+    stats = _residual_stats(encoded.select("cell", "vec"), idx.centroids)
+    health = dict(mf.get("health") or {})
+    trail = list(health.get("trail", []))[-(_ANN_HEALTH_TRAIL_MAX - 1):]
+    trail.append({**stats, "batch_id": None if batch_id is None else int(batch_id)})
+    mf2 = {**mf, "health": {**health, "trail": trail}}
     if batch_id is not None:
-        _write_manifest(path, {**mf, "last_batch_id": int(batch_id)})
+        mf2["last_batch_id"] = int(batch_id)
+    _write_manifest(path, mf2)
     return load_ann_index(spark, path)
 
 
@@ -279,6 +357,47 @@ def compact_ann_index(spark: SparkSession, path: str, target_file_mb: int = 256)
         for dp, _, fs in os.walk(os.path.join(path, next_dir))
         for f in fs
         if f.endswith(".parquet")
+    )
+
+
+def ann_index_health(
+    spark: SparkSession, path: str, rebuild_ratio: float = ANN_REBUILD_RESID_RATIO
+) -> DataFrame:
+    """The drift trend the frozen-model trade needs to stay honest: one
+    row per recorded measurement — the build-time baseline (seq -1)
+    followed by the per-fold trail — with each fold's mean residual
+    expressed as a ratio to the baseline and flagged for rebuild when
+    it reaches ``rebuild_ratio`` (default :data:`ANN_REBUILD_RESID_RATIO`).
+    A long stream whose distribution shifts shows a rising
+    ``resid_ratio`` here batches before recall visibly degrades; the
+    flagged response is a periodic :func:`write_ann_index` rebuild.
+    Pure manifest read — no index data scanned. Pre-r11 manifests (no
+    health record) return zero rows."""
+    with open(_manifest_path(path)) as fh:
+        mf = json.load(fh)
+    health = mf.get("health") or {}
+    base = health.get("baseline")
+    base_mean = base["mean_resid"] if base else None
+    rows = []
+    if base:
+        rows.append(
+            (-1, None, base["n"], base["mean_resid"], base["p99_resid"],
+             base["cell_skew"], 1.0 if base_mean else None, False)
+        )
+    for i, e in enumerate(health.get("trail", [])):
+        ratio = (
+            e["mean_resid"] / base_mean
+            if base_mean and e["mean_resid"] is not None
+            else None
+        )
+        rows.append(
+            (i, e.get("batch_id"), e["n"], e["mean_resid"], e["p99_resid"],
+             e["cell_skew"], ratio, bool(ratio is not None and ratio >= rebuild_ratio))
+        )
+    return spark.createDataFrame(
+        rows,
+        "seq int, batch_id bigint, n bigint, mean_resid double, "
+        "p99_resid double, cell_skew double, resid_ratio double, rebuild_flag boolean",
     )
 
 

@@ -1848,6 +1848,48 @@ def embedding_semdedup_persisted_ingest_q(spark: SparkSession, sf_dir: str) -> D
     )
 
 
+# ==========================================================================
+# ANN drift observability (round 11, r10 verdict task 5): the frozen-
+# quantizer trade needs a rebuild trigger that is a measurement, not a
+# guess. The fixture index folds one in-distribution batch and one
+# deliberately shifted batch (every component +0.5 — a drifted/broken
+# embedder); the query returns ann_index_health's trend rows — the
+# build baseline, the healthy fold (ratio ~1), and the drifted fold
+# whose mean-residual ratio trips the documented 1.5x rebuild flag.
+# rows-only: manifest diagnostics of a k-means model (not
+# SQL-expressible); tests/test_annindex.py pins the flag semantics.
+# ==========================================================================
+@register(
+    "ann_index_health_diag",
+    oracle=None,  # residual stats of a k-means model: approximate by construction
+    doc="drift trend of the persisted ANN index: per-fold residual/occupancy stats + rebuild flag",
+)
+def ann_index_health_diag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from lakehouse_spark_spark.operators.annindex import (
+        ann_index_health,
+        update_ann_index,
+        write_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _bloom_fixture_dir(f"annhealth:{sf_dir}", fresh=False)
+    ready = os.path.join(path, "__fixture_ready")
+    if not os.path.exists(ready):
+        write_ann_index(
+            emb.filter(F.col("vec_id") % 4 != 0), "vec_id", "embedding", path, n_cells=16
+        )
+        update_ann_index(path, emb.filter(F.col("vec_id") % 8 == 0), "embedding", batch_id=1)
+        shifted = emb.filter(F.col("vec_id") % 8 == 4).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.5)).alias("embedding"),
+        )
+        update_ann_index(path, shifted, "embedding", batch_id=2)
+        open(ready, "w").close()
+    return ann_index_health(spark, path)
+
+
 @register(
     "embedding_ann_lsh",
     oracle=None,  # approximate by construction

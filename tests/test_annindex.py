@@ -492,3 +492,35 @@ def test_multi_probe_semdedup_catches_boundary_dups(spark, tmp_path):
     assert rows2[600]["cell"] == rows1[600]["cell"]  # home cell unchanged
     for i, _ in cluster_a[:3]:  # non-boundary vectors: p=2 == p=1
         assert tuple(rows2[i]) == tuple(rows1[i])
+
+
+def test_ann_index_health_flags_distribution_drift(spark, emb, tmp_path):
+    """r11 drift observability: per-fold residual stats ride the
+    manifest; an in-distribution fold stays under the rebuild ratio, a
+    constant-offset (shifted-embedder) fold trips it, and a replayed
+    epoch records nothing."""
+    from lakehouse_spark_spark.operators.annindex import (
+        ANN_REBUILD_RESID_RATIO,
+        ann_index_health,
+    )
+
+    corpus = emb.filter("vec_id % 4 != 0")
+    path = str(tmp_path / "health_idx")
+    write_ann_index(corpus, "vec_id", "embedding", path, n_cells=8)
+    update_ann_index(path, emb.filter("vec_id % 8 = 0"), "embedding", batch_id=1)
+    shifted = emb.filter("vec_id % 8 = 4").select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.5)).alias("embedding"),
+    )
+    update_ann_index(path, shifted, "embedding", batch_id=2)
+    h = {r["seq"]: r for r in ann_index_health(spark, path).collect()}
+    assert set(h) == {-1, 0, 1}
+    assert h[-1]["resid_ratio"] == 1.0 and h[-1]["rebuild_flag"] is False
+    assert h[-1]["p99_resid"] >= h[-1]["mean_resid"] > 0
+    assert h[0]["batch_id"] == 1 and h[0]["rebuild_flag"] is False
+    assert h[0]["resid_ratio"] < ANN_REBUILD_RESID_RATIO  # in-distribution
+    assert h[1]["batch_id"] == 2 and h[1]["rebuild_flag"] is True
+    assert h[1]["resid_ratio"] >= ANN_REBUILD_RESID_RATIO  # drifted
+    # a replayed epoch is a watermark no-op: no duplicate trail entry
+    update_ann_index(path, shifted, "embedding", batch_id=2)
+    assert ann_index_health(spark, path).count() == 3
