@@ -605,6 +605,7 @@ def neardup_candidates_against_index(
     text_col: str,
     *,
     signatures: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against the accumulated
     corpus, consuming a persisted :class:`NeardupIndex` — the
@@ -628,7 +629,21 @@ def neardup_candidates_against_index(
     only (id, band, band_hash) slim rows, and signatures re-attach to
     the DEDUPED pairs only. The index side is two plain parquet scans;
     duplicate index rows (a partially-replayed append) are neutralized
-    by the pair-distinct and an id-dedup on the signature table."""
+    by the pair-distinct and an id-dedup on the signature table.
+
+    ``max_bucket`` (r11): boilerplate-heavy corpora (license headers,
+    navigation chrome) concentrate thousands of docs into single
+    (band, band_hash) buckets, and every probe hitting one pays
+    |bucket| candidate rows — the blow-up the one-shot family caps
+    with ``max_df``. With a cap, corpus buckets holding more than
+    ``max_bucket`` docs are skipped for matching (one extra groupBy
+    over the band table the join scans anyway — O(index); persisting
+    the counts at fold time is the same cap one optimization further).
+    Standard LSH trade: a true near-dup pair agreeing ONLY in hot
+    buckets goes unseen, but near-identical docs agree in many bands,
+    so non-boilerplate pairs keep their cold-bucket collisions —
+    tests plant a 300-doc boilerplate cluster and verify the organic
+    pair survives the cap."""
     if signatures is None:
         signatures = minhash_signatures(
             batch, id_col, text_col, n=index.n, num_hashes=index.num_hashes
@@ -641,6 +656,14 @@ def neardup_candidates_against_index(
         F.col("__id").alias("new_id"), "band", "band_hash"
     )
     c_bands = index.bands.select(F.col("__id").alias("corpus_id"), "band", "band_hash")
+    if max_bucket is not None:
+        hot = (
+            c_bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_bucket)
+            .select("band", "band_hash")
+        )
+        c_bands = c_bands.join(hot, ["band", "band_hash"], "left_anti")
     pairs = (
         b_bands.join(c_bands, ["band", "band_hash"])
         .filter(F.col("new_id") != F.col("corpus_id"))

@@ -99,6 +99,7 @@ def curated_ingest_foreach_batch(
     stopword_min: int = 1,
     neardup_index_path: str | None = None,
     neardup_threshold: float = 0.8,
+    neardup_max_bucket: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The composed streaming ingest a training-data pipeline actually
     runs: per micro-batch, Gopher word-rule QUALITY GATES (pure per-doc
@@ -180,7 +181,8 @@ def curated_ingest_foreach_batch(
             ).localCheckpoint(eager=True)
             near = (
                 neardup_candidates_against_index(
-                    kept, nd_idx, id_col, text_col, signatures=sigs
+                    kept, nd_idx, id_col, text_col, signatures=sigs,
+                    max_bucket=neardup_max_bucket,
                 )
                 .filter(F.col("est_jaccard") >= neardup_threshold)
                 .select(F.col("new_id").alias(id_col))

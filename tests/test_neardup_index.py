@@ -404,3 +404,52 @@ def test_compact_pointer_commit_crash_windows(spark, docs, tmp_path):
     assert os.path.isdir(f"{idx_path}/bands_v2")       # writer repaired the swap
     assert not os.path.exists(f"{idx_path}/bands_v2__old")
     assert load_neardup_index(spark, idx_path).bands.count() > 0
+
+
+def test_hot_bucket_cap_bounds_boilerplate_candidates(spark, docs, tmp_path):
+    """r11 hot-band cap: a 300-doc boilerplate cluster (near-identical
+    license-header text) concentrates the corpus into a handful of
+    (band, band_hash) buckets; an uncapped probe of one more copy pays
+    ~cluster-size candidate rows, the capped probe pays ~zero — while
+    an organic near-dup pair (cold buckets) survives the cap with its
+    est_jaccard unchanged."""
+    base = (
+        "permission is hereby granted free of charge to any person obtaining "
+        "a copy of this software and associated documentation files to deal "
+        "in the software without restriction including without limitation "
+        "the rights to use copy modify merge publish distribute sublicense"
+    )
+    boiler = [
+        (10_000 + i, base + f" variant token {i % 5}") for i in range(300)
+    ]
+    organic = docs.filter("doc_id % 3 = 1").limit(40).collect()
+    corpus_rows = boiler + [(int(r["doc_id"]), r["text"]) for r in organic]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    idx = write_neardup_index(corpus, "doc_id", "text", str(tmp_path / "hb_idx"))
+
+    # batch: one more boilerplate copy + a near-dup of an organic doc
+    org = organic[0]
+    near_text = " ".join(org["text"].split(" ")[:40])
+    batch = spark.createDataFrame(
+        [(50_000, base + " variant token 999"), (50_001, near_text)],
+        "doc_id bigint, text string",
+    )
+    uncapped = neardup_candidates_against_index(batch, idx, "doc_id", "text")
+    capped = neardup_candidates_against_index(
+        batch, idx, "doc_id", "text", max_bucket=50
+    )
+    n_unc = uncapped.filter("new_id = 50000").count()
+    n_cap = capped.filter("new_id = 50000").count()
+    assert n_unc >= 250  # the blow-up is real: ~cluster-size candidates
+    assert n_cap == 0  # every boilerplate bucket is over the cap
+    # the organic cold-bucket pair survives, est_jaccard unchanged
+    want = {
+        (r["corpus_id"], r["est_jaccard"])
+        for r in uncapped.filter("new_id = 50001").collect()
+    }
+    got = {
+        (r["corpus_id"], r["est_jaccard"])
+        for r in capped.filter("new_id = 50001").collect()
+    }
+    assert int(org["doc_id"]) in {c for c, _ in want}
+    assert got == want
