@@ -98,6 +98,10 @@ HEADLINE = [
     "neardup_persisted_ingest",
     "embedding_ivfpq_persisted_topk",
     "embedding_semdedup_persisted_ingest",
+    # round 11: the batch-scale distributed-probe search (~10k probes,
+    # executor-side ADC LUTs, zero driver vector collects) against the
+    # same cached persisted-index fixture
+    "embedding_ivfpq_distributed_topk",
 ]
 
 

@@ -810,8 +810,84 @@ _GATE_ROTATION_R10 = [
 ]
 
 
+# Round-11 rotation: gate debt is zero, so the window is birth-round
+# gating + code-changed re-gates + maximal staleness refresh. The
+# staleness re-gate drains the LAST 14 of the r6-gated pool (the oldest
+# driver hashes in the fleet) and starts on the r7-gated set
+# (alphabetical prefix of its 35 oracle-bearing queries; the 5
+# remaining + its 8 rows-only queries are r12's stalest). Rows-only
+# entries sit at the tail per the standing front-load invariant: the
+# two queries born this round (the batch-scale distributed IVF-PQ probe
+# and the ANN drift-health diag) plus re-gates of the rows-only queries
+# whose code r11 touched (the shared vectorized LUT kernel feeds
+# embedding_ivfpq_topk and the persisted search; semantic_dedup_
+# against_index's multi-probe restructure feeds the semdedup ingest;
+# the hot-bucket cap touched the near-dup probe). Invariant
+# (tests/test_gate_rotation.py): any query added to the registry after
+# this list was cut MUST be added here in the same commit.
+_GATE_ROTATION_R11 = [
+    # -- staleness re-gate: last gated r6 (the final 14 of the r6 pool,
+    #    all oracle-bearing) --
+    "partition_pruned_monthly_revenue",
+    "price_qty_histogram2d",
+    "price_variance_by_segment",
+    "product_type_profit",
+    "region_priority_grid",
+    "rolling_7d_customer_spend",
+    "scd2_user_event_type",
+    "session_window_stats",
+    "snapshot_time_travel_read",
+    "source_reputation",
+    "top_orders_per_customer_ties",
+    "training_corpus_disposition_cc",
+    "user_funnel_counts",
+    "zorder_pruned_read",
+    # -- staleness re-gate: last gated r7, oracle-bearing (alphabetical
+    #    prefix of the 35-query oracle-bearing r7 pool) --
+    "active_buyers_intersect",
+    "bm25_doc_search",
+    "customer_first_last_order",
+    "customer_order_histogram",
+    "daily_rollup_from_hourly",
+    "decontaminated_corpus",
+    "disjunctive_promo_revenue",
+    "doc_perplexity_buckets",
+    "documents_jsonl_roundtrip",
+    "duplicated_span_stats",
+    "embedding_topk_cosine",
+    "exact_dedup_documents",
+    "gopher_line_flags",
+    "large_volume_customers",
+    "min_cost_supplier",
+    "multimodal_resize",
+    "ngram_jaccard_capped",
+    "nullsafe_value_match",
+    "order_priority_check",
+    "promo_revenue_share",
+    "promotion_suppliers",
+    "returned_item_customers",
+    "shipmode_priority_counts",
+    "shipping_priority",
+    "silent_users_except",
+    "supplier_pagerank",
+    "supplier_part_counts",
+    "top_bigrams",
+    "top_event_types_approx",
+    "top_supplier_by_revenue",
+    # -- rows-only tail: born in r11 (justified in their registration
+    #    comments) + re-gates of rows-only queries whose code changed
+    #    in r11 --
+    "embedding_ivfpq_distributed_topk",
+    "ann_index_health_diag",
+    "embedding_ivfpq_persisted_topk",
+    "embedding_semdedup_persisted_ingest",
+    "embedding_ivfpq_topk",
+    "neardup_persisted_ingest",
+]
+
+
 def _ordered_names() -> list[str]:
-    rot = [n for n in _GATE_ROTATION_R10 if n in _REGISTRY]
+    rot = [n for n in _GATE_ROTATION_R11 if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(rot)]
     return rot + rest
 

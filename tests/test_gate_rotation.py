@@ -36,16 +36,16 @@ def test_no_query_escapes_driver_verification():
 
     first50 = list(Q.queries())[:50]
     assert len(first50) == 50
-    prior = _gate_keys("CORRECTNESS_r0[1-9].json")
-    assert prior, "expected committed CORRECTNESS_r01..r09 artifacts"
+    prior = _gate_keys("CORRECTNESS_r[0-9][0-9].json")  # 2-digit-safe: r01..r10+
+    assert prior, "expected committed CORRECTNESS_r01..r10 artifacts"
     leftover = set(Q._REGISTRY) - prior - set(first50)
     assert leftover == set(), (
         f"queries with no driver check and outside the gate prefix "
-        f"(extend _GATE_ROTATION_R10 in the same commit): {sorted(leftover)}"
+        f"(extend _GATE_ROTATION_R11 in the same commit): {sorted(leftover)}"
     )
 
 
-def test_r10_gate_front_loads_oracle_bearing_entries():
+def test_r11_gate_front_loads_oracle_bearing_entries():
     """Oracle-bearing gate entries precede rows-only ones, so the
     driver records full hash checks for all of them even if it ever
     truncates below 50."""
@@ -56,25 +56,22 @@ def test_r10_gate_front_loads_oracle_bearing_entries():
     assert oracle_flags == sorted(oracle_flags, reverse=True), first50
 
 
-def test_r10_gate_covers_this_rounds_code_changes():
-    """Everything new or whose code changed in round 10 gets a driver
-    hash: the steady-state persisted-Bloom ingest (born this round),
-    the two bloom queries riding the manifest/watermark layout rework,
-    and the curation_v5 accounting family (ship fixes in corpus.py)."""
+def test_r11_gate_covers_this_rounds_code_changes():
+    """Everything new or whose code changed in round 11 gets a driver
+    hash: the two queries born this round (distributed IVF-PQ probe,
+    ANN drift-health diag) and the rows-only queries riding the r11
+    reworks (vectorized LUT kernel, multi-probe semantic dedup
+    restructure, hot-bucket probe cap)."""
     from lakehouse_spark_spark.plans import queries as Q
 
     first50 = set(list(Q.queries())[:50])
     changed = {
-        "bloom_persisted_ingest_steady",
-        "bloom_persisted_ingest_run2",
-        "bloom_incremental_dedup",
-        "curation_v5_shipped_accounting",
-        "neardup_persisted_ingest",
+        "embedding_ivfpq_distributed_topk",
+        "ann_index_health_diag",
         "embedding_ivfpq_persisted_topk",
         "embedding_semdedup_persisted_ingest",
-        "embedding_pq_topk",
         "embedding_ivfpq_topk",
-        "minhash_lsh_candidates",
+        "neardup_persisted_ingest",
     }
     assert changed <= first50, sorted(changed - first50)
 
@@ -112,6 +109,7 @@ def test_rotation_lists_match_registry():
         Q._GATE_ROTATION_R8,
         Q._GATE_ROTATION_R9,
         Q._GATE_ROTATION_R10,
+        Q._GATE_ROTATION_R11,
     ):
         unknown = [n for n in rot if n not in Q._REGISTRY]
         assert unknown == [], f"rotation names not in registry: {unknown}"
@@ -119,42 +117,52 @@ def test_rotation_lists_match_registry():
     assert len(Q._GATE_ROTATION_R8) == 50
     assert len(Q._GATE_ROTATION_R9) == 50
     assert len(Q._GATE_ROTATION_R10) == 50
+    assert len(Q._GATE_ROTATION_R11) == 50
 
 
-def test_r10_gate_refreshes_the_stalest_coverage():
-    """The staleness contract: every non-(new/changed) slot in the r10
-    window re-gates a query whose most recent driver hash is r4 or r6
-    — the oldest in the fleet after r9 drained r3 and most of r4."""
+def test_r11_gate_refreshes_the_stalest_coverage():
+    """The staleness contract: every non-(new/changed) slot in the r11
+    window re-gates a query whose most recent driver hash is r6 or r7
+    — the oldest in the fleet after r10 drained r4 and started on r6.
+    Every such slot MUST already appear in the prior-gate history: a
+    never-gated name in a stale slot is a rotation bug (it belongs in
+    new_or_changed), and silently skipping it would hide exactly the
+    escape test_no_query_escapes_driver_verification exists to catch
+    (the r10 ADVICE finding — the old filter `n in last` passed
+    unknown names without a word)."""
     import glob
 
     from lakehouse_spark_spark.plans import queries as Q
 
-    # r0[1-9] only: the staleness claim is about the state the R10 list
-    # was cut FROM — including this round's own CORRECTNESS_r10.json
-    # (committed by the driver later) would flip every stale slot
+    # r01..r10 only: the staleness claim is about the state the R11
+    # list was cut FROM — including this round's own
+    # CORRECTNESS_r11.json (committed by the driver later) would flip
+    # every stale slot
     last: dict[str, int] = {}
-    for p in sorted(glob.glob(str(REPO / "CORRECTNESS_r0[1-9].json"))):
+    for p in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9][0-9].json"))):
         rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        if rnd >= 11:
+            continue
         for k in json.loads(pathlib.Path(p).read_text()):
             last[k] = max(last.get(k, 0), rnd)
     new_or_changed = {
-        "bloom_persisted_ingest_steady",
-        "bloom_persisted_ingest_run2",
-        "bloom_incremental_dedup",
-        "curation_v5_shipped_accounting",
-        "neardup_persisted_ingest",
+        # born in r11
+        "embedding_ivfpq_distributed_topk",
+        "ann_index_health_diag",
+        # rows-only re-gates: code touched by the r11 reworks
+        # (vectorized LUT kernel; multi-probe semantic dedup; hot-band
+        # probe cap)
         "embedding_ivfpq_persisted_topk",
         "embedding_semdedup_persisted_ingest",
-        # rows-only re-gates: code touched by the r10 shared-helper
-        # refactor (adc_dist/sq_dist/band_rows extraction)
-        "embedding_pq_topk",
         "embedding_ivfpq_topk",
-        "minhash_lsh_candidates",
+        "neardup_persisted_ingest",
     }
-    stale_slots = [
-        n for n in Q._GATE_ROTATION_R10
-        if n not in new_or_changed and n in last
-    ]
-    assert all(last.get(n, 99) in (4, 6) for n in stale_slots), [
-        (n, last.get(n)) for n in stale_slots if last.get(n, 99) not in (4, 6)
+    stale_slots = [n for n in Q._GATE_ROTATION_R11 if n not in new_or_changed]
+    never_gated = [n for n in stale_slots if n not in last]
+    assert never_gated == [], (
+        f"stale slots with no prior driver hash — move to new_or_changed "
+        f"or fix the rotation: {never_gated}"
+    )
+    assert all(last[n] in (6, 7) for n in stale_slots), [
+        (n, last[n]) for n in stale_slots if last[n] not in (6, 7)
     ]
