@@ -73,39 +73,27 @@ def _manifest_path(path: str) -> str:
 
 def _resolve_cells_dir(path: str, mf: dict) -> str:
     """The manifest-pointed cells dir (``cells_dir``; pre-r11 manifests
-    lack the field and mean the original ``cells``), tolerating the
-    legacy interrupted-``_swap_dirs`` crash state where only
-    ``cells__old`` survives — served DIRECTLY, no disk mutation on a
-    read path (the bloom module's r10 ADVICE rule); the write path
+    lack the field and mean the original ``cells``) — the shared
+    versioned-dir protocol (sources/sinks.resolve_versioned_dir),
+    including the read-path-purity ``__old`` fallback; the write path
     (:func:`update_ann_index`) performs the durable repair."""
-    cur = mf.get("cells_dir", "cells")
-    full = os.path.join(path, cur)
-    if not os.path.exists(full) and os.path.exists(full + "__old"):
-        return full + "__old"
-    return full
+    from lakehouse_spark_spark.sources.sinks import resolve_versioned_dir
+
+    return resolve_versioned_dir(path, mf, "cells")
 
 
 def _gc_cells_versions(path: str, keep_dir: str, retain_dir: str | None) -> None:
-    """Best-effort cleanup of superseded cells version dirs after a
-    pointer flip, with ONE-version retention: the dir the flip just
-    superseded stays until the NEXT compaction so in-flight reader
-    frames (lazy scans under the previous manifest) keep resolving.
-    Crash here only leaves garbage — the next compaction retries."""
-    import shutil
+    """One-version-retention GC after a pointer flip — the shared
+    protocol (sources/sinks.gc_versioned_dirs)."""
+    from lakehouse_spark_spark.sources.sinks import gc_versioned_dirs
 
-    for name in os.listdir(path):
-        if name == keep_dir or (retain_dir is not None and name == retain_dir):
-            continue
-        if name.startswith("cells_v") or name in ("cells", "cells__compact", "cells__old"):
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    gc_versioned_dirs(path, "cells", keep_dir, retain_dir)
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
-    tmp = _manifest_path(path) + ".tmp"
-    os.makedirs(path, exist_ok=True)
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(path))
+    from lakehouse_spark_spark.sources.sinks import write_manifest_atomic
+
+    write_manifest_atomic(path, manifest)
 
 
 def _encode_with_vec(
@@ -142,29 +130,37 @@ def _residual_stats(cell_vec: DataFrame, centroids: list[list[float]]) -> dict:
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, __cent array<double>"
     )
-    rd = cell_vec.join(broadcast(cent_df), "cell").select(
-        "cell",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(F.col("vec"), F.col("__cent"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("__rd"),
+    rd = (
+        cell_vec.join(broadcast(cent_df), "cell")
+        .select(
+            "cell",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("vec"), F.col("__cent"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("__rd"),
+        )
+        # pin the slim (cell, rd) rows: the heavy part — the vec-array
+        # scan + residual fold — runs ONCE; the two aggregates below
+        # (global percentile can't merge from per-cell stats, so they
+        # can't be one job) re-read 12-byte rows, not the vectors
+        .localCheckpoint(eager=True)
     )
     row = rd.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("__rd").alias("mean"),
         F.expr("percentile(__rd, 0.99)").alias("p99"),
     ).first()
+    if int(row["n"]) == 0:  # an all-dup fold: nothing to measure
+        return {"n": 0, "mean_resid": None, "p99_resid": None, "cell_skew": None}
     occ = (
         rd.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("cn"))
         .agg((F.max("cn") / F.avg("cn")).alias("skew"))
         .first()
     )
-    if int(row["n"]) == 0:  # an all-dup fold: nothing to measure
-        return {"n": 0, "mean_resid": None, "p99_resid": None, "cell_skew": None}
     return {
         "n": int(row["n"]),
         "mean_resid": float(row["mean"]),
@@ -372,24 +368,35 @@ def ann_index_health(
     ``resid_ratio`` here batches before recall visibly degrades; the
     flagged response is a periodic :func:`write_ann_index` rebuild.
     Pure manifest read — no index data scanned. Pre-r11 manifests (no
-    health record) return zero rows."""
+    health record) return zero rows; folds into a pre-r11 index record
+    trail rows whose ``resid_ratio`` stays NULL (there is no baseline
+    measurement to compare against — rebuild once to get one)."""
     with open(_manifest_path(path)) as fh:
         mf = json.load(fh)
     health = mf.get("health") or {}
     base = health.get("baseline")
     base_mean = base["mean_resid"] if base else None
+
+    def _ratio(mean_resid):
+        # None-vs-0.0 matters: a baseline of exactly 0.0 (corpus with
+        # <= n_cells distinct vectors — centroids coincide with the
+        # points) is a REAL measurement, and any nonzero drift against
+        # it is infinite, not unknowable; a falsy-zero guard would
+        # silently disable the rebuild trigger forever (r11 review)
+        if base_mean is None or mean_resid is None:
+            return None
+        if base_mean == 0.0:
+            return 1.0 if mean_resid == 0.0 else float("inf")
+        return mean_resid / base_mean
+
     rows = []
     if base:
         rows.append(
             (-1, None, base["n"], base["mean_resid"], base["p99_resid"],
-             base["cell_skew"], 1.0 if base_mean else None, False)
+             base["cell_skew"], None if base_mean is None else 1.0, False)
         )
     for i, e in enumerate(health.get("trail", [])):
-        ratio = (
-            e["mean_resid"] / base_mean
-            if base_mean and e["mean_resid"] is not None
-            else None
-        )
+        ratio = _ratio(e["mean_resid"])
         rows.append(
             (i, e.get("batch_id"), e["n"], e["mean_resid"], e["p99_resid"],
              e["cell_skew"], ratio, bool(ratio is not None and ratio >= rebuild_ratio))

@@ -177,35 +177,25 @@ def _read_manifest(path: str) -> dict | None:
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
-    """Atomic pointer flip: write aside, then ``os.replace`` — a single
-    whole-file publish, the manifest-pointer commit shape (what
-    Iceberg/Delta do with their metadata pointer). On a local/POSIX FS
-    the replace is atomic; on an object store a whole-object PUT is —
-    either way there is no partially-visible state, unlike a
-    directory-rename dance. A reader always sees the previous manifest
-    or the new one, never a torn file."""
-    tmp = _manifest_path(path) + ".tmp"
-    os.makedirs(path, exist_ok=True)
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(path))
+    """Atomic pointer flip — the shared manifest-commit shape
+    (sources/sinks.write_manifest_atomic: whole-file os.replace, the
+    Iceberg/Delta metadata-pointer pattern; no partially-visible
+    state)."""
+    from lakehouse_spark_spark.sources.sinks import write_manifest_atomic
+
+    write_manifest_atomic(path, manifest)
 
 
 def _gc_filter_versions(path: str, keep_dir: str, retain_dir: str | None = None) -> None:
-    """Best-effort cleanup of superseded filter version dirs (and any
-    legacy ``filter``/``filter__tmp``/``filter__old`` leftovers). Runs
-    AFTER the manifest flip, so a crash here only leaves garbage — the
-    next update retries. Never touches ``keep_dir``, nor ``retain_dir``
-    — the version the flip just superseded, retained for ONE update
-    cycle so a reader frame obtained from the previous manifest (a lazy
-    scan over that dir) survives a concurrent commit; it is GC'd by the
-    NEXT update, whose manifest no reader this old can still hold
-    (r10 ADVICE: deleting it immediately broke in-flight readers)."""
-    for name in os.listdir(path):
-        if name == keep_dir or (retain_dir is not None and name == retain_dir):
-            continue
-        if name.startswith("filter_v") or name in ("filter", "filter__tmp", "filter__old"):
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    """One-version-retention GC of superseded filter version dirs (and
+    the legacy ``filter``/``filter__tmp``/``filter__old`` leftovers)
+    after a manifest flip — the shared protocol
+    (sources/sinks.gc_versioned_dirs): ``retain_dir`` — the version the
+    flip just superseded — survives one update cycle so in-flight
+    reader frames under the previous manifest keep resolving."""
+    from lakehouse_spark_spark.sources.sinks import gc_versioned_dirs
+
+    gc_versioned_dirs(path, "filter", keep_dir, retain_dir, extra_legacy=("filter__tmp",))
 
 
 def bloom_write(bloom: DataFrame, path: str, m_bits: int, k: int) -> None:

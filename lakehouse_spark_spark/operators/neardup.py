@@ -411,40 +411,29 @@ def _nd_manifest_path(path: str) -> str:
 def _nd_resolve_dir(path: str, mf: dict, family: str) -> str:
     """The manifest-pointed dir for ``family`` ("signatures"/"bands";
     pre-r11 manifests lack the pointer fields and mean the original
-    unversioned dirs), tolerating the legacy interrupted-``_swap_dirs``
-    crash state where only ``<dir>__old`` survives — served DIRECTLY,
-    never renamed from a read path (the bloom module's r10 ADVICE
-    rule); :func:`update_neardup_index` performs the durable repair."""
-    cur = mf.get(f"{family}_dir", family)
-    full = os.path.join(path, cur)
-    if not os.path.exists(full) and os.path.exists(full + "__old"):
-        return full + "__old"
-    return full
+    unversioned dirs) — the shared versioned-dir protocol
+    (sources/sinks.resolve_versioned_dir), including the
+    read-path-purity ``__old`` fallback; :func:`update_neardup_index`
+    performs the durable repair."""
+    from lakehouse_spark_spark.sources.sinks import resolve_versioned_dir
+
+    return resolve_versioned_dir(path, mf, family)
 
 
 def _nd_gc_versions(path: str, family: str, keep_dir: str, retain_dir: str | None) -> None:
-    """Cleanup of superseded version dirs after a pointer flip, with
-    ONE-version retention (in-flight reader frames under the previous
-    manifest keep resolving; the NEXT compaction GCs them)."""
-    import shutil
+    """One-version-retention GC after a pointer flip — the shared
+    protocol (sources/sinks.gc_versioned_dirs)."""
+    from lakehouse_spark_spark.sources.sinks import gc_versioned_dirs
 
-    for name in os.listdir(path):
-        if name == keep_dir or (retain_dir is not None and name == retain_dir):
-            continue
-        if name.startswith(f"{family}_v") or name in (
-            family, f"{family}__compact", f"{family}__old"
-        ):
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    gc_versioned_dirs(path, family, keep_dir, retain_dir)
 
 
 def _nd_write_manifest(path: str, manifest: dict) -> None:
-    """Atomic whole-file pointer write (os.replace — same
-    manifest-commit shape as operators/bloom._write_manifest)."""
-    tmp = _nd_manifest_path(path) + ".tmp"
-    os.makedirs(path, exist_ok=True)
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, _nd_manifest_path(path))
+    """Atomic whole-file pointer write — the shared manifest-commit
+    shape (sources/sinks.write_manifest_atomic)."""
+    from lakehouse_spark_spark.sources.sinks import write_manifest_atomic
+
+    write_manifest_atomic(path, manifest)
 
 
 def write_neardup_index(
@@ -659,7 +648,12 @@ def neardup_candidates_against_index(
     if max_bucket is not None:
         hot = (
             c_bands.groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__df"))
+            # DISTINCT docs, not raw rows: a partially-replayed append
+            # duplicates band rows (the module's tolerated crash state),
+            # and a raw count would inflate __df past the cap and
+            # falsely disqualify buckets the replay invariant promises
+            # are unaffected (r11 review finding)
+            .agg(F.count_distinct("corpus_id").alias("__df"))
             .filter(F.col("__df") > max_bucket)
             .select("band", "band_hash")
         )

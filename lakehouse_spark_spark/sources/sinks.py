@@ -122,6 +122,76 @@ def upsert_parquet(spark, path: str, updates: DataFrame, key_cols: list[str]) ->
     _swap_dirs(tmp, path)
 
 
+# --- versioned-dir + manifest-pointer commit protocol ------------------
+# Shared by the three persisted-index families (operators/bloom,
+# operators/neardup, operators/annindex): data versions land in fresh
+# `<family>_v{n}` dirs, a tiny JSON manifest names the current one, and
+# commits are a whole-file manifest replace — atomic on POSIX and on
+# object stores (single-object PUT), no directory-rename-atomicity
+# assumption anywhere. One implementation so the protocol can't drift
+# per family (r11 review: three copies had already grown three
+# legacy-name tuples).
+
+
+def write_manifest_atomic(path: str, manifest: dict, filename: str = "manifest.json") -> None:
+    """Atomic pointer flip: write aside, then ``os.replace`` — a single
+    whole-file publish, the manifest-pointer commit shape (what
+    Iceberg/Delta do with their metadata pointer). A reader always sees
+    the previous manifest or the new one, never a torn file."""
+    import json
+    import os
+
+    tmp = os.path.join(path, filename + ".tmp")
+    os.makedirs(path, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, filename))
+
+
+def resolve_versioned_dir(path: str, mf: dict, family: str) -> str:
+    """The manifest-pointed current dir for a versioned table family
+    (key ``<family>_dir``; absent means the original unversioned
+    ``<family>`` dir — a pre-versioning manifest), tolerating the
+    legacy interrupted-``_swap_dirs`` crash state where only
+    ``<dir>__old`` survives: served DIRECTLY, never renamed from a
+    read path — a reader that mutates can race a legacy writer between
+    the two renames (r10 ADVICE). The durable repair belongs to the
+    family's single-writer update path."""
+    import os
+
+    cur = mf.get(f"{family}_dir", family)
+    full = os.path.join(path, cur)
+    if not os.path.exists(full) and os.path.exists(full + "__old"):
+        return full + "__old"
+    return full
+
+
+def gc_versioned_dirs(
+    path: str,
+    family: str,
+    keep_dir: str,
+    retain_dir: str | None,
+    extra_legacy: tuple[str, ...] = (),
+) -> None:
+    """Best-effort cleanup of superseded ``<family>_v*`` dirs (and the
+    family's legacy unversioned/``__old``/``__compact`` leftovers)
+    after a manifest flip, with ONE-version retention: ``retain_dir`` —
+    the version the flip just superseded — stays until the NEXT flip so
+    in-flight reader frames (lazy scans under the previous manifest)
+    keep resolving (r10 ADVICE: immediate deletion broke them). Runs
+    after the flip, so a crash here only leaves garbage for the next
+    flip to retry."""
+    import os
+    import shutil
+
+    legacy = {family, f"{family}__compact", f"{family}__old", *extra_legacy}
+    for name in os.listdir(path):
+        if name == keep_dir or (retain_dir is not None and name == retain_dir):
+            continue
+        if name.startswith(f"{family}_v") or name in legacy:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
 def append_once_parquet(df: DataFrame, base_dir: str, batch_id: int) -> bool:
     """Exactly-once micro-batch append for plain parquet (the
     foreachBatch ledger sink): each batch's rows land in their own
@@ -142,7 +212,10 @@ def append_once_parquet(df: DataFrame, base_dir: str, batch_id: int) -> bool:
       committed ledger rows with an empty set.
 
     Readers ``spark.read.parquet(base_dir)`` and see ``batch_id`` as an
-    inferred partition column — per-batch provenance for free. Scale:
+    inferred partition column — per-batch provenance for free. A
+    pre-existing FLAT ledger (plain ``mode("append")`` part files at
+    the root) is adopted on first contact as the ``batch_id=-1``
+    partition, so upgraded streams keep their history readable. Scale:
     O(batch) per call (no read-modify-write of the accumulated ledger,
     unlike :func:`upsert_parquet`); small per-batch files are the
     standing :func:`compact_parquet` maintenance job's input.
@@ -150,6 +223,21 @@ def append_once_parquet(df: DataFrame, base_dir: str, batch_id: int) -> bool:
     import os
     import shutil
 
+    # legacy upgrade: a pre-exactly-once ledger wrote flat part files at
+    # the root (mode("append")); mixed-depth parquet leaves would make
+    # partition discovery throw for the WHOLE ledger once the first
+    # batch_id= dir lands. Adopt them as batch_id=-1 (epoch unknown) —
+    # per-file renames, idempotent if interrupted mid-migration.
+    if os.path.isdir(base_dir):
+        legacy = [f for f in os.listdir(base_dir) if f.startswith("part-")]
+        if legacy:
+            legdir = os.path.join(base_dir, "batch_id=-1")
+            os.makedirs(legdir, exist_ok=True)
+            for f in legacy:
+                os.replace(os.path.join(base_dir, f), os.path.join(legdir, f))
+                crc = os.path.join(base_dir, f".{f}.crc")
+                if os.path.exists(crc):  # keep local-fs checksums paired
+                    os.replace(crc, os.path.join(legdir, f".{f}.crc"))
     final = os.path.join(base_dir, f"batch_id={batch_id}")
     if os.path.exists(final):
         return False

@@ -524,3 +524,27 @@ def test_ann_index_health_flags_distribution_drift(spark, emb, tmp_path):
     # a replayed epoch is a watermark no-op: no duplicate trail entry
     update_ann_index(path, shifted, "embedding", batch_id=2)
     assert ann_index_health(spark, path).count() == 3
+
+
+def test_ann_index_health_zero_baseline_still_flags(spark, tmp_path):
+    """A degenerate-but-legal baseline of exactly 0.0 (corpus with <=
+    n_cells distinct vectors: centroids coincide with the points) must
+    not disable the rebuild trigger — any nonzero drift against it is
+    infinite (r11 review: a falsy-zero guard returned None forever)."""
+    from lakehouse_spark_spark.operators.annindex import ann_index_health
+
+    dim = 8
+    pts = [[float(i)] * dim for i in range(4)]
+    corpus = spark.createDataFrame(
+        [(i, pts[i]) for i in range(4)], "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / "zb_idx")
+    write_ann_index(corpus, "vec_id", "embedding", path, n_cells=4, m=8, k=2)
+    drifted = spark.createDataFrame(
+        [(10, [100.0] * dim)], "vec_id bigint, embedding array<double>"
+    )
+    update_ann_index(path, drifted, "embedding", batch_id=1)
+    h = {r["seq"]: r for r in ann_index_health(spark, path).collect()}
+    assert h[-1]["mean_resid"] == 0.0 and h[-1]["resid_ratio"] == 1.0
+    assert h[0]["resid_ratio"] == float("inf")
+    assert h[0]["rebuild_flag"] is True

@@ -590,3 +590,36 @@ def test_run2_builder_reuses_one_fixture_slot(spark):
     s2 = sorted(tuple(r) for r in s(spark, sf).collect())
     assert s1 == s2 == out1  # same math as run2's oracle
     assert Q._BLOOM_FIXTURE_DIRS[f"steady:{sf}"] == sd1
+
+
+def test_legacy_flat_ledger_adopted_on_upgrade(spark, corpus_batch, tmp_path):
+    """A pre-r11 stream left flat mode('append') part files at the
+    ledger root; the first exactly-once commit must adopt them as
+    batch_id=-1 instead of leaving mixed-depth leaves that make
+    partition discovery throw for the whole ledger."""
+    from lakehouse_spark_spark.streaming.ingest import bloom_ingest_foreach_batch
+
+    corpus, batch = corpus_batch
+    path = str(tmp_path / "lg_idx")
+    idx0 = write_dedup_index(corpus, "text", path)
+    kept_out = str(tmp_path / "lg_kept")
+    # the old layout: epoch rows appended flat
+    legacy = (
+        dedup_against_corpus_bloom(batch, None, "doc_id", "text", index=idx0)
+        .filter("keep")
+        .select("doc_id", "content_hash")
+        .localCheckpoint(eager=True)
+    )
+    legacy.write.mode("append").parquet(kept_out)
+    n_legacy = legacy.count()
+    assert n_legacy > 0
+    # post-upgrade: a NEW epoch of novel docs through the real body
+    b2 = batch.select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" upgraded-epoch-novel")).alias("text"),
+    )
+    fn = bloom_ingest_foreach_batch(path, "doc_id", "text", kept_out)
+    fn(b2, 1)
+    ledger = spark.read.parquet(kept_out)  # readable: one layout
+    assert ledger.filter("batch_id = -1").count() == n_legacy
+    assert ledger.filter("batch_id = 1").count() > 0
