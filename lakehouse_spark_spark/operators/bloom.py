@@ -59,7 +59,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, SparkSession

@@ -223,21 +223,40 @@ def append_once_parquet(df: DataFrame, base_dir: str, batch_id: int) -> bool:
     import os
     import shutil
 
+    if batch_id < 0:
+        # -1 is the reserved adopted-legacy partition (below); any
+        # negative id would collide with it or read as one — and the
+        # exists-check would then silently DROP the caller's rows
+        raise ValueError(f"batch_id must be >= 0 (got {batch_id}); -1 is reserved")
     # legacy upgrade: a pre-exactly-once ledger wrote flat part files at
     # the root (mode("append")); mixed-depth parquet leaves would make
     # partition discovery throw for the WHOLE ledger once the first
-    # batch_id= dir lands. Adopt them as batch_id=-1 (epoch unknown) —
-    # per-file renames, idempotent if interrupted mid-migration.
+    # batch_id= dir lands. Adopt them as batch_id=-1 (epoch unknown).
+    # Files move through a dot-prefixed staging dir (hidden from Spark
+    # file listings) and the partition appears via ONE rename, so a
+    # concurrent reader never sees mixed-depth leaves — during the
+    # one-time migration it sees a shrinking flat ledger, then the
+    # final layout (the brief all-moved instant can read as an empty
+    # ledger; single-writer streams don't race their own upgrade).
+    # Idempotent if interrupted: the next call resumes the moves and,
+    # if batch_id=-1 already exists, merges the stragglers into it.
     if os.path.isdir(base_dir):
         legacy = [f for f in os.listdir(base_dir) if f.startswith("part-")]
-        if legacy:
-            legdir = os.path.join(base_dir, "batch_id=-1")
-            os.makedirs(legdir, exist_ok=True)
+        mig = os.path.join(base_dir, ".migrating__legacy")
+        if legacy or os.path.isdir(mig):
+            os.makedirs(mig, exist_ok=True)
             for f in legacy:
-                os.replace(os.path.join(base_dir, f), os.path.join(legdir, f))
+                os.replace(os.path.join(base_dir, f), os.path.join(mig, f))
                 crc = os.path.join(base_dir, f".{f}.crc")
                 if os.path.exists(crc):  # keep local-fs checksums paired
-                    os.replace(crc, os.path.join(legdir, f".{f}.crc"))
+                    os.replace(crc, os.path.join(mig, f".{f}.crc"))
+            legdir = os.path.join(base_dir, "batch_id=-1")
+            if not os.path.exists(legdir):
+                os.rename(mig, legdir)
+            else:  # resumed after a crash between rename and cleanup
+                for f in os.listdir(mig):
+                    os.replace(os.path.join(mig, f), os.path.join(legdir, f))
+                os.rmdir(mig)
     final = os.path.join(base_dir, f"batch_id={batch_id}")
     if os.path.exists(final):
         return False

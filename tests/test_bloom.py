@@ -623,3 +623,9 @@ def test_legacy_flat_ledger_adopted_on_upgrade(spark, corpus_batch, tmp_path):
     ledger = spark.read.parquet(kept_out)  # readable: one layout
     assert ledger.filter("batch_id = -1").count() == n_legacy
     assert ledger.filter("batch_id = 1").count() > 0
+    # -1 is the reserved adopted-legacy partition: a caller using it
+    # would silently lose rows to the exists-check, so it must throw
+    from lakehouse_spark_spark.sources.sinks import append_once_parquet
+
+    with pytest.raises(ValueError, match="reserved"):
+        append_once_parquet(legacy, kept_out, -1)
