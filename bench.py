@@ -100,8 +100,10 @@ HEADLINE = [
     "embedding_semdedup_persisted_ingest",
     # round 11: the batch-scale distributed-probe search (~10k probes,
     # executor-side ADC LUTs, zero driver vector collects) against the
-    # same cached persisted-index fixture
+    # same cached persisted-index fixture + the index-vs-index
+    # cross-corpus semantic join (two prebuilt indexes, one model)
     "embedding_ivfpq_distributed_topk",
+    "embedding_semantic_join_indexes",
 ]
 
 

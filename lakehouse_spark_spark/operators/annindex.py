@@ -189,15 +189,28 @@ def write_ann_index(
     k: int = 16,
     seed: int = 42,
     max_train_rows: int = 50_000,
+    *,
+    model: tuple[list[list[float]], list[list[list[float]]]] | None = None,
 ) -> AnnIndex:
     """One-time index construction — the ONLY operation that scans the
     full corpus embeddings. Trains the model on a bounded sample,
     encodes every vector (one Arrow-batched pass), and writes the
-    cell-partitioned cells table + model tables + manifest."""
+    cell-partitioned cells table + model tables + manifest.
+
+    ``model`` injects a pre-trained (centroids, codebooks) pair instead
+    of training — how a SECOND corpus is indexed under an existing
+    index's frozen quantizer (``(idx.centroids, idx.codebooks)``), which
+    aligns the two indexes' cell spaces and makes them joinable by
+    :func:`ann_index_semantic_join`. The geometry params are ignored
+    when a model is given (it carries its own)."""
     spark = corpus.sparkSession
-    cents, books = train_ivfpq(
-        corpus, vec_col, n_cells=n_cells, m=m, k=k, seed=seed, max_train_rows=max_train_rows
-    )
+    if model is not None:
+        cents, books = model
+        n_cells, m, k = len(cents), len(books), len(books[0])
+    else:
+        cents, books = train_ivfpq(
+            corpus, vec_col, n_cells=n_cells, m=m, k=k, seed=seed, max_train_rows=max_train_rows
+        )
     _encode_with_vec(corpus, id_col, vec_col, cents, books).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(f"{path}/cells")
@@ -408,6 +421,68 @@ def ann_index_health(
     )
 
 
+def ann_index_semantic_join(
+    index_a: AnnIndex,
+    index_b: AnnIndex,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Index-vs-index semantic join: every (a, b) pair across two
+    persisted indexes whose exact cosine reaches ``threshold`` — the
+    cross-corpus form of SemDeDup, e.g. train-vs-eval embedding
+    decontamination or cross-snapshot duplicate accounting, computed
+    from the two indexes ALONE (no corpus-embedding reads, no encode
+    pass, nothing collected to the driver).
+
+    Contract: the two indexes must share ONE frozen model — index B is
+    built under A's quantizer (``write_ann_index(..., model=
+    (idx_a.centroids, idx_a.codebooks))`` or folded via
+    :func:`update_ann_index` against the same path family). With one
+    quantizer the cell spaces align, so a true near-dup pair
+    co-assigns and the candidate join is a plain equi-join on the cell
+    id; mismatched models are rejected loudly (silently joining two
+    different cell spaces would return plausible garbage). Boundary
+    pairs (each side quantized to a different-but-adjacent cell) are
+    missed at the same documented rate as single-probe SemDeDup.
+
+    Scale: per-cell cross products only — the SemDeDup shape; both
+    sides scan (id, vec) column-pruned from their cell-partitioned
+    tables, duplicate rows from partially-replayed appends are
+    id-deduped per side, and the quadratic term never sees a corpus,
+    only a cell. Zero-norm semantics are the module's pinned rule
+    (:func:`_zero_safe_cosine`).
+
+    Returns (id_a, id_b, cell, cosine), one row per qualifying pair.
+    """
+    from lakehouse_spark_spark.operators.similarity import l2_norm
+
+    if index_a.centroids != index_b.centroids or index_a.codebooks != index_b.codebooks:
+        raise ValueError(
+            "ann_index_semantic_join: the two indexes carry different frozen "
+            "models — their cell spaces don't align. Build/fold index B under "
+            "index A's model (write_ann_index(..., model=(a.centroids, a.codebooks)))."
+        )
+    a = (
+        index_a.cells.select(
+            F.col(index_a.id_col).alias("id_a"), "cell", F.col("vec").alias("__va")
+        )
+        .dropDuplicates(["id_a"])  # replayed-append defense
+        .withColumn("__na", l2_norm("__va"))
+    )
+    b = (
+        index_b.cells.select(
+            F.col(index_b.id_col).alias("id_b"), "cell", F.col("vec").alias("__vb")
+        )
+        .dropDuplicates(["id_b"])
+        .withColumn("__nb", l2_norm("__vb"))
+    )
+    cos = _zero_safe_cosine("__va", "__vb", "__na", "__nb")
+    return (
+        a.join(b, "cell")
+        .select("id_a", "id_b", "cell", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _topk_against_cells(
     index: AnnIndex,
     probes: DataFrame,
@@ -579,6 +654,24 @@ def ann_index_topk_distributed(
     return _topk_against_cells(index, probes, q, probed_cells, k, shortlist)
 
 
+def _zero_safe_cosine(va: str, vb: str, na: str, nb: str):
+    """Rounded cosine with the module's pinned zero-norm semantics:
+    zero-vs-zero = 1.0 (byte-identical degenerate payloads must flag),
+    zero-vs-nonzero = -1.0 (nothing in common) — the r10 second-review
+    rule, shared by the arrival-time dedup and the index-vs-index join
+    so the two can never drift."""
+    from lakehouse_spark_spark.operators.similarity import dot
+
+    return (
+        F.when(
+            (F.col(na) > 0) & (F.col(nb) > 0),
+            F.round(dot(va, vb) / (F.col(na) * F.col(nb)), 6),
+        )
+        .when((F.col(na) == 0) & (F.col(nb) == 0), F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+    )
+
+
 def _assign_cells(
     df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
@@ -669,7 +762,7 @@ def semantic_dedup_against_index(
     (id, cell, max_corpus_cos, dup) — max_corpus_cos NULL when the
     probed cell holds no other corpus vector.
     """
-    from lakehouse_spark_spark.operators.similarity import dot, l2_norm
+    from lakehouse_spark_spark.operators.similarity import l2_norm
 
     spark = index.cells.sparkSession
     id_col = index.id_col
@@ -680,14 +773,7 @@ def semantic_dedup_against_index(
         .withColumn("__n", l2_norm("vec"))
         .localCheckpoint(eager=True)  # feeds the cell collect + the join
     )
-    cos = (
-        F.when(
-            (F.col("__n") > 0) & (F.col("__cn") > 0),
-            F.round(dot("vec", "__cv") / (F.col("__n") * F.col("__cn")), 6),
-        )
-        .when((F.col("__n") == 0) & (F.col("__cn") == 0), F.lit(1.0))
-        .otherwise(F.lit(-1.0))
-    )
+    cos = _zero_safe_cosine("vec", "__cv", "__n", "__cn")
     if n_probe_cells <= 1:
         probe = enc
     else:

@@ -873,12 +873,13 @@ _GATE_ROTATION_R11 = [
     "supplier_part_counts",
     "top_bigrams",
     "top_event_types_approx",
-    "top_supplier_by_revenue",
     # -- rows-only tail: born in r11 (justified in their registration
     #    comments) + re-gates of rows-only queries whose code changed
-    #    in r11 --
+    #    in r11 (top_supplier_by_revenue yielded its stale slot to the
+    #    late-added index-join query; it stays in the r12 stale pool) --
     "embedding_ivfpq_distributed_topk",
     "ann_index_health_diag",
+    "embedding_semantic_join_indexes",
     "embedding_ivfpq_persisted_topk",
     "embedding_semdedup_persisted_ingest",
     "embedding_ivfpq_topk",
@@ -1964,6 +1965,57 @@ def ann_index_health_diag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_ann_index(path, shifted, "embedding", batch_id=2)
         open(ready, "w").close()
     return ann_index_health(spark, path)
+
+
+# ==========================================================================
+# Index-vs-index semantic join (round 11): cross-corpus SemDeDup from
+# two persisted IVF-PQ indexes sharing one frozen model — the
+# train-vs-eval embedding-decontamination shape, computed from the
+# indexes ALONE (no corpus reads, no encode pass, nothing collected).
+# Corpus B carries planted scaled copies of corpus-A vectors so the
+# expected pair set is non-vacuous; model sharing is enforced by the
+# operator (mismatched quantizers are rejected loudly). rows-only:
+# k-means cells; tests/test_annindex.py pins exact equality with a
+# driver-side within-cell brute force and the planted recall.
+# ==========================================================================
+@register(
+    "embedding_semantic_join_indexes",
+    oracle=None,  # k-means cell partition: approximate by construction
+    doc="cross-corpus semantic join of two persisted ANN indexes under one frozen model",
+)
+def embedding_semantic_join_indexes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from lakehouse_spark_spark.operators.annindex import (
+        ann_index_semantic_join,
+        load_ann_index,
+        write_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = _bloom_fixture_dir(f"annjoin:{sf_dir}", fresh=False)
+    ready = os.path.join(path, "__fixture_ready")
+    dir_a, dir_b = os.path.join(path, "a"), os.path.join(path, "b")
+    if not os.path.exists(ready):
+        idx_a = write_ann_index(
+            emb.filter(F.col("vec_id") % 3 != 0), "vec_id", "embedding", dir_a, n_cells=16
+        )
+        planted = emb.filter(F.col("vec_id") % 9 == 1).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        )
+        write_ann_index(
+            emb.filter(F.col("vec_id") % 3 == 0).unionByName(planted),
+            "vec_id", "embedding", dir_b,
+            model=(idx_a.centroids, idx_a.codebooks),
+        )
+        open(ready, "w").close()
+    out = ann_index_semantic_join(
+        load_ann_index(spark, dir_a), load_ann_index(spark, dir_b), threshold=0.98
+    )
+    return out.select(
+        "id_a", "id_b", F.col("cell").cast("long").alias("cell"), "cosine"
+    )
 
 
 @register(

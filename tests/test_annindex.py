@@ -548,3 +548,67 @@ def test_ann_index_health_zero_baseline_still_flags(spark, tmp_path):
     assert h[-1]["mean_resid"] == 0.0 and h[-1]["resid_ratio"] == 1.0
     assert h[0]["resid_ratio"] == float("inf")
     assert h[0]["rebuild_flag"] is True
+
+
+def test_index_vs_index_semantic_join(spark, emb, tmp_path):
+    """r11: the cross-corpus join consumes the two indexes alone (both
+    corpora deleted before execution), equals a driver-side within-cell
+    brute force under the shared model, finds the planted cross-corpus
+    near-dups, and rejects mismatched models loudly."""
+    import shutil
+
+    import numpy as np
+
+    from lakehouse_spark_spark.operators.annindex import ann_index_semantic_join
+
+    corpus_a = emb.filter("vec_id % 3 != 0")
+    # corpus B: its own organic vectors + scaled copies of 10 A vectors
+    planted = emb.filter("vec_id % 9 = 1").limit(10).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    corpus_b = emb.filter("vec_id % 3 = 0").unionByName(planted)
+    dir_a, dir_b = str(tmp_path / "ja"), str(tmp_path / "jb")
+    corpus_a.write.parquet(dir_a)
+    corpus_b.write.parquet(dir_b)
+    idx_a = write_ann_index(spark.read.parquet(dir_a), "vec_id", "embedding", str(tmp_path / "jidx_a"), n_cells=8)
+    idx_b = write_ann_index(
+        spark.read.parquet(dir_b), "vec_id", "embedding", str(tmp_path / "jidx_b"),
+        model=(idx_a.centroids, idx_a.codebooks),
+    )
+    shutil.rmtree(dir_a); shutil.rmtree(dir_b)  # indexes are the only state
+    idx_a = load_ann_index(spark, str(tmp_path / "jidx_a"))
+    idx_b = load_ann_index(spark, str(tmp_path / "jidx_b"))
+    out = ann_index_semantic_join(idx_a, idx_b, threshold=0.98)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ja" not in plan.replace("jidx_a", "") and "jb" not in plan.replace("jidx_b", "")
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    # every planted pair is found (scaled copy: cosine 1.0 after rounding)
+    planted_src = {int(r["vec_id"]) for r in emb.filter("vec_id % 9 = 1").limit(10).collect()}
+    for src in planted_src:
+        assert (src, src + 10_000_000) in got and got[(src, src + 10_000_000)] >= 0.98
+    # driver-side brute force within shared-model cells == the join
+    C = np.asarray(idx_a.centroids)
+    def side(df):
+        rows = {}
+        for r in df.collect():
+            v = np.asarray(r["vec"], dtype=np.float64)
+            rows[r["vec_id"]] = (int(r["cell"]), v)
+        return rows
+    A, B = side(idx_a.cells), side(idx_b.cells)
+    want = {}
+    for ia, (ca, va) in A.items():
+        for ib, (cb, vb) in B.items():
+            if ca != cb:
+                continue
+            na, nb = np.sqrt((va * va).sum()), np.sqrt((vb * vb).sum())
+            cos = 1.0 if (na == 0 and nb == 0) else (-1.0 if (na == 0) != (nb == 0) else round(float(va @ vb / (na * nb)), 6))
+            if cos >= 0.98:
+                want[(ia, ib)] = cos
+    assert got == want
+    # mismatched models are rejected, never silently joined
+    idx_c = write_ann_index(
+        emb.filter("vec_id % 3 = 0"), "vec_id", "embedding", str(tmp_path / "jidx_c"), n_cells=4
+    )
+    with pytest.raises(ValueError, match="different frozen"):
+        ann_index_semantic_join(idx_a, idx_c)

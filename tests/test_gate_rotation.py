@@ -68,6 +68,7 @@ def test_r11_gate_covers_this_rounds_code_changes():
     changed = {
         "embedding_ivfpq_distributed_topk",
         "ann_index_health_diag",
+        "embedding_semantic_join_indexes",
         "embedding_ivfpq_persisted_topk",
         "embedding_semdedup_persisted_ingest",
         "embedding_ivfpq_topk",
@@ -149,6 +150,7 @@ def test_r11_gate_refreshes_the_stalest_coverage():
         # born in r11
         "embedding_ivfpq_distributed_topk",
         "ann_index_health_diag",
+        "embedding_semantic_join_indexes",
         # rows-only re-gates: code touched by the r11 reworks
         # (vectorized LUT kernel; multi-probe semantic dedup; hot-band
         # probe cap)
