@@ -104,6 +104,7 @@ HEADLINE = [
     # cross-corpus semantic join (two prebuilt indexes, one model)
     "embedding_ivfpq_distributed_topk",
     "embedding_semantic_join_indexes",
+    "decon_persisted_ingest",
 ]
 
 

@@ -88,3 +88,144 @@ def decontaminate(
             (F.coalesce("n_shared_ngrams", F.lit(0)) <= max_shared).alias("keep"),
         )
     )
+
+
+# --- persisted eval-set decontamination index (round 11) ----------------
+# The r9-r11 persistence template applied to the contamination family:
+# the eval set changes rarely (a new benchmark lands occasionally) while
+# training documents stream forever, so the eval shingle table is a
+# natural persisted index — built once, folded on benchmark additions,
+# probed per micro-batch at O(batch + index) with ZERO eval-text reads
+# on the probe path. Unlike the other persisted families this one's
+# probe is ORACLE-EXACT: the disposition is plain distinct-count
+# arithmetic (no trained model, no hash banding), so the gated query
+# carries a full DuckDB oracle.
+
+import json as _json
+import os as _os
+from typing import NamedTuple as _NamedTuple
+
+
+class DeconIndex(_NamedTuple):
+    """A loaded decontamination index: the persisted (eval_id, shingle)
+    pair table (lazy scan — broadcast at probe time, eval-set-sized)
+    and the shingle width it was built with (probes MUST shingle with
+    the same n; the manifest carries it so callers can't drift)."""
+
+    path: str
+    shingles: DataFrame  # (__eval_id, shingle bigint) distinct pairs
+    n: int
+
+
+def _decon_manifest(path: str) -> str:
+    return _os.path.join(path, "manifest.json")
+
+
+def write_decon_index(
+    eval_df: DataFrame, id_col: str, text_col: str, path: str, n: int = 8
+) -> DeconIndex:
+    """One-time index construction — the only operation that reads the
+    eval TEXT. Persists the distinct (eval_id, shingle-hash) pairs
+    (8-byte longs, not n-word strings — the same slim-broadcast trade
+    as the one-shot operator) + a manifest with the shingle width and
+    the ingest watermark (sources/sinks.write_manifest_atomic — the
+    shared pointer-commit shape)."""
+    from lakehouse_spark_spark.operators.neardup import word_shingles
+    from lakehouse_spark_spark.sources.sinks import write_manifest_atomic
+
+    spark = eval_df.sparkSession
+    word_shingles(eval_df, id_col, text_col, n, hashed=True).select(
+        F.col(id_col).alias("__eval_id"), "shingle"
+    ).distinct().write.mode("overwrite").parquet(f"{path}/shingles")
+    write_manifest_atomic(
+        path, {"format": 1, "n": int(n), "id_col": id_col, "last_batch_id": None}
+    )
+    return load_decon_index(spark, path)
+
+
+def load_decon_index(spark, path: str) -> DeconIndex:
+    with open(_decon_manifest(path)) as fh:
+        mf = _json.load(fh)
+    return DeconIndex(
+        path=path,
+        shingles=spark.read.parquet(f"{path}/shingles"),
+        n=int(mf["n"]),
+    )
+
+
+def update_decon_index(
+    path: str,
+    new_eval: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_id: int | None = None,
+) -> DeconIndex:
+    """Fold a NEW benchmark into the index (append-only new files —
+    object-store-safe). ``batch_id`` replays are no-ops past the
+    manifest watermark, which advances strictly after the append (the
+    family's idempotence contract). A replayed half-append leaves
+    duplicate pair rows — harmless by construction: both probe counts
+    are COUNT(DISTINCT ...), so duplicates can never change a
+    disposition, and a later sinks.compact_parquet(distinct=True) is
+    pure housekeeping. Single-writer contract."""
+    from lakehouse_spark_spark.operators.neardup import word_shingles
+    from lakehouse_spark_spark.sources.sinks import write_manifest_atomic
+
+    spark = new_eval.sparkSession
+    with open(_decon_manifest(path)) as fh:
+        mf = _json.load(fh)
+    last = mf.get("last_batch_id")
+    if batch_id is not None and last is not None and batch_id <= last:
+        return load_decon_index(spark, path)
+    word_shingles(new_eval, id_col, text_col, int(mf["n"]), hashed=True).select(
+        F.col(id_col).alias("__eval_id"), "shingle"
+    ).distinct().write.mode("append").parquet(f"{path}/shingles")
+    if batch_id is not None:
+        write_manifest_atomic(path, {**mf, "last_batch_id": int(batch_id)})
+    return load_decon_index(spark, path)
+
+
+def contamination_hits_against_index(
+    train: DataFrame, index: DeconIndex, id_col: str, text_col: str
+) -> DataFrame:
+    """:func:`contamination_hits` with the eval side read from the
+    persisted index alone — the steady-state probe: the batch is
+    shingled in-line (narrow projection, no shuffle), the index pairs
+    broadcast (eval-set-sized), and the only shuffle is the per-doc
+    aggregation. Exactly equal to the one-shot operator over the
+    accumulated eval union (distinct-count arithmetic — no
+    approximation anywhere), with zero eval-text reads."""
+    from lakehouse_spark_spark.operators.neardup import word_shingles
+
+    t = word_shingles(train, id_col, text_col, index.n, hashed=True)
+    return (
+        t.join(F.broadcast(index.shingles), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct(F.col("shingle")).alias("n_shared_ngrams"),
+            F.count_distinct(F.col("__eval_id")).alias("n_eval_docs"),
+        )
+    )
+
+
+def decontaminate_against_index(
+    train: DataFrame,
+    index: DeconIndex,
+    id_col: str,
+    text_col: str,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Full per-doc disposition against the persisted index — the
+    streaming-ingest twin of :func:`decontaminate` (same output schema,
+    same keep rule), O(batch + index) per run."""
+    hits = contamination_hits_against_index(train, index, id_col, text_col)
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) <= max_shared).alias("keep"),
+        )
+    )

@@ -124,3 +124,59 @@ def test_source_reputation_query_shape(spark):
     rep = m.groupBy("source").agg(F.round(F.sum("keep") / F.count(F.lit(1)), 6).alias("keep_rate"))
     rates = {r["source"]: r["keep_rate"] for r in rep.collect()}
     assert rates["good"] == 1.0 and rates["spam"] == 0.0
+
+
+def test_persisted_decon_index_matches_oneshot_and_is_eval_free(spark, tmp_path):
+    """r11 persisted decon index: build over eval set 1, fold eval set 2
+    (watermark-idempotent), probe a training batch — the disposition is
+    EXACTLY the one-shot decontaminate over the eval union, the probe
+    plan never touches the eval parquet (deleted before execution), and
+    replay-duplicated pair rows cannot change any disposition
+    (distinct-count arithmetic)."""
+    import shutil
+
+    from lakehouse_spark_spark.operators.contamination import (
+        decontaminate,
+        decontaminate_against_index,
+        load_decon_index,
+        update_decon_index,
+        write_decon_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev1 = docs.filter("doc_id % 97 = 0")
+    ev2 = docs.filter("doc_id % 89 = 3")
+    train = docs.filter("doc_id % 3 = 0")
+
+    ev_dir = str(tmp_path / "eval_parquet")
+    ev1.write.parquet(ev_dir)
+    idx_path = str(tmp_path / "decon_idx")
+    write_decon_index(spark.read.parquet(ev_dir), "doc_id", "text", idx_path, n=8)
+    update_decon_index(idx_path, ev2, "doc_id", "text", batch_id=1)
+    n_pairs = load_decon_index(spark, idx_path).shingles.count()
+    # replayed fold: watermark no-op
+    update_decon_index(idx_path, ev2, "doc_id", "text", batch_id=1)
+    assert load_decon_index(spark, idx_path).shingles.count() == n_pairs
+
+    shutil.rmtree(ev_dir)  # the index is now the ONLY eval state
+    idx = load_decon_index(spark, idx_path)
+    out = decontaminate_against_index(train, idx, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "eval_parquet" not in plan
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r)
+        for r in decontaminate(train, ev1.unionByName(ev2), "doc_id", "text", n=8).collect()
+    )
+    assert got == want
+    assert any(not r[3] for r in got)  # non-vacuous: real contamination found
+    # duplicate pair rows (replayed half-append) change nothing
+    idx.shingles.limit(50).write.mode("append").parquet(f"{idx_path}/shingles")
+    dup_idx = load_decon_index(spark, idx_path)
+    got_dup = sorted(
+        tuple(r)
+        for r in decontaminate_against_index(train, dup_idx, "doc_id", "text").collect()
+    )
+    assert got_dup == got

@@ -66,6 +66,7 @@ def test_r11_gate_covers_this_rounds_code_changes():
 
     first50 = set(list(Q.queries())[:50])
     changed = {
+        "decon_persisted_ingest",
         "embedding_ivfpq_distributed_topk",
         "ann_index_health_diag",
         "embedding_semantic_join_indexes",
@@ -148,6 +149,7 @@ def test_r11_gate_refreshes_the_stalest_coverage():
             last[k] = max(last.get(k, 0), rnd)
     new_or_changed = {
         # born in r11
+        "decon_persisted_ingest",
         "embedding_ivfpq_distributed_topk",
         "ann_index_health_diag",
         "embedding_semantic_join_indexes",
