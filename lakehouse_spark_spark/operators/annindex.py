@@ -206,6 +206,22 @@ def write_ann_index(
     spark = corpus.sparkSession
     if model is not None:
         cents, books = model
+        # fail loudly driver-side BEFORE any cluster work: a malformed
+        # or dimension-mismatched model would otherwise surface as an
+        # opaque numpy broadcasting error inside the Arrow encode pass
+        if not cents or not books or not books[0]:
+            raise ValueError("write_ann_index: injected model is empty")
+        dim = len(cents[0])
+        if any(len(c) != dim for c in cents):
+            raise ValueError("write_ann_index: centroids are not rectangular")
+        sub = len(books[0][0])
+        if any(len(code) != sub for book in books for code in book):
+            raise ValueError("write_ann_index: codebooks are not rectangular")
+        if len(books) * sub != dim:
+            raise ValueError(
+                f"write_ann_index: model dims disagree — {len(books)} codebooks x "
+                f"{sub}-dim subspaces != centroid dim {dim}"
+            )
         n_cells, m, k = len(cents), len(books), len(books[0])
     else:
         cents, books = train_ivfpq(

@@ -130,7 +130,6 @@ def write_decon_index(
     as the one-shot operator) + a manifest with the shingle width and
     the ingest watermark (sources/sinks.write_manifest_atomic — the
     shared pointer-commit shape)."""
-    from lakehouse_spark_spark.operators.neardup import word_shingles
     from lakehouse_spark_spark.sources.sinks import write_manifest_atomic
 
     spark = eval_df.sparkSession
@@ -168,7 +167,6 @@ def update_decon_index(
     are COUNT(DISTINCT ...), so duplicates can never change a
     disposition, and a later sinks.compact_parquet(distinct=True) is
     pure housekeeping. Single-writer contract."""
-    from lakehouse_spark_spark.operators.neardup import word_shingles
     from lakehouse_spark_spark.sources.sinks import write_manifest_atomic
 
     spark = new_eval.sparkSession
@@ -195,8 +193,6 @@ def contamination_hits_against_index(
     aggregation. Exactly equal to the one-shot operator over the
     accumulated eval union (distinct-count arithmetic — no
     approximation anywhere), with zero eval-text reads."""
-    from lakehouse_spark_spark.operators.neardup import word_shingles
-
     t = word_shingles(train, id_col, text_col, index.n, hashed=True)
     return (
         t.join(F.broadcast(index.shingles), "shingle")

@@ -563,7 +563,12 @@ def test_index_vs_index_semantic_join(spark, emb, tmp_path):
 
     corpus_a = emb.filter("vec_id % 3 != 0")
     # corpus B: its own organic vectors + scaled copies of 10 A vectors
-    planted = emb.filter("vec_id % 9 = 1").limit(10).select(
+    # (ids pinned ONCE — an unordered limit(10) evaluated twice gives
+    # no same-rows guarantee, r11 review)
+    planted_src = sorted(
+        int(r["vec_id"]) for r in emb.filter("vec_id % 9 = 1").limit(10).collect()
+    )
+    planted = emb.filter(F.col("vec_id").isin(planted_src)).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
     )
@@ -583,12 +588,15 @@ def test_index_vs_index_semantic_join(spark, emb, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ja" not in plan.replace("jidx_a", "") and "jb" not in plan.replace("jidx_b", "")
     got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
-    # every planted pair is found (scaled copy: cosine 1.0 after rounding)
-    planted_src = {int(r["vec_id"]) for r in emb.filter("vec_id % 9 = 1").limit(10).collect()}
-    for src in planted_src:
-        assert (src, src + 10_000_000) in got and got[(src, src + 10_000_000)] >= 0.98
+    # planted recall: a 1.001-scaled copy lands at cosine ~1.0, but cell
+    # assignment is L2-argmin, so a source near a Voronoi boundary can
+    # legitimately quantize its copy into an adjacent cell (the
+    # operator's documented single-cell miss) — require >= 8/10 found
+    # rather than assuming co-assignment for every planted pair
+    found = [s_ for s_ in planted_src if (s_, s_ + 10_000_000) in got]
+    assert len(found) >= 8, (found, planted_src)
+    assert all(got[(s_, s_ + 10_000_000)] >= 0.98 for s_ in found)
     # driver-side brute force within shared-model cells == the join
-    C = np.asarray(idx_a.centroids)
     def side(df):
         rows = {}
         for r in df.collect():
@@ -612,3 +620,25 @@ def test_index_vs_index_semantic_join(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="different frozen"):
         ann_index_semantic_join(idx_a, idx_c)
+
+
+def test_write_ann_index_rejects_malformed_injected_model(spark, emb, tmp_path):
+    """r11 review: model= validation fails driver-side BEFORE any
+    cluster work — empty models, ragged tables, and dimension
+    disagreements all raise ValueError instead of an executor-side
+    numpy broadcast error mid-encode."""
+    import pytest as _pytest
+
+    base = str(tmp_path / "mv")
+    with _pytest.raises(ValueError, match="empty"):
+        write_ann_index(emb, "vec_id", "embedding", base + "1", model=([], []))
+    with _pytest.raises(ValueError, match="rectangular"):
+        write_ann_index(
+            emb, "vec_id", "embedding", base + "2",
+            model=([[0.0] * 64, [0.0] * 63], [[[0.0] * 8] * 2] * 8),
+        )
+    with _pytest.raises(ValueError, match="disagree"):
+        write_ann_index(
+            emb, "vec_id", "embedding", base + "3",
+            model=([[0.0] * 64], [[[0.0] * 9] * 2] * 8),  # 8x9 != 64
+        )

@@ -151,20 +151,24 @@ def test_persisted_decon_index_matches_oneshot_and_is_eval_free(spark, tmp_path)
     train = docs.filter("doc_id % 3 = 0")
 
     ev_dir = str(tmp_path / "eval_parquet")
+    ev2_dir = str(tmp_path / "eval2_parquet")
     ev1.write.parquet(ev_dir)
+    ev2.write.parquet(ev2_dir)  # own dir, so ITS absence from the probe
+    # plan is a real assertion too (not masked by documents.parquet)
     idx_path = str(tmp_path / "decon_idx")
     write_decon_index(spark.read.parquet(ev_dir), "doc_id", "text", idx_path, n=8)
-    update_decon_index(idx_path, ev2, "doc_id", "text", batch_id=1)
+    update_decon_index(idx_path, spark.read.parquet(ev2_dir), "doc_id", "text", batch_id=1)
     n_pairs = load_decon_index(spark, idx_path).shingles.count()
     # replayed fold: watermark no-op
-    update_decon_index(idx_path, ev2, "doc_id", "text", batch_id=1)
+    update_decon_index(idx_path, spark.read.parquet(ev2_dir), "doc_id", "text", batch_id=1)
     assert load_decon_index(spark, idx_path).shingles.count() == n_pairs
 
     shutil.rmtree(ev_dir)  # the index is now the ONLY eval state
+    shutil.rmtree(ev2_dir)
     idx = load_decon_index(spark, idx_path)
     out = decontaminate_against_index(train, idx, "doc_id", "text")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "eval_parquet" not in plan
+    assert "eval_parquet" not in plan and "eval2_parquet" not in plan
     got = sorted(tuple(r) for r in out.collect())
     want = sorted(
         tuple(r)
