@@ -115,15 +115,21 @@ def _encode_with_vec(
 
 
 def _residual_stats(cell_vec: DataFrame, centroids: list[list[float]]) -> dict:
-    """Drift signal over a (cell, vec) frame: count, mean and exact-p99
-    L2 residual distance (vector to its assigned coarse centroid), and
-    cell-occupancy skew (max/mean cell count). Residuals are what the
-    PQ codebooks were trained on — when a stream's distribution shifts,
-    the residuals grow and ADC distances degrade long before anyone
-    notices recall loss, so this is the cheap observable that makes the
-    periodic-rebuild trigger a measurement instead of a guess. Cost:
-    one broadcast join against the KB-sized centroid table + two small
-    aggregates over the batch — O(batch), no corpus reads."""
+    """Drift signal over a (cell, vec) frame: count, mean and approx-p99
+    L2 residual distance (vector to its assigned coarse centroid),
+    cell-occupancy skew (max/mean cell count), and the per-cell counts
+    themselves (``cell_counts`` — n_cells entries, KB-sized by
+    construction, how the manifest tracks cumulative occupancy).
+    Residuals are what the PQ codebooks were trained on — when a
+    stream's distribution shifts, the residuals grow and ADC distances
+    degrade long before anyone notices recall loss, so this is the
+    cheap observable that makes the periodic-rebuild trigger a
+    measurement instead of a guess. Cost: one broadcast join against
+    the KB-sized centroid table + two small aggregates over the batch —
+    O(batch), no corpus reads; the p99 is ``approx_percentile`` (a
+    bounded-memory sketch — a 1.5x rebuild trigger doesn't need the
+    exact quantile, and the exact form buffered every residual of a
+    multi-million-row fold in one aggregation buffer; r11 ADVICE)."""
     from pyspark.sql.functions import broadcast
 
     spark = cell_vec.sparkSession
@@ -151,21 +157,21 @@ def _residual_stats(cell_vec: DataFrame, centroids: list[list[float]]) -> dict:
     row = rd.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("__rd").alias("mean"),
-        F.expr("percentile(__rd, 0.99)").alias("p99"),
+        F.expr("approx_percentile(__rd, 0.99, 10000)").alias("p99"),
     ).first()
     if int(row["n"]) == 0:  # an all-dup fold: nothing to measure
-        return {"n": 0, "mean_resid": None, "p99_resid": None, "cell_skew": None}
-    occ = (
-        rd.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("cn"))
-        .agg((F.max("cn") / F.avg("cn")).alias("skew"))
-        .first()
-    )
+        return {"n": 0, "mean_resid": None, "p99_resid": None, "cell_skew": None,
+                "cell_counts": {}}
+    occ_rows = rd.groupBy("cell").agg(F.count(F.lit(1)).alias("cn")).collect()
+    counts = {int(r["cell"]): int(r["cn"]) for r in occ_rows}
+    mean_occ = sum(counts.values()) / len(counts)
     return {
         "n": int(row["n"]),
         "mean_resid": float(row["mean"]),
         "p99_resid": float(row["p99"]),
-        "cell_skew": float(occ["skew"]),
+        "cell_skew": float(max(counts.values()) / mean_occ),
+        # JSON object keys are strings; the manifest stores them as-is
+        "cell_counts": {str(c): n for c, n in counts.items()},
     }
 
 
@@ -174,9 +180,113 @@ def _residual_stats(cell_vec: DataFrame, centroids: list[list[float]]) -> dict:
 # frozen quantizer is no longer representative of what's being folded.
 ANN_REBUILD_RESID_RATIO = 1.5
 
+# Occupancy trigger (r12): n_cells is FROZEN at build while folds grow
+# the corpus, so the in-cell quadratics (semantic_dedup_against_index,
+# ann_index_semantic_join) grow with corpus²/n_cells² — residual drift
+# alone never notices a same-distribution corpus simply outgrowing its
+# cell count. Rebuild when the fullest cell holds this multiple of the
+# BUILD-time mean cell occupancy (at 4x mean, the hottest cell's
+# in-cell pair count is ~16x what the build sized for).
+ANN_REBUILD_OCCUPANCY_RATIO = 4.0
+
 # The manifest keeps the most recent fold stats only — a long-lived
 # stream would otherwise grow the manifest without bound.
 _ANN_HEALTH_TRAIL_MAX = 64
+
+
+def _write_recall_panel(
+    cells_rb: DataFrame, id_col: str, path: str, panel_n: int, panel_k: int
+) -> dict | None:
+    """Measured-recall probe panel (r12): a fixed, deterministic sample
+    of ``panel_n`` corpus vectors plus their EXACT top-``panel_k``
+    neighbors (squared-L2, self excluded, neighbor-id tiebreak — the
+    search's own re-rank metric), persisted under ``{path}/panel``.
+    Folds re-run the index search on this panel and record recall@k
+    into the health trail — the number a user acts on, where the
+    residual ratio is only a proxy. Ground truth is one O(panel·corpus)
+    broadcast pass at BUILD time (64 slim rows against the corpus —
+    bounded, and never again); panel members are picked by md5-of-id
+    order, so the panel is reproducible without an RNG. Returns the
+    manifest panel record, or None for an empty corpus."""
+    from lakehouse_spark_spark.operators.similarity import sq_dist
+
+    if panel_n <= 0:
+        return None
+    base = cells_rb.select(F.col(id_col), "vec")
+    pids = (
+        base.select(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(panel_n)
+    )
+    p = (
+        base.join(pids, id_col)
+        .select(F.col(id_col).alias("query_id"), F.col("vec").alias("__qv"))
+        .localCheckpoint(eager=True)  # source-free: feeds the broadcast cross + the panel write
+    )
+    if p.isEmpty():
+        return None
+    pairs = (
+        base.select(F.col(id_col).alias("neighbor_id"), F.col("vec").alias("__cv"))
+        .crossJoin(F.broadcast(p))  # bounded grid: ≤panel_n broadcast rows
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sq_dist().alias("sq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
+    truth = (
+        pairs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= panel_k)
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__r").alias("r"), F.col("neighbor_id").alias("nid")))
+                ),
+                lambda s: s["nid"],
+            ).alias("truth")
+        )
+    )
+    panel = p.select(F.col("query_id").alias(id_col), F.col("__qv").alias("vec")).join(
+        truth.withColumnRenamed("query_id", id_col), id_col
+    )
+    panel.write.mode("overwrite").parquet(f"{path}/panel")
+    return {"dir": "panel", "n": int(panel_n), "k": int(panel_k), "n_probe": 4, "shortlist": 50}
+
+
+def _panel_recall(index: "AnnIndex", path: str, mf: dict) -> float | None:
+    """recall@k of the CURRENT index against the panel's build-time
+    ground truth: re-run the persisted-index search on the panel
+    queries (collected front — the panel is ≤64 vectors by contract)
+    and average |retrieved ∩ truth| / |truth|. Caveat, by design:
+    truth is frozen at build, so a fold can lower recall two ways —
+    quantization drift (the signal) or legitimately-closer new vectors
+    displacing build-time neighbors (an artifact). Both mean the
+    build-time geometry no longer describes the corpus, which is
+    exactly when a rebuild (and a fresh panel) is due, so the trend
+    reads as a conservative lower bound."""
+    pinfo = (mf or {}).get("panel")
+    if not pinfo:
+        return None
+    pdir = os.path.join(path, pinfo.get("dir", "panel"))
+    if not os.path.isdir(pdir):
+        return None
+    spark = index.cells.sparkSession
+    panel = spark.read.parquet(pdir)
+    truths = {r[index.id_col]: list(r["truth"]) for r in panel.select(index.id_col, "truth").collect()}
+    if not truths:
+        return None
+    res = ann_index_topk(
+        index,
+        panel.select(index.id_col, "vec"),
+        "vec",
+        k=int(pinfo["k"]),
+        n_probe=int(pinfo.get("n_probe", 4)),
+        shortlist=int(pinfo.get("shortlist", 50)),
+    )
+    got: dict = {}
+    for r in res.select("query_id", "neighbor_id").collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    scores = [len(got.get(q, set()) & set(t)) / len(t) for q, t in truths.items() if t]
+    return round(sum(scores) / len(scores), 6) if scores else None
 
 
 def write_ann_index(
@@ -191,6 +301,8 @@ def write_ann_index(
     max_train_rows: int = 50_000,
     *,
     model: tuple[list[list[float]], list[list[list[float]]]] | None = None,
+    panel_n: int = 64,
+    panel_k: int = 5,
 ) -> AnnIndex:
     """One-time index construction — the ONLY operation that scans the
     full corpus embeddings. Trains the model on a bounded sample,
@@ -239,17 +351,26 @@ def write_ann_index(
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
     # drift baseline: residual stats of the corpus the model was trained
     # to represent, from a column-pruned (cell, vec) read-back of the
-    # just-written cells table (no second encode pass)
-    baseline = _residual_stats(
-        spark.read.parquet(f"{path}/cells").select("cell", "vec"), cents
-    )
-    _write_manifest(
-        path,
-        {"format": 1, "id_col": id_col, "n_cells": int(n_cells), "m": int(m),
-         "k": int(k), "cells_dir": "cells", "last_batch_id": None,
-         "health": {"baseline": baseline, "trail": []}},
-    )
-    return load_ann_index(spark, path)
+    # just-written cells table (no second encode pass). Its per-cell
+    # counts seed the manifest's cumulative occupancy tracker (r12).
+    rb = spark.read.parquet(f"{path}/cells")
+    baseline = _residual_stats(rb.select("cell", "vec"), cents)
+    panel_info = _write_recall_panel(rb, id_col, path, panel_n, panel_k)
+    mf = {"format": 1, "id_col": id_col, "n_cells": int(n_cells), "m": int(m),
+          "k": int(k), "cells_dir": "cells", "last_batch_id": None,
+          "cell_counts": dict(baseline.get("cell_counts") or {}),
+          "panel": panel_info,
+          "health": {"baseline": baseline, "trail": []}}
+    _write_manifest(path, mf)
+    idx = load_ann_index(spark, path)
+    if panel_info is not None:
+        # baseline recall@k: the index searching its OWN build corpus —
+        # what the quantizer geometry costs before any drift. Needs the
+        # loaded index, hence the second (still build-time, single-
+        # writer) manifest write.
+        baseline = {**baseline, "recall_at_k": _panel_recall(idx, path, mf)}
+        _write_manifest(path, {**mf, "health": {"baseline": baseline, "trail": []}})
+    return idx
 
 
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
@@ -282,6 +403,7 @@ def update_ann_index(
     batch_id: int | None = None,
     *,
     encoded: DataFrame | None = None,
+    measure_recall: bool = True,
 ) -> AnnIndex:
     """Fold a batch of new vectors into the index: encode against the
     FROZEN model (O(batch) — the accumulated corpus is untouched) and
@@ -326,10 +448,50 @@ def update_ann_index(
     # loses neither or both, and a replayed epoch (no-op above) never
     # double-records. Trail is capped; ann_index_health reads it.
     stats = _residual_stats(encoded.select("cell", "vec"), idx.centroids)
+    # cumulative occupancy (r12): fold the batch's per-cell counts into
+    # the manifest tracker — the residual signal never notices a
+    # same-distribution corpus outgrowing its frozen n_cells, so the
+    # fullest cell's count vs the BUILD-time mean is its own trigger.
+    # Advisory by design: compact_ann_index id-dedups replayed rows the
+    # tracker counted, so it can only over-state occupancy (flag early,
+    # never late). Pre-r12 manifests (no tracker) record NULL ratios.
+    # pre-r12 manifests carry no build-time tracker; seeding one from a
+    # single fold would understate the corpus and fake a LOW ratio, so
+    # those indexes keep NULL ratios until a rebuild writes a real seed
+    has_tracker = mf.get("cell_counts") is not None
+    cum = {str(c): int(n) for c, n in (mf.get("cell_counts") or {}).items()}
+    batch_counts = stats.pop("cell_counts", None) or {}
+    if has_tracker:
+        for c, n in batch_counts.items():
+            cum[c] = cum.get(c, 0) + int(n)
+    base = (mf.get("health") or {}).get("baseline") or {}
+    max_cell = max(cum.values()) if has_tracker and cum else None
+    occ_ratio = None
+    if max_cell is not None and base.get("n") is not None:
+        base_mean = int(base["n"]) / max(1, int(mf.get("n_cells") or 1))
+        # a zero-size build baseline is a real measurement: any growth
+        # against it is infinite, not unknowable (the resid-ratio rule)
+        occ_ratio = (
+            (1.0 if max_cell == 0 else float("inf")) if base_mean == 0.0 else max_cell / base_mean
+        )
+    recall = None
+    if measure_recall and mf.get("panel"):
+        # measured recall on the persisted probe panel: the index AFTER
+        # this append (fresh load — the pre-append frame's file listing
+        # is already pinned), vs build-time exact ground truth
+        recall = _panel_recall(load_ann_index(spark, path), path, mf)
     health = dict(mf.get("health") or {})
     trail = list(health.get("trail", []))[-(_ANN_HEALTH_TRAIL_MAX - 1):]
-    trail.append({**stats, "batch_id": None if batch_id is None else int(batch_id)})
+    trail.append({
+        **stats,
+        "batch_id": None if batch_id is None else int(batch_id),
+        "max_cell": max_cell,
+        "occupancy_ratio": occ_ratio,
+        "recall_at_k": recall,
+    })
     mf2 = {**mf, "health": {**health, "trail": trail}}
+    if has_tracker:
+        mf2["cell_counts"] = cum
     if batch_id is not None:
         mf2["last_batch_id"] = int(batch_id)
     _write_manifest(path, mf2)
@@ -386,7 +548,10 @@ def compact_ann_index(spark: SparkSession, path: str, target_file_mb: int = 256)
 
 
 def ann_index_health(
-    spark: SparkSession, path: str, rebuild_ratio: float = ANN_REBUILD_RESID_RATIO
+    spark: SparkSession,
+    path: str,
+    rebuild_ratio: float = ANN_REBUILD_RESID_RATIO,
+    occupancy_rebuild_ratio: float = ANN_REBUILD_OCCUPANCY_RATIO,
 ) -> DataFrame:
     """The drift trend the frozen-model trade needs to stay honest: one
     row per recorded measurement — the build-time baseline (seq -1)
@@ -396,10 +561,22 @@ def ann_index_health(
     A long stream whose distribution shifts shows a rising
     ``resid_ratio`` here batches before recall visibly degrades; the
     flagged response is a periodic :func:`write_ann_index` rebuild.
+
+    r12 adds the two signals residual drift can't see: ``max_cell`` /
+    ``occupancy_ratio`` (fullest-cell count vs the BUILD-time mean cell
+    occupancy — a same-distribution corpus outgrowing its frozen
+    n_cells trips this at ``occupancy_rebuild_ratio`` while residuals
+    stay flat; the response is a rebuild with more cells, and until
+    then a ``max_cell`` candidate cap on the in-cell quadratics) and
+    ``recall_at_k`` (MEASURED recall on the persisted probe panel
+    against build-time exact ground truth — the number the residual
+    ratio only proxies; trend it, baseline row included).
+
     Pure manifest read — no index data scanned. Pre-r11 manifests (no
     health record) return zero rows; folds into a pre-r11 index record
     trail rows whose ``resid_ratio`` stays NULL (there is no baseline
-    measurement to compare against — rebuild once to get one)."""
+    measurement to compare against — rebuild once to get one); pre-r12
+    folds likewise carry NULL occupancy/recall columns."""
     with open(_manifest_path(path)) as fh:
         mf = json.load(fh)
     health = mf.get("health") or {}
@@ -420,20 +597,32 @@ def ann_index_health(
 
     rows = []
     if base:
+        bcc = base.get("cell_counts") or {}
         rows.append(
             (-1, None, base["n"], base["mean_resid"], base["p99_resid"],
-             base["cell_skew"], None if base_mean is None else 1.0, False)
+             base["cell_skew"], None if base_mean is None else 1.0,
+             max(bcc.values()) if bcc else None,
+             # the baseline's own ratio IS its skew (max/mean at build)
+             base.get("cell_skew"),
+             base.get("recall_at_k"), False)
         )
     for i, e in enumerate(health.get("trail", [])):
         ratio = _ratio(e["mean_resid"])
+        occ = e.get("occupancy_ratio")
+        flag = bool(ratio is not None and ratio >= rebuild_ratio) or bool(
+            occ is not None and occ >= occupancy_rebuild_ratio
+        )
         rows.append(
             (i, e.get("batch_id"), e["n"], e["mean_resid"], e["p99_resid"],
-             e["cell_skew"], ratio, bool(ratio is not None and ratio >= rebuild_ratio))
+             e["cell_skew"], ratio, e.get("max_cell"), occ,
+             e.get("recall_at_k"), flag)
         )
     return spark.createDataFrame(
         rows,
         "seq int, batch_id bigint, n bigint, mean_resid double, "
-        "p99_resid double, cell_skew double, resid_ratio double, rebuild_flag boolean",
+        "p99_resid double, cell_skew double, resid_ratio double, "
+        "max_cell bigint, occupancy_ratio double, recall_at_k double, "
+        "rebuild_flag boolean",
     )
 
 
@@ -441,6 +630,8 @@ def ann_index_semantic_join(
     index_a: AnnIndex,
     index_b: AnnIndex,
     threshold: float = 0.95,
+    *,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Index-vs-index semantic join: every (a, b) pair across two
     persisted indexes whose exact cosine reaches ``threshold`` — the
@@ -464,7 +655,10 @@ def ann_index_semantic_join(
     sides scan (id, vec) column-pruned from their cell-partitioned
     tables, duplicate rows from partially-replayed appends are
     id-deduped per side, and the quadratic term never sees a corpus,
-    only a cell. Zero-norm semantics are the module's pinned rule
+    only a cell — whose size ``max_cell`` (r12) bounds when folds have
+    outgrown the frozen n_cells (cells past the cap on either side are
+    skipped; the occupancy ``rebuild_flag`` names the durable fix).
+    Zero-norm semantics are the module's pinned rule
     (:func:`_zero_safe_cosine`).
 
     Returns (id_a, id_b, cell, cosine), one row per qualifying pair.
@@ -491,6 +685,23 @@ def ann_index_semantic_join(
         .dropDuplicates(["id_b"])
         .withColumn("__nb", l2_norm("__vb"))
     )
+    if max_cell is not None:
+        # hot-cell candidate cap (r12): a cell past max_cell DISTINCT
+        # vectors on EITHER side is skipped — its per-cell cross product
+        # is the quadratic the frozen n_cells lets grow without bound
+        # (same trade as semantic_dedup_against_index's cap; the
+        # occupancy rebuild_flag in ann_index_health is the durable fix)
+        hot = (
+            a.groupBy("cell").agg(F.count_distinct("id_a").alias("__occ"))
+            .filter(F.col("__occ") > max_cell).select("cell")
+            .union(
+                b.groupBy("cell").agg(F.count_distinct("id_b").alias("__occ"))
+                .filter(F.col("__occ") > max_cell).select("cell")
+            )
+            .distinct()
+        )
+        a = a.join(hot, "cell", "left_anti")
+        b = b.join(hot, "cell", "left_anti")
     cos = _zero_safe_cosine("__va", "__vb", "__na", "__nb")
     return (
         a.join(b, "cell")
@@ -721,6 +932,7 @@ def semantic_dedup_against_index(
     *,
     encoded: DataFrame | None = None,
     n_probe_cells: int = 1,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup at arrival time: flag batch vectors whose cosine to ANY
     indexed corpus vector in the SAME coarse cell reaches ``threshold``
@@ -761,6 +973,12 @@ def semantic_dedup_against_index(
     p/n_cells of the cells table. The home cell (= fold cell) is
     always probe rank 0, so p=1 output is byte-identical to the
     pre-r11 operator.
+
+    ``max_cell`` (r12) bounds the in-cell quadratic: corpus cells
+    holding more than this many distinct vectors are skipped for
+    matching — see the inline comment for the full trade. Pair it with
+    the occupancy ``rebuild_flag`` in :func:`ann_index_health`: the cap
+    is the stopgap, the re-celled rebuild is the fix.
 
     Zero-norm vectors (a failed/degenerate embedder) have no direction,
     so cosine is undefined; the similarity is DEFINED here as 1.0 for a
@@ -823,6 +1041,24 @@ def semantic_dedup_against_index(
         .dropDuplicates(["__cid"])  # replayed-append defense
         .withColumn("__cn", l2_norm("__cv"))
     )
+    if max_cell is not None:
+        # hot-cell candidate cap (r12, the neardup.max_bucket twin): a
+        # frozen n_cells means fold-heavy cells grow without bound, and
+        # every batch vector probing one pays |cell| exact-cosine rows.
+        # Cells holding more than max_cell DISTINCT corpus vectors are
+        # skipped for matching (one extra groupBy over a table the join
+        # already scans — O(probed cells)). Documented trade: dups whose
+        # corpus twin lives in a skipped cell go unseen until the
+        # occupancy-flagged rebuild (ann_index_health) re-cells the
+        # corpus; distinct-count, not raw count, so replayed appends
+        # can't disqualify a cell the replay invariant promises is fine.
+        hot = (
+            corpus_side.groupBy("cell")
+            .agg(F.count_distinct("__cid").alias("__occ"))
+            .filter(F.col("__occ") > max_cell)
+            .select("cell")
+        )
+        corpus_side = corpus_side.join(hot, "cell", "left_anti")
     scored = (
         probe.join(corpus_side, "cell")
         .filter(F.col(id_col) != F.col("__cid"))

@@ -295,10 +295,12 @@ def update_dedup_index(
     a ``last_batch_id`` high-watermark, and a call with
     ``batch_id <= last_batch_id`` is a no-op — a replayed micro-batch
     cannot duplicate hash rows or re-merge the filter. The watermark
-    advances LAST, strictly after the hash append: a crash before the
-    advance replays the fold (bit-OR is idempotent; a double hash
-    append is tolerated — consumers distinct the hash set and
-    :func:`compact_dedup_index` repairs it), whereas advancing earlier
+    advances LAST, strictly after the hash append: a crash ANYWHERE
+    before the advance — including the window between the hash append
+    itself and the manifest write — replays the fold (bit-OR is
+    idempotent; the hash append is NOT, so the replay leaves duplicate
+    hash rows — tolerated by contract: consumers distinct the hash set
+    and :func:`compact_dedup_index` repairs it), whereas advancing earlier
     could skip a fold whose hash append never ran — silent false
     negatives. Callers without a replay epoch pass None and keep plain
     at-least-once semantics.

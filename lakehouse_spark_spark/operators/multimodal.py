@@ -613,3 +613,92 @@ def attach_synthetic_video(df: DataFrame, id_col: str, frames_per_doc: int = 24)
 
     out_schema = T.StructType([T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())])
     return df.select(F.col(id_col)).mapInPandas(synth, out_schema)
+
+
+# --- perceptual hash: image near-dup via dHash (round 12) --------------
+# Text has four dedup stories (exact, MinHash, SimHash, semantic);
+# this gives image columns their first: a 64-bit difference hash over
+# DECODED pixels, then the SAME pigeonhole Hamming-block join the text
+# SimHash family uses (operators/neardup.simhash_candidates — reused
+# verbatim, the fingerprint is bit-compatible: 63 significant bits,
+# bit 63 kept zero so the long stays positive).
+
+
+def dhash64(px, grid: int = 8) -> int | None:
+    """dHash of a decoded pixel array ((h,w) or (h,w,3) uint8): gray =
+    channel mean, nearest-neighbor downsample to grid x (grid+1) via
+    integer index maps (the resize_images resample), then one bit per
+    horizontal gradient — bit set iff the right neighbor is brighter.
+    Row-major bit order; with the default grid=8 that is 64 bits, and
+    bit 63 is cleared for SimHash-family compatibility (positive
+    longs). Gradient structure survives what byte hashes don't: a
+    global +-1 brightness shift leaves every comparison — and so the
+    fingerprint — unchanged, and mild re-encode noise (JPEG quality)
+    flips only the bits whose gradient it actually crossed. Returns
+    None (quarantine) for undecodable input."""
+    import numpy as np
+
+    if px is None:
+        return None
+    a = np.asarray(px, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    if a.ndim != 2 or a.size == 0:
+        return None
+    h, w = a.shape
+    gh, gw = grid, grid + 1
+    ys = (np.arange(gh) * (h / gh)).astype(int)
+    xs = (np.arange(gw) * (w / gw)).astype(int)
+    small = a[ys][:, xs]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v & ((1 << 63) - 1)
+
+
+def dhash_images(media: DataFrame, grid: int = 8) -> DataFrame:
+    """(doc_id, dhash) via one mapInPandas pass: decode each payload for
+    real (PNG: decode_png_pixels; baseline JPEG: the T.81 codec), hash
+    the pixels with :func:`dhash64`. Payloads neither codec accepts
+    come back NULL — callers quarantine them, exactly like the decode
+    stub path. Scale: per-row work only (no shuffle, no state); the
+    Arrow batch size bounds decode memory as for decode_images."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lakehouse_spark_spark.operators.jpegcodec import decode_jpeg_baseline
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["media"]:
+                raw = bytes(payload)
+                px = decode_png_pixels(raw)
+                if px is None:
+                    px = decode_jpeg_baseline(raw)
+                out.append(dhash64(px, grid=grid))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": pd.array(out, dtype="Int64")})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("dhash", T.LongType())]
+    )
+    return media.mapInPandas(do, schema)
+
+
+def image_neardup_dhash(media: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """Image near-dup candidates: dHash fingerprints joined by the
+    pigeonhole Hamming-block equi-join (full recall for
+    ``max_hamming <= blocks - 1``, the text-SimHash guarantee — shared
+    code, not a re-implementation). Undecodable payloads (NULL
+    fingerprint) are excluded rather than colliding at a sentinel.
+    Returns (id_a, id_b, hamming), id_a < id_b. Scale: the block join
+    is O(sum of per-(block, value) bucket sizes) — near-identical
+    images share blocks, unrelated scenes don't; never all-pairs."""
+    from lakehouse_spark_spark.operators.neardup import simhash_candidates
+
+    fp = (
+        dhash_images(media)
+        .filter(F.col("dhash").isNotNull())
+        .withColumnRenamed("dhash", "simhash")
+    )
+    return simhash_candidates(fp, "doc_id", max_hamming=max_hamming, blocks=blocks)

@@ -628,11 +628,14 @@ def neardup_candidates_against_index(
     ``max_bucket`` docs are skipped for matching (one extra groupBy
     over the band table the join scans anyway — O(index); persisting
     the counts at fold time is the same cap one optimization further).
-    Standard LSH trade: a true near-dup pair agreeing ONLY in hot
+    Standard LSH trade: a true NEAR-dup pair agreeing ONLY in hot
     buckets goes unseen, but near-identical docs agree in many bands,
     so non-boilerplate pairs keep their cold-bucket collisions —
     tests plant a 300-doc boilerplate cluster and verify the organic
-    pair survives the cap."""
+    pair survives the cap. EXACT duplicates are exempt from the trade:
+    an equal-full-signature rescue join (below) surfaces one corpus
+    match per batch doc even when every bucket is hot, preserving the
+    streaming ingest's exact-dup crash-window fallback."""
     if signatures is None:
         signatures = minhash_signatures(
             batch, id_col, text_col, n=index.n, num_hashes=index.num_hashes
@@ -664,6 +667,32 @@ def neardup_candidates_against_index(
         .select("new_id", "corpus_id")
         .distinct()
     )
+    if max_bucket is not None:
+        # exact-signature rescue (r12): the cap must never hide an EXACT
+        # duplicate. A doc whose every band bucket is hot (pure
+        # boilerplate) loses all its candidate pairs to the cap — and
+        # the streaming ingest's crash-window fallback ("a future exact
+        # dup scores est_jaccard 1.0 and drops here") depends on exact
+        # dups always surfacing (r11 ADVICE). Identical texts have
+        # identical minhash signatures, so one equi-join on a 64-bit
+        # full-signature hash restores them: O(batch + index), and
+        # capped to ONE corpus match per batch doc (enough to flag the
+        # dup; emitting a hot cluster's every member is the blow-up the
+        # bucket cap exists to prevent). A hash collision only yields a
+        # scored candidate pair — est_jaccard below is computed from the
+        # real signatures, so it cannot create a false 1.0.
+        sh_n = sigs.select(F.col("__id").alias("new_id"), F.xxhash64("signature").alias("__sh"))
+        sh_c = index.signatures.dropDuplicates(["__id"]).select(
+            F.col("__id").alias("corpus_id"), F.xxhash64("signature").alias("__sh")
+        )
+        exact = (
+            sh_n.join(sh_c, "__sh")
+            .filter(F.col("new_id") != F.col("corpus_id"))
+            .groupBy("new_id")
+            .agg(F.min("corpus_id").alias("corpus_id"))
+            .select("new_id", "corpus_id")
+        )
+        pairs = pairs.union(exact).distinct()
     sig_n = sigs.select(F.col("__id").alias("new_id"), F.col("signature").alias("sig_n"))
     sig_c = index.signatures.dropDuplicates(["__id"]).select(
         F.col("__id").alias("corpus_id"), F.col("signature").alias("sig_c")

@@ -891,8 +891,88 @@ _GATE_ROTATION_R11 = [
 ]
 
 
+# Round-12 rotation: gate debt stays zero. Window = the two queries
+# born this round + rows-only re-gates of everything the r12 reworks
+# touched (the recall panel + occupancy tracker ride write/update_
+# ann_index, so every persisted-ANN fixture is rebuilt under new code;
+# ann_index_health grew three columns; the near-dup probe gained the
+# exact-signature rescue) + maximal staleness refresh: the LAST 7
+# oracle-bearing and all 8 rows-only r7-gated queries (the oldest
+# driver hashes in the fleet), then the alphabetical prefix of the
+# r8-gated oracle pool. The r12 sinks work (ledger-safe compaction,
+# floor manifest) has no gated-query surface — it is pinned by
+# tests/test_maintenance.py instead. Oracle-bearing entries first per
+# the standing front-load invariant; invariant (tests/
+# test_gate_rotation.py): any query added to the registry after this
+# list was cut MUST be added here in the same commit.
+_GATE_ROTATION_R12 = [
+    # -- staleness re-gate: the r7 remnants, oracle-bearing (includes
+    #    the two slots displaced in r10/r11) --
+    "top_event_types_approx",
+    "top_supplier_by_revenue",
+    "training_corpus_report",
+    "user_interarrival_stats",
+    "waiting_suppliers",
+    "wealthy_inactive_customers",
+    "weekly_retention_sketch",
+    # -- staleness re-gate: start of the r8-gated oracle pool
+    #    (alphabetical prefix of its 44 oracle-bearing queries) --
+    "asof_purchase_last_view",
+    "avg_ticket_per_order",
+    "brand_sales",
+    "click_to_purchase_5min",
+    "corpus_token_accounting",
+    "customer_order_gaps",
+    "customers_with_big_order",
+    "daily_user_reach",
+    "deduped_corpus",
+    "dim_customer_unknown",
+    "doc_fingerprints",
+    "doc_quality",
+    "doc_sentences_udtf",
+    "dq_summary",
+    "embedding_neardup_lsh_verified",
+    "entity_resolution_clusters",
+    "events_daily_pivot",
+    "events_hourly",
+    "events_props_extract",
+    "fk_stamp_orders",
+    "inactive_customers_90d",
+    "lang_id_documents",
+    "latest_event_per_user",
+    "levenshtein_prefix_pairs",
+    "multimodal_decode",
+    "orders_by_status_month",
+    "orders_rollup",
+    # -- rows-only tail: born in r12 (image dHash near-dup; the p=2
+    #    multi-probe SemDeDup twin) --
+    "image_neardup_dhash",
+    "embedding_semdedup_multiprobe",
+    # -- rows-only re-gates: code touched in r12 (recall panel +
+    #    occupancy tracker in write/update_ann_index rebuild every ANN
+    #    fixture; ann_index_health grew occupancy/recall columns; the
+    #    semantic dedup/join operators gained the max_cell branch; the
+    #    near-dup probe gained the exact-signature rescue) --
+    "ann_index_health_diag",
+    "embedding_semdedup_persisted_ingest",
+    "embedding_semantic_join_indexes",
+    "embedding_ivfpq_persisted_topk",
+    "embedding_ivfpq_distributed_topk",
+    "neardup_persisted_ingest",
+    # -- staleness re-gate: the 8 rows-only r7-gated queries --
+    "bpe_learned_merges",
+    "multimodal_frame_sample",
+    "rolling_7d_reach_sketch",
+    "segment_price_percentiles_approx",
+    "semantic_dedup_kept",
+    "sequence_packing_bfd",
+    "user_reach_sketch_rollup",
+    "wordpiece_token_stats",
+]
+
+
 def _ordered_names() -> list[str]:
-    rot = [n for n in _GATE_ROTATION_R11 if n in _REGISTRY]
+    rot = [n for n in _GATE_ROTATION_R12 if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(rot)]
     return rot + rest
 
@@ -1930,6 +2010,52 @@ def embedding_semdedup_persisted_ingest_q(spark: SparkSession, sf_dir: str) -> D
 
 
 # ==========================================================================
+# Multi-probe SemDeDup twin (round 12, r11 verdict task 5): the SAME
+# fixture index and batch as embedding_semdedup_persisted_ingest, probed
+# at n_probe_cells=2 — each batch vector checks its top-2 nearest cells,
+# so a planted 1.001-scaled dup whose copy quantized across a Voronoi
+# boundary (the documented p=1 miss) is caught by its second-nearest
+# cell. Cost: 2·|batch| slim probe rows, ≤ 2/n_cells of the cells table
+# read, still zero driver vector collects. The measured p=1 vs p=2
+# dup-count delta is reported in COVERAGE.md. rows-only (k-means cells);
+# tests/test_annindex.py pins the planted boundary-dup p=1-miss/p=2-hit
+# fixture and the p=1 byte-identity.
+# ==========================================================================
+@register(
+    "embedding_semdedup_multiprobe",
+    oracle=None,  # k-means cell partition: approximate by construction
+    doc="SemDeDup vs the persisted index at n_probe_cells=2: boundary near-dups recovered",
+)
+def embedding_semdedup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from lakehouse_spark_spark.operators.annindex import (
+        load_ann_index,
+        semantic_dedup_against_index,
+        write_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _bloom_fixture_dir(f"semdedup:{sf_dir}", fresh=False)
+    ready = os.path.join(path, "__fixture_ready")
+    if not os.path.exists(ready):
+        write_ann_index(
+            emb.filter(F.col("vec_id") % 4 != 0), "vec_id", "embedding", path, n_cells=16
+        )
+        open(ready, "w").close()
+    idx = load_ann_index(spark, path)
+    batch = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding").union(
+        emb.filter(F.col("vec_id") % 8 == 1).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        )
+    )
+    return semantic_dedup_against_index(
+        batch, idx, "embedding", threshold=0.98, n_probe_cells=2
+    ).select("vec_id", F.col("cell").cast("long").alias("cell"), "max_corpus_cos", "dup")
+
+
+# ==========================================================================
 # ANN drift observability (round 11, r10 verdict task 5): the frozen-
 # quantizer trade needs a rebuild trigger that is a measurement, not a
 # guess. The fixture index folds one in-distribution batch and one
@@ -2123,6 +2249,55 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
     )
+
+
+# ==========================================================================
+# Image near-dup via perceptual hash (round 12, r11 verdict task 4):
+# the first image dedup story — 64-bit dHash over REAL decoded pixels
+# (the stdlib PNG codec), joined by the SAME pigeonhole Hamming-block
+# equi-join the text SimHash family uses (shared code). Each document
+# gets a deterministic per-doc noise scene (seeded by doc_id, encoded
+# as a fully valid PNG); every %10 doc also plants a +1-gray twin —
+# byte-different payloads (different zlib streams) whose GRADIENT
+# structure is identical, so dHash lands them at Hamming 0 while byte
+# hashes see nothing. Scenes draw from 0..250 so the +1 shift never
+# clips: the planted pair set is exact, and unrelated noise scenes
+# differ by ~31 bits (the ≤3 filter kills chance block collisions).
+# rows-only: fingerprint of a hash function (not SQL-expressible);
+# tests/test_codecs.py pins block-join == brute-force Hamming and
+# the planted ±1/re-encode catches.
+# ==========================================================================
+@register(
+    "image_neardup_dhash",
+    oracle=None,  # perceptual-hash-function-specific
+    doc="image near-dup: dHash over decoded PNG pixels + pigeonhole Hamming blocks (planted +-1-gray twins)",
+)
+def image_neardup_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.multimodal import image_neardup_dhash
+
+    docs = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415
+
+        from lakehouse_spark_spark.operators.multimodal import encode_png_pixels
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rng = np.random.RandomState(i % (2**31))
+                px = rng.randint(0, 251, size=(32, 32)).astype(np.uint8)
+                ids.append(i)
+                payloads.append(encode_png_pixels(px))
+                if i % 10 == 0:
+                    ids.append(i + 10_000_000)
+                    payloads.append(encode_png_pixels(px + 1))
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "media": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, media binary")
+    return image_neardup_dhash(media, max_hamming=3, blocks=4)
 
 
 # ==========================================================================

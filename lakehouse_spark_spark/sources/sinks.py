@@ -70,10 +70,27 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256, distinct: bool 
     against data loss, not reader isolation.) ``distinct=True`` also
     drops exact-duplicate rows during the rewrite — the repair pass for
     append-mode sinks whose writer replayed a batch (e.g. the bloom
-    dedup index's hash set)."""
+    dedup index's hash set).
+
+    REFUSES an :func:`append_once_parquet` ledger (``batch_id=`` dirs /
+    floor manifest): the flat rewrite would erase the per-epoch
+    partition dirs the replay exists-check depends on (exactly-once
+    silently degrades to at-least-once) and the next append would
+    re-adopt the flat files as ``batch_id=-1`` with a colliding
+    physical ``batch_id`` column — an unreadable ledger. Use
+    :func:`compact_ledger_parquet`, which preserves both."""
     import math
     import os
 
+    if os.path.isdir(path) and (
+        os.path.exists(os.path.join(path, _LEDGER_MANIFEST))
+        or any(n.startswith("batch_id=") for n in os.listdir(path))
+    ):
+        raise ValueError(
+            f"compact_parquet: {path} is an append_once_parquet ledger — "
+            "a flat rewrite would break its exactly-once replay contract; "
+            "use compact_ledger_parquet instead"
+        )
     size = sum(os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(path) for f in fs)
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
@@ -192,6 +209,67 @@ def gc_versioned_dirs(
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
+# Ledger floor manifest (dot-prefixed: hidden from Spark's file index).
+# Written by compact_ledger_parquet; records the highest epoch whose rows
+# are guaranteed committed ("floor") so the replay exists-check survives
+# any future layout change a compaction makes to the partition dirs.
+_LEDGER_MANIFEST = ".ledger_manifest.json"
+
+
+def _ledger_floor(base_dir: str) -> int | None:
+    import json
+    import os
+
+    p = os.path.join(base_dir, _LEDGER_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        v = json.load(fh).get("floor_batch_id")
+    return None if v is None else int(v)
+
+
+def compact_ledger_parquet(spark, base_dir: str, target_file_mb: int = 256) -> int:
+    """Ledger-aware compaction — the maintenance job an
+    :func:`append_once_parquet` ledger can actually use (the flat
+    :func:`compact_parquet` rewrite would corrupt it and now refuses).
+    A year-long stream leaves thousands of ``batch_id=`` dirs, each
+    holding a handful of KB-scale files; this rewrites the whole ledger
+    in one pass, ``partitionBy("batch_id")``, into size-targeted files
+    (the per-epoch dirs survive — they ARE the replay exists-check),
+    and records a floor manifest (``floor_batch_id`` = highest
+    committed epoch) INSIDE the staging dir before the swap, so
+    :func:`append_once_parquet` keeps skipping replayed epochs even if
+    a future compaction merges or drops partition dirs. Publishes via
+    the same rename-aside swap as :func:`compact_parquet` (no data-loss
+    window; local-FS reader-isolation caveat applies). Single-writer
+    contract: don't run concurrently with the stream's own epoch
+    commits. Returns the new data-file count."""
+    import json
+    import math
+    import os
+
+    names = os.listdir(base_dir)
+    ids = [int(n.split("=", 1)[1]) for n in names if n.startswith("batch_id=")]
+    if not ids and not os.path.exists(os.path.join(base_dir, _LEDGER_MANIFEST)):
+        raise ValueError(
+            f"compact_ledger_parquet: {base_dir} has no batch_id= partitions — "
+            "not an append_once_parquet ledger; use compact_parquet"
+        )
+    prior_floor = _ledger_floor(base_dir)
+    floor = max([i for i in ids if i >= 0] + ([prior_floor] if prior_floor is not None else []), default=None)
+    size = sum(os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(base_dir) for f in fs)
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(base_dir)  # batch_id inferred as partition column
+    tmp = base_dir.rstrip("/") + "__compact"
+    df.repartition(n_files, "batch_id").write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    with open(os.path.join(tmp, _LEDGER_MANIFEST), "w") as fh:
+        json.dump({"floor_batch_id": floor}, fh)
+    _swap_dirs(tmp, base_dir)
+    return sum(
+        1 for dp, _, fs in os.walk(base_dir) for f in fs if f.startswith("part-") and f.endswith(".parquet")
+    )
+
+
 def append_once_parquet(df: DataFrame, base_dir: str, batch_id: int) -> bool:
     """Exactly-once micro-batch append for plain parquet (the
     foreachBatch ledger sink): each batch's rows land in their own
@@ -217,8 +295,20 @@ def append_once_parquet(df: DataFrame, base_dir: str, batch_id: int) -> bool:
     the root) is adopted on first contact as the ``batch_id=-1``
     partition, so upgraded streams keep their history readable. Scale:
     O(batch) per call (no read-modify-write of the accumulated ledger,
-    unlike :func:`upsert_parquet`); small per-batch files are the
-    standing :func:`compact_parquet` maintenance job's input.
+    unlike :func:`upsert_parquet`); the accumulated small per-batch
+    files/dirs are :func:`compact_ledger_parquet`'s input — NOT
+    :func:`compact_parquet`, whose flat rewrite would erase the
+    partition dirs this function's replay check depends on (it now
+    refuses ledgers). A compacted ledger also carries a floor manifest;
+    epochs at or below the floor are committed by definition and skip
+    the write even if their partition dir were ever merged away.
+
+    Durability scope: unlike the manifest-pointer protocol above (a
+    whole-file PUT, object-store-safe), the per-epoch commit here is an
+    ``os.rename`` of a DIRECTORY — atomic on a local/POSIX filesystem
+    only (the same caveat as :func:`_swap_dirs`). On an object store,
+    route the ledger through a transactional table format or commit
+    each epoch behind its own manifest pointer.
     """
     import os
     import shutil
@@ -257,6 +347,12 @@ def append_once_parquet(df: DataFrame, base_dir: str, batch_id: int) -> bool:
                 for f in os.listdir(mig):
                     os.replace(os.path.join(mig, f), os.path.join(legdir, f))
                 os.rmdir(mig)
+    # committed-epoch checks: the compaction floor first (survives any
+    # partition-dir rewrite), then the per-epoch dir itself
+    if os.path.isdir(base_dir):
+        floor = _ledger_floor(base_dir)
+        if floor is not None and batch_id <= floor:
+            return False
     final = os.path.join(base_dir, f"batch_id={batch_id}")
     if os.path.exists(final):
         return False

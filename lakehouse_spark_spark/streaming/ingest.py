@@ -208,7 +208,11 @@ def curated_ingest_foreach_batch(
         # cross-flag each other on replay, leaving some hashes out of
         # the Bloom index — harmless, because any future exact dup of
         # those docs scores est_jaccard 1.0 against the folded
-        # signatures and drops at this stage instead.
+        # signatures and drops at this stage instead. This fallback
+        # holds even with neardup_max_bucket set: the probe exempts
+        # equal-full-signature matches from the bucket cap (r11 ADVICE
+        # — before that, a doc whose every band bucket was hot could
+        # slip an exact dup past both stages).
         if neardup_index_path is not None:
             update_neardup_index(
                 neardup_index_path, kept.select(id_col, text_col), id_col, text_col,

@@ -642,3 +642,131 @@ def test_write_ann_index_rejects_malformed_injected_model(spark, emb, tmp_path):
             emb, "vec_id", "embedding", base + "3",
             model=([[0.0] * 64], [[[0.0] * 9] * 2] * 8),  # 8x9 != 64
         )
+
+
+def test_occupancy_flag_trips_on_hot_cell(spark, tmp_path):
+    """r12 (r11 verdict task 2): a same-distribution stream outgrowing
+    its frozen n_cells leaves residuals FLAT but concentrates folds in
+    one cell — the occupancy ratio (fullest cell vs build-time mean
+    cell count) must trip the rebuild flag where the residual ratio
+    never would. Fold 1 stays under the 4x threshold, fold 2 crosses."""
+    from lakehouse_spark_spark.operators.annindex import ann_index_health
+
+    dim = 8
+
+    def jit(i):
+        return (i % 7 - 3) / 50.0
+
+    a = [(i, [10.0 + jit(i)] + [jit(i + j) for j in range(1, dim)]) for i in range(10)]
+    b = [(100 + i, [jit(i + 3), 10.0 + jit(i)] + [jit(i + j) for j in range(2, dim)]) for i in range(10)]
+    corpus = spark.createDataFrame(a + b, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "occ_idx")
+    write_ann_index(corpus, "vec_id", "embedding", path, n_cells=2, m=8, k=4)
+    # build: 10 per cell, mean 10. fold 1: +15 near A -> max 25, ratio 2.5
+    f1 = [(1000 + i, [10.0 + jit(i + 1)] + [jit(i + j) for j in range(1, dim)]) for i in range(15)]
+    update_ann_index(path, spark.createDataFrame(f1, "vec_id bigint, embedding array<double>"), "embedding", batch_id=1)
+    # fold 2: +30 more near A -> max 55, ratio 5.5 >= 4.0 -> flag
+    f2 = [(2000 + i, [10.0 + jit(i + 2)] + [jit(i + j) for j in range(1, dim)]) for i in range(30)]
+    update_ann_index(path, spark.createDataFrame(f2, "vec_id bigint, embedding array<double>"), "embedding", batch_id=2)
+    h = {r["seq"]: r for r in ann_index_health(spark, path).collect()}
+    assert h[0]["occupancy_ratio"] == pytest.approx(2.5) and h[0]["rebuild_flag"] is False
+    assert h[1]["occupancy_ratio"] == pytest.approx(5.5) and h[1]["rebuild_flag"] is True
+    assert h[1]["max_cell"] == 55
+    # the residual signal alone would never have fired: same distribution
+    assert h[1]["resid_ratio"] < 1.5
+
+
+def test_max_cell_cap_bounds_semdedup_candidates(spark, tmp_path):
+    """r12: the hot-cell candidate cap (neardup.max_bucket's twin).
+    With the cap, a batch vector probing an over-full cell sees NO
+    candidates (its dup goes unseen — the documented trade until the
+    occupancy-flagged rebuild) while cold-cell dups keep matching;
+    uncapped output is unchanged."""
+    from lakehouse_spark_spark.operators.annindex import semantic_dedup_against_index
+
+    dim = 8
+
+    def jit(i):
+        return (i % 7 - 3) / 50.0
+
+    hot = [(i, [10.0 + jit(i)] + [jit(i + j) for j in range(1, dim)]) for i in range(30)]
+    cold = [(100 + i, [jit(i + 3), 10.0 + jit(i)] + [jit(i + j) for j in range(2, dim)]) for i in range(8)]
+    corpus = spark.createDataFrame(hot + cold, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "cap_idx")
+    write_ann_index(corpus, "vec_id", "embedding", path, n_cells=2, m=8, k=4)
+    idx = load_ann_index(spark, path)
+    batch = spark.createDataFrame(
+        [(5000, hot[0][1]), (6000, cold[0][1])], "vec_id bigint, embedding array<double>"
+    )
+    uncapped = {r["vec_id"]: r for r in
+                semantic_dedup_against_index(batch, idx, "embedding", threshold=0.98).collect()}
+    assert uncapped[5000]["dup"] is True and uncapped[6000]["dup"] is True
+    capped = {r["vec_id"]: r for r in
+              semantic_dedup_against_index(batch, idx, "embedding", threshold=0.98, max_cell=20).collect()}
+    assert capped[5000]["dup"] is False and capped[5000]["max_corpus_cos"] is None
+    assert capped[6000]["dup"] is True  # cold cell unaffected
+    assert tuple(capped[6000]) == tuple(uncapped[6000])
+
+
+def test_max_cell_cap_on_index_vs_index_join(spark, tmp_path):
+    """r12: the same cap on the cross-corpus join — an over-full cell on
+    EITHER side is skipped; cold-cell pairs are byte-identical to the
+    uncapped run."""
+    from lakehouse_spark_spark.operators.annindex import ann_index_semantic_join
+
+    dim = 8
+
+    def jit(i):
+        return (i % 7 - 3) / 50.0
+
+    a_hot = [(i, [10.0 + jit(i)] + [jit(i + j) for j in range(1, dim)]) for i in range(25)]
+    a_cold = [(100 + i, [jit(i + 3), 10.0 + jit(i)] + [jit(i + j) for j in range(2, dim)]) for i in range(6)]
+    idx_a = write_ann_index(
+        spark.createDataFrame(a_hot + a_cold, "vec_id bigint, embedding array<double>"),
+        "vec_id", "embedding", str(tmp_path / "ja"), n_cells=2, m=8, k=4,
+    )
+    # corpus B: scaled copies of 3 hot-cell and 3 cold-cell A vectors
+    b = [(9000 + i, [x * 1.0001 for x in a_hot[i][1]]) for i in range(3)]
+    b += [(9500 + i, [x * 1.0001 for x in a_cold[i][1]]) for i in range(3)]
+    write_ann_index(
+        spark.createDataFrame(b, "vec_id bigint, embedding array<double>"),
+        "vec_id", "embedding", str(tmp_path / "jb"),
+        model=(idx_a.centroids, idx_a.codebooks),
+    )
+    idx_b = load_ann_index(spark, str(tmp_path / "jb"))
+    full = _rows(ann_index_semantic_join(idx_a, idx_b, threshold=0.98))
+    capped = _rows(ann_index_semantic_join(idx_a, idx_b, threshold=0.98, max_cell=20))
+    hot_cell = load_ann_index(spark, str(tmp_path / "ja")).cells.filter("vec_id = 0").first()["cell"]
+    assert len(full) > len(capped) > 0
+    assert capped == [r for r in full if r[2] != hot_cell]  # (id_a, id_b, cell, cos)
+
+
+def test_recall_panel_trend_declines_when_truth_displaced(spark, tmp_path):
+    """r12 (r11 verdict task 3): measured recall@k rides the health
+    trail. Folding near-copies of every corpus vector displaces the
+    panel's build-time exact ground truth from the index's top-k, so
+    the recorded recall falls below the baseline — the actionable
+    number the residual ratio only proxies."""
+    import numpy as np
+
+    from lakehouse_spark_spark.operators.annindex import ann_index_health
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).round(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "recall_idx")
+    write_ann_index(corpus, "vec_id", "embedding", path, n_cells=4, m=8, k=8)
+    h0 = {r["seq"]: r for r in ann_index_health(spark, path).collect()}
+    base_recall = h0[-1]["recall_at_k"]
+    assert base_recall is not None and 0.3 <= base_recall <= 1.0
+    copies = spark.createDataFrame(
+        [(1000 + i, [float(x) * 1.0001 for x in vecs[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    )
+    update_ann_index(path, copies, "embedding", batch_id=1)
+    h1 = {r["seq"]: r for r in ann_index_health(spark, path).collect()}
+    assert h1[0]["recall_at_k"] is not None
+    assert h1[0]["recall_at_k"] < base_recall

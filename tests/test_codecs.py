@@ -357,3 +357,80 @@ def test_resize_task_survives_corrupt_payloads(spark):
     out = {r["doc_id"]: r for r in resize_images(df, max_side=16).collect()}
     assert set(out) == {1, 2, 3, 4}
     assert all(out[i]["width"] >= 1 and out[i]["height"] >= 1 for i in out)
+
+
+# --- r12: image near-dup via dHash -------------------------------------
+
+
+def test_dhash_invariances_and_separation():
+    """dHash semantics: a global ±1 brightness shift leaves the
+    fingerprint IDENTICAL (gradient structure unchanged); a baseline
+    JPEG re-encode of the same scene lands within a small Hamming
+    distance; unrelated noise scenes sit ~half the bits apart."""
+    from lakehouse_spark_spark.operators.jpegcodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+    from lakehouse_spark_spark.operators.multimodal import dhash64
+
+    rng = np.random.RandomState(11)
+    scene = rng.randint(0, 251, size=(48, 64)).astype(np.uint8)
+    h_base = dhash64(scene)
+    assert h_base is not None and 0 <= h_base < (1 << 63)
+    assert dhash64(scene + 1) == h_base  # brightness shift: bit-identical
+    # re-encode path: same scene through the real T.81 codec at two
+    # qualities — quantization noise may flip a few gradient bits, the
+    # structure survives
+    for q in (90, 70):
+        redecoded = decode_jpeg_baseline(encode_jpeg_baseline(scene, quality=q))
+        hq = dhash64(redecoded)
+        assert bin(hq ^ h_base).count("1") <= 6
+    other = rng.randint(0, 251, size=(48, 64)).astype(np.uint8)
+    assert bin(dhash64(other) ^ h_base).count("1") >= 16
+    assert dhash64(None) is None  # undecodable -> quarantine
+
+
+def test_image_neardup_block_join_equals_bruteforce(spark):
+    """The pigeonhole Hamming-block join over dHash fingerprints returns
+    EXACTLY the pairs a brute-force Hamming scan finds (max_hamming <=
+    blocks-1 full-recall guarantee, shared with text SimHash), on a
+    fixture with planted ±1-gray twins, a JPEG re-encode twin, and
+    unrelated noise scenes."""
+    import itertools
+
+    from lakehouse_spark_spark.operators.jpegcodec import encode_jpeg_baseline
+    from lakehouse_spark_spark.operators.multimodal import (
+        dhash_images,
+        encode_png_pixels,
+        image_neardup_dhash,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(30):
+        scene = rng.randint(0, 251, size=(32, 32)).astype(np.uint8)
+        rows.append((i, bytearray(encode_png_pixels(scene))))
+        if i % 10 == 0:  # planted +1-gray twin (different zlib bytes!)
+            rows.append((1000 + i, bytearray(encode_png_pixels(scene + 1))))
+        if i % 15 == 0:  # planted re-encode twin through the real JPEG codec
+            rows.append((2000 + i, bytearray(encode_jpeg_baseline(scene, quality=85))))
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    t = 6
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_neardup_dhash(media, max_hamming=t, blocks=t + 1).collect()
+    )
+    fps = {r["doc_id"]: r["dhash"] for r in dhash_images(media).collect()}
+    want = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= t
+    )
+    assert got == want
+    pairs = {(a, b) for a, b, _ in got}
+    for i in (0, 10, 20):  # every ±1 twin caught (Hamming 0 by construction)
+        assert (i, 1000 + i) in pairs
+    for i in (0, 15):  # every re-encode twin caught
+        assert (i, 2000 + i) in pairs
+    # unrelated scenes stay apart: every surviving pair is a planted one
+    assert all(a % 5 == 0 and b % 1000 == a % 1000 for a, b in pairs)

@@ -453,3 +453,34 @@ def test_hot_bucket_cap_bounds_boilerplate_candidates(spark, docs, tmp_path):
     }
     assert int(org["doc_id"]) in {c for c, _ in want}
     assert got == want
+
+
+def test_bucket_cap_never_hides_exact_duplicates(spark, tmp_path):
+    """r12 (r11 ADVICE): the streaming ingest's crash-window fallback —
+    "a future exact dup scores est_jaccard 1.0 and drops at the
+    near-dup stage" — must survive max_bucket. A probe whose EVERY band
+    bucket is hot (pure boilerplate) loses all banded candidates to the
+    cap; the equal-full-signature rescue must still surface exactly ONE
+    corpus match at est_jaccard 1.0 (one per batch doc — emitting the
+    whole hot cluster is the blow-up the cap exists to prevent)."""
+    base = (
+        "permission is hereby granted free of charge to any person obtaining "
+        "a copy of this software and associated documentation files to deal "
+        "in the software without restriction including without limitation"
+    )
+    # 60 EXACT copies per variant: every (band, band_hash) bucket holds
+    # ~60+ docs, far over the cap — and exact dups genuinely exist
+    boiler = [(10_000 + i, base + f" variant token {i % 5}") for i in range(300)]
+    corpus = spark.createDataFrame(boiler, "doc_id bigint, text string")
+    idx = write_neardup_index(corpus, "doc_id", "text", str(tmp_path / "rescue_idx"))
+    batch = spark.createDataFrame(
+        [(50_000, base + " variant token 2")], "doc_id bigint, text string"
+    )
+    capped = neardup_candidates_against_index(
+        batch, idx, "doc_id", "text", max_bucket=50
+    ).collect()
+    assert len(capped) == 1  # rescued, and capped to one match
+    row = capped[0]
+    assert row["new_id"] == 50_000 and row["est_jaccard"] == 1.0
+    # deterministic pick: the smallest corpus id among the exact copies
+    assert row["corpus_id"] == 10_002
