@@ -185,8 +185,10 @@ ANN_REBUILD_RESID_RATIO = 1.5
 # ann_index_semantic_join) grow with corpus²/n_cells² — residual drift
 # alone never notices a same-distribution corpus simply outgrowing its
 # cell count. Rebuild when the fullest cell holds this multiple of the
-# BUILD-time mean cell occupancy (at 4x mean, the hottest cell's
-# in-cell pair count is ~16x what the build sized for).
+# BUILD-time mean occupancy over OCCUPIED cells — the population
+# cell_skew measures, so the baseline row's ratio IS its skew and empty
+# build cells can't fake growth (at 4x mean, the hottest cell's in-cell
+# pair count is ~16x what the build sized for).
 ANN_REBUILD_OCCUPANCY_RATIO = 4.0
 
 # The manifest keeps the most recent fold stats only — a long-lived
@@ -457,23 +459,17 @@ def update_ann_index(
     # never late). Pre-r12 manifests (no tracker) record NULL ratios.
     # pre-r12 manifests carry no build-time tracker; seeding one from a
     # single fold would understate the corpus and fake a LOW ratio, so
-    # those indexes keep NULL ratios until a rebuild writes a real seed
+    # those indexes keep NULL occupancy until a rebuild writes a real
+    # seed. Only max_cell (a plain int — JSON-safe) is persisted; the
+    # ratio, whose zero-baseline edge is infinite, is computed at read
+    # time by ann_index_health, exactly like resid_ratio.
     has_tracker = mf.get("cell_counts") is not None
     cum = {str(c): int(n) for c, n in (mf.get("cell_counts") or {}).items()}
     batch_counts = stats.pop("cell_counts", None) or {}
     if has_tracker:
         for c, n in batch_counts.items():
             cum[c] = cum.get(c, 0) + int(n)
-    base = (mf.get("health") or {}).get("baseline") or {}
     max_cell = max(cum.values()) if has_tracker and cum else None
-    occ_ratio = None
-    if max_cell is not None and base.get("n") is not None:
-        base_mean = int(base["n"]) / max(1, int(mf.get("n_cells") or 1))
-        # a zero-size build baseline is a real measurement: any growth
-        # against it is infinite, not unknowable (the resid-ratio rule)
-        occ_ratio = (
-            (1.0 if max_cell == 0 else float("inf")) if base_mean == 0.0 else max_cell / base_mean
-        )
     recall = None
     if measure_recall and mf.get("panel"):
         # measured recall on the persisted probe panel: the index AFTER
@@ -486,7 +482,6 @@ def update_ann_index(
         **stats,
         "batch_id": None if batch_id is None else int(batch_id),
         "max_cell": max_cell,
-        "occupancy_ratio": occ_ratio,
         "recall_at_k": recall,
     })
     mf2 = {**mf, "health": {**health, "trail": trail}}
@@ -595,20 +590,39 @@ def ann_index_health(
             return 1.0 if mean_resid == 0.0 else float("inf")
         return mean_resid / base_mean
 
+    # occupancy denominator: the BUILD-time mean over OCCUPIED cells
+    # (n / |cell_counts|) — the same population cell_skew measures, so
+    # the baseline row's ratio IS its skew and the trend is continuous;
+    # dividing by mean-over-all-n_cells would punish builds whose
+    # k-means left cells empty (a first fold would jump the ratio with
+    # zero real growth). Computed at READ time, like resid_ratio — the
+    # manifest stores only the JSON-safe max_cell int, and the
+    # zero-baseline edge (empty-corpus build: any growth is infinite,
+    # not unknowable) never has to serialize.
+    bcc = base.get("cell_counts") if base else None
+    base_cell_mean = None
+    if bcc is not None and base.get("n") is not None:
+        base_cell_mean = (int(base["n"]) / len(bcc)) if bcc else 0.0
+
+    def _occ(mc):
+        if mc is None or base_cell_mean is None:
+            return None
+        if base_cell_mean == 0.0:
+            return 1.0 if mc == 0 else float("inf")
+        return mc / base_cell_mean
+
     rows = []
     if base:
-        bcc = base.get("cell_counts") or {}
+        base_max = max(bcc.values()) if bcc else None
         rows.append(
             (-1, None, base["n"], base["mean_resid"], base["p99_resid"],
              base["cell_skew"], None if base_mean is None else 1.0,
-             max(bcc.values()) if bcc else None,
-             # the baseline's own ratio IS its skew (max/mean at build)
-             base.get("cell_skew"),
+             base_max, _occ(base_max),
              base.get("recall_at_k"), False)
         )
     for i, e in enumerate(health.get("trail", [])):
         ratio = _ratio(e["mean_resid"])
-        occ = e.get("occupancy_ratio")
+        occ = _occ(e.get("max_cell"))
         flag = bool(ratio is not None and ratio >= rebuild_ratio) or bool(
             occ is not None and occ >= occupancy_rebuild_ratio
         )
@@ -686,16 +700,18 @@ def ann_index_semantic_join(
         .withColumn("__nb", l2_norm("__vb"))
     )
     if max_cell is not None:
-        # hot-cell candidate cap (r12): a cell past max_cell DISTINCT
+        # hot-cell candidate cap (r12): a cell past max_cell distinct
         # vectors on EITHER side is skipped — its per-cell cross product
         # is the quadratic the frozen n_cells lets grow without bound
         # (same trade as semantic_dedup_against_index's cap; the
-        # occupancy rebuild_flag in ann_index_health is the durable fix)
+        # occupancy rebuild_flag in ann_index_health is the durable
+        # fix). Both sides are id-deduped above, so plain count IS the
+        # distinct-doc count, replay-safe included.
         hot = (
-            a.groupBy("cell").agg(F.count_distinct("id_a").alias("__occ"))
+            a.groupBy("cell").agg(F.count(F.lit(1)).alias("__occ"))
             .filter(F.col("__occ") > max_cell).select("cell")
             .union(
-                b.groupBy("cell").agg(F.count_distinct("id_b").alias("__occ"))
+                b.groupBy("cell").agg(F.count(F.lit(1)).alias("__occ"))
                 .filter(F.col("__occ") > max_cell).select("cell")
             )
             .distinct()
@@ -1050,11 +1066,12 @@ def semantic_dedup_against_index(
         # already scans — O(probed cells)). Documented trade: dups whose
         # corpus twin lives in a skipped cell go unseen until the
         # occupancy-flagged rebuild (ann_index_health) re-cells the
-        # corpus; distinct-count, not raw count, so replayed appends
-        # can't disqualify a cell the replay invariant promises is fine.
+        # corpus. Plain count is already a distinct-doc count here —
+        # corpus_side is id-deduped above, which is also what keeps
+        # replayed appends from disqualifying a cell.
         hot = (
             corpus_side.groupBy("cell")
-            .agg(F.count_distinct("__cid").alias("__occ"))
+            .agg(F.count(F.lit(1)).alias("__occ"))
             .filter(F.col("__occ") > max_cell)
             .select("cell")
         )

@@ -673,7 +673,15 @@ def dhash_images(media: DataFrame, grid: int = 8) -> DataFrame:
             out = []
             for payload in pdf["media"]:
                 raw = bytes(payload)
-                px = decode_png_pixels(raw)
+                # decode_png_pixels RAISES on a valid magic with garbage
+                # inside (truncated IHDR, corrupt IDAT) — one malformed
+                # payload in a corpus must quarantine, not fail the
+                # Spark task (the decode_jpeg_baseline contract; that
+                # codec is already total)
+                try:
+                    px = decode_png_pixels(raw)
+                except Exception:  # noqa: BLE001 — undecodable payload
+                    px = None
                 if px is None:
                     px = decode_jpeg_baseline(raw)
                 out.append(dhash64(px, grid=grid))

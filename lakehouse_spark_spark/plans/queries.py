@@ -1975,19 +1975,15 @@ def embedding_ivfpq_distributed_topk_q(spark: SparkSession, sf_dir: str) -> Data
 # tests/test_annindex.py pins exact equality with a driver-side
 # within-cell reference and the planted-dup recall.
 # ==========================================================================
-@register(
-    "embedding_semdedup_persisted_ingest",
-    oracle=None,  # k-means cell partition: approximate by construction
-    doc="arrival-time SemDeDup vs a PREBUILT persisted IVF-PQ index: in-cell cosine, O(batch+cells)",
-)
-def embedding_semdedup_persisted_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_fixture_and_batch(spark: SparkSession, sf_dir: str):
+    """Shared by embedding_semdedup_persisted_ingest (p=1) and its
+    multiprobe twin (p=2): the two queries' documented comparison —
+    SAME cached fixture index, SAME planted-dup batch, only the probe
+    width differs — only means something if this construction has
+    exactly one copy. Returns (index, batch)."""
     import os
 
-    from lakehouse_spark_spark.operators.annindex import (
-        load_ann_index,
-        semantic_dedup_against_index,
-        write_ann_index,
-    )
+    from lakehouse_spark_spark.operators.annindex import load_ann_index, write_ann_index
 
     emb = _t(spark, sf_dir, "embeddings")
     path = _bloom_fixture_dir(f"semdedup:{sf_dir}", fresh=False)
@@ -2004,6 +2000,18 @@ def embedding_semdedup_persisted_ingest_q(spark: SparkSession, sf_dir: str) -> D
             F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
         )
     )
+    return idx, batch
+
+
+@register(
+    "embedding_semdedup_persisted_ingest",
+    oracle=None,  # k-means cell partition: approximate by construction
+    doc="arrival-time SemDeDup vs a PREBUILT persisted IVF-PQ index: in-cell cosine, O(batch+cells)",
+)
+def embedding_semdedup_persisted_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.annindex import semantic_dedup_against_index
+
+    idx, batch = _semdedup_fixture_and_batch(spark, sf_dir)
     return semantic_dedup_against_index(batch, idx, "embedding", threshold=0.98).select(
         "vec_id", F.col("cell").cast("long").alias("cell"), "max_corpus_cos", "dup"
     )
@@ -2027,29 +2035,9 @@ def embedding_semdedup_persisted_ingest_q(spark: SparkSession, sf_dir: str) -> D
     doc="SemDeDup vs the persisted index at n_probe_cells=2: boundary near-dups recovered",
 )
 def embedding_semdedup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    from lakehouse_spark_spark.operators.annindex import semantic_dedup_against_index
 
-    from lakehouse_spark_spark.operators.annindex import (
-        load_ann_index,
-        semantic_dedup_against_index,
-        write_ann_index,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    path = _bloom_fixture_dir(f"semdedup:{sf_dir}", fresh=False)
-    ready = os.path.join(path, "__fixture_ready")
-    if not os.path.exists(ready):
-        write_ann_index(
-            emb.filter(F.col("vec_id") % 4 != 0), "vec_id", "embedding", path, n_cells=16
-        )
-        open(ready, "w").close()
-    idx = load_ann_index(spark, path)
-    batch = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding").union(
-        emb.filter(F.col("vec_id") % 8 == 1).select(
-            (F.col("vec_id") + 10_000_000).alias("vec_id"),
-            F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
-        )
-    )
+    idx, batch = _semdedup_fixture_and_batch(spark, sf_dir)
     return semantic_dedup_against_index(
         batch, idx, "embedding", threshold=0.98, n_probe_cells=2
     ).select("vec_id", F.col("cell").cast("long").alias("cell"), "max_corpus_cos", "dup")

@@ -230,6 +230,7 @@ def ann_ingest_foreach_batch(
     *,
     threshold: float = 0.95,
     n_probe_cells: int = 1,
+    measure_recall: bool = True,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming EMBEDDING ingest with semantic dedup against the
     persisted IVF-PQ index (operators/annindex) — the third leg of the
@@ -246,7 +247,13 @@ def ann_ingest_foreach_batch(
     2. append the novel vectors' ledger rows (id, cell,
        max_corpus_cos) to ``kept_out``;
     3. fold the novel vectors into the index under the FROZEN model
-       (update_ann_index, batch_id-watermarked).
+       (update_ann_index, batch_id-watermarked). By default each fold
+       also re-scores the persisted recall panel into the health trail
+       (r12) — a ≤64-query index search per epoch, worth several Spark
+       stages of latency; ``measure_recall=False`` opts a
+       latency-critical stream out (drift health then keeps only the
+       residual/occupancy signals, and a periodic ann_index_health
+       check can re-measure recall out-of-band via update-less probes).
 
     Delivery matches the module contract: exactly-once ledger commit
     (append_once_parquet, keyed on the epoch id) before the index fold;
@@ -284,7 +291,8 @@ def ann_ingest_foreach_batch(
         kept = enc.join(kept_ids, id_col).localCheckpoint(eager=True)
         append_once_parquet(kept.select(id_col, "cell", "max_corpus_cos"), kept_out, batch_id)
         update_ann_index(
-            index_path, kept, vec_col, batch_id=batch_id, encoded=kept
+            index_path, kept, vec_col, batch_id=batch_id, encoded=kept,
+            measure_recall=measure_recall,
         )
 
     return fn

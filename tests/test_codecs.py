@@ -434,3 +434,24 @@ def test_image_neardup_block_join_equals_bruteforce(spark):
         assert (i, 2000 + i) in pairs
     # unrelated scenes stay apart: every surviving pair is a planted one
     assert all(a % 5 == 0 and b % 1000 == a % 1000 for a, b in pairs)
+
+
+def test_dhash_images_quarantines_corrupt_payloads(spark):
+    """A valid PNG magic with garbage inside (truncated IHDR, corrupt
+    IDAT) must come back NULL — one malformed payload cannot fail the
+    Spark task (review catch: decode_png_pixels raises on these)."""
+    from lakehouse_spark_spark.operators.multimodal import dhash_images, encode_png_pixels
+
+    good = encode_png_pixels(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    corrupt = [
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + b"\x01\x02",  # truncated IHDR
+        good[:40] + b"garbage-not-zlib" + good[56:],  # corrupt IDAT stream
+        b"not an image at all",
+    ]
+    media = spark.createDataFrame(
+        [(0, bytearray(good))] + [(i + 1, bytearray(c)) for i, c in enumerate(corrupt)],
+        "doc_id bigint, media binary",
+    )
+    rows = {r["doc_id"]: r["dhash"] for r in dhash_images(media).collect()}
+    assert rows[0] is not None
+    assert rows[1] is None and rows[2] is None and rows[3] is None
