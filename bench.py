@@ -105,6 +105,13 @@ HEADLINE = [
     "embedding_ivfpq_distributed_topk",
     "embedding_semantic_join_indexes",
     "decon_persisted_ingest",
+    # round 12: the first IMAGE dedup story (dHash over real decoded
+    # PNG pixels + the pigeonhole Hamming-block join) and the p=2
+    # multi-probe SemDeDup twin (same cached fixture as the p=1 line —
+    # the delta IS the boundary-recovery cost)
+    "image_neardup_dhash",
+    "image_neardup_phash",
+    "embedding_semdedup_multiprobe",
 ]
 
 

@@ -197,7 +197,12 @@ _ANN_HEALTH_TRAIL_MAX = 64
 
 
 def _write_recall_panel(
-    cells_rb: DataFrame, id_col: str, path: str, panel_n: int, panel_k: int
+    cells_rb: DataFrame,
+    id_col: str,
+    path: str,
+    panel_n: int,
+    panel_k: int,
+    out_dir: str = "panel",
 ) -> dict | None:
     """Measured-recall probe panel (r12): a fixed, deterministic sample
     of ``panel_n`` corpus vectors plus their EXACT top-``panel_k``
@@ -250,8 +255,8 @@ def _write_recall_panel(
     panel = p.select(F.col("query_id").alias(id_col), F.col("__qv").alias("vec")).join(
         truth.withColumnRenamed("query_id", id_col), id_col
     )
-    panel.write.mode("overwrite").parquet(f"{path}/panel")
-    return {"dir": "panel", "n": int(panel_n), "k": int(panel_k), "n_probe": 4, "shortlist": 50}
+    panel.write.mode("overwrite").parquet(os.path.join(path, out_dir))
+    return {"dir": out_dir, "n": int(panel_n), "k": int(panel_k), "n_probe": 4, "shortlist": 50}
 
 
 def _panel_recall(index: "AnnIndex", path: str, mf: dict) -> float | None:
@@ -378,11 +383,17 @@ def write_ann_index(
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     """Load the model tables to the driver (KB-sized by construction)
     and open the cells table lazily."""
+    from lakehouse_spark_spark.sources.sinks import resolve_versioned_dir
+
     with open(_manifest_path(path)) as fh:
         mf = json.load(fh)
-    cents_rows = spark.read.parquet(f"{path}/centroids").collect()
+    # model tables resolve through the manifest like the cells dir —
+    # pre-r12 manifests lack the keys and mean the legacy fixed names;
+    # rebuild_ann_index versions them so a model swap is one atomic
+    # pointer flip, never a half-old-half-new read
+    cents_rows = spark.read.parquet(resolve_versioned_dir(path, mf, "centroids")).collect()
     cents = [list(r["centroid"]) for r in sorted(cents_rows, key=lambda r: r["cell"])]
-    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    book_rows = spark.read.parquet(resolve_versioned_dir(path, mf, "codebooks")).collect()
     m, k = int(mf["m"]), int(mf["k"])
     books: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
     for r in book_rows:
@@ -540,6 +551,130 @@ def compact_ann_index(spark: SparkSession, path: str, target_file_mb: int = 256)
         for f in fs
         if f.endswith(".parquet")
     )
+
+
+def rebuild_ann_index(
+    spark: SparkSession,
+    path: str,
+    n_cells: int | None = None,
+    seed: int = 42,
+    max_train_rows: int = 50_000,
+    panel_n: int = 64,
+    panel_k: int = 5,
+) -> AnnIndex:
+    """The durable response to a health ``rebuild_flag``: re-train the
+    quantizer and re-encode the accumulated corpus FROM THE INDEX'S OWN
+    CELLS TABLE (the vectors are index state — no source-corpus reads),
+    resetting the drift baseline, the occupancy tracker, and the recall
+    panel in one atomic manifest flip.
+
+    ``n_cells`` defaults to the occupancy policy: enough cells to
+    restore the ORIGINAL build's mean occupancy over occupied cells
+    (never shrinking below the current count) — a corpus that grew 5x
+    gets ~5x the cells, returning the in-cell quadratics
+    (semantic dedup, index-vs-index join) to the size the original
+    build accepted. Falls back to doubling when the manifest predates
+    the r12 tracker.
+
+    Publish protocol: a rebuild swaps the MODEL, so cells, centroids,
+    codebooks, and the panel all land in fresh ``_v{n+1}`` dirs and
+    become current together in ONE manifest flip — a reader never sees
+    new centroids with old codes (each table family follows the shared
+    versioned-dir protocol; model dirs resolve through the manifest
+    since r12, legacy fixed names when the keys are absent). The epoch
+    watermark is PRESERVED: a replayed pre-rebuild epoch stays a no-op
+    — its rows are already inside the re-encoded corpus. Crash before
+    the flip leaves orphan ``_v`` dirs (GC'd by the next rebuild);
+    after the flip, GC retains each superseded dir one cycle for
+    in-flight readers. Single-writer contract. Cost: train sample +
+    one encode pass + one panel ground-truth pass over the corpus —
+    the documented FAISS-retrain shape, O(corpus), run when flagged,
+    not per fold."""
+    import math
+
+    with open(_manifest_path(path)) as fh:
+        mf = json.load(fh)
+    idx = load_ann_index(spark, path)
+    corpus = (
+        idx.cells.select(F.col(idx.id_col), "vec")
+        .dropDuplicates([idx.id_col])  # replayed-append repair, like compaction
+        .localCheckpoint(eager=True)  # pin: feeds train sample, encode, count
+    )
+    if n_cells is None:
+        base = (mf.get("health") or {}).get("baseline") or {}
+        bcc = base.get("cell_counts") or {}
+        total = corpus.count()
+        base_mean = (int(base["n"]) / len(bcc)) if bcc and base.get("n") else None
+        if base_mean:
+            n_cells = max(int(mf["n_cells"]), math.ceil(total / base_mean))
+        else:  # pre-r12 manifest: no occupancy seed to size from
+            n_cells = int(mf["n_cells"]) * 2
+    m, k = int(mf["m"]), int(mf["k"])
+    cents, books = train_ivfpq(
+        corpus, "vec", n_cells=n_cells, m=m, k=k, seed=seed, max_train_rows=max_train_rows
+    )
+
+    def _next(fam: str) -> str:
+        cur = mf.get(f"{fam}_dir", fam)
+        v = int(cur.rsplit("_v", 1)[-1]) if "_v" in cur else 0
+        return f"{fam}_v{v + 1}"
+
+    cells_dir, cents_dir, books_dir, panel_dir = (
+        _next("cells"), _next("centroids"), _next("codebooks"), _next("panel")
+    )
+    _encode_with_vec(corpus, idx.id_col, "vec", cents, books).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(path, cells_dir))
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    ).write.mode("overwrite").parquet(os.path.join(path, cents_dir))
+    spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(len(books)) for c in range(len(books[j]))],
+        "sub int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, books_dir))
+    rb = spark.read.parquet(os.path.join(path, cells_dir))
+    baseline = _residual_stats(rb.select("cell", "vec"), cents)
+    panel_info = _write_recall_panel(rb, idx.id_col, path, panel_n, panel_k, out_dir=panel_dir)
+    mf2 = {
+        "format": 1, "id_col": idx.id_col, "n_cells": int(n_cells), "m": m, "k": k,
+        "cells_dir": cells_dir, "centroids_dir": cents_dir, "codebooks_dir": books_dir,
+        "last_batch_id": mf.get("last_batch_id"),
+        "cell_counts": dict(baseline.get("cell_counts") or {}),
+        "panel": panel_info,
+        "health": {"baseline": baseline, "trail": []},
+    }
+    _write_manifest(path, mf2)
+    idx2 = load_ann_index(spark, path)
+    if panel_info is not None:
+        baseline = {**baseline, "recall_at_k": _panel_recall(idx2, path, mf2)}
+        _write_manifest(path, {**mf2, "health": {"baseline": baseline, "trail": []}})
+    # one-version retention per family (the flip superseded exactly one
+    # dir each); panel is manifest-resolved too, same protocol
+    from lakehouse_spark_spark.sources.sinks import gc_versioned_dirs
+
+    for fam, keep in (("cells", cells_dir), ("centroids", cents_dir),
+                      ("codebooks", books_dir), ("panel", panel_dir)):
+        gc_versioned_dirs(path, fam, keep, retain_dir=mf.get(f"{fam}_dir", fam))
+    return idx2
+
+
+def maybe_rebuild_ann_index(
+    spark: SparkSession,
+    path: str,
+    rebuild_ratio: float = ANN_REBUILD_RESID_RATIO,
+    occupancy_rebuild_ratio: float = ANN_REBUILD_OCCUPANCY_RATIO,
+    **rebuild_kwargs,
+) -> tuple[bool, AnnIndex]:
+    """The one-line maintenance policy the health trend exists for:
+    rebuild iff the LATEST fold's ``rebuild_flag`` is set (current
+    state, not history — an old flag a later rebuild already answered
+    must not loop). Returns (rebuilt, index). Manifest-read cheap when
+    not flagged; the rebuild itself is the O(corpus) retrain."""
+    rows = ann_index_health(spark, path, rebuild_ratio, occupancy_rebuild_ratio).collect()
+    trail = [r for r in rows if r["seq"] >= 0]
+    if not (trail and trail[-1]["rebuild_flag"]):
+        return False, load_ann_index(spark, path)
+    return True, rebuild_ann_index(spark, path, **rebuild_kwargs)
 
 
 def ann_index_health(

@@ -710,3 +710,108 @@ def image_neardup_dhash(media: DataFrame, max_hamming: int = 3, blocks: int = 4)
         .withColumnRenamed("dhash", "simhash")
     )
     return simhash_candidates(fp, "doc_id", max_hamming=max_hamming, blocks=blocks)
+
+
+def _area_resample(a, gh: int, gw: int):
+    """Block-mean (area-average) downsample to (gh, gw) with integer
+    boundaries, fully vectorized (np.add.reduceat over row/col block
+    starts); dimensions smaller than the grid fall back to nearest
+    index maps. Area averaging — not the nearest sampling dHash uses —
+    is what makes pHash stable across RESIZE: a half-size rendering of
+    the same scene averages to (nearly) the same 32x32 patch, where
+    nearest sampling picks entirely different source pixels."""
+    import numpy as np
+
+    h, w = a.shape
+    if h >= gh:
+        rb = np.arange(gh) * h // gh
+        cnt = np.diff(np.append(rb, h)).astype(np.float64)
+        a = np.add.reduceat(a, rb, axis=0) / cnt[:, None]
+    else:
+        a = a[np.arange(gh) * h // gh]
+    if w >= gw:
+        cb = np.arange(gw) * w // gw
+        cnt = np.diff(np.append(cb, w)).astype(np.float64)
+        a = np.add.reduceat(a, cb, axis=1) / cnt[None, :]
+    else:
+        a = a[:, np.arange(gw) * w // gw]
+    return a
+
+
+def phash64(px, grid: int = 32) -> int | None:
+    """pHash of a decoded pixel array: gray = channel mean, area-average
+    downsample to grid x grid, orthonormal 2D DCT-II (plain numpy
+    matmuls — the same transform the repo's T.81 JPEG codec is built
+    on), keep the top-left 8x8 low-frequency block, drop the DC term,
+    and threshold the remaining 63 coefficients by their MEDIAN — a
+    balanced 63-bit fingerprint (bit 63 zero, SimHash-family
+    compatible). Captures the scene's coarse structure, so it survives
+    RESIZE and re-encode where dHash's fixed sampling grid drifts;
+    dHash remains the cheaper same-size screen. Returns None
+    (quarantine) for undecodable input."""
+    import numpy as np
+
+    if px is None:
+        return None
+    a = np.asarray(px, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    if a.ndim != 2 or a.size == 0:
+        return None
+    small = _area_resample(a, grid, grid)
+    n = grid
+    j = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    C = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k + 1) * j / (2 * n))
+    C[0, :] /= np.sqrt(2.0)
+    D = C @ small @ C.T
+    lo = D[:8, :8].flatten()[1:]  # 63 low-frequency coeffs, DC dropped
+    med = np.median(lo)
+    v = 0
+    for i, b in enumerate(lo > med):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def phash_images(media: DataFrame, grid: int = 32) -> DataFrame:
+    """(doc_id, phash) — same decode plumbing as :func:`dhash_images`
+    (real PNG + baseline-JPEG codecs, NULL quarantine), pHash kernel."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lakehouse_spark_spark.operators.jpegcodec import decode_jpeg_baseline
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["media"]:
+                raw = bytes(payload)
+                try:
+                    px = decode_png_pixels(raw)
+                except Exception:  # noqa: BLE001 — undecodable payload
+                    px = None
+                if px is None:
+                    px = decode_jpeg_baseline(raw)
+                out.append(phash64(px, grid=grid))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": pd.array(out, dtype="Int64")})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("phash", T.LongType())]
+    )
+    return media.mapInPandas(do, schema)
+
+
+def image_neardup_phash(media: DataFrame, max_hamming: int = 10, blocks: int = 11) -> DataFrame:
+    """Resize-robust image near-dup: pHash fingerprints through the
+    shared pigeonhole Hamming-block join (full recall for
+    ``max_hamming <= blocks - 1``). Default radius is wider than
+    dHash's — a rescaled rendering keeps coarse DCT structure but
+    legitimately flips a handful of low-frequency sign bits. Returns
+    (id_a, id_b, hamming), id_a < id_b."""
+    from lakehouse_spark_spark.operators.neardup import simhash_candidates
+
+    fp = (
+        phash_images(media)
+        .filter(F.col("phash").isNotNull())
+        .withColumnRenamed("phash", "simhash")
+    )
+    return simhash_candidates(fp, "doc_id", max_hamming=max_hamming, blocks=blocks)

@@ -942,12 +942,14 @@ _GATE_ROTATION_R12 = [
     "latest_event_per_user",
     "levenshtein_prefix_pairs",
     "multimodal_decode",
-    "orders_by_status_month",
-    "orders_rollup",
-    # -- rows-only tail: born in r12 (image dHash near-dup; the p=2
-    #    multi-probe SemDeDup twin) --
+    # -- rows-only tail: born in r12 (image dHash + pHash near-dup; the
+    #    p=2 multi-probe SemDeDup twin; the occupancy-flagged rebuild
+    #    cycle — their slots displaced orders_rollup and
+    #    orders_by_status_month, both r8-stale, back to the r13 pool) --
     "image_neardup_dhash",
+    "image_neardup_phash",
     "embedding_semdedup_multiprobe",
+    "ann_index_rebuild_cycle",
     # -- rows-only re-gates: code touched in r12 (recall panel +
     #    occupancy tracker in write/update_ann_index rebuild every ANN
     #    fixture; ann_index_health grew occupancy/recall columns; the
@@ -2086,6 +2088,77 @@ def ann_index_health_diag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Occupancy-flagged rebuild cycle (round 12): the maintenance loop the
+# health trend exists for, end-to-end. Build a deliberately-small index
+# (4 cells), fold 5x copies of the fullest cell's own vectors (the
+# same-distribution-outgrowing-its-cells shape residual drift can't
+# see), watch the occupancy ratio trip the 4x rebuild flag, then run
+# maybe_rebuild_ann_index: the policy re-trains with enough cells to
+# restore the original build's mean occupancy, resets the baseline +
+# recall panel, and preserves the epoch watermark. Returns one summary
+# row per phase (post-fold flagged state; post-rebuild fresh baseline)
+# — driver-side manifest diagnostics, scalar columns only. The fixture
+# is rebuilt fresh per invocation (the body MUTATES the index, like
+# bloom run2). rows-only: k-means model maintenance (not
+# SQL-expressible); tests/test_annindex.py pins the full cycle.
+# ==========================================================================
+@register(
+    "ann_index_rebuild_cycle",
+    oracle=None,  # k-means model maintenance diagnostics
+    doc="occupancy-flagged ANN rebuild: hot fold trips the 4x flag, rebuild re-cells + resets baseline",
+)
+def ann_index_rebuild_cycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from lakehouse_spark_spark.operators.annindex import (
+        ann_index_health,
+        load_ann_index,
+        maybe_rebuild_ann_index,
+        update_ann_index,
+        write_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0).select(
+        "vec_id", "embedding"
+    )
+    path = _bloom_fixture_dir("annrebuild", fresh=True)
+    write_ann_index(emb, "vec_id", "embedding", path, n_cells=4)
+    idx = load_ann_index(spark, path)
+    hot = (
+        idx.cells.groupBy("cell").count().orderBy(F.col("count").desc(), "cell").first()["cell"]
+    )
+    src = idx.cells.filter(F.col("cell") == hot).select(
+        "vec_id", F.col("vec").alias("embedding")
+    )
+    batch = None
+    for i in range(5):
+        shifted = src.select(
+            (F.col("vec_id") + 1_000_000 * (i + 1)).alias("vec_id"), "embedding"
+        )
+        batch = shifted if batch is None else batch.union(shifted)
+    update_ann_index(path, batch, "embedding", batch_id=1)
+
+    def snap(phase: str):
+        last = ann_index_health(spark, path).collect()[-1]
+        with open(os.path.join(path, "manifest.json")) as fh:
+            n_cells = int(json.load(fh)["n_cells"])
+        return (
+            phase, n_cells, last["max_cell"], last["occupancy_ratio"],
+            last["recall_at_k"], last["rebuild_flag"],
+        )
+
+    flagged = snap("post_fold")
+    rebuilt, _ = maybe_rebuild_ann_index(spark, path)
+    fresh = snap("post_rebuild")
+    return spark.createDataFrame(
+        [flagged + (rebuilt,), fresh + (False,)],
+        "phase string, n_cells int, max_cell bigint, occupancy_ratio double, "
+        "recall_at_k double, rebuild_flag boolean, rebuilt boolean",
+    )
+
+
+# ==========================================================================
 # Index-vs-index semantic join (round 11): cross-corpus SemDeDup from
 # two persisted IVF-PQ indexes sharing one frozen model — the
 # train-vs-eval embedding-decontamination shape, computed from the
@@ -2286,6 +2359,67 @@ def image_neardup_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, "doc_id long, media binary")
     return image_neardup_dhash(media, max_hamming=3, blocks=4)
+
+
+# ==========================================================================
+# Resize-robust image near-dup via pHash (round 12): dHash's fixed
+# sampling grid drifts when the SAME scene is re-rendered at another
+# size; pHash (area-average to 32x32 -> 2D DCT -> median-thresholded
+# low-frequency signs) keeps a rescaled rendering within a small
+# Hamming radius. Scenes are deterministic textured sinusoids keyed by
+# doc_id (encoded as fully valid PNGs); every %10 doc plants a
+# HALF-SIZE twin — byte-different payload, different dimensions, same
+# scene — caught at Hamming <= 10 through the same pigeonhole block
+# join. Approximate BY NATURE, both ways: phase-adjacent scenes from
+# the same shape family legitimately collide (smooth scenes live on a
+# low-dimensional manifold — correct near-dup reports), and a few
+# planted twins exceed the radius (median-threshold sign flips on
+# near-zero DCT coefficients; measured catch rate in COVERAGE.md).
+# The unit tests pin the join against a brute-force Hamming scan, so
+# every reported distance is exact. rows-only;
+# tests/test_codecs.py pins resize robustness + brute-force equality.
+# ==========================================================================
+@register(
+    "image_neardup_phash",
+    oracle=None,  # perceptual-hash-function-specific
+    doc="resize-robust image near-dup: 32x32 DCT pHash + Hamming blocks (planted half-size twins)",
+)
+def image_neardup_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.multimodal import image_neardup_phash
+
+    docs = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415
+
+        from lakehouse_spark_spark.operators.multimodal import encode_png_pixels
+
+        def scene(i: int):
+            # 48x48: big enough that the half-size rendering (24x24)
+            # still area-averages to the same coarse DCT block — at
+            # 32x32 the 16x16 twin aliases past the Hamming radius
+            a, b = 1 + i % 3, 1 + (i * 7) % 3
+            ph = 2 * np.pi * (i % 251) / 251
+            y, x = np.mgrid[0:48, 0:48]
+            v = 120 + 60 * np.sin(2 * np.pi * (x / 48) * a + ph) * np.cos(2 * np.pi * (y / 48) * b)
+            v = v + 5 * ((x * y) % 7 - 3)
+            return np.clip(v, 0, 255).astype(np.uint8)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                px = scene(i)
+                ids.append(i)
+                payloads.append(encode_png_pixels(px))
+                if i % 10 == 0:  # half-size rendering of the SAME scene
+                    ids.append(i + 10_000_000)
+                    payloads.append(encode_png_pixels(px[::2, ::2]))
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "media": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, media binary")
+    return image_neardup_phash(media, max_hamming=10, blocks=11)
 
 
 # ==========================================================================

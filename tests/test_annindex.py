@@ -770,3 +770,62 @@ def test_recall_panel_trend_declines_when_truth_displaced(spark, tmp_path):
     h1 = {r["seq"]: r for r in ann_index_health(spark, path).collect()}
     assert h1[0]["recall_at_k"] is not None
     assert h1[0]["recall_at_k"] < base_recall
+
+
+def test_occupancy_flagged_rebuild_recells_and_resets(spark, tmp_path):
+    """r12: the durable response to the occupancy flag. A fold-heavy
+    cell trips the flag; maybe_rebuild_ann_index re-trains with enough
+    cells to restore the original build's mean occupancy, resets
+    baseline/tracker/panel in ONE manifest flip, preserves the epoch
+    watermark (pre-rebuild replays stay no-ops), keeps in-flight
+    readers alive (one-version retention), and is idempotent once the
+    new baseline is healthy."""
+    import json
+    import os
+
+    from lakehouse_spark_spark.operators.annindex import (
+        ann_index_health,
+        maybe_rebuild_ann_index,
+    )
+
+    dim = 8
+
+    def jit(i):
+        return (i % 7 - 3) / 50.0
+
+    a = [(i, [10.0 + jit(i)] + [jit(i + j) for j in range(1, dim)]) for i in range(10)]
+    b = [(100 + i, [jit(i + 3), 10.0 + jit(i)] + [jit(i + j) for j in range(2, dim)]) for i in range(10)]
+    path = str(tmp_path / "rebuild_idx")
+    write_ann_index(
+        spark.createDataFrame(a + b, "vec_id bigint, embedding array<double>"),
+        "vec_id", "embedding", path, n_cells=2, m=8, k=4,
+    )
+    # not flagged yet: maybe_rebuild is a manifest-read no-op
+    rebuilt, _ = maybe_rebuild_ann_index(spark, path)
+    assert rebuilt is False
+    f = [(2000 + i, [10.0 + jit(i + 2)] + [jit(i + j) for j in range(1, dim)]) for i in range(50)]
+    update_ann_index(
+        path, spark.createDataFrame(f, "vec_id bigint, embedding array<double>"),
+        "embedding", batch_id=1,
+    )
+    assert ann_index_health(spark, path).collect()[-1]["rebuild_flag"] is True
+    old_idx = load_ann_index(spark, path)  # in-flight reader
+    rebuilt, idx2 = maybe_rebuild_ann_index(spark, path)
+    assert rebuilt is True
+    mf = json.load(open(os.path.join(path, "manifest.json")))
+    # occupancy policy: 70 rows / build-mean 10 -> 7 cells
+    assert mf["n_cells"] == 7 and mf["cells_dir"] == "cells_v1"
+    assert mf["centroids_dir"] == "centroids_v1" and mf["codebooks_dir"] == "codebooks_v1"
+    assert mf["last_batch_id"] == 1  # watermark preserved
+    h = ann_index_health(spark, path).collect()
+    assert [r["seq"] for r in h] == [-1]  # fresh baseline, empty trail
+    assert h[0]["recall_at_k"] is not None and h[0]["rebuild_flag"] is False
+    assert idx2.cells.count() == 70 == old_idx.cells.count()  # retention
+    # replayed pre-rebuild epoch: still a watermark no-op
+    update_ann_index(
+        path, spark.createDataFrame(f, "vec_id bigint, embedding array<double>"),
+        "embedding", batch_id=1,
+    )
+    assert load_ann_index(spark, path).cells.count() == 70
+    rebuilt, _ = maybe_rebuild_ann_index(spark, path)
+    assert rebuilt is False  # healthy again

@@ -455,3 +455,84 @@ def test_dhash_images_quarantines_corrupt_payloads(spark):
     rows = {r["doc_id"]: r["dhash"] for r in dhash_images(media).collect()}
     assert rows[0] is not None
     assert rows[1] is None and rows[2] is None and rows[3] is None
+
+
+def _textured_scene(a, b, ph, tex=5, h=48, w=48):
+    """Deterministic smooth-plus-texture scene: low-frequency sinusoid
+    structure (what pHash's DCT block captures) over a high-frequency
+    deterministic texture (what makes nearest-sampled dHash grids
+    drift across resize)."""
+    y, x = np.mgrid[0:h, 0:w]
+    v = 120 + 60 * np.sin(2 * np.pi * (x / w) * a + ph) * np.cos(2 * np.pi * (y / h) * b)
+    v = v + tex * ((x * y) % 7 - 3)
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def test_phash_resize_robust_and_separating():
+    """pHash semantics: a half-size rendering of the same textured scene
+    stays within a small Hamming radius (area-average + low-frequency
+    DCT — dHash's fixed sampling grid drifts past its radius here), a
+    global +1 brightness shift is bit-identical (median threshold is
+    shift-invariant), and distinct scenes sit far apart."""
+    import itertools
+
+    from lakehouse_spark_spark.operators.multimodal import phash64
+
+    def ham(u, v):
+        return bin(u ^ v).count("1")
+
+    params = [(1, 2, 0.3), (2, 1, 1.1), (1, 1, 0.0), (2, 2, 0.7), (3, 1, 2.4), (1, 3, 2.9)]
+    scenes = [_textured_scene(*p) for p in params]
+    half_idx = (np.arange(24) * 2).astype(int)
+    for s in scenes:
+        hp = phash64(s)
+        assert 0 <= hp < (1 << 63)
+        assert ham(hp, phash64(s[half_idx][:, half_idx])) <= 10  # resized twin
+        assert phash64(np.clip(s.astype(int) + 1, 0, 255).astype(np.uint8)) == hp
+    fps = [phash64(s) for s in scenes]
+    assert min(ham(u, v) for u, v in itertools.combinations(fps, 2)) >= 12
+    assert phash64(None) is None
+
+
+def test_image_neardup_phash_catches_real_resized_twins(spark):
+    """End-to-end through the REAL pixel pipeline: textured scenes
+    encoded as valid PNGs, twins produced by resize_images (true decode
+    -> nearest resample -> re-encode), then image_neardup_phash — every
+    planted (original, resized) pair is caught and the pair set equals
+    a brute-force Hamming scan over the fingerprints."""
+    import itertools
+
+    from lakehouse_spark_spark.operators.multimodal import (
+        encode_png_pixels,
+        image_neardup_phash,
+        phash_images,
+        resize_images,
+    )
+
+    params = [(1, 2, 0.3), (2, 1, 1.1), (1, 1, 0.0), (2, 2, 0.7), (3, 1, 2.4), (1, 3, 2.9)]
+    rows = [(i, bytearray(encode_png_pixels(_textured_scene(*p)))) for i, p in enumerate(params)]
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    resized = resize_images(media, max_side=24).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "media"
+    )
+    all_media = media.union(resized)
+    t = 10
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_neardup_phash(all_media, max_hamming=t, blocks=t + 1).collect()
+    )
+    fps = {r["doc_id"]: r["phash"] for r in phash_images(all_media).collect()}
+    want = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= t
+    )
+    assert got == want
+    pairs = {(a, b) for a, b, _ in got}
+    for i in range(len(params)):  # every resized twin caught
+        assert (i, 1000 + i) in pairs
+    # distinct FULL-SIZE scenes stay apart; pairs among the 24x24
+    # renders are allowed (aliasing smooths texture away and small
+    # renders legitimately converge — the brute-force equality above
+    # already proves the join reports exactly the true distances)
+    assert all(not (a < 1000 and b < 1000) for a, b in pairs)

@@ -68,7 +68,9 @@ def test_r12_gate_covers_this_rounds_code_changes():
     first50 = set(list(Q.queries())[:50])
     changed = {
         "image_neardup_dhash",
+        "image_neardup_phash",
         "embedding_semdedup_multiprobe",
+        "ann_index_rebuild_cycle",
         "ann_index_health_diag",
         "embedding_semdedup_persisted_ingest",
         "embedding_semantic_join_indexes",
@@ -205,7 +207,9 @@ def test_r12_gate_refreshes_the_stalest_coverage():
     new_or_changed = {
         # born in r12
         "image_neardup_dhash",
+        "image_neardup_phash",
         "embedding_semdedup_multiprobe",
+        "ann_index_rebuild_cycle",
         # rows-only re-gates: code touched by the r12 reworks (ANN
         # recall panel + occupancy tracker + health schema + max_cell;
         # near-dup probe exact-signature rescue)
