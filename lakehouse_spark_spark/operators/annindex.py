@@ -559,8 +559,8 @@ def rebuild_ann_index(
     n_cells: int | None = None,
     seed: int = 42,
     max_train_rows: int = 50_000,
-    panel_n: int = 64,
-    panel_k: int = 5,
+    panel_n: int | None = None,
+    panel_k: int | None = None,
 ) -> AnnIndex:
     """The durable response to a health ``rebuild_flag``: re-train the
     quantizer and re-encode the accumulated corpus FROM THE INDEX'S OWN
@@ -614,8 +614,26 @@ def rebuild_ann_index(
         corpus, "vec", n_cells=n_cells, m=m, k=k, seed=seed, max_train_rows=max_train_rows
     )
 
+    # current dir per family, as a READER resolves it: cells/centroids/
+    # codebooks live under manifest `<fam>_dir` keys (legacy fixed names
+    # when absent — including the interrupted-_swap_dirs `__old` state,
+    # which resolve_versioned_dir serves and which must therefore be
+    # the retained dir, not the never-existing clean name); the panel's
+    # pointer lives INSIDE the panel record (mf['panel']['dir']) — a
+    # review catch: a `panel_dir` key here would always miss, version
+    # every rebuild to panel_v1, and overwrite the LIVE panel pre-flip.
+    from lakehouse_spark_spark.sources.sinks import resolve_versioned_dir
+
+    cur_dirs = {
+        fam: os.path.basename(resolve_versioned_dir(path, mf, fam))
+        for fam in ("cells", "centroids", "codebooks")
+    }
+    cur_dirs["panel"] = (mf.get("panel") or {}).get("dir", "panel")
+
     def _next(fam: str) -> str:
-        cur = mf.get(f"{fam}_dir", fam)
+        cur = cur_dirs[fam]
+        if cur.endswith("__old"):  # legacy crash-state dir name
+            cur = cur[: -len("__old")]
         v = int(cur.rsplit("_v", 1)[-1]) if "_v" in cur else 0
         return f"{fam}_v{v + 1}"
 
@@ -634,7 +652,14 @@ def rebuild_ann_index(
     ).write.mode("overwrite").parquet(os.path.join(path, books_dir))
     rb = spark.read.parquet(os.path.join(path, cells_dir))
     baseline = _residual_stats(rb.select("cell", "vec"), cents)
-    panel_info = _write_recall_panel(rb, idx.id_col, path, panel_n, panel_k, out_dir=panel_dir)
+    # panel geometry is index configuration, not a rebuild default:
+    # inherit the existing panel's n/k unless the caller overrides
+    # (review catch: resetting to 64/5 silently changed the metric an
+    # operator configured at write_ann_index time)
+    old_panel = mf.get("panel") or {}
+    pn = panel_n if panel_n is not None else int(old_panel.get("n", 64))
+    pk = panel_k if panel_k is not None else int(old_panel.get("k", 5))
+    panel_info = _write_recall_panel(rb, idx.id_col, path, pn, pk, out_dir=panel_dir)
     mf2 = {
         "format": 1, "id_col": idx.id_col, "n_cells": int(n_cells), "m": m, "k": k,
         "cells_dir": cells_dir, "centroids_dir": cents_dir, "codebooks_dir": books_dir,
@@ -654,7 +679,10 @@ def rebuild_ann_index(
 
     for fam, keep in (("cells", cells_dir), ("centroids", cents_dir),
                       ("codebooks", books_dir), ("panel", panel_dir)):
-        gc_versioned_dirs(path, fam, keep, retain_dir=mf.get(f"{fam}_dir", fam))
+        # retain what readers were ACTUALLY resolving (cur_dirs — which
+        # in the legacy crash state is `cells__old`, not the manifest's
+        # clean name; compact_ann_index makes the same distinction)
+        gc_versioned_dirs(path, fam, keep, retain_dir=cur_dirs[fam])
     return idx2
 
 

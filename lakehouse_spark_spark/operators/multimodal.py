@@ -800,12 +800,20 @@ def phash_images(media: DataFrame, grid: int = 32) -> DataFrame:
     return media.mapInPandas(do, schema)
 
 
-def image_neardup_phash(media: DataFrame, max_hamming: int = 10, blocks: int = 11) -> DataFrame:
+def image_neardup_phash(media: DataFrame, max_hamming: int = 10, blocks: int = 8) -> DataFrame:
     """Resize-robust image near-dup: pHash fingerprints through the
-    shared pigeonhole Hamming-block join (full recall for
-    ``max_hamming <= blocks - 1``). Default radius is wider than
+    shared pigeonhole Hamming-block join. Default radius is wider than
     dHash's — a rescaled rendering keeps coarse DCT structure but
-    legitimately flips a handful of low-frequency sign bits. Returns
+    legitimately flips a handful of low-frequency sign bits.
+
+    Default ``blocks=8`` (8-bit blocks) trades the tail of the recall
+    guarantee for the scale contract: pigeonhole-complete only to
+    Hamming 7, high-probability to the radius-10 default (every
+    measured resized twin shares a clean byte — flips spread), and a
+    RANDOM pair collides into the join with p ≈ 1-(255/256)^8 ≈ 3%.
+    ``blocks = max_hamming + 1`` (11) restores the full guarantee but
+    its 5-bit blocks collide ~30% of ALL pairs — the candidate join
+    degrades toward all-pairs on a large corpus (review catch). Returns
     (id_a, id_b, hamming), id_a < id_b."""
     from lakehouse_spark_spark.operators.neardup import simhash_candidates
 

@@ -2367,10 +2367,11 @@ def image_neardup_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # size; pHash (area-average to 32x32 -> 2D DCT -> median-thresholded
 # low-frequency signs) keeps a rescaled rendering within a small
 # Hamming radius. Scenes are deterministic textured sinusoids keyed by
-# doc_id (encoded as fully valid PNGs); every %10 doc plants a
+# doc_id (encoded as fully valid PNGs); EVERY sampled doc plants a
 # HALF-SIZE twin — byte-different payload, different dimensions, same
 # scene — caught at Hamming <= 10 through the same pigeonhole block
-# join. Approximate BY NATURE, both ways: phase-adjacent scenes from
+# join (blocks=8: complete to radius 7, high-probability at 10,
+# bounded join — see the operator docstring for the 5-bit-block trap). Approximate BY NATURE, both ways: phase-adjacent scenes from
 # the same shape family legitimately collide (smooth scenes live on a
 # low-dimensional manifold — correct near-dup reports), and a few
 # planted twins exceed the radius (median-threshold sign flips on
@@ -2387,7 +2388,10 @@ def image_neardup_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_neardup_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.multimodal import image_neardup_phash
 
-    docs = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0).select("doc_id")
+    # _t, not _tp: the hot path is two chained mapInPandas stages and
+    # the parallelized scan fans one warm Python worker into N cold
+    # ones (_tp's own documented anti-pattern)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0).select("doc_id")
 
     def synth(batches):
         import numpy as np
@@ -2399,7 +2403,7 @@ def image_neardup_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 48x48: big enough that the half-size rendering (24x24)
             # still area-averages to the same coarse DCT block — at
             # 32x32 the 16x16 twin aliases past the Hamming radius
-            a, b = 1 + i % 3, 1 + (i * 7) % 3
+            a, b = 1 + i % 3, 1 + (i // 3) % 3
             ph = 2 * np.pi * (i % 251) / 251
             y, x = np.mgrid[0:48, 0:48]
             v = 120 + 60 * np.sin(2 * np.pi * (x / 48) * a + ph) * np.cos(2 * np.pi * (y / 48) * b)
@@ -2413,13 +2417,15 @@ def image_neardup_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = scene(i)
                 ids.append(i)
                 payloads.append(encode_png_pixels(px))
-                if i % 10 == 0:  # half-size rendering of the SAME scene
-                    ids.append(i + 10_000_000)
-                    payloads.append(encode_png_pixels(px[::2, ::2]))
+                # EVERY sampled doc plants a half-size rendering of its
+                # own scene — maximal planted population for the
+                # catch-rate measurement in COVERAGE.md
+                ids.append(i + 10_000_000)
+                payloads.append(encode_png_pixels(px[::2, ::2]))
             yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "media": payloads})
 
     media = docs.mapInPandas(synth, "doc_id long, media binary")
-    return image_neardup_phash(media, max_hamming=10, blocks=11)
+    return image_neardup_phash(media, max_hamming=10, blocks=8)
 
 
 # ==========================================================================

@@ -829,3 +829,39 @@ def test_occupancy_flagged_rebuild_recells_and_resets(spark, tmp_path):
     assert load_ann_index(spark, path).cells.count() == 70
     rebuilt, _ = maybe_rebuild_ann_index(spark, path)
     assert rebuilt is False  # healthy again
+
+
+def test_second_rebuild_versions_every_family(spark, tmp_path):
+    """Review catch (r12): the first rebuild moves each table family to
+    _v1; a SECOND rebuild must step every family to _v2 — including the
+    panel, whose pointer lives inside the manifest's panel record (a
+    bad `panel_dir` key lookup used to re-target panel_v1 and overwrite
+    the LIVE panel before the flip). Panel geometry (n/k) is index
+    configuration and must survive both rebuilds."""
+    import json
+    import os
+
+    from lakehouse_spark_spark.operators.annindex import rebuild_ann_index
+
+    vecs = [(i, [float(i % 9), float(i % 7), float(i % 5), float(i % 3)]) for i in range(40)]
+    corpus = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "revs_idx")
+    write_ann_index(corpus, "vec_id", "embedding", path, n_cells=4, m=4, k=4,
+                    panel_n=16, panel_k=3)
+    rebuild_ann_index(spark, path, n_cells=4)
+    mf1 = json.load(open(os.path.join(path, "manifest.json")))
+    assert mf1["cells_dir"] == "cells_v1" and mf1["panel"]["dir"] == "panel_v1"
+    assert mf1["panel"]["n"] == 16 and mf1["panel"]["k"] == 3  # inherited
+    rebuild_ann_index(spark, path, n_cells=4)
+    mf2 = json.load(open(os.path.join(path, "manifest.json")))
+    assert mf2["cells_dir"] == "cells_v2"
+    assert mf2["centroids_dir"] == "centroids_v2"
+    assert mf2["codebooks_dir"] == "codebooks_v2"
+    assert mf2["panel"]["dir"] == "panel_v2"
+    assert mf2["panel"]["n"] == 16 and mf2["panel"]["k"] == 3
+    # one-version retention: v1 dirs survive this flip, originals are GC'd
+    names = set(os.listdir(path))
+    assert {"cells_v1", "cells_v2", "panel_v1", "panel_v2"} <= names
+    assert "cells" not in names and "panel" not in names
+    idx = load_ann_index(spark, path)
+    assert idx.cells.count() == 40  # still fully readable
