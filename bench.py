@@ -112,6 +112,11 @@ HEADLINE = [
     "image_neardup_dhash",
     "image_neardup_phash",
     "embedding_semdedup_multiprobe",
+    # round 12: the first AUDIO dedup story (acoustic fingerprint over
+    # really-decoded PCM WAV + the same Hamming-block join) and the
+    # first VIDEO dedup story (frame-sampled pHash + frame voting)
+    "audio_neardup_afp",
+    "video_neardup_phash",
 ]
 
 

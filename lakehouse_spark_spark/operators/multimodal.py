@@ -823,3 +823,195 @@ def image_neardup_phash(media: DataFrame, max_hamming: int = 10, blocks: int = 8
         .withColumnRenamed("phash", "simhash")
     )
     return simhash_candidates(fp, "doc_id", max_hamming=max_hamming, blocks=blocks)
+
+
+# --- acoustic fingerprint: audio near-dup via spectral-shape hash -------
+# (round 12) Text has four dedup stories, images two (dHash/pHash) —
+# audio had features (extract_audio_features) but no dedup. afp64 is a
+# 64-bit Haitsma/Kalker-shaped fingerprint ("A Highly Robust Audio
+# Fingerprinting System", ISMIR 2002 — public): frame the clip, compute
+# per-frame energies in log-spaced bands, emit the SIGN of each
+# adjacent-band energy difference. Band-energy RATIOS are untouched by
+# gain changes, so a re-levelled copy is bit-identical by construction;
+# dither/requantization flips only near-tie bits. The fingerprint is
+# bit-compatible with the text SimHash / image dHash family (63
+# significant bits, bit 63 kept zero so the long stays positive), so
+# the pigeonhole Hamming-block join is again SHARED, not re-implemented.
+
+
+def make_wav_pcm(samples, rate: int = 8000) -> bytes:
+    """A fully valid 16-bit mono PCM WAV from an arbitrary float array
+    in [-1, 1] — the general sibling of :func:`make_wav` (which only
+    synthesizes a single sine). Values are clipped then quantized to
+    int16, exactly what any PCM encoder does."""
+    import numpy as np
+
+    arr = np.clip(np.asarray(samples, dtype="float64"), -1.0, 1.0)
+    pcm = (arr * 32767.0).astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def afp64(rate, samples, frames: int = 8, bands: int = 9, f_lo: float = 50.0) -> int | None:
+    """64-bit acoustic fingerprint of a decoded PCM clip: split into
+    ``frames`` equal time frames; per frame, sum squared rFFT magnitude
+    into ``bands`` log-spaced frequency bands on [f_lo, rate/2]; bit
+    (t, b) = 1 iff band b holds more energy than band b+1 in frame t.
+    8 frames x (9-1) comparisons = 64 bits; bit 63 is masked to zero
+    (long positivity, the dhash64 convention) leaving 63 significant.
+
+    Invariances (by construction, pinned in tests): exact under gain
+    change (energy ratios are scale-free); tolerant of dither /
+    16-bit requantization (flips only where adjacent bands near-tie);
+    sensitive to WHICH bands carry energy WHEN — two clips with
+    different tone sequences differ in many bits. Returns None when the
+    clip is too short to frame (< 2 samples per frame)."""
+    import numpy as np
+
+    if rate is None or rate <= 0 or samples is None:
+        return None
+    samples = np.asarray(samples, dtype="float64")
+    n = len(samples) // frames
+    if n < 2:
+        return None
+    seg = samples[: n * frames].reshape(frames, n)
+    spec2 = np.abs(np.fft.rfft(seg, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    edges = np.geomspace(f_lo, rate / 2.0, bands + 1)
+    idx = np.searchsorted(edges, freqs, side="right") - 1
+    e = np.zeros((frames, bands))
+    for b in range(bands):
+        m = idx == b
+        if m.any():
+            e[:, b] = spec2[:, m].sum(axis=1)
+    gt = e[:, :-1] > e[:, 1:]
+    bits = 0
+    for t in range(frames):
+        for b in range(bands - 1):
+            if gt[t, b]:
+                bits |= 1 << (t * (bands - 1) + b)
+    return bits & ((1 << 63) - 1)
+
+
+def afp_audio(media: DataFrame, frames: int = 8, bands: int = 9) -> DataFrame:
+    """(doc_id, afp) via one mapInPandas pass: decode each payload for
+    real (parse_wav: RIFF walk, 16-bit PCM), downmix interleaved
+    multichannel to mono by averaging, fingerprint with :func:`afp64`.
+    Non-PCM-WAV payloads come back NULL — callers quarantine them,
+    exactly like the image-hash decode paths. Scale: per-row work only
+    (no shuffle, no state); Arrow batch size bounds decode memory."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["media"]:
+                parsed = parse_wav(bytes(payload))
+                if parsed is None:
+                    out.append(None)
+                    continue
+                rate, ch, samples = parsed
+                if ch and ch > 1 and len(samples) % ch == 0:
+                    samples = samples.reshape(-1, ch).mean(axis=1)
+                out.append(afp64(rate, samples, frames=frames, bands=bands))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "afp": pd.array(out, dtype="Int64")})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("afp", T.LongType())]
+    )
+    return media.mapInPandas(do, schema)
+
+
+def audio_neardup_afp(media: DataFrame, max_hamming: int = 6, blocks: int = 8) -> DataFrame:
+    """Audio near-dup candidates: acoustic fingerprints joined by the
+    pigeonhole Hamming-block equi-join shared with text SimHash and the
+    image hashes. Default ``blocks=8`` is pigeonhole-COMPLETE for the
+    default radius (max_hamming=6 <= blocks-1 — unlike pHash's radius
+    10, no probabilistic tail); a random pair collides into the
+    candidate join with p ~= 1-(255/256)^8 ~= 3%, kept bounded exactly
+    as for the image joins. Undecodable payloads (NULL fingerprint) are
+    excluded rather than colliding at a sentinel. Returns
+    (id_a, id_b, hamming), id_a < id_b."""
+    from lakehouse_spark_spark.operators.neardup import simhash_candidates
+
+    fp = (
+        afp_audio(media)
+        .filter(F.col("afp").isNotNull())
+        .withColumnRenamed("afp", "simhash")
+    )
+    return simhash_candidates(fp, "doc_id", max_hamming=max_hamming, blocks=blocks)
+
+
+# --- video near-dup: frame-sampled pHash voting (round 12) -------------
+# The fourth modality joins the dedup family. A clip is near-dup of
+# another when ENOUGH of its sampled frames are perceptual near-dups of
+# the other's frames — the standard frame-fingerprint voting shape
+# (sample -> per-frame hash -> frame-level candidate join -> per-clip
+# vote). Every stage is an existing operator: sample_frames (real FSTK
+# parse), phash_images (real PNG/JPEG decode + DCT hash), and the
+# shared pigeonhole Hamming-block join; this function only adds the
+# frame<->clip keying and the vote aggregation.
+
+
+def video_neardup_phash(
+    media: DataFrame,
+    every_n: int = 4,
+    max_hamming: int = 10,
+    blocks: int = 8,
+    min_matched_frames: int = 3,
+    frame_key_stride: int = 1_000_000,
+) -> DataFrame:
+    """Video near-dup candidates: sample every Nth frame, pHash each
+    decoded frame, join frames by the pigeonhole Hamming-block
+    equi-join, then vote — a clip pair survives when
+    ``min_matched_frames`` DISTINCT sampled frames of the lower-id clip
+    match a frame of the other within ``max_hamming``. Returns
+    (id_a, id_b, matched_frames, min_hamming), id_a < id_b.
+
+    Frames ride the shared join under a composite key
+    ``doc_id * frame_key_stride + frame_idx`` (requires
+    frame_idx < stride and doc_id < 2^63/stride — fine for any real
+    frame count; raise the stride for billion-frame assets). Because
+    the composite key preserves clip order, the join's id_a < id_b
+    already normalizes clip order; same-clip frame matches are
+    discarded before the vote. The vote is deliberately one-sided
+    (distinct LOWER-clip frames matched) so a short clip repeated
+    inside a long one still votes its full sampled length.
+
+    Scale: per-frame work is row-local (decode + hash); the frame-level
+    block join is the same bounded pigeonhole join text SimHash uses
+    (never all-pairs across frames); the vote is one groupBy on the
+    candidate pairs. ``every_n`` is the cost knob: cost scales with
+    sampled frames, recall degrades gracefully (a true near-dup clip
+    pair loses votes, not its best frames)."""
+    from lakehouse_spark_spark.operators.neardup import simhash_candidates
+
+    frames = sample_frames(media, every_n=every_n)
+    fp = (
+        phash_images(
+            frames.select(
+                (F.col("doc_id") * F.lit(frame_key_stride) + F.col("frame_idx")).alias("doc_id"),
+                F.col("frame").alias("media"),
+            )
+        )
+        .filter(F.col("phash").isNotNull())
+        .withColumnRenamed("phash", "simhash")
+    )
+    cand = simhash_candidates(fp, "doc_id", max_hamming=max_hamming, blocks=blocks)
+    pairs = cand.select(
+        F.expr(f"id_a DIV {frame_key_stride}").alias("clip_a"),
+        F.expr(f"id_a % {frame_key_stride}").alias("frame_a"),
+        F.expr(f"id_b DIV {frame_key_stride}").alias("clip_b"),
+        "hamming",
+    ).filter(F.col("clip_a") != F.col("clip_b"))
+    return (
+        pairs.groupBy(F.col("clip_a").alias("id_a"), F.col("clip_b").alias("id_b"))
+        .agg(
+            F.countDistinct("frame_a").alias("matched_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("matched_frames") >= min_matched_frames)
+    )

@@ -948,6 +948,8 @@ _GATE_ROTATION_R12 = [
     #    orders_by_status_month, both r8-stale, back to the r13 pool) --
     "image_neardup_dhash",
     "image_neardup_phash",
+    "audio_neardup_afp",
+    "video_neardup_phash",
     "embedding_semdedup_multiprobe",
     "ann_index_rebuild_cycle",
     # -- rows-only re-gates: code touched in r12 (recall panel +
@@ -961,15 +963,16 @@ _GATE_ROTATION_R12 = [
     "embedding_ivfpq_persisted_topk",
     "embedding_ivfpq_distributed_topk",
     "neardup_persisted_ingest",
-    # -- staleness re-gate: the 8 rows-only r7-gated queries --
+    # -- staleness re-gate: 6 of the 8 rows-only r7-gated queries
+    #    (wordpiece_token_stats and user_reach_sketch_rollup — r7-gated,
+    #    untouched since — yield their slots to the audio and video
+    #    near-dup birth-gates; they head the r13 pool) --
     "bpe_learned_merges",
     "multimodal_frame_sample",
     "rolling_7d_reach_sketch",
     "segment_price_percentiles_approx",
     "semantic_dedup_kept",
     "sequence_packing_bfd",
-    "user_reach_sketch_rollup",
-    "wordpiece_token_stats",
 ]
 
 
@@ -2426,6 +2429,147 @@ def image_neardup_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, "doc_id long, media binary")
     return image_neardup_phash(media, max_hamming=10, blocks=8)
+
+
+# ==========================================================================
+# Audio near-dup via acoustic fingerprint (round 12): the third modality
+# joins the dedup family. Clips are deterministic 8-segment tone
+# mixtures + a per-clip noise floor, synthesized as fully valid 16-bit
+# PCM WAVs and decoded FOR REAL (parse_wav) before fingerprinting
+# (afp64: per-frame log-band energies, sign of adjacent-band
+# differences — the Haitsma/Kalker shape). EVERY sampled doc plants a
+# re-levelled + dithered + requantized twin — byte-different payload,
+# same scene — caught through the SAME pigeonhole Hamming-block join
+# the text SimHash and image hashes use (blocks=8, radius 6:
+# pigeonhole-COMPLETE, no probabilistic tail unlike pHash's radius 10).
+# Measured on the fixture family: worst planted-twin distance 3, min
+# unrelated-scene distance 14 over 40 scenes — margin on both sides of
+# the radius. rows-only: fingerprint of a hash function;
+# tests/test_codecs.py pins gain invariance, block-join == brute-force
+# Hamming, and the planted-twin catches.
+# ==========================================================================
+@register(
+    "audio_neardup_afp",
+    oracle=None,  # acoustic-hash-function-specific
+    doc="audio near-dup: spectral-shape fingerprint over decoded PCM WAV + pigeonhole Hamming blocks (planted re-levelled+dithered twins)",
+)
+def audio_neardup_afp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.multimodal import audio_neardup_afp
+
+    # _t, not _tp: chained mapInPandas stages (see the pHash entry)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415
+
+        from lakehouse_spark_spark.operators.multimodal import make_wav_pcm
+
+        RATE, SEG, NSEG = 8000, 400, 8
+
+        def scene(i: int):
+            rng = np.random.RandomState(i % (2**31))
+            t = np.arange(SEG) / RATE
+            segs = []
+            for _ in range(NSEG):
+                v = np.zeros(SEG)
+                for _tone in range(3):
+                    f = 120.0 * (1.22 ** rng.randint(0, 16))
+                    v += rng.uniform(0.1, 0.3) * np.sin(2 * np.pi * f * t + rng.uniform(0.0, 6.28))
+                segs.append(v)
+            out = np.concatenate(segs)
+            out += 0.01 * rng.standard_normal(len(out))
+            return np.clip(out, -1.0, 1.0)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                s = scene(i)
+                ids.append(i)
+                payloads.append(make_wav_pcm(s, RATE))
+                # EVERY sampled doc plants a re-levelled (x0.5) +
+                # dithered twin, requantized through the 16-bit PCM
+                # encoder — maximal planted population, as for pHash
+                rng2 = np.random.RandomState((i + 10_000_000) % (2**31))
+                twin = 0.5 * s + rng2.uniform(-0.002, 0.002, size=len(s))
+                ids.append(i + 10_000_000)
+                payloads.append(make_wav_pcm(twin, RATE))
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "media": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, media binary")
+    return audio_neardup_afp(media, max_hamming=6, blocks=8)
+
+
+# ==========================================================================
+# Video near-dup via frame-sampled pHash voting (round 12): the fourth
+# modality joins the dedup family. Clips are FSTK framestacks of 6
+# textured 48x48 scenes keyed by (doc_id, frame) — parsed, decoded, and
+# hashed FOR REAL (sample_frames + phash_images); EVERY sampled doc
+# plants a twin whose frames are half-size re-renderings of its own
+# scenes. A clip pair survives when >= 3 of the 6 sampled lower-clip
+# frames match within Hamming 10. Measured at sf0.1 (125 clips + 125
+# twins): planted-clip catch 125/125 (vote histogram {6:85, 5:36, 4:3,
+# 3:1}) with ZERO false clip pairs — the 27 stray single-frame matches
+# (pHash's documented phase-adjacent collision mode) all die at the
+# vote, which is the point of voting over frames.
+# rows-only: perceptual-hash voting; tests pin the vote against a
+# brute-force per-frame Hamming scan and the planted-twin catches.
+# ==========================================================================
+@register(
+    "video_neardup_phash",
+    oracle=None,  # perceptual-hash-function-specific
+    doc="video near-dup: frame-sampled pHash + Hamming blocks + 3-of-6 frame vote (planted half-size twins)",
+)
+def video_neardup_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.multimodal import video_neardup_phash
+
+    # _t, not _tp: chained mapInPandas stages (see the pHash entry)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415
+
+        from lakehouse_spark_spark.operators.multimodal import encode_png_pixels, make_framestack
+
+        def scene(i: int, f: int):
+            # 4-component random low-frequency mixture per (clip, frame):
+            # a scene family large enough that distinct clips never meet
+            # the 3-frame vote (measured: 0 false clip pairs at 125
+            # clips, min cross-clip frame distance 12) yet smooth enough
+            # that a half-size re-rendering keeps >= 3 of 6 frames
+            # within Hamming 10 (measured: 125/125 planted clips, vote
+            # histogram {6: 85, 5: 36, 4: 3, 3: 1}); frequencies above
+            # ~2.5 cycles or moire texture alias at half size and erode
+            # the per-frame catch
+            rng = np.random.RandomState((i * 31 + f * 7 + 1) % (2**31))
+            y, x = np.mgrid[0:48, 0:48]
+            v = np.full((48, 48), 120.0)
+            for _c in range(4):
+                fa, fb = rng.uniform(0.5, 2.5), rng.uniform(0.5, 2.5)
+                p1, p2 = rng.uniform(0.0, 6.28), rng.uniform(0.0, 6.28)
+                amp = rng.uniform(15.0, 35.0)
+                v += amp * np.sin(2 * np.pi * (x / 48) * fa + p1) * np.cos(2 * np.pi * (y / 48) * fb + p2)
+            return np.clip(v, 0, 255).astype(np.uint8)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = [scene(i, f) for f in range(6)]
+                ids.append(i)
+                payloads.append(make_framestack([encode_png_pixels(p) for p in frames]))
+                # EVERY sampled doc plants a half-size re-rendering of
+                # its own clip — maximal planted population
+                ids.append(i + 10_000_000)
+                payloads.append(make_framestack([encode_png_pixels(p[::2, ::2]) for p in frames]))
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "media": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, media binary")
+    return video_neardup_phash(
+        media, every_n=1, max_hamming=10, blocks=8, min_matched_frames=3
+    )
 
 
 # ==========================================================================

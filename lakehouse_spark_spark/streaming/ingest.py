@@ -231,6 +231,7 @@ def ann_ingest_foreach_batch(
     threshold: float = 0.95,
     n_probe_cells: int = 1,
     measure_recall: bool = True,
+    auto_rebuild: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming EMBEDDING ingest with semantic dedup against the
     persisted IVF-PQ index (operators/annindex) — the third leg of the
@@ -262,6 +263,20 @@ def ann_ingest_foreach_batch(
     indexed yet) — the periodic-compaction half, exactly like the
     near-dup loop. Model drift under a long stream is the documented
     FAISS-add() trade: periodic write_ann_index rebuilds re-train.
+
+    ``auto_rebuild=True`` makes the loop SELF-HEALING (r12): after each
+    fold it runs maybe_rebuild_ann_index — a manifest-read no-op until
+    the health trend flags (residual drift ≥ 1.5x baseline OR the
+    fullest cell ≥ 4x build-time mean occupancy), then the O(corpus)
+    re-train/re-encode with occupancy-policy n_cells, inside the
+    foreachBatch epoch so the NEXT batch probes the re-celled index.
+    The rebuild preserves the epoch watermark (replays of pre-rebuild
+    epochs stay no-ops) and flips all table families atomically, so
+    crash anywhere in the rebuild leaves the pre-rebuild index fully
+    live — the at-least-once epoch contract is unchanged. Off by
+    default: a rebuild mid-stream trades one long epoch for bounded
+    in-cell quadratics; latency-critical streams run the same policy
+    out-of-band instead.
     """
     from lakehouse_spark_spark.operators.annindex import (
         _encode_with_vec,
@@ -294,5 +309,9 @@ def ann_ingest_foreach_batch(
             index_path, kept, vec_col, batch_id=batch_id, encoded=kept,
             measure_recall=measure_recall,
         )
+        if auto_rebuild:
+            from lakehouse_spark_spark.operators.annindex import maybe_rebuild_ann_index
+
+            maybe_rebuild_ann_index(spark, index_path)
 
     return fn

@@ -865,3 +865,60 @@ def test_second_rebuild_versions_every_family(spark, tmp_path):
     assert "cells" not in names and "panel" not in names
     idx = load_ann_index(spark, path)
     assert idx.cells.count() == 40  # still fully readable
+
+
+def test_ann_ingest_auto_rebuild_self_heals(spark, tmp_path):
+    """r12: the self-healing streaming loop. Hot-cell-heavy batches
+    trip the occupancy flag and auto_rebuild re-cells the index INSIDE
+    the epoch (occupancy-policy n_cells, watermark preserved), after
+    which (a) the next epoch probes the rebuilt index and still blocks
+    a semantic dup of a pre-rebuild keep, (b) the exactly-once ledger
+    is untouched by the rebuild, and (c) the health trail restarts at
+    a healthy baseline."""
+    import json
+    import os
+
+    from lakehouse_spark_spark.operators.annindex import ann_index_health, load_ann_index
+    from lakehouse_spark_spark.streaming.ingest import ann_ingest_foreach_batch
+
+    dim = 8
+
+    def jit(i):
+        return (i % 7 - 3) / 50.0
+
+    a = [(i, [10.0 + jit(i)] + [jit(i + j) for j in range(1, dim)]) for i in range(10)]
+    b = [(100 + i, [jit(i + 3), 10.0 + jit(i)] + [jit(i + j) for j in range(2, dim)]) for i in range(10)]
+    idx_path = str(tmp_path / "heal_idx")
+    write_ann_index(
+        spark.createDataFrame(a + b, "vec_id bigint, embedding array<double>"),
+        "vec_id", "embedding", idx_path, n_cells=2, m=8, k=4,
+    )
+    kept_out = str(tmp_path / "heal_kept")
+    fn = ann_ingest_foreach_batch(
+        idx_path, "embedding", kept_out, threshold=0.999, auto_rebuild=True
+    )
+    # epoch 0: 50 novel vectors into the A cell -> max 60 vs build mean
+    # 10 -> occupancy 6x >= 4x -> flagged -> rebuilt within the epoch
+    # (second coord >= 1.0 keeps every cos vs the A cluster < 0.996 —
+    # novel at the 0.999 threshold — while the dominant first coord
+    # still assigns the A cell)
+    f = [(2000 + i, [10.0 + jit(3 * i + 1), 1.0 + float(i) / 10.0] + [jit(i + j) for j in range(2, dim)])
+         for i in range(50)]
+    fn(spark.createDataFrame(f, "vec_id bigint, embedding array<double>"), 0)
+    mf = json.load(open(os.path.join(idx_path, "manifest.json")))
+    assert mf["n_cells"] == 7 and mf["cells_dir"] == "cells_v1"  # 70/10
+    assert mf["last_batch_id"] == 0  # watermark survived the rebuild
+    h = ann_index_health(spark, idx_path).collect()
+    assert [r["seq"] for r in h] == [-1] and h[0]["rebuild_flag"] is False
+    assert spark.read.parquet(kept_out).count() == 50  # ledger intact
+    # epoch 1 probes the REBUILT index: an exact copy of an epoch-0
+    # keep is blocked, a genuinely novel vector passes
+    b1 = [(9000, f[0][1]), (9001, [5.0, 5.0, 5.0] + [jit(j) for j in range(3, dim)])]
+    fn(spark.createDataFrame(b1, "vec_id bigint, embedding array<double>"), 1)
+    ledger = {r["vec_id"] for r in spark.read.parquet(kept_out).collect()}
+    assert 9000 not in ledger and 9001 in ledger
+    # epoch-0 replay after the rebuild: watermark + ledger both no-op
+    n = load_ann_index(spark, idx_path).cells.count()
+    fn(spark.createDataFrame(f, "vec_id bigint, embedding array<double>"), 0)
+    assert load_ann_index(spark, idx_path).cells.count() == n
+    assert spark.read.parquet(kept_out).count() == 51

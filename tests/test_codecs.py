@@ -536,3 +536,228 @@ def test_image_neardup_phash_catches_real_resized_twins(spark):
     # renders legitimately converge — the brute-force equality above
     # already proves the join reports exactly the true distances)
     assert all(not (a < 1000 and b < 1000) for a, b in pairs)
+
+
+# --- audio fingerprint near-dup (round 12) -----------------------------
+
+
+def _audio_scene(i: int, rate: int = 8000, seg: int = 400, nseg: int = 8):
+    """Deterministic 8-segment tone mixture + per-clip noise floor (the
+    gated query's fixture family, shared here so the test margins are
+    the ones COVERAGE.md reports)."""
+    rng = np.random.RandomState(i)
+    t = np.arange(seg) / rate
+    segs = []
+    for _ in range(nseg):
+        v = np.zeros(seg)
+        for _tone in range(3):
+            f = 120.0 * (1.22 ** rng.randint(0, 16))
+            v += rng.uniform(0.1, 0.3) * np.sin(2 * np.pi * f * t + rng.uniform(0.0, 6.28))
+        segs.append(v)
+    out = np.concatenate(segs)
+    out += 0.01 * rng.standard_normal(len(out))
+    return np.clip(out, -1.0, 1.0)
+
+
+def test_afp64_invariances_and_separation():
+    """Gain change is EXACT (band-energy ratios are scale-free); a
+    re-levelled + dithered + 16-bit-requantized twin stays within the
+    radius-6 default; unrelated scenes stay far apart; too-short clips
+    and non-WAV payloads quarantine as None."""
+    from lakehouse_spark_spark.operators.multimodal import afp64, make_wav_pcm, parse_wav
+
+    RATE = 8000
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    fps = []
+    for i in range(20):
+        s = _audio_scene(i)
+        h = afp64(RATE, s)
+        assert 0 <= h < (1 << 63)  # bit 63 masked: long stays positive
+        assert afp64(RATE, 0.37 * s) == h  # gain change: bit-identical
+        rng = np.random.RandomState(10_000 + i)
+        twin = 0.5 * s + rng.uniform(-0.002, 0.002, size=len(s))
+        r, _ch, smp = parse_wav(make_wav_pcm(twin, RATE))
+        assert ham(h, afp64(r, smp)) <= 6
+        fps.append(h)
+    dists = [ham(a, b) for k, a in enumerate(fps) for b in fps[k + 1 :]]
+    assert min(dists) > 6  # unrelated scenes never enter the radius
+    assert afp64(RATE, np.zeros(5)) is None  # too short to frame
+    assert parse_wav(b"not a wav at all") is None
+
+
+def test_afp_audio_downmixes_stereo_and_quarantines(spark):
+    """A hand-packed stereo PCM WAV downmixes to the mono average
+    (fingerprint == the mono clip's); non-WAV payloads come back NULL
+    through the Arrow path."""
+    import struct
+
+    from lakehouse_spark_spark.operators.multimodal import afp64, afp_audio
+
+    RATE = 8000
+    s = _audio_scene(3)
+    # stereo: L = 1.2*s clipped, R = 0.8*s -> mean = s (where unclipped)
+    left = np.clip(1.1 * s, -1, 1)
+    right = np.clip(0.9 * s, -1, 1)
+    inter = np.empty(2 * len(s))
+    inter[0::2], inter[1::2] = left, right
+    pcm = (np.clip(inter, -1, 1) * 32767.0).astype("<i2").tobytes()
+    stereo = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, RATE, RATE * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(stereo)), (2, bytearray(b"\x00\x01garbage"))],
+        "doc_id bigint, media binary",
+    )
+    rows = {r["doc_id"]: r["afp"] for r in afp_audio(media).collect()}
+    assert rows[2] is None
+    # downmix of (1.1s, 0.9s) averages back to ~s: same fingerprint
+    # modulo quantization/clip ties
+    assert bin(rows[1] ^ afp64(RATE, s)).count("1") <= 6
+
+
+def test_audio_neardup_block_join_equals_bruteforce(spark):
+    """The shared pigeonhole Hamming-block join over acoustic
+    fingerprints returns EXACTLY the pairs a brute-force Hamming scan
+    finds (radius <= blocks-1 full-recall guarantee), and every planted
+    re-levelled+dithered twin is caught."""
+    import itertools
+
+    from lakehouse_spark_spark.operators.multimodal import (
+        afp_audio,
+        audio_neardup_afp,
+        make_wav_pcm,
+    )
+
+    RATE = 8000
+    rows = []
+    for i in range(25):
+        s = _audio_scene(i)
+        rows.append((i, bytearray(make_wav_pcm(s, RATE))))
+        if i % 5 == 0:
+            rng = np.random.RandomState(10_000 + i)
+            twin = 0.5 * s + rng.uniform(-0.002, 0.002, size=len(s))
+            rows.append((1000 + i, bytearray(make_wav_pcm(twin, RATE))))
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    t = 6
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in audio_neardup_afp(media, max_hamming=t, blocks=t + 1).collect()
+    )
+    fps = {r["doc_id"]: r["afp"] for r in afp_audio(media).collect()}
+    want = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= t
+    )
+    assert got == want
+    pairs = {(a, b) for a, b, _ in got}
+    for i in (0, 5, 10, 15, 20):  # every planted twin caught
+        assert (i, 1000 + i) in pairs
+    # unrelated scenes stay apart: every surviving pair is a planted one
+    assert all(b == 1000 + a for a, b in pairs)
+
+
+# --- video near-dup: frame-sampled pHash voting (round 12) -------------
+
+
+def _video_scene(i: int, f: int, size: int = 48):
+    """The gated query's scene family: 4-component random low-frequency
+    mixture per (clip, frame) — large enough that distinct clips never
+    meet the vote, smooth enough to survive half-size re-rendering."""
+    rng = np.random.RandomState((i * 31 + f * 7 + 1) % (2**31))
+    y, x = np.mgrid[0:size, 0:size]
+    v = np.full((size, size), 120.0)
+    for _c in range(4):
+        fa, fb = rng.uniform(0.5, 2.5), rng.uniform(0.5, 2.5)
+        p1, p2 = rng.uniform(0.0, 6.28), rng.uniform(0.0, 6.28)
+        amp = rng.uniform(15.0, 35.0)
+        v += amp * np.sin(2 * np.pi * (x / size) * fa + p1) * np.cos(2 * np.pi * (y / size) * fb + p2)
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def test_video_neardup_vote_equals_bruteforce(spark):
+    """The frame-vote aggregation returns EXACTLY what a brute-force
+    per-frame Hamming scan + manual vote computes (same pHashes, same
+    radius, same >= min_matched_frames rule), every planted half-size
+    twin clip is caught, and no unrelated clip pair survives the vote."""
+    import collections
+    import itertools
+
+    from lakehouse_spark_spark.operators.multimodal import (
+        encode_png_pixels,
+        make_framestack,
+        phash64,
+        video_neardup_phash,
+    )
+
+    NFRAMES, T_HAM, MIN_VOTES = 6, 10, 3
+    rows, fps = [], {}
+    for i in range(0, 10):
+        frames = [_video_scene(i, f) for f in range(NFRAMES)]
+        rows.append((i, bytearray(make_framestack([encode_png_pixels(p) for p in frames]))))
+        for f, p in enumerate(frames):
+            fps[(i, f)] = phash64(p)
+        if i % 3 == 0:  # planted half-size twin clip
+            halves = [p[::2, ::2] for p in frames]
+            rows.append((1000 + i, bytearray(make_framestack([encode_png_pixels(p) for p in halves]))))
+            for f, p in enumerate(halves):
+                fps[(1000 + i, f)] = phash64(p)
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["matched_frames"], r["min_hamming"])
+        for r in video_neardup_phash(
+            media, every_n=1, max_hamming=T_HAM, blocks=8, min_matched_frames=MIN_VOTES
+        ).collect()
+    )
+    # brute force: per clip pair, vote = distinct lower-clip frames
+    # matching ANY other-clip frame within the radius
+    votes: dict[tuple, set] = collections.defaultdict(set)
+    minh: dict[tuple, int] = {}
+    for (ca, fa), (cb, fb) in itertools.combinations(sorted(fps), 2):
+        if ca == cb:
+            continue
+        d = bin(fps[(ca, fa)] ^ fps[(cb, fb)]).count("1")
+        if d <= T_HAM:
+            votes[(ca, cb)].add(fa)
+            minh[(ca, cb)] = min(minh.get((ca, cb), 64), d)
+    want = sorted(
+        (a, b, len(fr), minh[(a, b)])
+        for (a, b), fr in votes.items()
+        if len(fr) >= MIN_VOTES
+    )
+    assert got == want
+    pairs = {(a, b) for a, b, _, _ in got}
+    for i in (0, 3, 6, 9):  # every planted twin clip caught
+        assert (i, 1000 + i) in pairs
+    assert all(b == 1000 + a for a, b in pairs)  # no false clip pairs
+
+
+def test_video_neardup_quarantines_and_samples(spark):
+    """Non-FSTK payloads fall to the byte-slice stub whose 16-byte
+    slices are not decodable images — they quarantine at the pHash
+    stage rather than voting; every_n subsamples the frames actually
+    hashed (cost knob), so a twin still matches on the sampled subset."""
+    from lakehouse_spark_spark.operators.multimodal import (
+        encode_png_pixels,
+        make_framestack,
+        video_neardup_phash,
+    )
+
+    frames = [_video_scene(7, f) for f in range(6)]
+    stack = make_framestack([encode_png_pixels(p) for p in frames])
+    rows = [
+        (1, bytearray(stack)),
+        (2, bytearray(stack)),  # identical clip: must match at every_n=2
+        (3, bytearray(b"\x89not-a-container" * 64)),
+    ]
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    got = [
+        (r["id_a"], r["id_b"], r["matched_frames"])
+        for r in video_neardup_phash(media, every_n=2, max_hamming=10, blocks=8, min_matched_frames=3).collect()
+    ]
+    assert got == [(1, 2, 3)]  # frames 0,2,4 sampled -> 3 exact votes

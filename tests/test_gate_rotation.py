@@ -69,6 +69,8 @@ def test_r12_gate_covers_this_rounds_code_changes():
     changed = {
         "image_neardup_dhash",
         "image_neardup_phash",
+        "audio_neardup_afp",
+        "video_neardup_phash",
         "embedding_semdedup_multiprobe",
         "ann_index_rebuild_cycle",
         "ann_index_health_diag",
@@ -208,6 +210,8 @@ def test_r12_gate_refreshes_the_stalest_coverage():
         # born in r12
         "image_neardup_dhash",
         "image_neardup_phash",
+        "audio_neardup_afp",
+        "video_neardup_phash",
         "embedding_semdedup_multiprobe",
         "ann_index_rebuild_cycle",
         # rows-only re-gates: code touched by the r12 reworks (ANN
