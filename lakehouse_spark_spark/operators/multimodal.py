@@ -693,7 +693,9 @@ def dhash_images(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.mapInPandas(do, schema)
 
 
-def image_neardup_dhash(media: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+def image_neardup_dhash(
+    media: DataFrame, max_hamming: int = 3, blocks: int = 4, block_pairs: bool = False
+) -> DataFrame:
     """Image near-dup candidates: dHash fingerprints joined by the
     pigeonhole Hamming-block equi-join (full recall for
     ``max_hamming <= blocks - 1``, the text-SimHash guarantee — shared
@@ -709,7 +711,9 @@ def image_neardup_dhash(media: DataFrame, max_hamming: int = 3, blocks: int = 4)
         .filter(F.col("dhash").isNotNull())
         .withColumnRenamed("dhash", "simhash")
     )
-    return simhash_candidates(fp, "doc_id", max_hamming=max_hamming, blocks=blocks)
+    return simhash_candidates(
+        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs
+    )
 
 
 def _area_resample(a, gh: int, gw: int):
@@ -800,7 +804,9 @@ def phash_images(media: DataFrame, grid: int = 32) -> DataFrame:
     return media.mapInPandas(do, schema)
 
 
-def image_neardup_phash(media: DataFrame, max_hamming: int = 10, blocks: int = 8) -> DataFrame:
+def image_neardup_phash(
+    media: DataFrame, max_hamming: int = 10, blocks: int = 8, block_pairs: bool = False
+) -> DataFrame:
     """Resize-robust image near-dup: pHash fingerprints through the
     shared pigeonhole Hamming-block join. Default radius is wider than
     dHash's — a rescaled rendering keeps coarse DCT structure but
@@ -822,7 +828,9 @@ def image_neardup_phash(media: DataFrame, max_hamming: int = 10, blocks: int = 8
         .filter(F.col("phash").isNotNull())
         .withColumnRenamed("phash", "simhash")
     )
-    return simhash_candidates(fp, "doc_id", max_hamming=max_hamming, blocks=blocks)
+    return simhash_candidates(
+        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs
+    )
 
 
 # --- acoustic fingerprint: audio near-dup via spectral-shape hash -------
@@ -925,7 +933,9 @@ def afp_audio(media: DataFrame, frames: int = 8, bands: int = 9) -> DataFrame:
     return media.mapInPandas(do, schema)
 
 
-def audio_neardup_afp(media: DataFrame, max_hamming: int = 6, blocks: int = 8) -> DataFrame:
+def audio_neardup_afp(
+    media: DataFrame, max_hamming: int = 6, blocks: int = 8, block_pairs: bool = False
+) -> DataFrame:
     """Audio near-dup candidates: acoustic fingerprints joined by the
     pigeonhole Hamming-block equi-join shared with text SimHash and the
     image hashes. Default ``blocks=8`` is pigeonhole-COMPLETE for the
@@ -942,7 +952,9 @@ def audio_neardup_afp(media: DataFrame, max_hamming: int = 6, blocks: int = 8) -
         .filter(F.col("afp").isNotNull())
         .withColumnRenamed("afp", "simhash")
     )
-    return simhash_candidates(fp, "doc_id", max_hamming=max_hamming, blocks=blocks)
+    return simhash_candidates(
+        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs
+    )
 
 
 # --- video near-dup: frame-sampled pHash voting (round 12) -------------
@@ -963,6 +975,7 @@ def video_neardup_phash(
     blocks: int = 8,
     min_matched_frames: int = 3,
     frame_key_stride: int = 1_000_000,
+    block_pairs: bool = False,
 ) -> DataFrame:
     """Video near-dup candidates: sample every Nth frame, pHash each
     decoded frame, join frames by the pigeonhole Hamming-block
@@ -1000,7 +1013,9 @@ def video_neardup_phash(
         .filter(F.col("phash").isNotNull())
         .withColumnRenamed("phash", "simhash")
     )
-    cand = simhash_candidates(fp, "doc_id", max_hamming=max_hamming, blocks=blocks)
+    cand = simhash_candidates(
+        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs
+    )
     pairs = cand.select(
         F.expr(f"id_a DIV {frame_key_stride}").alias("clip_a"),
         F.expr(f"id_a % {frame_key_stride}").alias("frame_a"),

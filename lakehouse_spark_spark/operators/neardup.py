@@ -238,7 +238,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    sim: DataFrame, id_col: str, max_hamming: int = 3, blocks: int = 4, materialize: bool = True
+    sim: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    materialize: bool = True,
+    block_pairs: bool = False,
 ) -> DataFrame:
     """Near-dup candidates by the pigeonhole principle: split the 64-bit
     fingerprint into ``blocks`` equal-width blocks; any pair with
@@ -250,21 +255,59 @@ def simhash_candidates(
     block. Size ``blocks = max_hamming + 1`` for full recall.
     ``materialize`` localCheckpoints the fingerprint table so the
     64-column vote aggregation inside ``simhash`` runs once, not once
-    per self-join side."""
+    per self-join side.
+
+    ``block_pairs=True`` is the LARGE-CORPUS join (the multi-table
+    shape of Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW 2007 — public): join on every PAIR of blocks
+    agreeing instead of any single block. At radius <= blocks - 2 a
+    near-dup pair flips at most max_hamming blocks, leaving >= 2
+    intact, and SOME intact pair is one of the C(blocks, 2) join keys
+    — so the filtered output is IDENTICAL to the single-block join
+    (pinned by test), while random collisions need 2·width matching
+    bits instead of width. The single-block join's bucket-value space
+    is only 2^width (256 at blocks=8): bucket sizes grow LINEARLY with
+    the corpus and the join output grows ~n²·blocks/2^width —
+    quadratic with a small constant, fine at 10^5-10^6 fingerprints,
+    a scale-killer at web scale. Pairing squares the value space
+    (2^16 at blocks=8): ~n²·C(blocks,2)/2^(2·width) — the same
+    asymptotic with a 2^width/(blocks-1)/2 ≈ 18x smaller constant at
+    blocks=8, bought for a C(blocks,2)/blocks ≈ 3.5x wider explode
+    (measured crossover in tools/scale_stress_hamming.py). RECALL:
+    complete only for max_hamming <= blocks - 2; the radius-(blocks-1)
+    tail the single-block join still guarantees is lost."""
     if materialize:
         sim = sim.localCheckpoint(eager=False)
     width = 64 // blocks
     mask = (1 << width) - 1
-    exploded = sim.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(*[F.shiftright("simhash", width * i).bitwiseAND(F.lit(mask)) for i in range(blocks)])
-        ).alias("block", "block_val"),
-    )
-    a = exploded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "block", "block_val")
-    b = exploded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "block", "block_val")
-    pairs = a.join(b, ["block", "block_val"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sim_a", "sim_b").distinct()
+    bl = [F.shiftright("simhash", width * i).bitwiseAND(F.lit(mask)) for i in range(blocks)]
+    if block_pairs:
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(i * blocks + j).alias("block"),
+                    bl[i].alias("va"),
+                    bl[j].alias("vb"),
+                )
+                for i in range(blocks)
+                for j in range(i + 1, blocks)
+            ]
+        )
+        exploded = sim.select(F.col(id_col), F.col("simhash"), F.explode(keys).alias("k")).select(
+            F.col(id_col), "simhash", F.col("k.block").alias("block"),
+            F.col("k.va").alias("block_val"), F.col("k.vb").alias("block_val2"),
+        )
+        join_on = ["block", "block_val", "block_val2"]
+    else:
+        exploded = sim.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.posexplode(F.array(*bl)).alias("block", "block_val"),
+        )
+        join_on = ["block", "block_val"]
+    a = exploded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), *join_on)
+    b = exploded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), *join_on)
+    pairs = a.join(b, join_on).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sim_a", "sim_b").distinct()
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 

@@ -761,3 +761,31 @@ def test_video_neardup_quarantines_and_samples(spark):
         for r in video_neardup_phash(media, every_n=2, max_hamming=10, blocks=8, min_matched_frames=3).collect()
     ]
     assert got == [(1, 2, 3)]  # frames 0,2,4 sampled -> 3 exact votes
+
+
+def test_audio_neardup_block_pairs_identical(spark):
+    """r12: the large-corpus block-PAIR join, threaded through the
+    modality wrappers, returns byte-identical output to the
+    single-block join at the audio default (radius 6 = blocks - 2,
+    inside the pair guarantee)."""
+    from lakehouse_spark_spark.operators.multimodal import audio_neardup_afp, make_wav_pcm
+
+    RATE = 8000
+    rows = []
+    for i in range(15):
+        s = _audio_scene(i)
+        rows.append((i, bytearray(make_wav_pcm(s, RATE))))
+        if i % 5 == 0:
+            rng = np.random.RandomState(10_000 + i)
+            twin = 0.5 * s + rng.uniform(-0.002, 0.002, size=len(s))
+            rows.append((1000 + i, bytearray(make_wav_pcm(twin, RATE))))
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+
+    def run(pairs):
+        return sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in audio_neardup_afp(media, block_pairs=pairs).collect()
+        )
+
+    single, paired = run(False), run(True)
+    assert single == paired and {(a, b) for a, b, _ in paired} >= {(0, 1000), (5, 1005), (10, 1010)}

@@ -330,3 +330,54 @@ def test_hashed_shingles_output_identical_to_string_shingles(spark):
         hashed = sorted(map(tuple, fn(df, "doc_id", "text", n=3, hash_shingles=True, **kw).collect()))
         exact = sorted(map(tuple, fn(df, "doc_id", "text", n=3, hash_shingles=False, **kw).collect()))
         assert hashed == exact, fn.__name__
+
+
+def test_simhash_block_pairs_join_identical_within_guarantee(spark):
+    """r12: the block-PAIR join (the Manku WWW'07 multi-table shape for
+    large corpora) returns EXACTLY the single-block join's output for
+    max_hamming <= blocks - 2 — including planted twins at the radius
+    boundary — and both equal a brute-force Hamming scan. At
+    max_hamming = blocks - 1 (outside the pair guarantee) the pair
+    join may only LOSE pairs, never invent them."""
+    import itertools
+
+    import numpy as np
+
+    from lakehouse_spark_spark.operators.neardup import simhash_candidates
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        fp = int(rng.randint(0, 2**31)) << 32 | int(rng.randint(0, 2**31))
+        fp &= (1 << 63) - 1
+        rows.append((i, fp))
+        if i % 6 == 0:  # twin at EXACTLY Hamming 6 (the radius boundary)
+            pos = rng.choice(63, size=6, replace=False)
+            tw = fp
+            for p in pos:
+                tw ^= 1 << int(p)
+            rows.append((1000 + i, tw))
+    sim = spark.createDataFrame(rows, "doc_id bigint, simhash bigint")
+
+    def run(mh, pairs):
+        return sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_candidates(
+                sim, "doc_id", max_hamming=mh, blocks=8, block_pairs=pairs
+            ).collect()
+        )
+
+    fps = dict(rows)
+    def brute(mh):
+        return sorted(
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a, b in itertools.combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= mh
+        )
+
+    got_single, got_paired = run(6, False), run(6, True)
+    assert got_single == brute(6)  # single join complete to blocks-1=7
+    assert got_paired == got_single  # pair join complete to blocks-2=6
+    assert {(a, b) for a, b, _ in got_paired} >= {(i, 1000 + i) for i in range(0, 60, 6)}
+    # outside the pair guarantee: subset, never superset
+    assert set(run(7, True)) <= set(run(7, False)) == set(brute(7))
