@@ -117,6 +117,9 @@ HEADLINE = [
     # first VIDEO dedup story (frame-sampled pHash + frame voting)
     "audio_neardup_afp",
     "video_neardup_phash",
+    # round 12: the cross-modal composition (one keep/drop per asset
+    # from the union of all four modalities' near-dup edges)
+    "multimodal_dedup_disposition",
 ]
 
 

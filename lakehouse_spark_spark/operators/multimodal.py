@@ -1030,3 +1030,108 @@ def video_neardup_phash(
         )
         .filter(F.col("matched_frames") >= min_matched_frames)
     )
+
+
+# --- cross-modal dedup disposition (round 12) ---------------------------
+# The composition a real multimodal pipeline runs: an ASSET is a dup if
+# ANY of its modalities near-dups a lower-id asset. Each modality
+# contributes candidate edges through its existing operator (text
+# SimHash, image pHash, audio afp64, video frame-vote); the union of
+# edges feeds the existing deterministic connected-components operator;
+# the min id of each component keeps. Nothing here is new machinery —
+# it is the one-join composition of six existing operators.
+
+
+def multimodal_dedup_disposition(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str | None = None,
+    image_col: str | None = None,
+    audio_col: str | None = None,
+    video_col: str | None = None,
+    *,
+    text_max_hamming: int = 3,
+    text_blocks: int = 4,
+    image_max_hamming: int = 10,
+    image_blocks: int = 8,
+    audio_max_hamming: int = 6,
+    audio_blocks: int = 8,
+    video_max_hamming: int = 10,
+    video_blocks: int = 8,
+    video_min_matched_frames: int = 3,
+    video_every_n: int = 4,
+    block_pairs: bool = False,
+) -> DataFrame:
+    """Per-asset keep/drop across every supplied modality. Returns
+    (id, keep, component, modalities): ``component`` is the minimum
+    asset id transitively reachable through ANY modality's near-dup
+    edges (so cross-modality chains merge — A ~text~ B ~image~ C is one
+    component), ``keep`` marks the component minimum, ``modalities``
+    lists which modalities put the asset into a candidate pair (empty
+    for singletons). Deterministic end to end: every edge source is a
+    deterministic fingerprint join and the component label is a
+    fixpoint independent of iteration order.
+
+    Scale: each modality's edges are its existing bounded candidate
+    join (``block_pairs`` threads through for the large-corpus
+    regime); the union is edge-count-sized; connected components is
+    the pointer-jumping loop (O(E) per round, rounds ~ log diameter —
+    dup clusters are shallow). No stage sees an asset×asset product."""
+    from lakehouse_spark_spark.operators.graph import connected_components
+    from lakehouse_spark_spark.operators.neardup import simhash, simhash_candidates
+
+    edge_frames = []
+    if text_col is not None:
+        fp = simhash(assets.select(F.col(id_col), F.col(text_col)), id_col, text_col)
+        e = simhash_candidates(
+            fp, id_col, max_hamming=text_max_hamming, blocks=text_blocks, block_pairs=block_pairs
+        )
+        edge_frames.append(e.select("id_a", "id_b", F.lit("text").alias("modality")))
+    if image_col is not None:
+        med = assets.select(F.col(id_col).alias("doc_id"), F.col(image_col).alias("media"))
+        e = image_neardup_phash(
+            med, max_hamming=image_max_hamming, blocks=image_blocks, block_pairs=block_pairs
+        )
+        edge_frames.append(e.select("id_a", "id_b", F.lit("image").alias("modality")))
+    if audio_col is not None:
+        med = assets.select(F.col(id_col).alias("doc_id"), F.col(audio_col).alias("media"))
+        e = audio_neardup_afp(
+            med, max_hamming=audio_max_hamming, blocks=audio_blocks, block_pairs=block_pairs
+        )
+        edge_frames.append(e.select("id_a", "id_b", F.lit("audio").alias("modality")))
+    if video_col is not None:
+        med = assets.select(F.col(id_col).alias("doc_id"), F.col(video_col).alias("media"))
+        e = video_neardup_phash(
+            med,
+            every_n=video_every_n,
+            max_hamming=video_max_hamming,
+            blocks=video_blocks,
+            min_matched_frames=video_min_matched_frames,
+            block_pairs=block_pairs,
+        )
+        edge_frames.append(e.select("id_a", "id_b", F.lit("video").alias("modality")))
+    if not edge_frames:
+        raise ValueError("multimodal_dedup_disposition: supply at least one modality column")
+    edges = edge_frames[0]
+    for e in edge_frames[1:]:
+        edges = edges.unionByName(e)
+    edges = edges.localCheckpoint(eager=False)
+
+    comps = connected_components(edges, "id_a", "id_b")
+    mods = (
+        edges.select(F.col("id_a").alias("node"), "modality")
+        .unionByName(edges.select(F.col("id_b").alias("node"), "modality"))
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_set("modality")).alias("modalities"))
+    )
+    ids = assets.select(F.col(id_col).alias("node"))
+    return (
+        ids.join(comps, "node", "left")
+        .join(mods, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+            (F.coalesce(F.col("component"), F.col("node")) == F.col("node")).alias("keep"),
+            F.coalesce(F.col("modalities"), F.array().cast("array<string>")).alias("modalities"),
+        )
+    )

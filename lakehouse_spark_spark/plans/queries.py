@@ -950,6 +950,7 @@ _GATE_ROTATION_R12 = [
     "image_neardup_phash",
     "audio_neardup_afp",
     "video_neardup_phash",
+    "multimodal_dedup_disposition",
     "embedding_semdedup_multiprobe",
     "ann_index_rebuild_cycle",
     # -- rows-only re-gates: code touched in r12 (recall panel +
@@ -963,15 +964,15 @@ _GATE_ROTATION_R12 = [
     "embedding_ivfpq_persisted_topk",
     "embedding_ivfpq_distributed_topk",
     "neardup_persisted_ingest",
-    # -- staleness re-gate: 6 of the 8 rows-only r7-gated queries
-    #    (wordpiece_token_stats and user_reach_sketch_rollup — r7-gated,
-    #    untouched since — yield their slots to the audio and video
-    #    near-dup birth-gates; they head the r13 pool) --
+    # -- staleness re-gate: 5 of the 8 rows-only r7-gated queries
+    #    (wordpiece_token_stats, user_reach_sketch_rollup, and
+    #    semantic_dedup_kept — r7-gated, untouched since — yield their
+    #    slots to the audio / video / cross-modal birth-gates; they
+    #    head the r13 pool) --
     "bpe_learned_merges",
     "multimodal_frame_sample",
     "rolling_7d_reach_sketch",
     "segment_price_percentiles_approx",
-    "semantic_dedup_kept",
     "sequence_packing_bfd",
 ]
 
@@ -2569,6 +2570,148 @@ def video_neardup_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synth, "doc_id long, media binary")
     return video_neardup_phash(
         media, every_n=1, max_hamming=10, blocks=8, min_matched_frames=3
+    )
+
+
+# ==========================================================================
+# Cross-modal dedup disposition (round 12): the composition a real
+# multimodal pipeline runs — an ASSET is a dup if ANY of its modalities
+# near-dups a lower-id asset. Each sampled doc carries all four
+# modality columns (60-token text; pHash-family PNG scene; afp-family
+# WAV scene; 6-frame FSTK clip), and EVERY sampled doc plants ONE twin
+# whose duplicated modality rotates by sample index % 4 (image / audio
+# / video / text) while its other three modalities are fresh content —
+# so each catch is attributable to exactly one modality's edge, which
+# the `modalities` column reports. Edges union into the deterministic
+# connected-components operator; min id per component keeps.
+# rows-only: fingerprint-function composition; the unit test pins the
+# disposition against per-modality expectations and the all-singleton
+# case.
+# ==========================================================================
+@register(
+    "multimodal_dedup_disposition",
+    oracle=None,  # perceptual/acoustic/simhash-function-specific
+    doc="cross-modal dedup: one keep/drop per asset from the union of text/image/audio/video near-dup edges (rotating planted twin modality)",
+)
+def multimodal_dedup_disposition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.multimodal import multimodal_dedup_disposition
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415
+
+        from lakehouse_spark_spark.operators.multimodal import (
+            encode_png_pixels,
+            make_framestack,
+            make_wav_pcm,
+        )
+
+        RATE, SEG, NSEG = 8000, 400, 8
+
+        def image_scene(i: int):
+            rng = np.random.RandomState(i % (2**31))
+            a, b = 1 + i % 3, 1 + (i // 3) % 3
+            ph = 2 * np.pi * (i % 251) / 251
+            y, x = np.mgrid[0:48, 0:48]
+            v = np.full((48, 48), 120.0)
+            for _c in range(4):
+                fa, fb = rng.uniform(0.5, 2.5), rng.uniform(0.5, 2.5)
+                p1, p2 = rng.uniform(0.0, 6.28), rng.uniform(0.0, 6.28)
+                v += rng.uniform(15.0, 35.0) * np.sin(2 * np.pi * (x / 48) * fa + p1) * np.cos(
+                    2 * np.pi * (y / 48) * fb + p2
+                )
+            return np.clip(v, 0, 255).astype(np.uint8)
+
+        def audio_scene(i: int):
+            rng = np.random.RandomState(i % (2**31))
+            t = np.arange(SEG) / RATE
+            segs = []
+            for _s in range(NSEG):
+                v = np.zeros(SEG)
+                for _tone in range(3):
+                    f = 120.0 * (1.22 ** rng.randint(0, 16))
+                    v += rng.uniform(0.1, 0.3) * np.sin(2 * np.pi * f * t + rng.uniform(0.0, 6.28))
+                segs.append(v)
+            out = np.concatenate(segs) + 0.01 * rng.standard_normal(SEG * NSEG)
+            return np.clip(out, -1.0, 1.0)
+
+        def video_scene(i: int, f: int):
+            rng = np.random.RandomState((i * 31 + f * 7 + 1) % (2**31))
+            y, x = np.mgrid[0:48, 0:48]
+            v = np.full((48, 48), 120.0)
+            for _c in range(4):
+                fa, fb = rng.uniform(0.5, 2.5), rng.uniform(0.5, 2.5)
+                p1, p2 = rng.uniform(0.0, 6.28), rng.uniform(0.0, 6.28)
+                v += rng.uniform(15.0, 35.0) * np.sin(2 * np.pi * (x / 48) * fa + p1) * np.cos(
+                    2 * np.pi * (y / 48) * fb + p2
+                )
+            return np.clip(v, 0, 255).astype(np.uint8)
+
+        def text(i: int):
+            rng = np.random.RandomState((i * 13 + 5) % (2**31))
+            return " ".join("t%05d" % w for w in rng.randint(0, 50_000, size=60))
+
+        def asset(i: int, img_key, aud_key, vid_key, txt_key):
+            img = encode_png_pixels(image_scene(img_key) if not isinstance(img_key, tuple) else img_key[0])
+            aud = make_wav_pcm(audio_scene(aud_key) if not isinstance(aud_key, tuple) else aud_key[0], RATE)
+            frames = (
+                [video_scene(vid_key, f) for f in range(6)]
+                if not isinstance(vid_key, tuple)
+                else vid_key[0]
+            )
+            vid = make_framestack([encode_png_pixels(p) for p in frames])
+            txt = text(txt_key) if not isinstance(txt_key, tuple) else txt_key[0]
+            return img, aud, vid, txt
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rows.append((i, *asset(i, i, i, i, i)))
+                # the twin duplicates EXACTLY ONE modality (rotating by
+                # i % 4) and carries fresh content in the other three
+                # (key offset 5e6 keeps them inside each scene family
+                # but distinct)
+                j, off = i + 10_000_000, i + 5_000_000
+                # sampled ids are multiples of 40, so rotate on the
+                # sample INDEX (i % 4 would always pick image)
+                which = (i // 40) % 4
+                if which == 0:  # image twin: half-size re-rendering
+                    px = image_scene(i)[::2, ::2]
+                    rows.append((j, *asset(j, (px,), off, off, off)))
+                elif which == 1:  # audio twin: re-levelled + dithered
+                    rng2 = np.random.RandomState(j % (2**31))
+                    tw = 0.5 * audio_scene(i) + rng2.uniform(-0.002, 0.002, size=SEG * NSEG)
+                    rows.append((j, *asset(j, off, (tw,), off, off)))
+                elif which == 2:  # video twin: half-size frames
+                    frames = [video_scene(i, f)[::2, ::2] for f in range(6)]
+                    rows.append((j, *asset(j, off, off, (frames,), off)))
+                else:  # text twin: one word changed
+                    toks = text(i).split()
+                    rows.append((j, *asset(j, off, off, off, (" ".join(toks[:-1] + ["changed"]),))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "image", "audio", "video", "text"]
+            )
+
+    assets = docs.mapInPandas(
+        synth, "doc_id long, image binary, audio binary, video binary, text string"
+    )
+    return multimodal_dedup_disposition(
+        assets,
+        "doc_id",
+        text_col="text",
+        image_col="image",
+        audio_col="audio",
+        video_col="video",
+        video_every_n=1,
+        # one changed token in 60 lands the SimHash twin at distance
+        # 4-9 (measured; unrelated 60-token docs sit >= 18): radius 12
+        # with 4-bit blocks is pigeonhole-COMPLETE to 15 — at fixture
+        # scale the 16-value block space is harmless
+        text_max_hamming=12,
+        text_blocks=16,
     )
 
 

@@ -789,3 +789,78 @@ def test_audio_neardup_block_pairs_identical(spark):
 
     single, paired = run(False), run(True)
     assert single == paired and {(a, b) for a, b, _ in paired} >= {(0, 1000), (5, 1005), (10, 1010)}
+
+
+def test_multimodal_dedup_disposition_attributes_each_modality(spark):
+    """r12: the cross-modal composition. Four assets each plant a twin
+    duplicating EXACTLY ONE modality (image/audio/video/text, fresh
+    content elsewhere): every original keeps, every twin drops into its
+    original's component, and the modalities column names the edge that
+    caught it. A fifth asset with no twin stays a kept singleton with
+    no modalities; zero modality columns raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lakehouse_spark_spark.operators.multimodal import (
+        encode_png_pixels,
+        make_framestack,
+        make_wav_pcm,
+        multimodal_dedup_disposition,
+    )
+
+    def img(i):
+        return encode_png_pixels(_video_scene(i, 0))
+
+    def img_half(i):
+        return encode_png_pixels(_video_scene(i, 0)[::2, ::2])
+
+    def wav(i):
+        return make_wav_pcm(_audio_scene(i), 8000)
+
+    def wav_twin(i):
+        rng = np.random.RandomState(10_000 + i)
+        return make_wav_pcm(0.5 * _audio_scene(i) + rng.uniform(-0.002, 0.002, 3200), 8000)
+
+    def vid(i):
+        return make_framestack([encode_png_pixels(_video_scene(i, f)) for f in range(6)])
+
+    def vid_half(i):
+        return make_framestack([encode_png_pixels(_video_scene(i, f)[::2, ::2]) for f in range(6)])
+
+    def txt(i):
+        rng = np.random.RandomState(i * 13 + 5)
+        return " ".join("t%05d" % w for w in rng.randint(0, 50_000, size=60))
+
+    def txt_twin(i):
+        toks = txt(i).split()
+        return " ".join(toks[:-1] + ["changed"])
+
+    rows = [
+        # originals 0..4 (asset k uses disjoint scene keys k*100)
+        *[(k, bytearray(img(k * 100)), bytearray(wav(k * 100)), bytearray(vid(k * 100)), txt(k * 100))
+          for k in range(5)],
+        # twins: one duplicated modality each, fresh keys (k*100+50) elsewhere
+        (100, bytearray(img_half(0)), bytearray(wav(50)), bytearray(vid(50)), txt(50)),
+        (101, bytearray(img(150)), bytearray(wav_twin(100)), bytearray(vid(150)), txt(150)),
+        (102, bytearray(img(250)), bytearray(wav(250)), bytearray(vid_half(200)), txt(250)),
+        (103, bytearray(img(350)), bytearray(wav(350)), bytearray(vid(350)), txt_twin(300)),
+    ]
+    assets = spark.createDataFrame(
+        rows, "doc_id long, image binary, audio binary, video binary, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal_dedup_disposition(
+            assets, "doc_id", text_col="text", image_col="image",
+            audio_col="audio", video_col="video",
+            video_every_n=1, text_max_hamming=12, text_blocks=16,
+        ).collect()
+    }
+    assert all(out[k]["keep"] for k in range(5))
+    assert out[4]["modalities"] == [] and out[4]["component"] == 4  # singleton
+    for twin, original, mod in ((100, 0, "image"), (101, 1, "audio"), (102, 2, "video"), (103, 3, "text")):
+        assert not out[twin]["keep"], twin
+        assert out[twin]["component"] == original
+        assert mod in out[twin]["modalities"], (twin, out[twin]["modalities"])
+    with _pytest.raises(ValueError, match="at least one modality"):
+        multimodal_dedup_disposition(assets, "doc_id")

@@ -71,6 +71,7 @@ def test_r12_gate_covers_this_rounds_code_changes():
         "image_neardup_phash",
         "audio_neardup_afp",
         "video_neardup_phash",
+        "multimodal_dedup_disposition",
         "embedding_semdedup_multiprobe",
         "ann_index_rebuild_cycle",
         "ann_index_health_diag",
@@ -212,6 +213,7 @@ def test_r12_gate_refreshes_the_stalest_coverage():
         "image_neardup_phash",
         "audio_neardup_afp",
         "video_neardup_phash",
+        "multimodal_dedup_disposition",
         "embedding_semdedup_multiprobe",
         "ann_index_rebuild_cycle",
         # rows-only re-gates: code touched by the r12 reworks (ANN
