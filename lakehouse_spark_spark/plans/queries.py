@@ -2698,7 +2698,7 @@ def multimodal_dedup_disposition_q(spark: SparkSession, sf_dir: str) -> DataFram
     assets = docs.mapInPandas(
         synth, "doc_id long, image binary, audio binary, video binary, text string"
     )
-    return multimodal_dedup_disposition(
+    out = multimodal_dedup_disposition(
         assets,
         "doc_id",
         text_col="text",
@@ -2712,6 +2712,12 @@ def multimodal_dedup_disposition_q(spark: SparkSession, sf_dir: str) -> DataFram
         # scale the 16-value block space is harmless
         text_max_hamming=12,
         text_blocks=16,
+    )
+    # registry projection: the driver hashes rows as tuples, so the
+    # array column flattens to a comma-joined string (sorted upstream —
+    # deterministic; the operator itself keeps the array for consumers)
+    return out.select(
+        "doc_id", "component", "keep", F.array_join("modalities", ",").alias("modalities")
     )
 
 
