@@ -1061,6 +1061,7 @@ def multimodal_dedup_disposition(
     video_min_matched_frames: int = 3,
     video_every_n: int = 4,
     block_pairs: bool = False,
+    min_modalities: int = 1,
 ) -> DataFrame:
     """Per-asset keep/drop across every supplied modality. Returns
     (id, keep, component, modalities): ``component`` is the minimum
@@ -1116,6 +1117,22 @@ def multimodal_dedup_disposition(
     for e in edge_frames[1:]:
         edges = edges.unionByName(e)
     edges = edges.localCheckpoint(eager=False)
+    if min_modalities > 1:
+        # asset-level vote (the video frame-vote, lifted a level): a
+        # pair must be flagged by >= min_modalities DISTINCT modalities
+        # to contribute an edge. Kills each modality's single-signal
+        # false-pair mode (pHash phase-adjacent collisions etc.) at the
+        # documented cost of single-modality true dups — a PRECISION
+        # knob for corpora where cross-modal copies duplicate
+        # everything (re-uploads) and single-modality matches are
+        # mostly reuse (stock images, boilerplate audio beds).
+        voted = (
+            edges.groupBy("id_a", "id_b")
+            .agg(F.countDistinct("modality").alias("__nmod"))
+            .filter(F.col("__nmod") >= min_modalities)
+            .select("id_a", "id_b")
+        )
+        edges = edges.join(voted, ["id_a", "id_b"]).localCheckpoint(eager=False)
 
     comps = connected_components(edges, "id_a", "id_b")
     mods = (

@@ -864,3 +864,51 @@ def test_multimodal_dedup_disposition_attributes_each_modality(spark):
         assert mod in out[twin]["modalities"], (twin, out[twin]["modalities"])
     with _pytest.raises(ValueError, match="at least one modality"):
         multimodal_dedup_disposition(assets, "doc_id")
+
+
+def test_multimodal_disposition_min_modalities_vote(spark):
+    """r12: the asset-level precision knob. A twin duplicating BOTH
+    image and audio survives min_modalities=2; a twin duplicating only
+    its image does not (the documented single-modality cost); at the
+    default min_modalities=1 both drop."""
+    import numpy as np
+
+    from lakehouse_spark_spark.operators.multimodal import (
+        encode_png_pixels,
+        make_wav_pcm,
+        multimodal_dedup_disposition,
+    )
+
+    def img(i):
+        return bytearray(encode_png_pixels(_video_scene(i, 0)))
+
+    def img_half(i):
+        return bytearray(encode_png_pixels(_video_scene(i, 0)[::2, ::2]))
+
+    def wav(i):
+        return bytearray(make_wav_pcm(_audio_scene(i), 8000))
+
+    def wav_twin(i):
+        rng = np.random.RandomState(10_000 + i)
+        return bytearray(make_wav_pcm(0.5 * _audio_scene(i) + rng.uniform(-0.002, 0.002, 3200), 8000))
+
+    rows = [
+        (0, img(0), wav(0)),
+        (1, img(100), wav(100)),
+        (100, img_half(0), wav_twin(0)),    # 2-modality twin of 0
+        (101, img_half(100), wav(200)),     # image-only twin of 1
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, image binary, audio binary")
+
+    def run(mm):
+        return {
+            r["doc_id"]: r
+            for r in multimodal_dedup_disposition(
+                assets, "doc_id", image_col="image", audio_col="audio", min_modalities=mm
+            ).collect()
+        }
+
+    d1, d2 = run(1), run(2)
+    assert not d1[100]["keep"] and not d1[101]["keep"]  # default: both drop
+    assert not d2[100]["keep"] and sorted(d2[100]["modalities"]) == ["audio", "image"]
+    assert d2[101]["keep"] and d2[101]["modalities"] == []  # single-signal pair voted out
