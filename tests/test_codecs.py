@@ -912,3 +912,27 @@ def test_multimodal_disposition_min_modalities_vote(spark):
     assert not d1[100]["keep"] and not d1[101]["keep"]  # default: both drop
     assert not d2[100]["keep"] and sorted(d2[100]["modalities"]) == ["audio", "image"]
     assert d2[101]["keep"] and d2[101]["modalities"] == []  # single-signal pair voted out
+
+
+def test_r12_media_queries_are_run_deterministic(spark):
+    """Rows-only gate stability rests on run-to-run determinism: the
+    three media near-dup queries and the cross-modal disposition return
+    IDENTICAL row sets across two executions with different shuffle
+    partitioning (fixtures are keyed by doc_id, never by batch or
+    partition)."""
+    from lakehouse_spark_spark.plans.queries import _REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "audio_neardup_afp",
+        "video_neardup_phash",
+        "multimodal_dedup_disposition",
+    ):
+        a = sorted(map(tuple, _REGISTRY[name].builder(spark, sf).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        try:
+            b = sorted(map(tuple, _REGISTRY[name].builder(spark, sf).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert a == b, name
+        assert a, name  # non-vacuous
