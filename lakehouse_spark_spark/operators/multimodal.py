@@ -694,7 +694,12 @@ def dhash_images(media: DataFrame, grid: int = 8) -> DataFrame:
 
 
 def image_neardup_dhash(
-    media: DataFrame, max_hamming: int = 3, blocks: int = 4, block_pairs: bool = False
+    media: DataFrame,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    block_pairs: bool | None = None,
+    max_bucket: int | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Image near-dup candidates: dHash fingerprints joined by the
     pigeonhole Hamming-block equi-join (full recall for
@@ -703,7 +708,16 @@ def image_neardup_dhash(
     fingerprint) are excluded rather than colliding at a sentinel.
     Returns (id_a, id_b, hamming), id_a < id_b. Scale: the block join
     is O(sum of per-(block, value) bucket sizes) — near-identical
-    images share blocks, unrelated scenes don't; never all-pairs."""
+    images share blocks, unrelated scenes don't; never all-pairs.
+    ``block_pairs=None`` auto-selects the large-corpus pair join past
+    the measured ~10^6-fingerprint crossover (pass ``approx_count`` to
+    skip the plan-time count — for this wrapper that count re-decodes
+    nothing, the fingerprint table is checkpointed first); real
+    corpora are SKEWED (solid-color frames hash identically by the
+    million), so set ``max_bucket`` to bound any one (block, value)
+    bucket — exact-duplicate clusters above the cap still dedup
+    through the equal-fingerprint rescue star. All three knobs are the
+    shared join's (operators/neardup.simhash_candidates)."""
     from lakehouse_spark_spark.operators.neardup import simhash_candidates
 
     fp = (
@@ -712,7 +726,8 @@ def image_neardup_dhash(
         .withColumnRenamed("dhash", "simhash")
     )
     return simhash_candidates(
-        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs
+        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
+        max_bucket=max_bucket, approx_count=approx_count,
     )
 
 
@@ -805,7 +820,12 @@ def phash_images(media: DataFrame, grid: int = 32) -> DataFrame:
 
 
 def image_neardup_phash(
-    media: DataFrame, max_hamming: int = 10, blocks: int = 8, block_pairs: bool = False
+    media: DataFrame,
+    max_hamming: int = 10,
+    blocks: int = 8,
+    block_pairs: bool | None = None,
+    max_bucket: int | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Resize-robust image near-dup: pHash fingerprints through the
     shared pigeonhole Hamming-block join. Default radius is wider than
@@ -820,7 +840,10 @@ def image_neardup_phash(
     ``blocks = max_hamming + 1`` (11) restores the full guarantee but
     its 5-bit blocks collide ~30% of ALL pairs — the candidate join
     degrades toward all-pairs on a large corpus (review catch). Returns
-    (id_a, id_b, hamming), id_a < id_b."""
+    (id_a, id_b, hamming), id_a < id_b. ``block_pairs``/``max_bucket``/
+    ``approx_count`` are the shared join's scale knobs — see
+    :func:`image_neardup_dhash` (same semantics; letterbox bars and
+    solid-color stills are pHash's hot-bucket mode too)."""
     from lakehouse_spark_spark.operators.neardup import simhash_candidates
 
     fp = (
@@ -829,7 +852,8 @@ def image_neardup_phash(
         .withColumnRenamed("phash", "simhash")
     )
     return simhash_candidates(
-        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs
+        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
+        max_bucket=max_bucket, approx_count=approx_count,
     )
 
 
@@ -872,8 +896,12 @@ def afp64(rate, samples, frames: int = 8, bands: int = 9, f_lo: float = 50.0) ->
     8 frames x (9-1) comparisons = 64 bits; bit 63 is masked to zero
     (long positivity, the dhash64 convention) leaving 63 significant.
 
-    Invariances (by construction, pinned in tests): exact under gain
-    change (energy ratios are scale-free); tolerant of dither /
+    Invariances (pinned in tests): gain-invariant up to floating-point
+    near-ties — energy RATIOS are scale-free in exact arithmetic, but
+    numpy's FFT is not exactly scale-equivariant in floats, so an
+    adjacent-band comparison sitting on a near-tie can flip under gain
+    scaling (empirically bit-identical on every tested scene; the
+    radius-6 join absorbs occasional flips); tolerant of dither /
     16-bit requantization (flips only where adjacent bands near-tie);
     sensitive to WHICH bands carry energy WHEN — two clips with
     different tone sequences differ in many bits. Returns None when the
@@ -922,7 +950,16 @@ def afp_audio(media: DataFrame, frames: int = 8, bands: int = 9) -> DataFrame:
                     out.append(None)
                     continue
                 rate, ch, samples = parsed
-                if ch and ch > 1 and len(samples) % ch == 0:
+                if ch and ch > 1:
+                    if len(samples) % ch != 0:
+                        # truncated/odd multichannel data chunk: a
+                        # non-whole frame count means the tail sample
+                        # set is torn across channels — quarantine
+                        # (NULL) like any other malformed payload
+                        # rather than fingerprinting the raw
+                        # interleaved stream (r12 ADVICE)
+                        out.append(None)
+                        continue
                     samples = samples.reshape(-1, ch).mean(axis=1)
                 out.append(afp64(rate, samples, frames=frames, bands=bands))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "afp": pd.array(out, dtype="Int64")})
@@ -934,7 +971,12 @@ def afp_audio(media: DataFrame, frames: int = 8, bands: int = 9) -> DataFrame:
 
 
 def audio_neardup_afp(
-    media: DataFrame, max_hamming: int = 6, blocks: int = 8, block_pairs: bool = False
+    media: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    block_pairs: bool | None = None,
+    max_bucket: int | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Audio near-dup candidates: acoustic fingerprints joined by the
     pigeonhole Hamming-block equi-join shared with text SimHash and the
@@ -944,7 +986,10 @@ def audio_neardup_afp(
     candidate join with p ~= 1-(255/256)^8 ~= 3%, kept bounded exactly
     as for the image joins. Undecodable payloads (NULL fingerprint) are
     excluded rather than colliding at a sentinel. Returns
-    (id_a, id_b, hamming), id_a < id_b."""
+    (id_a, id_b, hamming), id_a < id_b. ``block_pairs``/``max_bucket``/
+    ``approx_count`` are the shared join's scale knobs — see
+    :func:`image_neardup_dhash` (same semantics; SILENCE is audio's
+    hot-bucket mode — every silent clip fingerprints identically)."""
     from lakehouse_spark_spark.operators.neardup import simhash_candidates
 
     fp = (
@@ -953,7 +998,8 @@ def audio_neardup_afp(
         .withColumnRenamed("afp", "simhash")
     )
     return simhash_candidates(
-        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs
+        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
+        max_bucket=max_bucket, approx_count=approx_count,
     )
 
 
@@ -975,7 +1021,9 @@ def video_neardup_phash(
     blocks: int = 8,
     min_matched_frames: int = 3,
     frame_key_stride: int = 1_000_000,
-    block_pairs: bool = False,
+    block_pairs: bool | None = None,
+    max_bucket: int | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Video near-dup candidates: sample every Nth frame, pHash each
     decoded frame, join frames by the pigeonhole Hamming-block
@@ -999,7 +1047,15 @@ def video_neardup_phash(
     (never all-pairs across frames); the vote is one groupBy on the
     candidate pairs. ``every_n`` is the cost knob: cost scales with
     sampled frames, recall degrades gracefully (a true near-dup clip
-    pair loses votes, not its best frames)."""
+    pair loses votes, not its best frames).
+    ``block_pairs``/``max_bucket``/``approx_count`` are the shared
+    join's scale knobs over the FRAME population (approx_count = the
+    expected sampled-frame count, not the clip count); solid-color /
+    black frames are video's hot-bucket mode — a million title-card
+    frames fingerprint identically, and without ``max_bucket`` the
+    frame join materializes that cluster's square. The equal-
+    fingerprint rescue star keeps exact-frame dups flowing into the
+    vote."""
     from lakehouse_spark_spark.operators.neardup import simhash_candidates
 
     frames = sample_frames(media, every_n=every_n)
@@ -1014,7 +1070,8 @@ def video_neardup_phash(
         .withColumnRenamed("phash", "simhash")
     )
     cand = simhash_candidates(
-        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs
+        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
+        max_bucket=max_bucket, approx_count=approx_count,
     )
     pairs = cand.select(
         F.expr(f"id_a DIV {frame_key_stride}").alias("clip_a"),
@@ -1060,7 +1117,8 @@ def multimodal_dedup_disposition(
     video_blocks: int = 8,
     video_min_matched_frames: int = 3,
     video_every_n: int = 4,
-    block_pairs: bool = False,
+    block_pairs: bool | None = None,
+    max_bucket: int | None = None,
     min_modalities: int = 1,
 ) -> DataFrame:
     """Per-asset keep/drop across every supplied modality. Returns
@@ -1075,29 +1133,58 @@ def multimodal_dedup_disposition(
 
     Scale: each modality's edges are its existing bounded candidate
     join (``block_pairs`` threads through for the large-corpus
-    regime); the union is edge-count-sized; connected components is
-    the pointer-jumping loop (O(E) per round, rounds ~ log diameter —
-    dup clusters are shallow). No stage sees an asset×asset product."""
+    regime — None auto-selects per modality past the ~10^6 crossover;
+    ``max_bucket`` is the shared hot-bucket guard, essential on real
+    media where solid-color frames / silence / boilerplate text hash
+    identically by the million — exact-dup clusters above the cap
+    still dedup through the rescue star); the union is
+    edge-count-sized; connected components is the pointer-jumping
+    loop (O(E) per round, rounds ~ log diameter — dup clusters are
+    shallow). No stage sees an asset×asset product.
+
+    Pair-join recall guard (r13): when ``block_pairs=True`` is forced,
+    any modality whose radius the SINGLE-block join covered completely
+    (max_hamming <= blocks - 1) but the pair join would not
+    (> blocks - 2) gets its block count bumped to ``max_hamming + 2``
+    — with the defaults that is the TEXT modality (radius 3, 4 blocks
+    → bumped to 5 blocks), which would otherwise silently drop from
+    pigeonhole-complete to lossy. Both geometries are complete at the
+    radius, so the candidate set after the exact Hamming filter is
+    identical. Auto mode never needs the bump (it only picks pairs
+    when the radius is pair-complete)."""
     from lakehouse_spark_spark.operators.graph import connected_components
     from lakehouse_spark_spark.operators.neardup import simhash, simhash_candidates
+
+    def _pair_safe(blocks: int, mh: int) -> int:
+        # bump ONLY the forced-pairs single-complete/pairs-incomplete
+        # window; auto (None) and single mode keep the caller geometry
+        if block_pairs is True and blocks - 2 < mh <= blocks - 1:
+            return mh + 2
+        return blocks
 
     edge_frames = []
     if text_col is not None:
         fp = simhash(assets.select(F.col(id_col), F.col(text_col)), id_col, text_col)
         e = simhash_candidates(
-            fp, id_col, max_hamming=text_max_hamming, blocks=text_blocks, block_pairs=block_pairs
+            fp, id_col, max_hamming=text_max_hamming,
+            blocks=_pair_safe(text_blocks, text_max_hamming),
+            block_pairs=block_pairs, max_bucket=max_bucket,
         )
         edge_frames.append(e.select("id_a", "id_b", F.lit("text").alias("modality")))
     if image_col is not None:
         med = assets.select(F.col(id_col).alias("doc_id"), F.col(image_col).alias("media"))
         e = image_neardup_phash(
-            med, max_hamming=image_max_hamming, blocks=image_blocks, block_pairs=block_pairs
+            med, max_hamming=image_max_hamming,
+            blocks=_pair_safe(image_blocks, image_max_hamming),
+            block_pairs=block_pairs, max_bucket=max_bucket,
         )
         edge_frames.append(e.select("id_a", "id_b", F.lit("image").alias("modality")))
     if audio_col is not None:
         med = assets.select(F.col(id_col).alias("doc_id"), F.col(audio_col).alias("media"))
         e = audio_neardup_afp(
-            med, max_hamming=audio_max_hamming, blocks=audio_blocks, block_pairs=block_pairs
+            med, max_hamming=audio_max_hamming,
+            blocks=_pair_safe(audio_blocks, audio_max_hamming),
+            block_pairs=block_pairs, max_bucket=max_bucket,
         )
         edge_frames.append(e.select("id_a", "id_b", F.lit("audio").alias("modality")))
     if video_col is not None:
@@ -1106,9 +1193,9 @@ def multimodal_dedup_disposition(
             med,
             every_n=video_every_n,
             max_hamming=video_max_hamming,
-            blocks=video_blocks,
+            blocks=_pair_safe(video_blocks, video_max_hamming),
             min_matched_frames=video_min_matched_frames,
-            block_pairs=block_pairs,
+            block_pairs=block_pairs, max_bucket=max_bucket,
         )
         edge_frames.append(e.select("id_a", "id_b", F.lit("video").alias("modality")))
     if not edge_frames:

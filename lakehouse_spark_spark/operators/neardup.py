@@ -237,13 +237,39 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+# Measured single-vs-pairs crossover (tools/scale_stress_hamming.py,
+# r12: 2.02M uniform fingerprints ran 53.7 s single / 14.35 s pairs and
+# the gap widens quadratically; at 10^5-10^6 single wins on its narrower
+# explode). Auto mode (block_pairs=None) switches at this count.
+BLOCK_PAIRS_CROSSOVER = 1_000_000
+
+
+def fingerprint_block_rows(
+    df: DataFrame, id_col: str, fp_col: str, blocks: int, keep_fp: bool = False
+) -> DataFrame:
+    """(id, block, block_val) pigeonhole-block rows of a 64-bit Hamming
+    fingerprint — the candidate-generation key of the single-block
+    join, shared verbatim by :func:`simhash_candidates` and the
+    persisted media-fingerprint index
+    (operators/mediaindex.write_media_fp_index), so index-based
+    candidates are byte-identical to in-plan ones (the band_rows
+    contract, transposed to Hamming fingerprints)."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    bl = [F.shiftright(fp_col, width * i).bitwiseAND(F.lit(mask)) for i in range(blocks)]
+    cols = [F.col(id_col)] + ([F.col(fp_col)] if keep_fp else [])
+    return df.select(*cols, F.posexplode(F.array(*bl)).alias("block", "block_val"))
+
+
 def simhash_candidates(
     sim: DataFrame,
     id_col: str,
     max_hamming: int = 3,
     blocks: int = 4,
     materialize: bool = True,
-    block_pairs: bool = False,
+    block_pairs: bool | None = None,
+    max_bucket: int | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates by the pigeonhole principle: split the 64-bit
     fingerprint into ``blocks`` equal-width blocks; any pair with
@@ -275,9 +301,52 @@ def simhash_candidates(
     blocks=8, bought for a C(blocks,2)/blocks ≈ 3.5x wider explode
     (measured crossover in tools/scale_stress_hamming.py). RECALL:
     complete only for max_hamming <= blocks - 2; the radius-(blocks-1)
-    tail the single-block join still guarantees is lost."""
+    tail the single-block join still guarantees is lost.
+
+    ``block_pairs=None`` (the default, r13) picks the mode from the
+    fingerprint count at plan time: pairs when the corpus exceeds
+    ``BLOCK_PAIRS_CROSSOVER`` (the measured ~10^6 crossover) AND the
+    radius keeps the pair join complete (max_hamming <= blocks - 2);
+    single-block otherwise. The count is ``approx_count`` when the
+    caller passes one (any cheap upstream estimate — row counts from a
+    manifest, a partition-size heuristic), else one ``sim.count()``
+    against the materialized fingerprint table the join scans anyway.
+    Explicit True/False always wins; explicit True at
+    blocks-2 < max_hamming <= blocks-1 — a radius the SINGLE join
+    covers completely but the pair join does not — warns loudly about
+    the silent recall regression (size blocks >= max_hamming + 2 to
+    keep the guarantee in pairs mode).
+
+    ``max_bucket`` (r13) is the hot-bucket guard the MinHash family's
+    ``max_df`` is for shingles: real media corpora are pathologically
+    skewed (solid-color/black frames, silence, letterbox bars hash
+    IDENTICALLY by the million), one (block, value) bucket holds the
+    whole cluster, and the unguarded join materializes its SQUARE.
+    With a cap, buckets holding more than ``max_bucket`` distinct docs
+    are skipped (one groupBy over the exploded block table the join
+    scans anyway — O(n·blocks)). The standard LSH trade applies — a
+    true near-dup pair agreeing ONLY in hot buckets goes unseen — but
+    EXACT duplicates are exempt: an equal-fingerprint rescue join
+    pairs every member of an identical-fingerprint cluster with the
+    cluster minimum (O(cluster) star rows, never the square), so the
+    flat-frame cluster the cap suppresses still dedups. Candidate
+    output is bounded by n·blocks·max_bucket + rescue rows."""
     if materialize:
         sim = sim.localCheckpoint(eager=False)
+    if block_pairs is None:
+        n_fp = approx_count if approx_count is not None else sim.count()
+        block_pairs = max_hamming <= blocks - 2 and n_fp > BLOCK_PAIRS_CROSSOVER
+    elif block_pairs and blocks - 2 < max_hamming <= blocks - 1:
+        import warnings
+
+        warnings.warn(
+            f"simhash_candidates(block_pairs=True, max_hamming={max_hamming}, "
+            f"blocks={blocks}): the pair join is complete only to blocks-2="
+            f"{blocks - 2}; the single-block join would cover this radius "
+            f"completely — true pairs at distance {blocks - 1} may be missed. "
+            f"Use blocks >= {max_hamming + 2} to keep the guarantee.",
+            stacklevel=2,
+        )
     width = 64 // blocks
     mask = (1 << width) - 1
     bl = [F.shiftright("simhash", width * i).bitwiseAND(F.lit(mask)) for i in range(blocks)]
@@ -299,15 +368,52 @@ def simhash_candidates(
         )
         join_on = ["block", "block_val", "block_val2"]
     else:
-        exploded = sim.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.posexplode(F.array(*bl)).alias("block", "block_val"),
-        )
+        exploded = fingerprint_block_rows(sim, id_col, "simhash", blocks, keep_fp=True)
         join_on = ["block", "block_val"]
+    if max_bucket is not None:
+        # hot-bucket guard: count DISTINCT docs per join key (a doc can
+        # contribute one row per key by construction, but distinct is
+        # the future-proof contract the minhash probe cap settled on),
+        # drop buckets above the cap from BOTH join sides at once. The
+        # hot set is tiny by construction (≤ n·blocks/max_bucket keys),
+        # so it broadcasts.
+        hot = (
+            exploded.groupBy(*join_on)
+            .agg(F.count_distinct(id_col).alias("__df"))
+            .filter(F.col("__df") > max_bucket)
+            .select(*join_on)
+        )
+        exploded = exploded.join(F.broadcast(hot), join_on, "left_anti")
     a = exploded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), *join_on)
     b = exploded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), *join_on)
-    pairs = a.join(b, join_on).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sim_a", "sim_b").distinct()
+    pairs = a.join(b, join_on).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sim_a", "sim_b")
+    if max_bucket is not None:
+        # equal-fingerprint rescue: the cap must never hide an EXACT
+        # duplicate (a solid-color frame cluster is ALL exact dups and
+        # ALL hot buckets). Pair every member of an identical-
+        # fingerprint cluster with the cluster MINIMUM — a star, O(k)
+        # rows where the uncapped join would emit k(k-1)/2 — enough
+        # for any keep-the-min / connected-components consumer to drop
+        # the whole cluster. Distance is 0 by construction, so the
+        # Hamming filter below always keeps these.
+        clusters = (
+            sim.groupBy("simhash")
+            .agg(F.min(id_col).alias("__min_id"), F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2)
+            .select("simhash", "__min_id")
+        )
+        rescue = (
+            sim.join(clusters, "simhash")
+            .filter(F.col(id_col) != F.col("__min_id"))
+            .select(
+                F.col("__min_id").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("simhash").alias("sim_a"),
+                F.col("simhash").alias("sim_b"),
+            )
+        )
+        pairs = pairs.union(rescue)
+    pairs = pairs.distinct()
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 

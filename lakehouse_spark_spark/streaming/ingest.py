@@ -223,6 +223,77 @@ def curated_ingest_foreach_batch(
     return fn
 
 
+def media_ingest_foreach_batch(
+    index_path: str,
+    id_col: str,
+    fp_col: str,
+    kept_out: str,
+    *,
+    max_hamming: int = 6,
+    max_bucket: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming MEDIA-fingerprint ingest with near-dup against the
+    persisted Hamming-block index (operators/mediaindex) — the fourth
+    leg of the persisted-index streaming family (exact-hash: Bloom;
+    text near-dup: MinHash-LSH; semantic: IVF-PQ; media: this). The
+    stream carries (id, fingerprint) rows — the caller's upstream
+    stage runs the modality's hasher (dhash_images / phash_images /
+    afp_audio) ONCE at arrival, which is the whole point: the decode
+    never re-runs for accumulated assets. Per micro-batch:
+
+    1. probe the batch against the persisted block index
+       (media_candidates_against_index — O(batch + index), the corpus
+       never re-decoded; ``max_bucket`` bounds hot buckets with the
+       exact-fingerprint rescue keeping distance-0 dups visible);
+    2. append the novel assets' ledger rows (id, fp) to ``kept_out``
+       (exactly-once per epoch via append_once_parquet);
+    3. fold the novel fingerprints into the index
+       (update_media_fp_index, batch_id-watermarked).
+
+    Delivery matches the module contract: ledger commit BEFORE the
+    fold (fold-first would make a replayed batch all-dups of itself —
+    except the probe's id-exclusion prevents exactly that, but a
+    first-attempt ledger that never committed could still not be
+    reconstructed from an already-folded index without re-probing, so
+    output-first stays the rule); a replayed epoch's fold is a
+    watermark no-op. Within-batch near-dup pairs both keep (neither
+    side is indexed yet — the compaction half), exactly like the text
+    near-dup loop."""
+    from lakehouse_spark_spark.operators.mediaindex import (
+        load_media_fp_index,
+        media_candidates_against_index,
+        update_media_fp_index,
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        idx = load_media_fp_index(spark, index_path)
+        from pyspark.sql import functions as F
+
+        dup_ids = (
+            media_candidates_against_index(
+                batch_df, idx, id_col, fp_col,
+                max_hamming=max_hamming, max_bucket=max_bucket,
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        # eager pin: the keep decision must not re-probe after the fold
+        # below appends to the very parquet dirs the lazy plan scans
+        kept = (
+            batch_df.filter(F.col(fp_col).isNotNull())
+            .join(dup_ids, id_col, "left_anti")
+            .select(id_col, fp_col)
+            .localCheckpoint(eager=True)
+        )
+        append_once_parquet(kept, kept_out, batch_id)
+        update_media_fp_index(index_path, kept, id_col, fp_col, batch_id=batch_id)
+
+    return fn
+
+
 def ann_ingest_foreach_batch(
     index_path: str,
     vec_col: str,

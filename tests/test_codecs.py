@@ -866,6 +866,64 @@ def test_multimodal_dedup_disposition_attributes_each_modality(spark):
         multimodal_dedup_disposition(assets, "doc_id")
 
 
+def test_multimodal_disposition_pair_safe_text_blocks(spark):
+    """r13 (r12 ADVICE): forcing block_pairs=True with the text
+    defaults (radius 3, 4 blocks) used to silently drop the text
+    modality from pigeonhole-complete to lossy — the pair join is
+    complete only to blocks-2. The disposition now bumps such a
+    modality's block count to max_hamming+2, so no recall-regression
+    warning fires and a twin at EXACTLY the radius boundary (SimHash
+    distance 3) is caught identically in both modes."""
+    import warnings
+
+    from lakehouse_spark_spark.operators.multimodal import multimodal_dedup_disposition
+    from lakehouse_spark_spark.operators.neardup import simhash
+
+    base = " ".join("w%05d" % (i * 7) for i in range(60))
+    cands = [(k, " ".join(base.split()[:-1] + ["z%04d" % k])) for k in range(60)]
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(
+            spark.createDataFrame([(9999, base), *cands], ["doc_id", "text"]), "doc_id", "text"
+        ).collect()
+    }
+    pick, d = min(
+        (
+            (k, bin(sims[9999] ^ sims[k]).count("1"))
+            for k, _ in cands
+            # distance 0 (a swap that flips no vote signs) can't exercise
+            # the completeness window — any geometry catches it
+            if sims[9999] != sims[k]
+        ),
+        key=lambda t: t[1],
+    )
+    assert 1 <= d <= 12, d  # one changed token lands in the SimHash near-dup band
+    assets = spark.createDataFrame(
+        [(0, base), (1, dict(cands)[pick])], "doc_id long, text string"
+    )
+
+    def run(pairs):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = sorted(
+                map(
+                    tuple,
+                    multimodal_dedup_disposition(
+                        assets, "doc_id", text_col="text", block_pairs=pairs,
+                        # radius d with d+1 blocks: the exact window where
+                        # single is complete but the pair join is not
+                        text_max_hamming=d, text_blocks=d + 1,
+                    ).collect(),
+                )
+            )
+            assert not [x for x in w if "complete only to blocks-2" in str(x.message)]
+        return out
+
+    forced_pairs, single = run(True), run(False)
+    assert forced_pairs == single
+    assert [(i, c, k) for i, c, k, _m in forced_pairs] == [(0, 0, True), (1, 0, False)]
+
+
 def test_multimodal_disposition_min_modalities_vote(spark):
     """r12: the asset-level precision knob. A twin duplicating BOTH
     image and audio survives min_modalities=2; a twin duplicating only
@@ -929,10 +987,14 @@ def test_r12_media_queries_are_run_deterministic(spark):
         "multimodal_dedup_disposition",
     ):
         a = sorted(map(tuple, _REGISTRY[name].builder(spark, sf).collect()))
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         try:
             b = sorted(map(tuple, _REGISTRY[name].builder(spark, sf).collect()))
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            # restore what was actually read, not a hard-coded default
+            # (r12 ADVICE: leaking "32" into the shared session if the
+            # fixture default ever changes)
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
         assert a == b, name
         assert a, name  # non-vacuous

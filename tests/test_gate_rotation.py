@@ -41,11 +41,11 @@ def test_no_query_escapes_driver_verification():
     leftover = set(Q._REGISTRY) - prior - set(first50)
     assert leftover == set(), (
         f"queries with no driver check and outside the gate prefix "
-        f"(extend _GATE_ROTATION_R12 in the same commit): {sorted(leftover)}"
+        f"(extend _GATE_ROTATION_R13 in the same commit): {sorted(leftover)}"
     )
 
 
-def test_r12_gate_front_loads_oracle_bearing_entries():
+def test_r13_gate_front_loads_oracle_bearing_entries():
     """Oracle-bearing gate entries precede rows-only ones, so the
     driver records full hash checks for all of them even if it ever
     truncates below 50."""
@@ -56,32 +56,74 @@ def test_r12_gate_front_loads_oracle_bearing_entries():
     assert oracle_flags == sorted(oracle_flags, reverse=True), first50
 
 
-def test_r12_gate_covers_this_rounds_code_changes():
-    """Everything new or whose code changed in round 12 gets a driver
-    hash: the two queries born this round (image dHash near-dup, p=2
-    multi-probe SemDeDup) and the rows-only queries riding the r12
-    reworks (recall panel + occupancy tracker in the ANN write/update
-    path, the health schema growth, the max_cell branch, the near-dup
-    probe's exact-signature rescue)."""
+def test_r13_gate_covers_this_rounds_code_changes():
+    """Everything new or whose code changed in round 13 gets a driver
+    hash: the query born this round (the persisted media-fingerprint
+    ingest) and the rows-only queries riding the r13 reworks (the
+    shared Hamming-block join's hot-bucket cap + rescue star + auto
+    block mode; the disposition's pair-safe bump + verify stage; the
+    afp odd-multichannel quarantine)."""
     from lakehouse_spark_spark.plans import queries as Q
 
     first50 = set(list(Q.queries())[:50])
     changed = {
+        "media_neardup_persisted_ingest",
+        "simhash_candidates",
         "image_neardup_dhash",
         "image_neardup_phash",
         "audio_neardup_afp",
         "video_neardup_phash",
         "multimodal_dedup_disposition",
-        "embedding_semdedup_multiprobe",
-        "ann_index_rebuild_cycle",
-        "ann_index_health_diag",
-        "embedding_semdedup_persisted_ingest",
-        "embedding_semantic_join_indexes",
-        "embedding_ivfpq_persisted_topk",
-        "embedding_ivfpq_distributed_topk",
-        "neardup_persisted_ingest",
     }
     assert changed <= first50, sorted(changed - first50)
+
+
+def test_r13_gate_refreshes_the_stalest_coverage():
+    """The staleness contract for the r13 window: every slot that isn't
+    new/changed re-gates a query whose most recent driver hash is r7,
+    r8, or r9 — the oldest in the fleet after r12 drained the r7
+    oracle-bearing remnant and the r8 alphabetical prefix. A
+    never-gated name in a stale slot fails loudly (it belongs in
+    new_or_changed)."""
+    import glob
+
+    from lakehouse_spark_spark.plans import queries as Q
+
+    # r01..r12 only: the state the R13 list was cut FROM
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9][0-9].json"))):
+        rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        if rnd >= 13:
+            continue
+        for k in json.loads(pathlib.Path(p).read_text()):
+            last[k] = max(last.get(k, 0), rnd)
+    new_or_changed = {
+        "media_neardup_persisted_ingest",
+        "simhash_candidates",
+        "image_neardup_dhash",
+        "image_neardup_phash",
+        "audio_neardup_afp",
+        "video_neardup_phash",
+        "multimodal_dedup_disposition",
+    }
+    stale_slots = [n for n in Q._GATE_ROTATION_R13 if n not in new_or_changed]
+    never_gated = [n for n in stale_slots if n not in last]
+    assert never_gated == [], (
+        f"stale slots with no prior driver hash — move to new_or_changed "
+        f"or fix the rotation: {never_gated}"
+    )
+    assert all(last[n] in (7, 8, 9) for n in stale_slots), [
+        (n, last[n]) for n in stale_slots if last[n] not in (7, 8, 9)
+    ]
+
+
+def test_r12_gate_recorded_exactly_its_rotation():
+    """Historical invariant: the committed CORRECTNESS_r12 artifact
+    covers exactly the round-12 rotation list."""
+    from lakehouse_spark_spark.plans import queries as Q
+
+    r12 = set(json.loads((REPO / "CORRECTNESS_r12.json").read_text()))
+    assert r12 == set(Q._GATE_ROTATION_R12)
 
 
 def test_r11_gate_recorded_exactly_its_rotation():
@@ -128,6 +170,7 @@ def test_rotation_lists_match_registry():
         Q._GATE_ROTATION_R10,
         Q._GATE_ROTATION_R11,
         Q._GATE_ROTATION_R12,
+        Q._GATE_ROTATION_R13,
     ):
         unknown = [n for n in rot if n not in Q._REGISTRY]
         assert unknown == [], f"rotation names not in registry: {unknown}"
@@ -137,6 +180,7 @@ def test_rotation_lists_match_registry():
     assert len(Q._GATE_ROTATION_R10) == 50
     assert len(Q._GATE_ROTATION_R11) == 50
     assert len(Q._GATE_ROTATION_R12) == 50
+    assert len(Q._GATE_ROTATION_R13) == 50
 
 
 def test_r11_gate_refreshes_the_stalest_coverage():

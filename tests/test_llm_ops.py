@@ -379,5 +379,94 @@ def test_simhash_block_pairs_join_identical_within_guarantee(spark):
     assert got_single == brute(6)  # single join complete to blocks-1=7
     assert got_paired == got_single  # pair join complete to blocks-2=6
     assert {(a, b) for a, b, _ in got_paired} >= {(i, 1000 + i) for i in range(0, 60, 6)}
-    # outside the pair guarantee: subset, never superset
-    assert set(run(7, True)) <= set(run(7, False)) == set(brute(7))
+    # outside the pair guarantee: subset, never superset — and r13
+    # warns about exactly this silent regression (7 = blocks-1 is
+    # single-complete but pair-incomplete)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        assert set(run(7, True)) <= set(run(7, False)) == set(brute(7))
+    with pytest.warns(UserWarning, match="complete only to blocks-2"):
+        run(7, True)
+
+
+def test_simhash_block_mode_auto_selects_from_count(spark):
+    """r13: block_pairs=None picks the join shape at plan time — single
+    below the measured ~10^6 crossover, the pair join above it (via the
+    approx_count hint; the real count path is the same branch), and
+    NEVER pairs when the radius breaks the pair guarantee. The pair
+    plan is identifiable by its block_val2 join key."""
+    import numpy as np
+
+    from lakehouse_spark_spark.operators.neardup import simhash_candidates
+
+    rng = np.random.RandomState(3)
+    rows = [(i, int(rng.randint(0, 2**62))) for i in range(40)]
+    sim = spark.createDataFrame(rows, "doc_id bigint, simhash bigint")
+
+    def plan(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    # small corpus (real count): single-block, equal to explicit False
+    auto = simhash_candidates(sim, "doc_id", max_hamming=6, blocks=8)
+    assert "block_val2" not in plan(auto)
+    got_auto = sorted(map(tuple, auto.collect()))
+    got_single = sorted(
+        map(tuple, simhash_candidates(sim, "doc_id", max_hamming=6, blocks=8, block_pairs=False).collect())
+    )
+    assert got_auto == got_single
+    # large-corpus hint: pair join chosen (radius inside the guarantee)
+    big = simhash_candidates(
+        sim, "doc_id", max_hamming=6, blocks=8, approx_count=2_000_000
+    )
+    assert "block_val2" in plan(big)
+    assert sorted(map(tuple, big.collect())) == got_auto  # identical output
+    # same hint, radius OUTSIDE the pair guarantee: stays single-block
+    wide = simhash_candidates(
+        sim, "doc_id", max_hamming=7, blocks=8, approx_count=2_000_000
+    )
+    assert "block_val2" not in plan(wide)
+
+
+def test_simhash_max_bucket_bounds_skew_and_rescues_exact_dups(spark):
+    """r13 hot-bucket guard: a planted flat-frame cluster (one
+    fingerprint repeated 300x — every bucket it touches is hot) must
+    NOT materialize its square; with the cap its candidate rows
+    collapse to the 299-row rescue star at distance 0, organic twins in
+    cold buckets are untouched, and with the cap off the skewed-free
+    subset is byte-identical."""
+    import numpy as np
+
+    from lakehouse_spark_spark.operators.neardup import simhash_candidates
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(30):
+        fp = int(rng.randint(0, 2**62))
+        rows.append((i, fp))
+        if i % 5 == 0:  # organic twin at Hamming 2
+            tw = fp ^ (1 << int(rng.randint(0, 50))) ^ (1 << int(rng.randint(51, 62)))
+            rows.append((1000 + i, tw))
+    FLAT = 0x155555555555555  # the "solid-color frame" fingerprint
+    cluster_ids = list(range(50_000, 50_300))
+    rows += [(j, FLAT) for j in cluster_ids]
+    sim = spark.createDataFrame(rows, "doc_id bigint, simhash bigint")
+
+    capped = sorted(
+        map(tuple, simhash_candidates(sim, "doc_id", max_hamming=3, blocks=4, max_bucket=50).collect())
+    )
+    # cluster candidates = exactly the rescue star (min, other, 0)
+    cluster_pairs = [(a, b, h) for a, b, h in capped if a in set(cluster_ids)]
+    assert cluster_pairs == [(50_000, j, 0) for j in cluster_ids[1:]]
+    # organic twins survive the cap (their buckets are cold)
+    organic = {(a, b) for a, b, _ in capped if a < 1000}
+    assert organic >= {(i, 1000 + i) for i in range(0, 30, 5)}
+    # cap off on the skew-free subset == capped output restricted to it
+    no_cluster = spark.createDataFrame(
+        [r for r in rows if r[0] < 10_000], "doc_id bigint, simhash bigint"
+    )
+    uncapped = sorted(
+        map(tuple, simhash_candidates(no_cluster, "doc_id", max_hamming=3, blocks=4).collect())
+    )
+    assert uncapped == [t for t in capped if t[0] < 10_000]

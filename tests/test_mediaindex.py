@@ -1,0 +1,284 @@
+"""Persisted media-fingerprint index (operators/mediaindex.py, round
+13): index-based candidates must be byte-identical to the one-shot
+Hamming-block operator's cross-set pairs, run 2 must never re-read the
+corpus fingerprints (plan-asserted by deleting them), folds must be
+idempotent under a replayed batch_id, the hot-bucket cap must never
+hide exact duplicates, and the streaming ingest loop must be
+redrain-safe on its exactly-once ledger."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from lakehouse_spark_spark.operators.mediaindex import (
+    compact_media_fp_index,
+    load_media_fp_index,
+    media_candidates_against_index,
+    update_media_fp_index,
+    write_media_fp_index,
+)
+from lakehouse_spark_spark.operators.neardup import simhash_candidates
+
+
+def _fps(spark, seed: int, n: int, twin_every: int = 5, twin_dist: int = 3):
+    """Uniform random 62-bit fingerprints; every ``twin_every``-th doc
+    plants a twin at EXACTLY ``twin_dist`` (id + 1000)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        fp = int(rng.randint(0, 2**62))
+        rows.append((i, fp))
+        if i % twin_every == 0:
+            pos = rng.choice(62, size=twin_dist, replace=False)
+            tw = fp
+            for p in pos:
+                tw ^= 1 << int(p)
+            rows.append((1000 + i, tw))
+    return spark.createDataFrame(rows, "doc_id bigint, fp bigint")
+
+
+def _oneshot_cross_pairs(corpus, batch, max_hamming: int, blocks: int):
+    """Reference: the ONE-SHOT single-block operator over the union,
+    restricted to (batch, corpus) pairs, reoriented to
+    (new_id, corpus_id)."""
+    union = corpus.unionByName(batch).withColumnRenamed("fp", "simhash")
+    cand = simhash_candidates(
+        union, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=False
+    )
+    c_ids = corpus.select(F.col("doc_id").alias("cid"))
+    b_ids = batch.select(F.col("doc_id").alias("bid"))
+    ab = cand.join(b_ids, cand.id_a == F.col("bid")).join(c_ids, cand.id_b == F.col("cid")).select(
+        F.col("id_a").alias("new_id"), F.col("id_b").alias("corpus_id"), "hamming"
+    )
+    ba = cand.join(b_ids, cand.id_b == F.col("bid")).join(c_ids, cand.id_a == F.col("cid")).select(
+        F.col("id_b").alias("new_id"), F.col("id_a").alias("corpus_id"), "hamming"
+    )
+    return ab.unionByName(ba)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_index_candidates_equal_oneshot_cross_pairs(spark, tmp_path):
+    all_fps = _fps(spark, 7, 60)
+    corpus = all_fps.filter("doc_id % 3 != 0")
+    batch = all_fps.filter("doc_id % 3 = 0")
+    idx = write_media_fp_index(corpus, "doc_id", "fp", str(tmp_path / "mf_idx"), blocks=8)
+    got = _rows(media_candidates_against_index(batch, idx, "doc_id", "fp", max_hamming=6))
+    want = _rows(_oneshot_cross_pairs(corpus, batch, 6, 8))
+    assert got == want
+    assert len(got) > 0  # planted twins actually surface
+
+
+def test_real_dhash_fingerprints_through_the_index(spark, tmp_path):
+    """Integration: real decoded pixels → dHash → index → probe. A
+    batch of ±1-gray re-encodes of corpus images must surface at the
+    dHash radius, identically to the one-shot image operator on the
+    union (the modality wrapper and the index share
+    fingerprint_block_rows)."""
+    from lakehouse_spark_spark.operators.multimodal import (
+        dhash_images,
+        encode_png_pixels,
+        image_neardup_dhash,
+    )
+
+    rng = np.random.RandomState(3)
+    scenes = {i: rng.randint(0, 251, size=(32, 32)).astype(np.uint8) for i in range(12)}
+    corpus_media = spark.createDataFrame(
+        [(i, bytearray(encode_png_pixels(px))) for i, px in scenes.items()],
+        "doc_id bigint, media binary",
+    )
+    batch_media = spark.createDataFrame(
+        [(1000 + i, bytearray(encode_png_pixels(px + 1))) for i, px in scenes.items() if i % 3 == 0],
+        "doc_id bigint, media binary",
+    )
+    c_fp = dhash_images(corpus_media).withColumnRenamed("dhash", "fp")
+    b_fp = dhash_images(batch_media).withColumnRenamed("dhash", "fp")
+    idx = write_media_fp_index(c_fp, "doc_id", "fp", str(tmp_path / "mf_dhash"), blocks=4, modality="image")
+    got = _rows(media_candidates_against_index(b_fp, idx, "doc_id", "fp", max_hamming=3))
+    oneshot = image_neardup_dhash(corpus_media.unionByName(batch_media), max_hamming=3, blocks=4)
+    want = _rows(
+        oneshot.filter("id_b >= 1000 AND id_a < 1000").select(
+            F.col("id_b").alias("new_id"), F.col("id_a").alias("corpus_id"), "hamming"
+        )
+    )
+    assert got == want
+    assert {(n, c) for n, c, _ in got} >= {(1000 + i, i) for i in scenes if i % 3 == 0}
+
+
+def test_run2_never_rescans_corpus_and_matches_union(spark, tmp_path):
+    """The incremental contract: run 1 folds batch1 in; run 2's
+    candidates against corpus ∪ batch1 come from the index alone — the
+    corpus fingerprint parquet is DELETED before run 2 executes, and
+    the plan never references it."""
+    import shutil
+
+    all_fps = _fps(spark, 11, 60)
+    corpus = all_fps.filter("doc_id % 3 != 0")
+    b1 = all_fps.filter("doc_id % 6 = 0")
+    b2 = all_fps.filter("doc_id % 6 = 3")
+    expected = _rows(_oneshot_cross_pairs(corpus.unionByName(b1), b2, 6, 8))
+
+    corpus_dir = str(tmp_path / "mf_corpus_parquet")
+    corpus.write.parquet(corpus_dir)
+    idx_path = str(tmp_path / "mf_idx2")
+    write_media_fp_index(spark.read.parquet(corpus_dir), "doc_id", "fp", idx_path, blocks=8)
+    update_media_fp_index(idx_path, b1, "doc_id", "fp", batch_id=1)
+
+    shutil.rmtree(corpus_dir)  # the index is now the ONLY corpus state
+    idx = load_media_fp_index(spark, idx_path)
+    out = media_candidates_against_index(b2, idx, "doc_id", "fp", max_hamming=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mf_corpus_parquet" not in plan
+    assert _rows(out) == expected
+
+
+def test_update_watermark_is_idempotent(spark, tmp_path):
+    all_fps = _fps(spark, 13, 40)
+    corpus = all_fps.filter("doc_id % 3 != 0")
+    batch = all_fps.filter("doc_id % 3 = 0")
+    idx_path = str(tmp_path / "mf_wm")
+    write_media_fp_index(corpus, "doc_id", "fp", idx_path)
+    idx = update_media_fp_index(idx_path, batch, "doc_id", "fp", batch_id=5)
+    n_fp, n_bl = idx.fingerprints.count(), idx.blocks.count()
+    idx2 = update_media_fp_index(idx_path, batch, "doc_id", "fp", batch_id=5)
+    assert (idx2.fingerprints.count(), idx2.blocks.count()) == (n_fp, n_bl)
+    idx3 = update_media_fp_index(idx_path, batch, "doc_id", "fp", batch_id=2)
+    assert (idx3.fingerprints.count(), idx3.blocks.count()) == (n_fp, n_bl)
+
+
+def test_duplicate_index_rows_are_harmless(spark, tmp_path):
+    """A partially-replayed append leaves duplicate fingerprint/block
+    rows; the probe must still emit each candidate pair once with the
+    same exact hamming (pair-distinct + id-dedup)."""
+    all_fps = _fps(spark, 17, 40)
+    corpus = all_fps.filter("doc_id % 3 != 0")
+    batch = all_fps.filter("doc_id % 3 = 0")
+    idx_path = str(tmp_path / "mf_dup")
+    idx = write_media_fp_index(corpus, "doc_id", "fp", idx_path)
+    want = _rows(media_candidates_against_index(batch, idx, "doc_id", "fp", max_hamming=6))
+    idx.fingerprints.limit(10).write.mode("append").parquet(f"{idx_path}/fingerprints")
+    idx.blocks.limit(40).write.mode("append").parquet(f"{idx_path}/blocks")
+    dup_idx = load_media_fp_index(spark, idx_path)
+    assert _rows(media_candidates_against_index(batch, dup_idx, "doc_id", "fp", max_hamming=6)) == want
+
+
+def test_compact_preserves_candidates(spark, tmp_path):
+    all_fps = _fps(spark, 19, 40)
+    corpus = all_fps.filter("doc_id % 3 != 0")
+    b1 = all_fps.filter("doc_id % 6 = 0")
+    b2 = all_fps.filter("doc_id % 6 = 3")
+    idx_path = str(tmp_path / "mf_compact")
+    write_media_fp_index(corpus, "doc_id", "fp", idx_path)
+    update_media_fp_index(idx_path, b1, "doc_id", "fp", batch_id=1)
+    idx = load_media_fp_index(spark, idx_path)
+    idx.fingerprints.limit(5).write.mode("append").parquet(f"{idx_path}/fingerprints")
+    want = _rows(media_candidates_against_index(b2, idx, "doc_id", "fp", max_hamming=6))
+    n_fp_files, n_bl_files = compact_media_fp_index(spark, idx_path)
+    assert n_fp_files >= 1 and n_bl_files >= 1
+    idx2 = load_media_fp_index(spark, idx_path)
+    assert idx2.fingerprints.count() == idx2.fingerprints.dropDuplicates(["__id"]).count()
+    assert _rows(media_candidates_against_index(b2, idx2, "doc_id", "fp", max_hamming=6)) == want
+    # second compaction: pointer advances, previous generation retained
+    import json
+    import os
+
+    compact_media_fp_index(spark, idx_path)
+    with open(os.path.join(idx_path, "manifest.json")) as fh:
+        mf = json.load(fh)
+    assert mf["fingerprints_dir"] == "fingerprints_v2" and mf["blocks_dir"] == "blocks_v2"
+    assert os.path.isdir(f"{idx_path}/fingerprints_v1")
+    assert not os.path.exists(f"{idx_path}/fingerprints")
+    assert _rows(
+        media_candidates_against_index(
+            b2, load_media_fp_index(spark, idx_path), "doc_id", "fp", max_hamming=6
+        )
+    ) == want
+
+
+def test_hot_bucket_cap_never_hides_exact_duplicates(spark, tmp_path):
+    """The flat-frame cluster: 400 identical corpus fingerprints make
+    every bucket hot. An uncapped probe of one more copy pays the whole
+    cluster in candidate rows; the capped probe pays exactly ONE
+    rescued match at distance 0 — while an organic twin in cold buckets
+    survives the cap with its exact hamming unchanged."""
+    FLAT = 0x2AAAAAAAAAAAAAA
+    rng = np.random.RandomState(23)
+    organic = [(i, int(rng.randint(0, 2**62))) for i in range(30)]
+    cluster = [(10_000 + i, FLAT) for i in range(400)]
+    corpus = spark.createDataFrame(organic + cluster, "doc_id bigint, fp bigint")
+    idx = write_media_fp_index(corpus, "doc_id", "fp", str(tmp_path / "mf_hot"))
+    twin = organic[0][1] ^ (1 << 5) ^ (1 << 40)
+    batch = spark.createDataFrame(
+        [(50_000, FLAT), (50_001, twin)], "doc_id bigint, fp bigint"
+    )
+    uncapped = media_candidates_against_index(batch, idx, "doc_id", "fp", max_hamming=6)
+    capped = media_candidates_against_index(
+        batch, idx, "doc_id", "fp", max_hamming=6, max_bucket=50
+    )
+    assert uncapped.filter("new_id = 50000").count() == 400  # the blow-up is real
+    rescued = capped.filter("new_id = 50000").collect()
+    assert len(rescued) == 1
+    assert (rescued[0]["corpus_id"], rescued[0]["hamming"]) == (10_000, 0)
+    want = _rows(uncapped.filter("new_id = 50001"))
+    assert _rows(capped.filter("new_id = 50001")) == want
+    assert (50_001, 0, 2) in [(r[0], r[1], r[2]) for r in want]  # organic twin caught
+
+
+def test_media_ingest_loop_redrain_safe(spark, tmp_path):
+    """The streaming loop end-to-end with deterministic epochs: batch 1
+    novels fold in; batch 2 (near-dups of batch-1 keeps + novels) drops
+    the dups; REDRAINING both epochs leaves the ledger row set and the
+    index byte-identical (exactly-once ledger + watermark no-op), and a
+    batch-2 replay cannot drop itself against its own folded
+    fingerprints (id-exclusion)."""
+    from lakehouse_spark_spark.streaming.ingest import media_ingest_foreach_batch
+
+    rng = np.random.RandomState(29)
+    corpus = [(i, int(rng.randint(0, 2**62))) for i in range(20)]
+    b1 = [(100 + i, int(rng.randint(0, 2**62))) for i in range(10)]
+    # batch 2: twins (distance 2) of b1's first 4 keeps + 4 novels
+    b2 = [(200 + i, b1[i][1] ^ (1 << 3) ^ (1 << 33)) for i in range(4)] + [
+        (250 + i, int(rng.randint(0, 2**62))) for i in range(4)
+    ]
+    idx_path = str(tmp_path / "mf_loop")
+    kept_out = str(tmp_path / "mf_kept")
+    write_media_fp_index(
+        spark.createDataFrame(corpus, "doc_id bigint, fp bigint"), "doc_id", "fp", idx_path
+    )
+    fn = media_ingest_foreach_batch(idx_path, "doc_id", "fp", kept_out, max_hamming=6)
+    batches = [
+        spark.createDataFrame(rows, "doc_id bigint, fp bigint") for rows in (b1, b2)
+    ]
+    for i, b in enumerate(batches):
+        fn(b, i)
+    kept1 = _rows(spark.read.parquet(kept_out).select("doc_id", "fp"))
+    idx1 = load_media_fp_index(spark, idx_path)
+    n_fp1 = idx1.fingerprints.count()
+    # batch-2 twins dropped, novels kept
+    kept_ids = {r[0] for r in kept1}
+    assert kept_ids >= {100 + i for i in range(10)} | {250 + i for i in range(4)}
+    assert not kept_ids & {200 + i for i in range(4)}
+    # REDRAIN both epochs (the crash-replay sequence)
+    for i, b in enumerate(batches):
+        fn(b, i)
+    assert _rows(spark.read.parquet(kept_out).select("doc_id", "fp")) == kept1
+    assert load_media_fp_index(spark, idx_path).fingerprints.count() == n_fp1
+
+
+def test_null_fingerprints_are_quarantined(spark, tmp_path):
+    """NULL fingerprints (undecodable payloads) never enter the index
+    or the probe — matching the one-shot wrappers' quarantine."""
+    corpus = spark.createDataFrame(
+        [(1, 123456789), (2, None)], "doc_id bigint, fp bigint"
+    )
+    idx = write_media_fp_index(corpus, "doc_id", "fp", str(tmp_path / "mf_null"))
+    assert idx.fingerprints.count() == 1
+    batch = spark.createDataFrame(
+        [(10, 123456789), (11, None)], "doc_id bigint, fp bigint"
+    )
+    got = _rows(media_candidates_against_index(batch, idx, "doc_id", "fp", max_hamming=3))
+    assert got == [(10, 1, 0)]

@@ -23,7 +23,18 @@ noop-write runs in one JVM. Single-block mode stops at 120k (its
 candidate set is ~n²/32 — the 480k run would materialize ~7e9 pairs,
 which is the point); pair mode runs to 480k. Exclusive use of the box.
 
-Usage: python tools/scale_stress_hamming.py > out.json
+``--skewed`` (r13) runs the distribution the uniform stress CANNOT
+exhibit — the one the r12 verdict flagged: real media is pathologically
+skewed (solid-color/black frames, silence, letterbox bars fingerprint
+IDENTICALLY by the million), one (block, value) bucket holds the whole
+cluster, and the unguarded join materializes its SQUARE. Method: an
+organic uniform corpus + planted radius twins PLUS a single repeated
+"flat frame" fingerprint cluster. Uncapped runs only at small cluster
+sizes (the 2k cluster already emits ~2M pair rows from 2k docs);
+``max_bucket`` runs to a 200k cluster and asserts candidates collapse
+to the O(cluster) rescue star with organic planted recall intact.
+
+Usage: python tools/scale_stress_hamming.py [--skewed] > out.json
 """
 
 from __future__ import annotations
@@ -114,5 +125,60 @@ def main() -> None:
     print(json.dumps({"max_hamming": max_hamming, "blocks": blocks, "results": results}))
 
 
+def main_skewed() -> None:
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark_spark.operators.neardup import simhash_candidates
+    from lakehouse_spark_spark.session import get_session
+
+    spark = get_session("hamming-stress-skewed")
+    spark.sparkContext.setLogLevel("ERROR")
+    max_hamming, blocks, organic, flat = 6, 8, 100_000, 0x155555555555555
+    results = []
+    for cluster, modes in ((2_000, ("uncapped", "capped")), (200_000, ("capped",))):
+        fp = _fingerprints(spark, organic, max_hamming)
+        cl = spark.range(cluster).select(
+            (F.col("id") + 2_000_000_000).alias("doc_id"),
+            F.lit(flat).cast("long").alias("simhash"),
+        )
+        fp = fp.unionByName(cl).repartition(32).localCheckpoint(eager=True)
+        for mode in modes:
+            kw = dict(
+                max_hamming=max_hamming, blocks=blocks, materialize=False,
+                block_pairs=False, max_bucket=(1_000 if mode == "capped" else None),
+            )
+            t0 = time.monotonic()
+            cand = simhash_candidates(fp, "doc_id", **kw).localCheckpoint(eager=True)
+            n_cand = cand.count()
+            dt = time.monotonic() - t0
+            star = cand.filter(
+                (F.col("id_a") == 2_000_000_000) & (F.col("id_b") > 2_000_000_000)
+            ).count()
+            in_cluster = cand.filter(F.col("id_b") > 2_000_000_000).count()
+            planted = cand.filter(
+                (F.col("id_b") - F.col("id_a") == 1_000_000_000) & (F.col("id_b") < 2_000_000_000)
+            ).count()
+            assert planted == organic // 20, (mode, cluster, planted)
+            if mode == "capped":
+                # the whole cluster collapses to the rescue star: every
+                # member pairs with the minimum, nothing pairs otherwise
+                assert star == cluster - 1 and in_cluster == cluster - 1, (star, in_cluster)
+            results.append(
+                {
+                    "mode": mode, "cluster": cluster, "organic": organic,
+                    "candidates": n_cand, "cluster_pairs": in_cluster,
+                    "rescue_star": star, "planted_pairs": planted,
+                    "sec": round(dt, 3),
+                }
+            )
+            print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+            cand.unpersist()
+        fp.unpersist()
+    print(json.dumps({"max_hamming": max_hamming, "blocks": blocks, "skewed": results}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--skewed" in sys.argv[1:]:
+        main_skewed()
+    else:
+        main()
