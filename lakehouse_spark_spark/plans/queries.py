@@ -2675,14 +2675,11 @@ def video_neardup_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # disposition against per-modality expectations and the all-singleton
 # case.
 # ==========================================================================
-@register(
-    "multimodal_dedup_disposition",
-    oracle=None,  # perceptual/acoustic/simhash-function-specific
-    doc="cross-modal dedup: one keep/drop per asset from the union of text/image/audio/video near-dup edges (rotating planted twin modality)",
-)
-def multimodal_dedup_disposition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_spark_spark.operators.multimodal import multimodal_dedup_disposition
-
+def _disposition_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-modal fixture assets (shared by the gated query and
+    the verify-stage on/off measurement in tools/): each sampled doc
+    carries all four modality columns; EVERY sampled doc plants ONE
+    twin whose duplicated modality rotates by sample index % 4."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0).select("doc_id")
 
     def synth(batches):
@@ -2788,11 +2785,21 @@ def multimodal_dedup_disposition_q(spark: SparkSession, sf_dir: str) -> DataFram
                 rows, columns=["doc_id", "image", "audio", "video", "text"]
             )
 
-    assets = docs.mapInPandas(
+    return docs.mapInPandas(
         synth, "doc_id long, image binary, audio binary, video binary, text string"
     )
+
+
+@register(
+    "multimodal_dedup_disposition",
+    oracle=None,  # perceptual/acoustic/simhash-function-specific
+    doc="cross-modal dedup: one keep/drop per asset from the union of text/image/audio/video near-dup edges (rotating planted twin modality; r13 verify stage on)",
+)
+def multimodal_dedup_disposition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.multimodal import multimodal_dedup_disposition
+
     out = multimodal_dedup_disposition(
-        assets,
+        _disposition_assets(spark, sf_dir),
         "doc_id",
         text_col="text",
         image_col="image",
@@ -2805,6 +2812,11 @@ def multimodal_dedup_disposition_q(spark: SparkSession, sf_dir: str) -> DataFram
         # scale the 16-value block space is harmless
         text_max_hamming=12,
         text_blocks=16,
+        # r13: the candidates→verify second signal on image/audio edges
+        # (dHash ∧ pHash conjunction; second afp geometry) — measured at
+        # sf0.1: the 6 organic single-image phase-adjacent merges drop
+        # to 0, all 125 planted twins survive (COVERAGE.md r13 row)
+        verify=True,
     )
     # registry projection: the driver hashes rows as tuples, so the
     # array column flattens to a comma-joined string (sorted upstream —

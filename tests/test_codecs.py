@@ -866,6 +866,125 @@ def test_multimodal_dedup_disposition_attributes_each_modality(spark):
         multimodal_dedup_disposition(assets, "doc_id")
 
 
+def _find_phash_collision(max_search: int = 2000):
+    """Deterministically locate two DIFFERENT scenes from the
+    disposition's image family whose pHash distance is within the
+    radius-10 join but whose dHash distance is far outside the verify
+    radius — the organic phase-adjacent false-pair mode (pure-Python
+    search; the Spark test then exercises only the found pair)."""
+    import numpy as np
+
+    from lakehouse_spark_spark.operators.multimodal import dhash64, phash64
+
+    def image_scene(i):
+        rng = np.random.RandomState(i % (2**31))
+        y, x = np.mgrid[0:48, 0:48]
+        v = np.full((48, 48), 120.0)
+        for _c in range(4):
+            fa, fb = rng.uniform(0.5, 2.5), rng.uniform(0.5, 2.5)
+            p1, p2 = rng.uniform(0.0, 6.28), rng.uniform(0.0, 6.28)
+            v += rng.uniform(15.0, 35.0) * np.sin(2 * np.pi * (x / 48) * fa + p1) * np.cos(
+                2 * np.pi * (y / 48) * fb + p2
+            )
+        return np.clip(v, 0, 255).astype(np.uint8)
+
+    seen = []
+    for key in range(max_search):
+        px = image_scene(key)
+        ph, dh = phash64(px), dhash64(px)
+        for key2, px2, ph2, dh2 in seen:
+            if bin(ph ^ ph2).count("1") <= 10 and bin(dh ^ dh2).count("1") > 8:
+                return (key2, px2), (key, px)
+        seen.append((key, px, ph, dh))
+    raise AssertionError("no phase-adjacent collision found in the search window")
+
+
+def test_image_verify_stage_kills_false_pairs_keeps_twins(spark):
+    """r13 (r12 verdict task 3): the candidates→verify second signal.
+    A phase-adjacent scene pair (pHash collides, dHash far apart — the
+    documented single-signal false-pair mode) survives the plain pHash
+    join but dies under verify; a planted half-size TRUE twin survives
+    both (dHash of a smooth scene tolerates the resample grid shift)."""
+    from lakehouse_spark_spark.operators.multimodal import (
+        encode_png_pixels,
+        image_neardup_phash,
+    )
+
+    (k1, px1), (k2, px2) = _find_phash_collision()
+    rows = [
+        (1, bytearray(encode_png_pixels(px1))),
+        (2, bytearray(encode_png_pixels(px2))),     # false pair with 1
+        (3, bytearray(encode_png_pixels(px1[::2, ::2]))),  # true twin of 1
+    ]
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    plain = {(r["id_a"], r["id_b"]) for r in image_neardup_phash(media).collect()}
+    assert (1, 2) in plain and (1, 3) in plain
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in image_neardup_phash(media, verify_dhash_max_hamming=8).collect()
+    }
+    assert (1, 2) not in verified  # the false pair dies at verify
+    assert (1, 3) in verified      # the true twin survives
+
+
+def test_audio_verify_stage_keeps_true_twins(spark):
+    """The second afp geometry is a no-op on TRUE re-levelled/dithered
+    twins: with verify on, every planted twin pair survives and the
+    output equals the unverified join on this collision-free fixture."""
+    from lakehouse_spark_spark.operators.multimodal import audio_neardup_afp, make_wav_pcm
+
+    rows = []
+    for i in range(12):
+        s = _audio_scene(i)
+        rows.append((i, bytearray(make_wav_pcm(s, 8000))))
+        if i % 3 == 0:
+            rng = np.random.RandomState(10_000 + i)
+            twin = 0.5 * s + rng.uniform(-0.002, 0.002, size=len(s))
+            rows.append((1000 + i, bytearray(make_wav_pcm(twin, 8000))))
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    plain = sorted(map(tuple, audio_neardup_afp(media).collect()))
+    verified = sorted(map(tuple, audio_neardup_afp(media, verify_alt_max_hamming=4).collect()))
+    assert verified == plain
+    assert {(a, b) for a, b, _ in verified} >= {(i, 1000 + i) for i in range(0, 12, 3)}
+
+
+def test_disposition_verify_drops_false_merge_keeps_twin(spark):
+    """Disposition-level: an image-modality false pair merges two
+    ORIGINALS without verify and stops merging with it, while a planted
+    half-size image twin keeps dropping — the precision gain costs no
+    planted recall (unlike min_modalities, which would kill the
+    single-modality twin too)."""
+    from lakehouse_spark_spark.operators.multimodal import (
+        encode_png_pixels,
+        multimodal_dedup_disposition,
+    )
+
+    (k1, px1), (k2, px2) = _find_phash_collision()
+    rows = [
+        (0, bytearray(encode_png_pixels(px1))),
+        (1, bytearray(encode_png_pixels(px2))),            # false pair with 0
+        (100, bytearray(encode_png_pixels(px1[::2, ::2]))),  # true twin of 0
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, image binary")
+
+    def run(**kw):
+        return {
+            r["doc_id"]: r
+            for r in multimodal_dedup_disposition(
+                assets, "doc_id", image_col="image", **kw
+            ).collect()
+        }
+
+    off = run()
+    assert not off[1]["keep"] and off[1]["component"] == 0  # the false merge
+    assert not off[100]["keep"]
+    on = run(verify=True)
+    assert on[0]["keep"] and on[1]["keep"]  # originals both keep now
+    assert not on[100]["keep"] and on[100]["component"] == 0  # twin still drops
+    mm = run(min_modalities=2)
+    assert mm[100]["keep"]  # the min_modalities trade: the true twin survives
+
+
 def test_multimodal_disposition_pair_safe_text_blocks(spark):
     """r13 (r12 ADVICE): forcing block_pairs=True with the text
     defaults (radius 3, 4 blocks) used to silently drop the text
