@@ -293,3 +293,61 @@ def media_candidates_against_index(
     return joined.select("new_id", "corpus_id", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def video_candidates_against_index(
+    batch_media: DataFrame | None,
+    index: MediaFpIndex,
+    every_n: int = 4,
+    max_hamming: int = 10,
+    min_matched_frames: int = 3,
+    frame_key_stride: int = 1_000_000,
+    max_bucket: int | None = None,
+    *,
+    frame_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Video near-dup candidates of a NEW batch of clips against an
+    accumulated corpus whose FRAME fingerprints live in a persisted
+    :class:`MediaFpIndex` (built over
+    multimodal.video_frame_fingerprints — composite
+    ``clip*stride+frame`` keys; pass the same stride). The arrival-time
+    twin of the one-shot frame-vote operator: sample + decode + pHash
+    ONLY the batch's frames, frame-level candidates via
+    :func:`media_candidates_against_index` (O(batch + index), corpus
+    frames never re-decoded), then the clip-level vote — a pair
+    survives when ``min_matched_frames`` DISTINCT sampled frames of
+    the NEW clip match a corpus frame within ``max_hamming`` (the
+    probe's natural orientation: "enough of MY frames are already in
+    the corpus"; the one-shot operator's lower-clip vote coincides
+    with this when corpus ids precede batch ids, the ingest
+    contract). Returns (new_id, corpus_id, matched_frames,
+    min_hamming). ``max_bucket`` guards the solid-color/title-card
+    frame clusters exactly as for stills — with the rescue star
+    keeping exact-frame dups flowing into the vote.
+
+    ``frame_fps`` injects precomputed composite-keyed frame
+    fingerprints (this index's stride — the caller's contract) so an
+    ingest loop that also folds the batch decodes exactly once."""
+    if frame_fps is None:
+        from lakehouse_spark_spark.operators.multimodal import video_frame_fingerprints
+
+        frame_fps = video_frame_fingerprints(
+            batch_media, every_n=every_n, frame_key_stride=frame_key_stride
+        )
+    cand = media_candidates_against_index(
+        frame_fps, index, "doc_id", "fp", max_hamming=max_hamming, max_bucket=max_bucket
+    )
+    pairs = cand.select(
+        F.expr(f"new_id DIV {frame_key_stride}").alias("new_clip"),
+        F.expr(f"new_id % {frame_key_stride}").alias("new_frame"),
+        F.expr(f"corpus_id DIV {frame_key_stride}").alias("corpus_clip"),
+        "hamming",
+    ).filter(F.col("new_clip") != F.col("corpus_clip"))
+    return (
+        pairs.groupBy(F.col("new_clip").alias("new_id"), F.col("corpus_clip").alias("corpus_id"))
+        .agg(
+            F.count_distinct("new_frame").alias("matched_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("matched_frames") >= min_matched_frames)
+    )

@@ -1171,6 +1171,31 @@ def audio_neardup_afp(
 # frame<->clip keying and the vote aggregation.
 
 
+def video_frame_fingerprints(
+    media: DataFrame, every_n: int = 4, frame_key_stride: int = 1_000_000
+) -> DataFrame:
+    """(doc_id, fp): pHash of every Nth sampled frame under the
+    composite key ``clip_id * frame_key_stride + frame_idx`` — the
+    frame-level fingerprint relation shared by the one-shot
+    :func:`video_neardup_phash` join and the persisted
+    media-fingerprint index (operators/mediaindex — a video index IS a
+    media_fp index over these composite-keyed frame fingerprints, so
+    fold/probe/compaction machinery is reused, not re-implemented).
+    Requires frame_idx < stride and clip_id < 2^63/stride.
+    Undecodable frames are dropped (NULL quarantine)."""
+    frames = sample_frames(media, every_n=every_n)
+    return (
+        phash_images(
+            frames.select(
+                (F.col("doc_id") * F.lit(frame_key_stride) + F.col("frame_idx")).alias("doc_id"),
+                F.col("frame").alias("media"),
+            )
+        )
+        .filter(F.col("phash").isNotNull())
+        .withColumnRenamed("phash", "fp")
+    )
+
+
 def video_neardup_phash(
     media: DataFrame,
     every_n: int = 4,
@@ -1215,17 +1240,9 @@ def video_neardup_phash(
     vote."""
     from lakehouse_spark_spark.operators.neardup import simhash_candidates
 
-    frames = sample_frames(media, every_n=every_n)
-    fp = (
-        phash_images(
-            frames.select(
-                (F.col("doc_id") * F.lit(frame_key_stride) + F.col("frame_idx")).alias("doc_id"),
-                F.col("frame").alias("media"),
-            )
-        )
-        .filter(F.col("phash").isNotNull())
-        .withColumnRenamed("phash", "simhash")
-    )
+    fp = video_frame_fingerprints(
+        media, every_n=every_n, frame_key_stride=frame_key_stride
+    ).withColumnRenamed("fp", "simhash")
     cand = simhash_candidates(
         fp, "doc_id", max_hamming=max_hamming, blocks=blocks, block_pairs=block_pairs,
         max_bucket=max_bucket, approx_count=approx_count,

@@ -294,6 +294,77 @@ def media_ingest_foreach_batch(
     return fn
 
 
+def video_ingest_foreach_batch(
+    index_path: str,
+    id_col: str,
+    media_col: str,
+    kept_out: str,
+    *,
+    every_n: int = 4,
+    max_hamming: int = 10,
+    min_matched_frames: int = 3,
+    frame_key_stride: int = 1_000_000,
+    max_bucket: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming VIDEO ingest: clips arrive as (id, media) rows; each
+    micro-batch is sampled + decoded + pHashed ONCE
+    (video_frame_fingerprints), voted against the accumulated corpus'
+    persisted FRAME index (video_candidates_against_index — the corpus
+    is never re-decoded), novel clips' ids land in the exactly-once
+    ledger, and their frame fingerprints fold in under the epoch
+    watermark. The clip-level twin of :func:`media_ingest_foreach_batch`
+    — same delivery contract (ledger before fold; replayed epochs are
+    ledger skips + fold no-ops; within-batch clip dups both keep, the
+    compaction half)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark_spark.operators.mediaindex import (
+        load_media_fp_index,
+        update_media_fp_index,
+        video_candidates_against_index,
+    )
+    from lakehouse_spark_spark.operators.multimodal import video_frame_fingerprints
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        idx = load_media_fp_index(spark, index_path)
+        media = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(media_col).alias("media")
+        )
+        # decode+hash ONCE per batch: the same frame-fingerprint frame
+        # feeds the vote probe and the index fold (the decode is the
+        # dominant per-batch cost — the sign-once rationale)
+        frame_fps = video_frame_fingerprints(
+            media, every_n=every_n, frame_key_stride=frame_key_stride
+        ).localCheckpoint(eager=True)
+        dup_clips = (
+            video_candidates_against_index(
+                None, idx, every_n=every_n, max_hamming=max_hamming,
+                min_matched_frames=min_matched_frames,
+                frame_key_stride=frame_key_stride, max_bucket=max_bucket,
+                frame_fps=frame_fps,
+            )
+            .select(F.col("new_id").alias("__clip"))
+            .distinct()
+        )
+        kept_clips = (
+            frame_fps.select(F.expr(f"doc_id DIV {frame_key_stride}").alias("__clip"))
+            .distinct()
+            .join(dup_clips, "__clip", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        append_once_parquet(kept_clips.select(F.col("__clip").alias(id_col)), kept_out, batch_id)
+        kept_frames = frame_fps.join(
+            kept_clips,
+            F.expr(f"doc_id DIV {frame_key_stride}") == F.col("__clip"),
+        ).select("doc_id", "fp")
+        update_media_fp_index(index_path, kept_frames, "doc_id", "fp", batch_id=batch_id)
+
+    return fn
+
+
 def ann_ingest_foreach_batch(
     index_path: str,
     vec_col: str,

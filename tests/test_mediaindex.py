@@ -269,6 +269,126 @@ def test_media_ingest_loop_redrain_safe(spark, tmp_path):
     assert load_media_fp_index(spark, idx_path).fingerprints.count() == n_fp1
 
 
+def _clip(scenes):
+    from lakehouse_spark_spark.operators.multimodal import encode_png_pixels, make_framestack
+
+    return bytearray(make_framestack([encode_png_pixels(p) for p in scenes]))
+
+
+def _video_scenes(i, n=6):
+    rng_scenes = []
+    for f in range(n):
+        rng = np.random.RandomState((i * 31 + f * 7 + 1) % (2**31))
+        y, x = np.mgrid[0:48, 0:48]
+        v = np.full((48, 48), 120.0)
+        for _c in range(4):
+            fa, fb = rng.uniform(0.5, 2.5), rng.uniform(0.5, 2.5)
+            p1, p2 = rng.uniform(0.0, 6.28), rng.uniform(0.0, 6.28)
+            v += rng.uniform(15.0, 35.0) * np.sin(2 * np.pi * (x / 48) * fa + p1) * np.cos(
+                2 * np.pi * (y / 48) * fb + p2
+            )
+        rng_scenes.append(np.clip(v, 0, 255).astype(np.uint8))
+    return rng_scenes
+
+
+def test_video_probe_equals_bruteforce_frame_vote(spark, tmp_path):
+    """The persisted VIDEO path: corpus clips' frame fingerprints live
+    in a media_fp index (composite clip*stride+frame keys); the probe
+    samples+hashes ONLY the batch and votes. Must equal a brute-force
+    per-frame Hamming scan + manual vote, and catch planted half-size
+    twin clips of corpus members while fresh clips find nothing."""
+    from lakehouse_spark_spark.operators.mediaindex import video_candidates_against_index
+    from lakehouse_spark_spark.operators.multimodal import video_frame_fingerprints
+
+    corpus_media = spark.createDataFrame(
+        [(i, _clip(_video_scenes(i))) for i in range(8)], "doc_id bigint, media binary"
+    )
+    batch_rows = [
+        (1000 + i, _clip([p[::2, ::2] for p in _video_scenes(i)])) for i in (0, 3, 6)
+    ] + [(2000, _clip(_video_scenes(555)))]
+    batch_media = spark.createDataFrame(batch_rows, "doc_id bigint, media binary")
+
+    from lakehouse_spark_spark.operators.mediaindex import write_media_fp_index
+
+    idx = write_media_fp_index(
+        video_frame_fingerprints(corpus_media, every_n=1), "doc_id", "fp",
+        str(tmp_path / "vid_idx"), blocks=8, modality="video-frames",
+    )
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["matched_frames"], r["min_hamming"])
+        for r in video_candidates_against_index(
+            batch_media, idx, every_n=1, max_hamming=10, min_matched_frames=3
+        ).collect()
+    )
+    # brute-force reference over the raw fingerprints
+    c_fp = [
+        (r["doc_id"], r["fp"])
+        for r in video_frame_fingerprints(corpus_media, every_n=1).collect()
+    ]
+    b_fp = [
+        (r["doc_id"], r["fp"])
+        for r in video_frame_fingerprints(batch_media, every_n=1).collect()
+    ]
+    votes = {}
+    for bk, bf in b_fp:
+        for ck, cf in c_fp:
+            if bin(bf ^ cf).count("1") <= 10:
+                key = (bk // 1_000_000, ck // 1_000_000)
+                frames, best = votes.get(key, (set(), 64))
+                frames.add(bk % 1_000_000)
+                votes[key] = (frames, min(best, bin(bf ^ cf).count("1")))
+    want = sorted(
+        (n, c, len(fr), mh) for (n, c), (fr, mh) in votes.items() if len(fr) >= 3
+    )
+    assert got == want
+    assert {(n, c) for n, c, *_ in got} >= {(1000, 0), (1003, 3), (1006, 6)}
+    assert not [r for r in got if r[0] == 2000]  # fresh clip: no match
+
+
+def test_video_ingest_loop_redrain_safe(spark, tmp_path):
+    """The video streaming loop: batch-1 novel clips fold their frame
+    fingerprints in; batch 2 (half-size twins of batch-1 keeps +
+    novels) drops the twins; redraining both epochs leaves the clip
+    ledger and the frame index byte-identical."""
+    from lakehouse_spark_spark.operators.mediaindex import (
+        load_media_fp_index,
+        write_media_fp_index,
+    )
+    from lakehouse_spark_spark.operators.multimodal import video_frame_fingerprints
+    from lakehouse_spark_spark.streaming.ingest import video_ingest_foreach_batch
+
+    corpus_media = spark.createDataFrame(
+        [(i, _clip(_video_scenes(i))) for i in range(4)], "doc_id bigint, media binary"
+    )
+    idx_path = str(tmp_path / "vid_loop")
+    kept_out = str(tmp_path / "vid_kept")
+    write_media_fp_index(
+        video_frame_fingerprints(corpus_media, every_n=1), "doc_id", "fp",
+        idx_path, blocks=8, modality="video-frames",
+    )
+    b1 = spark.createDataFrame(
+        [(100 + i, _clip(_video_scenes(50 + i))) for i in range(3)],
+        "doc_id bigint, media binary",
+    )
+    b2 = spark.createDataFrame(
+        [(200, _clip([p[::2, ::2] for p in _video_scenes(50)]))]  # twin of kept 100
+        + [(201, _clip(_video_scenes(99)))],                       # novel
+        "doc_id bigint, media binary",
+    )
+    fn = video_ingest_foreach_batch(
+        idx_path, "doc_id", "media", kept_out, every_n=1, min_matched_frames=3
+    )
+    for i, b in enumerate((b1, b2)):
+        fn(b, i)
+    kept1 = sorted(r["doc_id"] for r in spark.read.parquet(kept_out).collect())
+    assert kept1 == [100, 101, 102, 201]  # twin 200 dropped
+    n_fp1 = load_media_fp_index(spark, idx_path).fingerprints.count()
+    for i, b in enumerate((b1, b2)):
+        fn(b, i)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(kept_out).collect()) == kept1
+    assert load_media_fp_index(spark, idx_path).fingerprints.count() == n_fp1
+
+
 def test_null_fingerprints_are_quarantined(spark, tmp_path):
     """NULL fingerprints (undecodable payloads) never enter the index
     or the probe — matching the one-shot wrappers' quarantine."""
