@@ -44,19 +44,34 @@ from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from lakehouse_spark_spark.operators.neardup import fingerprint_block_rows
+from lakehouse_spark_spark.operators.neardup import (
+    fingerprint_block_rows,
+    fingerprint_pair_block_rows,
+)
+
+
+def _block_rows(df: DataFrame, id_col: str, fp_col: str, blocks: int, pair: bool) -> DataFrame:
+    fn = fingerprint_pair_block_rows if pair else fingerprint_block_rows
+    return fn(df, id_col, fp_col, blocks)
+
+
+def _block_join_on(pair: bool) -> list[str]:
+    return ["block", "block_val", "block_val2"] if pair else ["block", "block_val"]
 
 
 class MediaFpIndex(NamedTuple):
     """Persisted Hamming-fingerprint state: the fingerprint table (the
     Hamming-filter re-attach side), its pigeonhole block table (the
     candidate-generation side), and the build parameters a probe must
-    reuse verbatim."""
+    reuse verbatim. ``pair_blocks`` records the block-table GEOMETRY:
+    single rows (blocks per fingerprint) or Manku pair-key rows
+    (C(blocks,2) per fingerprint) — see :func:`write_media_fp_index`."""
 
     fingerprints: DataFrame  # (__id long, fp long)
-    blocks: DataFrame        # (__id long, block int, block_val long)
+    blocks: DataFrame        # single: (__id, block, block_val); pair: + block_val2
     n_blocks: int
     modality: str            # provenance tag ("image"/"audio"/"video"/...)
+    pair_blocks: bool = False
 
 
 def _mf_manifest_path(path: str) -> str:
@@ -82,6 +97,7 @@ def write_media_fp_index(
     path: str,
     blocks: int = 8,
     modality: str = "media",
+    pair_blocks: bool = False,
 ) -> MediaFpIndex:
     """One-time index construction from an (id, fingerprint) frame —
     the ONLY operation that sees the initial corpus (whose
@@ -91,19 +107,32 @@ def write_media_fp_index(
     the one-shot wrappers' quarantine. Fingerprints are written first;
     block rows are derived FROM the written parquet (one hash pass,
     tables guaranteed consistent); the manifest commits geometry +
-    watermark last."""
+    watermark last.
+
+    ``pair_blocks=True`` builds the Manku PAIR-key geometry — the
+    web-scale choice, exactly as for the in-plan join: the single-block
+    table's (block, value) space is only blocks·2^(64/blocks) (2,048
+    at 8 blocks), so probe candidates grow ~|batch|·|index|·blocks/2^width
+    even between unrelated fingerprints; pair keys square the value
+    space for a C(blocks,2)/blocks ≈ 3.5× larger block table. RECALL:
+    pair geometry is complete only for max_hamming <= blocks - 2 (the
+    probe refuses a wider radius loudly); the exact-fp rescue is
+    geometry-independent. Pick at BUILD time — the geometry is the
+    persisted table's shape; a rebuild (write over the fingerprint
+    table) migrates it."""
     spark = fps.sparkSession
     clean = fps.filter(F.col(fp_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(fp_col).cast("long").alias("fp")
     )
     clean.write.mode("overwrite").parquet(f"{path}/fingerprints")
     stored = spark.read.parquet(f"{path}/fingerprints")
-    fingerprint_block_rows(stored, "__id", "fp", blocks).write.mode("overwrite").parquet(
+    _block_rows(stored, "__id", "fp", blocks, pair_blocks).write.mode("overwrite").parquet(
         f"{path}/blocks"
     )
     _mf_write_manifest(
         path,
-        {"format": 1, "blocks": int(blocks), "modality": str(modality), "last_batch_id": None},
+        {"format": 1, "blocks": int(blocks), "modality": str(modality),
+         "pair_blocks": bool(pair_blocks), "last_batch_id": None},
     )
     return load_media_fp_index(spark, path)
 
@@ -116,6 +145,7 @@ def load_media_fp_index(spark: SparkSession, path: str) -> MediaFpIndex:
         blocks=spark.read.parquet(_mf_resolve_dir(path, mf, "blocks")),
         n_blocks=int(mf["blocks"]),
         modality=str(mf.get("modality", "media")),
+        pair_blocks=bool(mf.get("pair_blocks", False)),
     )
 
 
@@ -157,9 +187,9 @@ def update_media_fp_index(
         .localCheckpoint(eager=True)  # one upstream (decode+hash) pass feeds both appends
     )
     clean.write.mode("append").parquet(_mf_resolve_dir(path, mf, "fingerprints"))
-    fingerprint_block_rows(clean, "__id", "fp", int(mf["blocks"])).write.mode("append").parquet(
-        _mf_resolve_dir(path, mf, "blocks")
-    )
+    _block_rows(
+        clean, "__id", "fp", int(mf["blocks"]), bool(mf.get("pair_blocks", False))
+    ).write.mode("append").parquet(_mf_resolve_dir(path, mf, "blocks"))
     if batch_id is not None:
         _mf_write_manifest(path, {**mf, "last_batch_id": int(batch_id)})
     return load_media_fp_index(spark, path)
@@ -239,29 +269,42 @@ def media_candidates_against_index(
     match per batch asset (distance 0 by construction), so the cap can
     never hide them. Duplicate index rows from a partially-replayed
     fold are neutralized by the pair-distinct and the id-dedup on the
-    fingerprint re-attach."""
+    fingerprint re-attach.
+
+    A ``pair_blocks`` index (the web-scale geometry) is probed on the
+    matching pair keys — complete only for
+    max_hamming <= n_blocks - 2, so a wider radius is REFUSED (the
+    caller chose the geometry at build time; silently lossy recall is
+    the failure mode the in-plan join warns about)."""
+    if index.pair_blocks and max_hamming > index.n_blocks - 2:
+        raise ValueError(
+            f"media_candidates_against_index: pair-block geometry is complete "
+            f"only to n_blocks-2={index.n_blocks - 2}; max_hamming={max_hamming} "
+            f"would silently lose recall — rebuild with more blocks or lower the radius"
+        )
     clean = (
         batch_fps.filter(F.col(fp_col).isNotNull())
         .select(F.col(id_col).alias("__id"), F.col(fp_col).cast("long").alias("fp"))
         .localCheckpoint(eager=False)  # one upstream pass, two plan uses
     )
-    b_blocks = fingerprint_block_rows(clean, "__id", "fp", index.n_blocks).select(
-        F.col("__id").alias("new_id"), "block", "block_val"
+    join_on = _block_join_on(index.pair_blocks)
+    b_blocks = _block_rows(clean, "__id", "fp", index.n_blocks, index.pair_blocks).select(
+        F.col("__id").alias("new_id"), *join_on
     )
-    c_blocks = index.blocks.select(F.col("__id").alias("corpus_id"), "block", "block_val")
+    c_blocks = index.blocks.select(F.col("__id").alias("corpus_id"), *join_on)
     if max_bucket is not None:
         hot = (
-            c_blocks.groupBy("block", "block_val")
+            c_blocks.groupBy(*join_on)
             # DISTINCT docs: a partially-replayed fold duplicates block
             # rows (the tolerated crash state) and a raw count would
             # falsely disqualify buckets (the r11 neardup-probe finding)
             .agg(F.count_distinct("corpus_id").alias("__df"))
             .filter(F.col("__df") > max_bucket)
-            .select("block", "block_val")
+            .select(*join_on)
         )
-        c_blocks = c_blocks.join(hot, ["block", "block_val"], "left_anti")
+        c_blocks = c_blocks.join(hot, join_on, "left_anti")
     pairs = (
-        b_blocks.join(c_blocks, ["block", "block_val"])
+        b_blocks.join(c_blocks, join_on)
         .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id")
         .distinct()

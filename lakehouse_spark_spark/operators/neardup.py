@@ -261,6 +261,40 @@ def fingerprint_block_rows(
     return df.select(*cols, F.posexplode(F.array(*bl)).alias("block", "block_val"))
 
 
+def fingerprint_pair_block_rows(
+    df: DataFrame, id_col: str, fp_col: str, blocks: int, keep_fp: bool = False
+) -> DataFrame:
+    """(id, block, block_val, block_val2) Manku pair-key rows — one row
+    per PAIR of blocks (C(blocks,2) per fingerprint), the large-corpus
+    candidate key (value space squared; complete for
+    max_hamming <= blocks - 2). Shared by :func:`simhash_candidates`'s
+    ``block_pairs`` mode and the persisted media-fingerprint index's
+    pair geometry (operators/mediaindex.write_media_fp_index
+    ``pair_blocks=True``), so index candidates stay byte-identical to
+    in-plan ones in BOTH geometries."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    bl = [F.shiftright(fp_col, width * i).bitwiseAND(F.lit(mask)) for i in range(blocks)]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i * blocks + j).alias("block"),
+                bl[i].alias("va"),
+                bl[j].alias("vb"),
+            )
+            for i in range(blocks)
+            for j in range(i + 1, blocks)
+        ]
+    )
+    cols = [F.col(id_col)] + ([F.col(fp_col)] if keep_fp else [])
+    return df.select(*cols, F.explode(keys).alias("k")).select(
+        *([id_col] + ([fp_col] if keep_fp else [])),
+        F.col("k.block").alias("block"),
+        F.col("k.va").alias("block_val"),
+        F.col("k.vb").alias("block_val2"),
+    )
+
+
 def simhash_candidates(
     sim: DataFrame,
     id_col: str,
@@ -347,25 +381,8 @@ def simhash_candidates(
             f"Use blocks >= {max_hamming + 2} to keep the guarantee.",
             stacklevel=2,
         )
-    width = 64 // blocks
-    mask = (1 << width) - 1
-    bl = [F.shiftright("simhash", width * i).bitwiseAND(F.lit(mask)) for i in range(blocks)]
     if block_pairs:
-        keys = F.array(
-            *[
-                F.struct(
-                    F.lit(i * blocks + j).alias("block"),
-                    bl[i].alias("va"),
-                    bl[j].alias("vb"),
-                )
-                for i in range(blocks)
-                for j in range(i + 1, blocks)
-            ]
-        )
-        exploded = sim.select(F.col(id_col), F.col("simhash"), F.explode(keys).alias("k")).select(
-            F.col(id_col), "simhash", F.col("k.block").alias("block"),
-            F.col("k.va").alias("block_val"), F.col("k.vb").alias("block_val2"),
-        )
+        exploded = fingerprint_pair_block_rows(sim, id_col, "simhash", blocks, keep_fp=True)
         join_on = ["block", "block_val", "block_val2"]
     else:
         exploded = fingerprint_block_rows(sim, id_col, "simhash", blocks, keep_fp=True)

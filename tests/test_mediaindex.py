@@ -269,6 +269,73 @@ def test_media_ingest_loop_redrain_safe(spark, tmp_path):
     assert load_media_fp_index(spark, idx_path).fingerprints.count() == n_fp1
 
 
+def test_pair_block_geometry_matches_single_and_oneshot(spark, tmp_path):
+    """The web-scale pair-key geometry (pair_blocks=True at build):
+    probe output must be byte-identical to the single-block index AND
+    the one-shot operator at a pair-complete radius, across a fold;
+    a radius outside the pair guarantee is refused loudly."""
+    all_fps = _fps(spark, 31, 60, twin_dist=6)
+    corpus = all_fps.filter("doc_id % 3 != 0")
+    b1 = all_fps.filter("doc_id % 6 = 0")
+    b2 = all_fps.filter("doc_id % 6 = 3")
+    single = write_media_fp_index(corpus, "doc_id", "fp", str(tmp_path / "g_single"), blocks=8)
+    paired = write_media_fp_index(
+        corpus, "doc_id", "fp", str(tmp_path / "g_pair"), blocks=8, pair_blocks=True
+    )
+    update_media_fp_index(str(tmp_path / "g_single"), b1, "doc_id", "fp", batch_id=1)
+    update_media_fp_index(str(tmp_path / "g_pair"), b1, "doc_id", "fp", batch_id=1)
+    single = load_media_fp_index(spark, str(tmp_path / "g_single"))
+    paired = load_media_fp_index(spark, str(tmp_path / "g_pair"))
+    assert paired.pair_blocks and not single.pair_blocks
+    want = _rows(_oneshot_cross_pairs(corpus.unionByName(b1), b2, 6, 8))
+    got_single = _rows(media_candidates_against_index(b2, single, "doc_id", "fp", max_hamming=6))
+    got_pair = _rows(media_candidates_against_index(b2, paired, "doc_id", "fp", max_hamming=6))
+    assert got_single == want and got_pair == want
+    assert len(want) > 0
+    with pytest.raises(ValueError, match="complete only to n_blocks-2"):
+        media_candidates_against_index(b2, paired, "doc_id", "fp", max_hamming=7)
+    # the hot-bucket cap + exact-fp rescue are geometry-independent
+    FLAT = 0x3333333333333333 & ((1 << 62) - 1)
+    cl = spark.createDataFrame(
+        [(5000 + i, FLAT) for i in range(200)], "doc_id bigint, fp bigint"
+    )
+    update_media_fp_index(str(tmp_path / "g_pair"), cl, "doc_id", "fp", batch_id=2)
+    paired = load_media_fp_index(spark, str(tmp_path / "g_pair"))
+    probe = spark.createDataFrame([(9000, FLAT)], "doc_id bigint, fp bigint")
+    rescued = media_candidates_against_index(
+        probe, paired, "doc_id", "fp", max_hamming=6, max_bucket=50
+    ).collect()
+    assert len(rescued) == 1 and (rescued[0]["corpus_id"], rescued[0]["hamming"]) == (5000, 0)
+
+
+def test_text_simhash_rides_the_same_index(spark, tmp_path):
+    """Modality-agnosticism, proven through TEXT: SimHash fingerprints
+    are bit-compatible with the media family, so the media_fp index
+    doubles as a persisted text-SimHash index — probe output equals the
+    one-shot simhash_candidates cross-pairs on real fixture text."""
+    from lakehouse_spark_spark.operators.neardup import simhash
+
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 3 != 0")
+    batch = docs.filter("doc_id % 3 = 0").union(
+        docs.filter("doc_id % 9 = 1").select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail tweak")).alias("text"),
+        )
+    )
+    c_fp = simhash(corpus, "doc_id", "text").withColumnRenamed("simhash", "fp")
+    b_fp = simhash(batch, "doc_id", "text").withColumnRenamed("simhash", "fp")
+    idx = write_media_fp_index(
+        c_fp, "doc_id", "fp", str(tmp_path / "txt_idx"), blocks=9, modality="text-simhash"
+    )
+    got = _rows(media_candidates_against_index(b_fp, idx, "doc_id", "fp", max_hamming=8))
+    want = _rows(_oneshot_cross_pairs(c_fp, b_fp, 8, 9))
+    assert got == want
+    assert len(got) > 0  # the tail-tweaked near-dups surface
+
+
 def _clip(scenes):
     from lakehouse_spark_spark.operators.multimodal import encode_png_pixels, make_framestack
 
