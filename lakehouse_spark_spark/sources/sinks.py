@@ -216,7 +216,7 @@ def gc_versioned_dirs(
 _LEDGER_MANIFEST = ".ledger_manifest.json"
 
 
-def _ledger_floor(base_dir: str) -> int | None:
+def _ledger_manifest(base_dir: str) -> dict | None:
     import json
     import os
 
@@ -224,11 +224,18 @@ def _ledger_floor(base_dir: str) -> int | None:
     if not os.path.exists(p):
         return None
     with open(p) as fh:
-        v = json.load(fh).get("floor_batch_id")
+        return json.load(fh)
+
+
+def _ledger_floor(base_dir: str) -> int | None:
+    mf = _ledger_manifest(base_dir)
+    v = None if mf is None else mf.get("floor_batch_id")
     return None if v is None else int(v)
 
 
-def compact_ledger_parquet(spark, base_dir: str, target_file_mb: int = 256) -> int:
+def compact_ledger_parquet(
+    spark, base_dir: str, target_file_mb: int = 256, merge_history: bool = False
+) -> int:
     """Ledger-aware compaction — the maintenance job an
     :func:`append_once_parquet` ledger can actually use (the flat
     :func:`compact_parquet` rewrite would corrupt it and now refuses).
@@ -243,10 +250,28 @@ def compact_ledger_parquet(spark, base_dir: str, target_file_mb: int = 256) -> i
     the same rename-aside swap as :func:`compact_parquet` (no data-loss
     window; local-FS reader-isolation caveat applies). Single-writer
     contract: don't run concurrently with the stream's own epoch
-    commits. Returns the new data-file count."""
+    commits. Returns the new data-file count.
+
+    ``merge_history=True`` (r13 — the follow-on the r12 design note
+    licensed): epochs AT OR BELOW the floor — committed by definition,
+    their replay check consults the floor BEFORE any dir — collapse
+    into ONE ``batch_id=-2`` history partition, with per-row provenance
+    preserved in a new ``orig_batch_id`` data column (existing values
+    kept on re-merge; the adopted-legacy ``batch_id=-1`` partition
+    folds in as ``orig_batch_id=-1``). The whole ledger is rewritten in
+    the same pass, so EVERY file carries the column — no mixed-schema
+    reads — and the floor manifest records ``history_merged``, which
+    makes :func:`append_once_parquet` stamp the column onto every
+    subsequent epoch. This is the object-store dir-listing fix for a
+    stream whose per-epoch dir count ever dominates: one history dir of
+    size-targeted files + a handful of live epoch dirs, with exact
+    provenance intact and the exactly-once contract unchanged (floor
+    covers merged epochs; dirs cover live ones)."""
     import json
     import math
     import os
+
+    from pyspark.sql import functions as F
 
     names = os.listdir(base_dir)
     ids = [int(n.split("=", 1)[1]) for n in names if n.startswith("batch_id=")]
@@ -255,15 +280,35 @@ def compact_ledger_parquet(spark, base_dir: str, target_file_mb: int = 256) -> i
             f"compact_ledger_parquet: {base_dir} has no batch_id= partitions — "
             "not an append_once_parquet ledger; use compact_parquet"
         )
-    prior_floor = _ledger_floor(base_dir)
+    prior = _ledger_manifest(base_dir) or {}
+    prior_floor = prior.get("floor_batch_id")
+    prior_floor = None if prior_floor is None else int(prior_floor)
     floor = max([i for i in ids if i >= 0] + ([prior_floor] if prior_floor is not None else []), default=None)
     size = sum(os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(base_dir) for f in fs)
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(base_dir)  # batch_id inferred as partition column
+    merged = bool(prior.get("history_merged", False))
+    if merge_history or merged:
+        # provenance column: keep existing values (already-merged rows),
+        # else the row's own epoch
+        orig = (
+            F.coalesce(F.col("orig_batch_id"), F.col("batch_id"))
+            if "orig_batch_id" in df.columns
+            else F.col("batch_id")
+        )
+        df = df.withColumn("orig_batch_id", orig.cast("long"))
+        merged = True
+    if merge_history and floor is not None:
+        df = df.withColumn(
+            "batch_id",
+            F.when(
+                (F.col("batch_id") <= floor) | (F.col("batch_id") < 0), F.lit(-2)
+            ).otherwise(F.col("batch_id")),
+        )
     tmp = base_dir.rstrip("/") + "__compact"
     df.repartition(n_files, "batch_id").write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     with open(os.path.join(tmp, _LEDGER_MANIFEST), "w") as fh:
-        json.dump({"floor_batch_id": floor}, fh)
+        json.dump({**prior, "floor_batch_id": floor, "history_merged": merged}, fh)
     _swap_dirs(tmp, base_dir)
     return sum(
         1 for dp, _, fs in os.walk(base_dir) for f in fs if f.startswith("part-") and f.endswith(".parquet")
@@ -349,13 +394,25 @@ def append_once_parquet(df: DataFrame, base_dir: str, batch_id: int) -> bool:
                 os.rmdir(mig)
     # committed-epoch checks: the compaction floor first (survives any
     # partition-dir rewrite), then the per-epoch dir itself
+    merged = False
     if os.path.isdir(base_dir):
-        floor = _ledger_floor(base_dir)
-        if floor is not None and batch_id <= floor:
-            return False
+        mf = _ledger_manifest(base_dir)
+        if mf is not None:
+            floor = mf.get("floor_batch_id")
+            if floor is not None and batch_id <= int(floor):
+                return False
+            merged = bool(mf.get("history_merged", False))
     final = os.path.join(base_dir, f"batch_id={batch_id}")
     if os.path.exists(final):
         return False
+    if merged:
+        # a history-merged ledger carries orig_batch_id in EVERY file
+        # (compact_ledger_parquet merge_history rewrote them all);
+        # stamping it here keeps the schema uniform for plain readers
+        from pyspark.sql import functions as F
+
+        if "orig_batch_id" not in df.columns:
+            df = df.withColumn("orig_batch_id", F.lit(int(batch_id)).cast("long"))
     staging = os.path.join(base_dir, f".staging__batch_{batch_id}")
     shutil.rmtree(staging, ignore_errors=True)  # prior crashed attempt
     df.write.mode("overwrite").parquet(staging)

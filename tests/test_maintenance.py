@@ -116,3 +116,64 @@ def test_compact_ledger_preserves_exactly_once(spark):
         assert spark.read.parquet(led).count() == 25
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ledger_history_merge_preserves_provenance_and_replay(spark):
+    """r13 (the r12 design note's licensed follow-on): merge_history
+    collapses committed epochs into ONE batch_id=-2 partition with
+    per-row provenance in orig_batch_id — the object-store dir-listing
+    fix. Contract: value set unchanged with exact provenance, replay of
+    merged epochs still a no-op (floor), new epochs commit WITH the
+    provenance column (uniform schema), a second merge folds them in
+    keeping their original epoch ids, and the dir count actually
+    drops."""
+    import os
+
+    from lakehouse_spark_spark.sources.sinks import (
+        append_once_parquet,
+        compact_ledger_parquet,
+    )
+
+    d = tempfile.mkdtemp(prefix="ledgermerge_")
+    led = f"{d}/ledger"
+    try:
+        for e in range(5):
+            df = spark.range(e * 10, e * 10 + 10).select(
+                F.col("id"), F.lit(f"epoch{e}").alias("tag")
+            )
+            assert append_once_parquet(df, led, e) is True
+        want = sorted(
+            (r["id"], r["tag"], r["batch_id"]) for r in spark.read.parquet(led).collect()
+        )
+        compact_ledger_parquet(spark, led, merge_history=True)
+        dirs = [n for n in os.listdir(led) if n.startswith("batch_id=")]
+        assert dirs == ["batch_id=-2"]  # 5 epoch dirs -> 1 history dir
+        after = sorted(
+            (r["id"], r["tag"], r["orig_batch_id"])
+            for r in spark.read.parquet(led).collect()
+        )
+        assert after == want  # same rows, provenance moved to orig_batch_id
+        assert {r["batch_id"] for r in spark.read.parquet(led).collect()} == {-2}
+        # replay of every merged epoch: floor-only no-op (dirs are gone)
+        poison = spark.range(900, 905).select(F.col("id"), F.lit("REPLAY").alias("tag"))
+        for e in range(5):
+            assert append_once_parquet(poison, led, e) is False
+        # a new epoch commits WITH the provenance column (uniform schema)
+        fresh = spark.range(50, 60).select(F.col("id"), F.lit("epoch5").alias("tag"))
+        assert append_once_parquet(fresh, led, 5) is True
+        rows = spark.read.parquet(led).collect()
+        assert all(r["orig_batch_id"] is not None for r in rows)
+        live = [(r["id"], r["batch_id"], r["orig_batch_id"]) for r in rows if r["batch_id"] == 5]
+        assert len(live) == 10 and all(o == 5 for _i, _b, o in live)
+        # plain (non-merge) recompaction keeps the merged layout + flag
+        compact_ledger_parquet(spark, led)
+        assert append_once_parquet(poison, led, 5) is False
+        assert append_once_parquet(fresh.withColumnRenamed("tag", "tag").limit(3), led, 6) is True
+        # second merge folds epoch 5 into history with ITS id preserved
+        compact_ledger_parquet(spark, led, merge_history=True)
+        rows = spark.read.parquet(led).collect()
+        assert sorted({r["batch_id"] for r in rows}) == [-2]
+        assert sorted({r["orig_batch_id"] for r in rows}) == [0, 1, 2, 3, 4, 5, 6]
+        assert len([r for r in rows if r["orig_batch_id"] == 5]) == 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

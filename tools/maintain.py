@@ -78,7 +78,8 @@ def classify(path: str) -> str | None:
 
 
 def maintain(
-    spark, base: str, target_mb: int = 256, ann_rebuild: bool = True, dry_run: bool = False
+    spark, base: str, target_mb: int = 256, ann_rebuild: bool = True, dry_run: bool = False,
+    merge_ledger_history: bool = False,
 ) -> list[dict]:
     """Run (or plan, with dry_run) the full maintenance pass. Returns
     one action record per classified child."""
@@ -119,7 +120,9 @@ def maintain(
                     spark, os.path.join(path, "shingles"), target_mb, distinct=True
                 )
             elif family == "ledger":
-                rec["data_files"] = compact_ledger_parquet(spark, path, target_mb)
+                rec["data_files"] = compact_ledger_parquet(
+                    spark, path, target_mb, merge_history=merge_ledger_history
+                )
         actions.append(rec)
         print(json.dumps(rec), file=sys.stderr, flush=True)
     return actions
@@ -130,6 +133,12 @@ def main() -> None:
     ap.add_argument("--base", required=True, help="directory whose children are persisted families")
     ap.add_argument("--target-mb", type=int, default=256)
     ap.add_argument("--ann-rebuild", action=argparse.BooleanOptionalAction, default=True)
+    ap.add_argument(
+        "--merge-ledger-history", action="store_true",
+        help="collapse committed ledger epochs into one batch_id=-2 history "
+             "partition (provenance kept in orig_batch_id) — the object-store "
+             "dir-listing fix; see compact_ledger_parquet(merge_history=True)",
+    )
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
 
@@ -137,7 +146,10 @@ def main() -> None:
 
     spark = get_session("maintain")
     spark.sparkContext.setLogLevel("ERROR")
-    actions = maintain(spark, args.base, args.target_mb, args.ann_rebuild, args.dry_run)
+    actions = maintain(
+        spark, args.base, args.target_mb, args.ann_rebuild, args.dry_run,
+        merge_ledger_history=args.merge_ledger_history,
+    )
     print(json.dumps({"base": args.base, "dry_run": args.dry_run, "actions": actions}))
 
 
