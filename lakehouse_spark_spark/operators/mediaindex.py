@@ -67,11 +67,12 @@ class MediaFpIndex(NamedTuple):
     single rows (blocks per fingerprint) or Manku pair-key rows
     (C(blocks,2) per fingerprint) — see :func:`write_media_fp_index`."""
 
-    fingerprints: DataFrame  # (__id long, fp long)
+    fingerprints: DataFrame  # (__id long, fp long[, aux fingerprint cols])
     blocks: DataFrame        # single: (__id, block, block_val); pair: + block_val2
     n_blocks: int
     modality: str            # provenance tag ("image"/"audio"/"video"/...)
     pair_blocks: bool = False
+    aux_fp_cols: tuple = ()  # persisted verify signals (see write_media_fp_index)
 
 
 def _mf_manifest_path(path: str) -> str:
@@ -98,6 +99,7 @@ def write_media_fp_index(
     blocks: int = 8,
     modality: str = "media",
     pair_blocks: bool = False,
+    aux_fp_cols: list[str] | tuple[str, ...] = (),
 ) -> MediaFpIndex:
     """One-time index construction from an (id, fingerprint) frame —
     the ONLY operation that sees the initial corpus (whose
@@ -119,10 +121,22 @@ def write_media_fp_index(
     probe refuses a wider radius loudly); the exact-fp rescue is
     geometry-independent. Pick at BUILD time — the geometry is the
     persisted table's shape; a rebuild (write over the fingerprint
-    table) migrates it."""
+    table) migrates it.
+
+    ``aux_fp_cols`` persists ADDITIONAL 64-bit fingerprint columns in
+    the fingerprint table (not in the block table — they never key
+    candidate generation): the arrival-time home of a verify signal.
+    The one-shot image verify (pHash candidates, dHash agreement)
+    needs both hashes of BOTH pair sides; since both come from the
+    same decode pass (multimodal.image_hashes), storing the dHash
+    beside the pHash costs 8 bytes/row and makes the persisted probe's
+    verify as free as the one-shot's — the probe re-attaches the aux
+    columns to candidate pairs and filters (``verify_aux``)."""
     spark = fps.sparkSession
+    aux = [str(c) for c in aux_fp_cols]
     clean = fps.filter(F.col(fp_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), F.col(fp_col).cast("long").alias("fp")
+        F.col(id_col).alias("__id"), F.col(fp_col).cast("long").alias("fp"),
+        *[F.col(c).cast("long").alias(c) for c in aux],
     )
     clean.write.mode("overwrite").parquet(f"{path}/fingerprints")
     stored = spark.read.parquet(f"{path}/fingerprints")
@@ -132,7 +146,7 @@ def write_media_fp_index(
     _mf_write_manifest(
         path,
         {"format": 1, "blocks": int(blocks), "modality": str(modality),
-         "pair_blocks": bool(pair_blocks), "last_batch_id": None},
+         "pair_blocks": bool(pair_blocks), "aux_fp_cols": aux, "last_batch_id": None},
     )
     return load_media_fp_index(spark, path)
 
@@ -146,6 +160,7 @@ def load_media_fp_index(spark: SparkSession, path: str) -> MediaFpIndex:
         n_blocks=int(mf["blocks"]),
         modality=str(mf.get("modality", "media")),
         pair_blocks=bool(mf.get("pair_blocks", False)),
+        aux_fp_cols=tuple(mf.get("aux_fp_cols", [])),
     )
 
 
@@ -183,7 +198,10 @@ def update_media_fp_index(
             os.rename(cur + "__old", cur)
     clean = (
         batch_fps.filter(F.col(fp_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), F.col(fp_col).cast("long").alias("fp"))
+        .select(
+            F.col(id_col).alias("__id"), F.col(fp_col).cast("long").alias("fp"),
+            *[F.col(c).cast("long").alias(c) for c in mf.get("aux_fp_cols", [])],
+        )
         .localCheckpoint(eager=True)  # one upstream (decode+hash) pass feeds both appends
     )
     clean.write.mode("append").parquet(_mf_resolve_dir(path, mf, "fingerprints"))
@@ -243,6 +261,7 @@ def media_candidates_against_index(
     fp_col: str,
     max_hamming: int = 6,
     max_bucket: int | None = None,
+    verify_aux: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch's fingerprints against the
     accumulated corpus, consuming a persisted :class:`MediaFpIndex` —
@@ -275,16 +294,39 @@ def media_candidates_against_index(
     matching pair keys — complete only for
     max_hamming <= n_blocks - 2, so a wider radius is REFUSED (the
     caller chose the geometry at build time; silently lossy recall is
-    the failure mode the in-plan join warns about)."""
+    the failure mode the in-plan join warns about).
+
+    ``verify_aux=(col, radius)`` runs the candidates→verify second
+    signal from the index's persisted aux fingerprint column (build
+    with ``aux_fp_cols``; the batch frame must carry the column too —
+    both hashes come from the same upstream decode pass): candidate
+    pairs additionally require bit_count(aux_n ^ aux_c) <= radius,
+    the one-shot wrappers' pHash∧dHash conjunction transposed to the
+    arrival-time probe. Verify applies to the exact-fp rescue pairs
+    too, and that is the right semantics: genuinely identical content
+    has an identical aux fingerprint (same bytes, same decode) and
+    passes trivially, while a 64-bit primary-fp COLLISION between
+    different contents is precisely the false positive the second
+    signal exists to kill."""
+    if verify_aux is not None and verify_aux[0] not in index.aux_fp_cols:
+        raise ValueError(
+            f"media_candidates_against_index: verify_aux column {verify_aux[0]!r} "
+            f"is not persisted in this index (aux_fp_cols={list(index.aux_fp_cols)}); "
+            "rebuild with write_media_fp_index(aux_fp_cols=[...])"
+        )
     if index.pair_blocks and max_hamming > index.n_blocks - 2:
         raise ValueError(
             f"media_candidates_against_index: pair-block geometry is complete "
             f"only to n_blocks-2={index.n_blocks - 2}; max_hamming={max_hamming} "
             f"would silently lose recall — rebuild with more blocks or lower the radius"
         )
+    aux_col = verify_aux[0] if verify_aux is not None else None
     clean = (
         batch_fps.filter(F.col(fp_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), F.col(fp_col).cast("long").alias("fp"))
+        .select(
+            F.col(id_col).alias("__id"), F.col(fp_col).cast("long").alias("fp"),
+            *([F.col(aux_col).cast("long").alias(aux_col)] if aux_col else []),
+        )
         .localCheckpoint(eager=False)  # one upstream pass, two plan uses
     )
     join_on = _block_join_on(index.pair_blocks)
@@ -327,11 +369,19 @@ def media_candidates_against_index(
             .select("new_id", "corpus_id")
         )
         pairs = pairs.union(exact).distinct()
-    fp_n = clean.select(F.col("__id").alias("new_id"), F.col("fp").alias("fp_n"))
+    fp_n = clean.select(
+        F.col("__id").alias("new_id"), F.col("fp").alias("fp_n"),
+        *([F.col(aux_col).alias("__aux_n")] if aux_col else []),
+    )
     fp_c = index.fingerprints.dropDuplicates(["__id"]).select(
-        F.col("__id").alias("corpus_id"), F.col("fp").alias("fp_c")
+        F.col("__id").alias("corpus_id"), F.col("fp").alias("fp_c"),
+        *([F.col(aux_col).alias("__aux_c")] if aux_col else []),
     )
     joined = pairs.join(fp_n, "new_id").join(fp_c, "corpus_id")
+    if verify_aux is not None:
+        joined = joined.filter(
+            F.bit_count(F.col("__aux_n").bitwiseXOR(F.col("__aux_c"))) <= verify_aux[1]
+        )
     hamming = F.bit_count(F.col("fp_n").bitwiseXOR(F.col("fp_c")))
     return joined.select("new_id", "corpus_id", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

@@ -365,6 +365,173 @@ def video_ingest_foreach_batch(
     return fn
 
 
+def multimodal_ingest_foreach_batch(
+    kept_out: str,
+    id_col: str = "doc_id",
+    *,
+    text_index_path: str | None = None,
+    text_col: str | None = None,
+    text_max_hamming: int = 3,
+    image_index_path: str | None = None,
+    image_col: str | None = None,
+    image_max_hamming: int = 10,
+    image_verify_dhash_max_hamming: int | None = 8,
+    audio_index_path: str | None = None,
+    audio_col: str | None = None,
+    audio_max_hamming: int = 6,
+    audio_verify_alt_max_hamming: int | None = 4,
+    video_index_path: str | None = None,
+    video_col: str | None = None,
+    video_max_hamming: int = 10,
+    video_min_matched_frames: int = 3,
+    video_every_n: int = 4,
+    frame_key_stride: int = 1_000_000,
+    max_bucket: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The ARRIVAL-TIME form of the cross-modal dedup disposition
+    (operators/multimodal.multimodal_dedup_disposition): assets arrive
+    as (id, <modality columns>) micro-batches; an asset drops when ANY
+    of its supplied modalities near-dups the ACCUMULATED corpus —
+    which is the per-modality persisted fingerprint indexes alone,
+    never the corpus media (the one-shot disposition re-decodes
+    everything every run; here each asset is decoded exactly once, at
+    ITS arrival). Per micro-batch:
+
+    1. hash each supplied modality ONCE (text SimHash; image
+       pHash+dHash from one decode — image_hashes; audio afp+alt
+       geometry from one decode — audio_hashes; video frame pHash);
+    2. probe each modality's index — image and audio probes run the
+       persisted verify conjunction when the index carries the aux
+       column (``aux_fp_cols``) and the verify radius is not None,
+       killing the phase-adjacent single-signal false pairs exactly
+       like the one-shot disposition's verify=True; video probes with
+       the frame vote;
+    3. union the flagged asset ids, append the NOVEL ids to the
+       exactly-once ledger, then fold each modality's KEPT
+       fingerprints into its index under the same epoch watermark
+       (deterministic order text→image→audio→video).
+
+    Delivery: the ledger commits before any fold; replayed epochs are
+    ledger skips + per-index watermark no-ops, and the probes' self-id
+    exclusion keeps a replayed batch from flagging itself. Residual
+    window (the curated text loop's documented one, inherited): a
+    crash BETWEEN folds can let within-batch near-dup pairs cross-flag
+    on replay, leaving one member's fingerprints out of the
+    not-yet-committed indexes — harmless for dedup, because any future
+    copy still matches the cross-flagged twin that DID fold. Whole-
+    component clustering of within-batch pairs remains the one-shot
+    disposition's job (run it over the ledger periodically — the
+    compaction half)."""
+    from lakehouse_spark_spark.operators.mediaindex import (
+        load_media_fp_index,
+        media_candidates_against_index,
+        update_media_fp_index,
+        video_candidates_against_index,
+    )
+    from lakehouse_spark_spark.operators.multimodal import (
+        audio_hashes,
+        image_hashes,
+        video_frame_fingerprints,
+    )
+    from lakehouse_spark_spark.operators.neardup import simhash
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from pyspark.sql import functions as F
+
+        ids = batch_df.select(F.col(id_col)).distinct()
+        dup_frames = []
+        folds = []  # (index_path, kept-fps builder input)
+
+        if text_index_path is not None and text_col is not None:
+            idx = load_media_fp_index(spark, text_index_path)
+            fps = simhash(
+                batch_df.select(F.col(id_col), F.col(text_col)), id_col, text_col
+            ).withColumnRenamed("simhash", "fp").localCheckpoint(eager=True)
+            cand = media_candidates_against_index(
+                fps, idx, id_col, "fp", max_hamming=text_max_hamming, max_bucket=max_bucket
+            )
+            dup_frames.append(cand.select(F.col("new_id").alias(id_col)))
+            folds.append((text_index_path, fps, "asset"))
+        if image_index_path is not None and image_col is not None:
+            idx = load_media_fp_index(spark, image_index_path)
+            med = batch_df.select(F.col(id_col).alias("doc_id"), F.col(image_col).alias("media"))
+            fps = (
+                image_hashes(med)
+                .filter(F.col("phash").isNotNull())
+                .select(F.col("doc_id").alias(id_col), F.col("phash").alias("fp"), "dhash")
+                .localCheckpoint(eager=True)
+            )
+            verify = (
+                ("dhash", image_verify_dhash_max_hamming)
+                if image_verify_dhash_max_hamming is not None and "dhash" in idx.aux_fp_cols
+                else None
+            )
+            cand = media_candidates_against_index(
+                fps, idx, id_col, "fp", max_hamming=image_max_hamming,
+                max_bucket=max_bucket, verify_aux=verify,
+            )
+            dup_frames.append(cand.select(F.col("new_id").alias(id_col)))
+            folds.append((image_index_path, fps, "asset"))
+        if audio_index_path is not None and audio_col is not None:
+            idx = load_media_fp_index(spark, audio_index_path)
+            med = batch_df.select(F.col(id_col).alias("doc_id"), F.col(audio_col).alias("media"))
+            fps = (
+                audio_hashes(med)
+                .filter(F.col("afp").isNotNull())
+                .select(F.col("doc_id").alias(id_col), F.col("afp").alias("fp"), "afp_alt")
+                .localCheckpoint(eager=True)
+            )
+            verify = (
+                ("afp_alt", audio_verify_alt_max_hamming)
+                if audio_verify_alt_max_hamming is not None and "afp_alt" in idx.aux_fp_cols
+                else None
+            )
+            cand = media_candidates_against_index(
+                fps, idx, id_col, "fp", max_hamming=audio_max_hamming,
+                max_bucket=max_bucket, verify_aux=verify,
+            )
+            dup_frames.append(cand.select(F.col("new_id").alias(id_col)))
+            folds.append((audio_index_path, fps, "asset"))
+        if video_index_path is not None and video_col is not None:
+            idx = load_media_fp_index(spark, video_index_path)
+            med = batch_df.select(F.col(id_col).alias("doc_id"), F.col(video_col).alias("media"))
+            fps = video_frame_fingerprints(
+                med, every_n=video_every_n, frame_key_stride=frame_key_stride
+            ).localCheckpoint(eager=True)
+            cand = video_candidates_against_index(
+                None, idx, every_n=video_every_n, max_hamming=video_max_hamming,
+                min_matched_frames=video_min_matched_frames,
+                frame_key_stride=frame_key_stride, max_bucket=max_bucket,
+                frame_fps=fps,
+            )
+            dup_frames.append(cand.select(F.col("new_id").alias(id_col)))
+            folds.append((video_index_path, fps, "frames"))
+        if not dup_frames:
+            raise ValueError("multimodal_ingest_foreach_batch: supply at least one modality")
+
+        dups = dup_frames[0]
+        for d in dup_frames[1:]:
+            dups = dups.unionByName(d)
+        kept = ids.join(dups.distinct(), id_col, "left_anti").localCheckpoint(eager=True)
+        append_once_parquet(kept, kept_out, batch_id)
+        for path, fps, kind in folds:
+            if kind == "asset":  # asset-keyed fps (text/image/audio)
+                kept_fps = fps.join(kept, id_col)
+                fp_id = id_col
+            else:  # video frame fps: composite clip*stride+frame keys
+                kept_fps = fps.alias("f").join(
+                    kept.alias("k"),
+                    F.expr(f"f.doc_id DIV {frame_key_stride}") == F.col(f"k.{id_col}"),
+                ).select("f.doc_id", "f.fp")
+                fp_id = "doc_id"
+            update_media_fp_index(path, kept_fps, fp_id, "fp", batch_id=batch_id)
+
+    return fn
+
+
 def ann_ingest_foreach_batch(
     index_path: str,
     vec_col: str,

@@ -456,6 +456,134 @@ def test_video_ingest_loop_redrain_safe(spark, tmp_path):
     assert load_media_fp_index(spark, idx_path).fingerprints.count() == n_fp1
 
 
+def test_persisted_verify_aux_matches_oneshot_verified(spark, tmp_path):
+    """The aux-fingerprint verify (r13): a pHash index built with the
+    dHash aux column kills the phase-adjacent false pair at probe time
+    exactly like the one-shot verified wrapper, keeps the half-size
+    true twin, and refuses an aux column the index never persisted."""
+    from tests.test_codecs import _find_phash_collision
+
+    from lakehouse_spark_spark.operators.multimodal import encode_png_pixels, image_hashes
+
+    (k1, px1), (k2, px2) = _find_phash_collision()
+    corpus_media = spark.createDataFrame(
+        [(1, bytearray(encode_png_pixels(px1)))], "doc_id bigint, media binary"
+    )
+    batch_media = spark.createDataFrame(
+        [
+            (100, bytearray(encode_png_pixels(px2))),           # false pair with 1
+            (101, bytearray(encode_png_pixels(px1[::2, ::2]))),  # true twin of 1
+        ],
+        "doc_id bigint, media binary",
+    )
+    c_fps = image_hashes(corpus_media).filter(F.col("phash").isNotNull()).select(
+        "doc_id", F.col("phash").alias("fp"), "dhash"
+    )
+    b_fps = image_hashes(batch_media).filter(F.col("phash").isNotNull()).select(
+        "doc_id", F.col("phash").alias("fp"), "dhash"
+    )
+    idx = write_media_fp_index(
+        c_fps, "doc_id", "fp", str(tmp_path / "aux_idx"),
+        blocks=8, modality="image", aux_fp_cols=["dhash"],
+    )
+    assert idx.aux_fp_cols == ("dhash",)
+    plain = {
+        (r["new_id"], r["corpus_id"])
+        for r in media_candidates_against_index(b_fps, idx, "doc_id", "fp", max_hamming=10).collect()
+    }
+    assert plain == {(100, 1), (101, 1)}
+    verified = {
+        (r["new_id"], r["corpus_id"])
+        for r in media_candidates_against_index(
+            b_fps, idx, "doc_id", "fp", max_hamming=10, verify_aux=("dhash", 8)
+        ).collect()
+    }
+    assert verified == {(101, 1)}  # false pair dies, true twin survives
+    # aux survives a fold (appends carry the column)
+    update_media_fp_index(
+        str(tmp_path / "aux_idx"), b_fps.filter("doc_id = 101"), "doc_id", "fp", batch_id=1
+    )
+    idx2 = load_media_fp_index(spark, str(tmp_path / "aux_idx"))
+    assert idx2.fingerprints.filter("dhash IS NULL").count() == 0
+    with pytest.raises(ValueError, match="not persisted in this index"):
+        media_candidates_against_index(
+            b_fps, idx2, "doc_id", "fp", verify_aux=("nope", 4)
+        )
+
+
+def test_multimodal_ingest_loop_redrain_safe(spark, tmp_path):
+    """The arrival-time cross-modal disposition: text + image indexes,
+    batch 2 plants a TEXT twin of one batch-1 keep and an IMAGE
+    half-size twin of another — both drop on their own modality's
+    probe; redraining both epochs leaves the asset ledger and both
+    indexes byte-identical."""
+    from lakehouse_spark_spark.operators.mediaindex import write_media_fp_index
+    from lakehouse_spark_spark.operators.multimodal import encode_png_pixels, image_hashes
+    from lakehouse_spark_spark.operators.neardup import simhash
+    from lakehouse_spark_spark.streaming.ingest import multimodal_ingest_foreach_batch
+
+    def text(k):  # synthetic: unrelated keys sit far apart in SimHash
+        rng = np.random.RandomState(k * 13 + 5)
+        return " ".join("t%05d" % w for w in rng.randint(0, 50_000, size=60))
+
+    def text_twin(k):  # one changed token: SimHash distance 4-9 (< 12)
+        toks = text(k).split()
+        return " ".join(toks[:-1] + ["changed"])
+
+    def scene(i):
+        # smooth low-frequency mixture (the disposition family): pHash
+        # half-size twins only work on scenes that area-average stably
+        return _video_scenes(i, n=1)[0]
+
+    def asset(aid, tkey, ikey, half=False):
+        px = scene(ikey)
+        if half:
+            px = px[::2, ::2]
+        return (aid, text(tkey), bytearray(encode_png_pixels(px)))
+
+    corpus = [asset(i, i, i) for i in range(10)]
+    b1 = [asset(100 + i, 10 + i, 100 + i) for i in range(4)]
+    b2 = [
+        (200, text_twin(10), bytearray(encode_png_pixels(scene(900)))),  # text twin of 100
+        asset(201, 20, 101, half=True),                                   # image twin of 101
+        asset(202, 21, 202),                                              # novel
+    ]
+    corpus_df = spark.createDataFrame(corpus, "doc_id long, text string, image binary")
+
+    t_idx, i_idx = str(tmp_path / "mm_text"), str(tmp_path / "mm_img")
+    write_media_fp_index(
+        simhash(corpus_df, "doc_id", "text").withColumnRenamed("simhash", "fp"),
+        "doc_id", "fp", t_idx, blocks=16, modality="text-simhash",
+    )
+    write_media_fp_index(
+        image_hashes(corpus_df.select("doc_id", F.col("image").alias("media")))
+        .filter(F.col("phash").isNotNull())
+        .select("doc_id", F.col("phash").alias("fp"), "dhash"),
+        "doc_id", "fp", i_idx, blocks=8, modality="image", aux_fp_cols=["dhash"],
+    )
+    kept_out = str(tmp_path / "mm_kept")
+    fn = multimodal_ingest_foreach_batch(
+        kept_out, "doc_id",
+        text_index_path=t_idx, text_col="text", text_max_hamming=12,
+        image_index_path=i_idx, image_col="image", image_max_hamming=10,
+    )
+    batches = [
+        spark.createDataFrame(rows, "doc_id long, text string, image binary")
+        for rows in (b1, b2)
+    ]
+    for i, b in enumerate(batches):
+        fn(b, i)
+    kept1 = sorted(r["doc_id"] for r in spark.read.parquet(kept_out).collect())
+    assert kept1 == [100, 101, 102, 103, 202]  # both twins dropped
+    n_t = load_media_fp_index(spark, t_idx).fingerprints.count()
+    n_i = load_media_fp_index(spark, i_idx).fingerprints.count()
+    for i, b in enumerate(batches):  # redrain
+        fn(b, i)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(kept_out).collect()) == kept1
+    assert load_media_fp_index(spark, t_idx).fingerprints.count() == n_t
+    assert load_media_fp_index(spark, i_idx).fingerprints.count() == n_i
+
+
 def test_null_fingerprints_are_quarantined(spark, tmp_path):
     """NULL fingerprints (undecodable payloads) never enter the index
     or the probe — matching the one-shot wrappers' quarantine."""
