@@ -1355,16 +1355,16 @@ def multimodal_dedup_disposition(
             return mh + 2
         return blocks
 
-    edge_frames = []
-    if text_col is not None:
+    def _text_edges():
         fp = simhash(assets.select(F.col(id_col), F.col(text_col)), id_col, text_col)
         e = simhash_candidates(
             fp, id_col, max_hamming=text_max_hamming,
             blocks=_pair_safe(text_blocks, text_max_hamming),
             block_pairs=block_pairs, max_bucket=max_bucket,
         )
-        edge_frames.append(e.select("id_a", "id_b", F.lit("text").alias("modality")))
-    if image_col is not None:
+        return e.select("id_a", "id_b", F.lit("text").alias("modality"))
+
+    def _image_edges():
         med = assets.select(F.col(id_col).alias("doc_id"), F.col(image_col).alias("media"))
         e = image_neardup_phash(
             med, max_hamming=image_max_hamming,
@@ -1372,8 +1372,9 @@ def multimodal_dedup_disposition(
             block_pairs=block_pairs, max_bucket=max_bucket,
             verify_dhash_max_hamming=(image_verify_dhash_max_hamming if verify else None),
         )
-        edge_frames.append(e.select("id_a", "id_b", F.lit("image").alias("modality")))
-    if audio_col is not None:
+        return e.select("id_a", "id_b", F.lit("image").alias("modality"))
+
+    def _audio_edges():
         med = assets.select(F.col(id_col).alias("doc_id"), F.col(audio_col).alias("media"))
         e = audio_neardup_afp(
             med, max_hamming=audio_max_hamming,
@@ -1381,8 +1382,9 @@ def multimodal_dedup_disposition(
             block_pairs=block_pairs, max_bucket=max_bucket,
             verify_alt_max_hamming=(audio_verify_alt_max_hamming if verify else None),
         )
-        edge_frames.append(e.select("id_a", "id_b", F.lit("audio").alias("modality")))
-    if video_col is not None:
+        return e.select("id_a", "id_b", F.lit("audio").alias("modality"))
+
+    def _video_edges():
         med = assets.select(F.col(id_col).alias("doc_id"), F.col(video_col).alias("media"))
         e = video_neardup_phash(
             med,
@@ -1392,9 +1394,35 @@ def multimodal_dedup_disposition(
             min_matched_frames=video_min_matched_frames,
             block_pairs=block_pairs, max_bucket=max_bucket,
         )
-        edge_frames.append(e.select("id_a", "id_b", F.lit("video").alias("modality")))
-    if not edge_frames:
+        return e.select("id_a", "id_b", F.lit("video").alias("modality"))
+
+    builders = [
+        b
+        for col, b in (
+            (text_col, _text_edges), (image_col, _image_edges),
+            (audio_col, _audio_edges), (video_col, _video_edges),
+        )
+        if col is not None
+    ]
+    if not builders:
         raise ValueError("multimodal_dedup_disposition: supply at least one modality column")
+    if len(builders) > 1:
+        # build edge frames CONCURRENTLY (one thread per modality):
+        # auto block-mode selection runs a plan-time count that
+        # materializes the modality's fingerprint checkpoint, and on
+        # the main thread four such counts would SERIALIZE the four
+        # decode passes (measured 9.3 s vs 5.0 s at the sf0.1 gated
+        # fixture). Spark sessions are thread-safe and jobs from
+        # separate driver threads schedule concurrently, so the four
+        # materializations overlap exactly as the single-job exec DAG
+        # overlapped them before auto mode existed. Result order stays
+        # the fixed modality order — determinism is unaffected.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+            edge_frames = list(pool.map(lambda b: b(), builders))
+    else:
+        edge_frames = [builders[0]()]
     edges = edge_frames[0]
     for e in edge_frames[1:]:
         edges = edges.unionByName(e)
