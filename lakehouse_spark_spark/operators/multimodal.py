@@ -1059,7 +1059,6 @@ def audio_hashes(
     primary's). The WAV parse + FFT dominate; the extra geometry is a
     reshape + band-sum. Undecodable / odd-multichannel payloads come
     back NULL in both columns (the afp_audio quarantine)."""
-    import numpy as np
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
