@@ -65,6 +65,25 @@ class AnnIndex(NamedTuple):
     codebooks: list[list[list[float]]]
     id_col: str
     cells_path: str
+    # active tombstones keyed on id_col, or None (r14): `cells` is
+    # already filtered, but the partition-pruned RE-reads of cells_path
+    # (search tails, semantic dedup) must re-apply the anti-join — they
+    # bypass the loaded frame on purpose for cell pruning
+    tombstones: "DataFrame | None" = None
+
+
+def _pruned_cells_scan(index: "AnnIndex", probed_cells: list[int]) -> DataFrame:
+    """Partition-pruned scan of the index's CURRENT cells dir with the
+    tombstone anti-join re-applied (the one thing a raw re-read of
+    cells_path would otherwise lose — a deleted vector must never come
+    back through a search tail)."""
+    df = (
+        index.cells.sparkSession.read.parquet(index.cells_path)
+        .filter(F.col("cell").isin(probed_cells))
+    )
+    if index.tombstones is not None:
+        df = df.join(index.tombstones, index.id_col, "left_anti")
+    return df
 
 
 def _manifest_path(path: str) -> str:
@@ -382,7 +401,11 @@ def write_ann_index(
 
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     """Load the model tables to the driver (KB-sized by construction)
-    and open the cells table lazily."""
+    and open the cells table lazily. Tombstoned vectors
+    (:func:`delete_from_ann_index`) are anti-joined out of the cells
+    frame here — the single filter point every consumer (top-k search,
+    semantic dedup/join, recall panel re-score, rebuild re-train)
+    inherits. No ledger on disk → no join."""
     from lakehouse_spark_spark.sources.sinks import resolve_versioned_dir
 
     with open(_manifest_path(path)) as fh:
@@ -399,14 +422,39 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     for r in book_rows:
         books[r["sub"]][r["code"]] = list(r["centroid"])
     cells_path = _resolve_cells_dir(path, mf)
+    from lakehouse_spark_spark.sources.sinks import load_tombstones
+
+    cells = spark.read.parquet(cells_path)
+    tomb = load_tombstones(spark, path)
+    if tomb is not None:
+        tomb = tomb.select(F.col(tomb.columns[0]).alias(str(mf["id_col"])))
+        cells = cells.join(tomb, str(mf["id_col"]), "left_anti")
     return AnnIndex(
         path=path,
-        cells=spark.read.parquet(cells_path),
+        cells=cells,
         centroids=cents,
         codebooks=books,
         id_col=str(mf["id_col"]),
         cells_path=cells_path,
+        tombstones=tomb,
     )
+
+
+def delete_from_ann_index(spark: SparkSession, path: str, ids, batch_id: int | None = None) -> bool:
+    """Takedown/opt-out for the persisted ANN family (r14): record the
+    vector ids in the index's tombstone ledger (sources/sinks.
+    add_tombstones — the shared exactly-once protocol). Logically
+    immediate (:func:`load_ann_index` anti-joins the cells frame, so no
+    top-k search, semantic dedup/join, or panel re-score ever returns
+    the vector again); physically purged at the next
+    :func:`compact_ann_index`, and a :func:`rebuild_ann_index`
+    re-trains from the filtered corpus (the deleted vectors stop
+    influencing the quantizer too). Single-writer contract."""
+    from lakehouse_spark_spark.sources.sinks import add_tombstones, ids_to_frame
+
+    with open(_manifest_path(path)) as fh:
+        mf = json.load(fh)
+    return add_tombstones(ids_to_frame(spark, ids, str(mf["id_col"])), path, batch_id)
 
 
 def update_ann_index(
@@ -524,8 +572,12 @@ def compact_ann_index(spark: SparkSession, path: str, target_file_mb: int = 256)
     flip: old index fully readable, the orphan dir is GC'd by the next
     compaction. The superseded dir is retained ONE cycle for in-flight
     readers. Returns the data-file count after the rewrite.
-    Single-writer contract, like updates."""
+    Single-writer contract, like updates. Tombstoned vectors (r14) are
+    physically PURGED by the rewrite (the ledger itself is retained —
+    a not-yet-watermarked fold replay could re-append purged rows)."""
     import math
+
+    from lakehouse_spark_spark.sources.sinks import load_tombstones
 
     with open(_manifest_path(path)) as fh:
         mf = json.load(fh)
@@ -536,6 +588,13 @@ def compact_ann_index(spark: SparkSession, path: str, target_file_mb: int = 256)
     )
     n_tasks = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(cells_path).distinct()
+    tomb = load_tombstones(spark, path)
+    if tomb is not None:
+        df = df.join(
+            tomb.select(F.col(tomb.columns[0]).alias(str(mf["id_col"]))),
+            str(mf["id_col"]),
+            "left_anti",
+        )
     cur_v = int(cur.rsplit("_v", 1)[-1]) if "_v" in cur else 0
     next_dir = f"cells_v{cur_v + 1}"
     df.repartition(n_tasks, "cell").write.mode("overwrite").partitionBy("cell").parquet(
@@ -914,8 +973,7 @@ def _topk_against_cells(
     id_col = index.id_col
     m, kk = len(index.codebooks), len(index.codebooks[0])
     coded = (
-        spark.read.parquet(index.cells_path)
-        .filter(F.col("cell").isin(probed_cells))
+        _pruned_cells_scan(index, probed_cells)
         .select(F.col(id_col).alias("neighbor_id"), "cell", "codes")
         .dropDuplicates(["neighbor_id", "cell"])  # replayed-append defense
     )
@@ -927,8 +985,7 @@ def _topk_against_cells(
     sl = scored.withColumn("__r", F.row_number().over(w_sl)).filter(F.col("__r") <= shortlist)
 
     vecs = (
-        spark.read.parquet(index.cells_path)
-        .filter(F.col("cell").isin(probed_cells))
+        _pruned_cells_scan(index, probed_cells)
         .select(F.col(id_col).alias("neighbor_id"), F.col("vec").alias("__cv"))
         .dropDuplicates(["neighbor_id"])
     )
@@ -1214,8 +1271,7 @@ def semantic_dedup_against_index(
     probe = probe.localCheckpoint(eager=True) if n_probe_cells > 1 else probe
     batch_cells = sorted(r["cell"] for r in probe.select("cell").distinct().collect())
     corpus_side = (
-        spark.read.parquet(index.cells_path)
-        .filter(F.col("cell").isin(batch_cells))
+        _pruned_cells_scan(index, batch_cells)
         .select(F.col(id_col).alias("__cid"), "cell", F.col("vec").alias("__cv"))
         .dropDuplicates(["__cid"])  # replayed-append defense
         .withColumn("__cn", l2_norm("__cv"))

@@ -79,6 +79,28 @@ _SEP = "\x1f"
 # m_bits (no extra action to size the frame).
 BROADCAST_CAP_WORDS = 8 * 1024 * 1024
 
+# Saturation health (r14; the r13 verdict's task 2): a Bloom filter
+# whose corpus outgrows its m_bits saturates SILENTLY — the expected
+# false-positive rate (bits_set/m)^k rises, and every false positive is
+# a novel document dropped as a "dup": data LOSS, the one failure mode
+# worse than dup leakage, and the one persisted family that had no
+# health signal. Each build/fold records the filter's fill ratio (one
+# bit_count aggregate over the <= m/64 filter words the fold just
+# wrote) into a manifest health trail; expected_fpp >= this threshold
+# flags a rebuild. 0.02 is ~2x the designed ~1% FPP of the standard
+# ~10-bits/element sizing — past it the filter is measurably
+# underprovisioned, while transient overshoot below it never triggers
+# an O(corpus) rebuild.
+BLOOM_REBUILD_FPP = 0.02
+
+# Rebuild sizing: bits per element for the re-sized filter. 12 bits/elt
+# at the re-computed optimal k gives ~0.5% expected FPP at the moment
+# of rebuild — headroom so steady growth doesn't re-flag immediately
+# (the ANN rebuild's restore-build-time-occupancy policy, transposed).
+BLOOM_REBUILD_BITS_PER_ELEMENT = 12
+
+_BLOOM_HEALTH_TRAIL_MAX = 64
+
 
 class BloomFilter(NamedTuple):
     """A built Bloom filter: the (word, bits) frame plus the build
@@ -197,6 +219,23 @@ def _gc_filter_versions(path: str, keep_dir: str, retain_dir: str | None = None)
     gc_versioned_dirs(path, "filter", keep_dir, retain_dir, extra_legacy=("filter__tmp",))
 
 
+def _filter_fill_stats(filter_frame: DataFrame, m_bits: int, k: int) -> dict:
+    """Saturation measurement of a (word, bits) filter frame: one
+    ``bit_count`` aggregate over the <= m/64 rows the caller just wrote
+    (a KB-to-MB-scale scan — never the corpus). ``expected_fpp`` is the
+    standard (bits_set/m)^k estimate: the probability all k probes of a
+    NOVEL value land on set bits — i.e. the rate at which saturation
+    silently drops novel documents as dups."""
+    row = filter_frame.select(F.sum(F.bit_count("bits")).alias("__b")).collect()[0]
+    bits_set = int(row["__b"] or 0)
+    fill = bits_set / float(m_bits)
+    return {
+        "bits_set": bits_set,
+        "fill_ratio": fill,
+        "expected_fpp": fill**k,
+    }
+
+
 def bloom_write(bloom: DataFrame, path: str, m_bits: int, k: int) -> None:
     """Persist a filter frame under a VERSIONED-dir + manifest-pointer
     layout: the (word, bits) parquet lands at ``path/filter_v1`` and a
@@ -206,12 +245,22 @@ def bloom_write(bloom: DataFrame, path: str, m_bits: int, k: int) -> None:
     whole-file manifest replace — atomic on POSIX and on object stores
     (single-object PUT) — so no step of write/update relies on
     directory renames being atomic (the r9 layout's _swap_dirs did, a
-    local-FS-only assumption)."""
+    local-FS-only assumption).
+
+    The manifest also records the build-time saturation baseline
+    (``health`` — fill ratio + expected FPP measured from the written
+    filter; see :data:`BLOOM_REBUILD_FPP`), which
+    :func:`update_dedup_index` extends per fold and
+    :func:`dedup_index_health` reads."""
     bloom.select("word", "bits").write.mode("overwrite").parquet(f"{path}/filter_v1")
+    spark = bloom.sparkSession
+    baseline = _filter_fill_stats(
+        spark.read.parquet(f"{path}/filter_v1"), int(m_bits), int(k)
+    )
     _write_manifest(
         path,
         {"format": 2, "filter_dir": "filter_v1", "m_bits": int(m_bits), "k": int(k),
-         "last_batch_id": None},
+         "last_batch_id": None, "health": {"baseline": baseline, "trail": []}},
     )
 
 
@@ -269,9 +318,91 @@ def write_dedup_index(
 
 
 def load_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
-    return DedupIndex(
-        hashes=spark.read.parquet(f"{path}/hashes"), bloom=bloom_load(spark, path)
+    """Load the index's verify-side hash set + Bloom summary. Tombstoned
+    hashes (:func:`delete_from_dedup_index`) are anti-joined OUT here —
+    the single filter point every probe inherits: a deleted document is
+    absent from the verify join, so its bloom hits die as false
+    positives and a re-upload of the content is admitted as novel. The
+    filter's bits stay set until :func:`rebuild_dedup_index` (bits
+    cannot be unset) — a correctness no-op, only an FPP overhead the
+    health trail tracks. No tombstone ledger on disk → no join in the
+    plan."""
+    from lakehouse_spark_spark.sources.sinks import load_tombstones
+
+    hashes = spark.read.parquet(f"{path}/hashes")
+    tomb = load_tombstones(spark, path)
+    if tomb is not None:
+        hashes = hashes.join(tomb.select("content_hash"), "content_hash", "left_anti")
+    return DedupIndex(hashes=hashes, bloom=bloom_load(spark, path))
+
+
+def delete_from_dedup_index(
+    path: str,
+    docs: DataFrame,
+    text_col: str | None = None,
+    hash_col: str = "content_hash",
+    batch_id: int | None = None,
+) -> bool:
+    """Takedown/opt-out for the exact-dedup family (r14): record the
+    documents' content hashes in the index's tombstone ledger
+    (sources/sinks.add_tombstones — the shared exactly-once protocol).
+    Pass the raw documents with ``text_col`` to hash in-engine, or a
+    frame already carrying ``hash_col``. Effects: logically immediate
+    (every :func:`load_dedup_index` anti-joins the ledger), physically
+    durable at the next :func:`compact_dedup_index` or
+    :func:`rebuild_dedup_index` (which also resets the filter bits).
+    This family is keyed on CONTENT: a later legitimate re-admission of
+    the same content lifts its tombstone at fold time
+    (:func:`update_dedup_index`) so the re-admitted copy can suppress
+    its own future dups again. Single-writer contract."""
+    from lakehouse_spark_spark.sources.sinks import add_tombstones
+
+    if text_col is not None:
+        hashes = docs.select(content_hash(text_col).alias("content_hash"))
+    else:
+        hashes = docs.select(F.col(hash_col).alias("content_hash"))
+    hashes = hashes.filter(F.col("content_hash").isNotNull()).distinct()
+    return add_tombstones(hashes, path, batch_id)
+
+
+def _lift_tombstones(spark: SparkSession, path: str, readmitted: DataFrame) -> None:
+    """Remove re-admitted content hashes from the tombstone ledger —
+    the Bloom family's content-keyed deletion quirk (id-keyed families
+    never lift). The ledger is rewritten minus the lifted hashes,
+    preserving the ``batch_id`` partition layout, and the floor bumps
+    to the highest existing epoch so a replay of any pre-lift tombstone
+    epoch is a committed no-op — without the bump, a replayed epoch
+    whose partition dir the lift rewrote away could re-append the
+    lifted hashes and silently re-suppress re-admitted content.
+    Single-writer (runs inside the fold)."""
+    import json as _json
+
+    from lakehouse_spark_spark.sources.sinks import (
+        _LEDGER_MANIFEST,
+        _ledger_floor,
+        _swap_dirs,
+        tombstone_dir,
     )
+
+    tdir = tombstone_dir(path)
+    epochs = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(tdir)
+        if n.startswith("batch_id=")
+    ]
+    old_floor = _ledger_floor(tdir)
+    floor = max(
+        [e for e in epochs if e >= 0] + ([old_floor] if old_floor is not None else []),
+        default=None,
+    )
+    remaining = spark.read.parquet(tdir).join(readmitted, "content_hash", "left_anti")
+    drop = [c for c in ("orig_batch_id",) if c in remaining.columns]
+    tmp = tdir.rstrip("/") + "__lift"
+    remaining.drop(*drop).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    if floor is not None:
+        with open(os.path.join(tmp, _LEDGER_MANIFEST), "w") as fh:
+            _json.dump({"floor_batch_id": floor}, fh)
+    _swap_dirs(tmp, tdir)
 
 
 def update_dedup_index(
@@ -351,13 +482,36 @@ def update_dedup_index(
     cur_v = int(mf["filter_dir"].rsplit("_v", 1)[-1]) if "_v" in mf["filter_dir"] else 0
     next_dir = f"filter_v{cur_v + 1}"
     merged.write.mode("overwrite").parquet(os.path.join(path, next_dir))
-    _write_manifest(path, {**mf, "filter_dir": next_dir})
+    # saturation health (r14): measure the filter this fold just wrote
+    # (one bit_count aggregate over <= m/64 rows) and ride the SAME
+    # manifest write as the pointer flip — a crash loses neither or
+    # both, and a replayed epoch (no-op above) never double-records
+    stats = _filter_fill_stats(
+        spark.read.parquet(os.path.join(path, next_dir)), m_bits, k
+    )
+    health = dict(mf.get("health") or {})
+    trail = list(health.get("trail", []))[-(_BLOOM_HEALTH_TRAIL_MAX - 1):]
+    trail.append({**stats, "batch_id": None if batch_id is None else int(batch_id)})
+    mf2 = {**mf, "filter_dir": next_dir, "health": {**health, "trail": trail}}
+    _write_manifest(path, mf2)
     # one-version retention: the dir this flip superseded stays on disk
     # until the NEXT update so in-flight reader frames keep resolving
     _gc_filter_versions(path, next_dir, retain_dir=mf["filter_dir"])
+    # tombstone lift (r14): folding a hash whose content was previously
+    # deleted re-ADMITS that content — its tombstone must go, or the
+    # load-time anti-join would hide the re-admitted copy forever and
+    # every future dup of it would sail through. Runs strictly BEFORE
+    # the watermark advance: a crash after the advance would never
+    # replay the lift. The semi-join is one tiny job, guarded by the
+    # ledger's existence (zero cost for non-deleting indexes).
+    from lakehouse_spark_spark.sources.sinks import load_tombstones
+
+    tomb = load_tombstones(spark, path)
+    if tomb is not None and not tomb.join(new_rows, "content_hash", "semi").isEmpty():
+        _lift_tombstones(spark, path, new_rows)
     new_rows.write.mode("append").parquet(f"{path}/hashes")
     if batch_id is not None:
-        _write_manifest(path, {**mf, "filter_dir": next_dir, "last_batch_id": int(batch_id)})
+        _write_manifest(path, {**mf2, "last_batch_id": int(batch_id)})
     return load_dedup_index(spark, path)
 
 
@@ -375,10 +529,157 @@ def compact_dedup_index(spark: SparkSession, path: str, target_file_mb: int = 25
     is a single bounded overwrite (<= m/64 rows) by construction.
     Returns the new file count. Single-writer contract, like updates.
     (Delegates to sinks.compact_parquet — one copy of the
-    size/rewrite/swap recipe to maintain.)"""
-    from lakehouse_spark_spark.sources.sinks import compact_parquet
+    size/rewrite/swap recipe to maintain.)
 
-    return compact_parquet(spark, f"{path}/hashes", target_file_mb, distinct=True)
+    Tombstoned hashes (r14) are physically PURGED by the rewrite
+    (``exclude=`` anti-join — deletion was already logically complete
+    at load time; this makes it durable on disk). The ledger itself is
+    retained: the filter's bits are still set, and a not-yet-
+    watermarked fold replay could re-append a purged row —
+    :func:`rebuild_dedup_index` is the point where the ledger can go."""
+    from lakehouse_spark_spark.sources.sinks import compact_parquet, load_tombstones
+
+    tomb = load_tombstones(spark, path)
+    return compact_parquet(
+        spark, f"{path}/hashes", target_file_mb, distinct=True,
+        exclude=tomb, exclude_on=["content_hash"] if tomb is not None else None,
+    )
+
+
+def rebuild_dedup_index(
+    spark: SparkSession,
+    path: str,
+    m_bits: int | None = None,
+    k: int | None = None,
+    bits_per_element: int = BLOOM_REBUILD_BITS_PER_ELEMENT,
+    target_file_mb: int = 256,
+) -> DedupIndex:
+    """Re-size and re-derive the Bloom filter from the index's own hash
+    table — the durable response to BOTH failure modes the filter
+    cannot repair in place (r14):
+
+    - SATURATION (bits fill up as the corpus outgrows m_bits; expected
+      FPP rises and novel docs silently drop as dups — the health
+      trail's ``rebuild_flag``): the hash table is the exact element
+      set, so a rebuild at a bigger m restores the designed FPP with
+      zero corpus reads;
+    - DELETION (tombstoned hashes — bits can never be unset): the
+      rebuild first compacts the hash table with the tombstone purge
+      (:func:`compact_dedup_index`), derives the fresh filter from the
+      PURGED set, and then — uniquely among the families — clears the
+      tombstone ledger: every deletion is now fully materialized (rows
+      purged, bits re-derived without them) and nothing on disk can
+      resurrect the rows (the watermark still no-ops replayed epochs).
+
+    ``m_bits`` defaults to the smallest power of two giving
+    ``bits_per_element`` bits per surviving hash (~0.5%% expected FPP
+    at 12 bits — headroom over the flag threshold, the ANN rebuild's
+    restore-build-time-health policy); ``k`` to the optimal
+    ``m/n * ln 2`` (clamped to [1, 16]). The geometry may SHRINK after
+    mass deletion — the filter is sized for the corpus, not its
+    history. Publish is the family's standard versioned-dir + manifest
+    flip (readers never see mixed geometry — m_bits/k/filter_dir change
+    in one atomic write); the epoch watermark is preserved. Cost:
+    O(hashes), zero corpus reads. Single-writer contract."""
+    import math
+
+    mf = _read_manifest(path)
+    if mf is None:
+        raise ValueError(
+            f"rebuild_dedup_index: {path} has no manifest — legacy layouts are "
+            "adopted by update_dedup_index; run one fold (or write_dedup_index) first"
+        )
+    # physical purge + small-files repair in one rewrite; the fresh
+    # filter must be derived from the PURGED set
+    compact_dedup_index(spark, path, target_file_mb)
+    hashes = spark.read.parquet(f"{path}/hashes")
+    n = hashes.count()
+    if m_bits is None:
+        m_bits = 1 << max(16, math.ceil(math.log2(max(n, 1) * bits_per_element)))
+    if k is None:
+        k = max(1, min(16, round(m_bits / max(n, 1) * math.log(2))))
+    fresh = bloom_build(hashes, "content_hash", int(m_bits), int(k))
+    cur = mf["filter_dir"]
+    cur_v = int(cur.rsplit("_v", 1)[-1]) if "_v" in cur else 0
+    next_dir = f"filter_v{cur_v + 1}"
+    fresh.write.mode("overwrite").parquet(os.path.join(path, next_dir))
+    baseline = _filter_fill_stats(
+        spark.read.parquet(os.path.join(path, next_dir)), int(m_bits), int(k)
+    )
+    _write_manifest(
+        path,
+        {**mf, "filter_dir": next_dir, "m_bits": int(m_bits), "k": int(k),
+         "health": {"baseline": baseline, "trail": []}},
+    )
+    _gc_filter_versions(path, next_dir, retain_dir=cur)
+    # deletions are now fully materialized — the ledger has nothing
+    # left to guard (see docstring); clearing it returns load-time
+    # plans to the join-free fast path
+    import shutil
+
+    from lakehouse_spark_spark.sources.sinks import tombstone_dir
+
+    shutil.rmtree(tombstone_dir(path), ignore_errors=True)
+    return load_dedup_index(spark, path)
+
+
+def maybe_rebuild_dedup_index(
+    spark: SparkSession,
+    path: str,
+    fpp_rebuild_threshold: float = BLOOM_REBUILD_FPP,
+    **rebuild_kwargs,
+) -> tuple[bool, DedupIndex]:
+    """The one-line maintenance policy for the saturation trail
+    (the ANN family's ``maybe_rebuild_ann_index``, transposed): rebuild
+    iff the LATEST health measurement's ``rebuild_flag`` is set — current
+    state, not history, so an old flag a rebuild already answered never
+    loops. Manifest-read cheap when not flagged. Returns
+    (rebuilt, index). Run by tools/maintain.py after compaction."""
+    rows = dedup_index_health(spark, path, fpp_rebuild_threshold).collect()
+    if not (rows and rows[-1]["rebuild_flag"]):
+        return False, load_dedup_index(spark, path)
+    return True, rebuild_dedup_index(spark, path, **rebuild_kwargs)
+
+
+def dedup_index_health(
+    spark: SparkSession,
+    path: str,
+    fpp_rebuild_threshold: float = BLOOM_REBUILD_FPP,
+) -> DataFrame:
+    """The saturation trend (r14) — one row per recorded measurement:
+    the build-time baseline (seq -1) followed by the per-fold trail,
+    each with the filter's fill ratio, the expected false-positive rate
+    (bits_set/m)^k, and a ``rebuild_flag`` when expected_fpp reaches
+    ``fpp_rebuild_threshold``. This is the family's data-LOSS monitor:
+    a saturating filter doesn't leak dups, it silently drops NOVEL
+    documents as dups at the FPP rate, which no output diff ever
+    surfaces. Pure manifest read — no index data scanned. Pre-r14
+    manifests (no health record) return zero rows until a fold or
+    rebuild writes one."""
+    mf = _read_manifest(path)
+    if mf is None:
+        raise ValueError(f"dedup_index_health: {path} has no manifest")
+    health = mf.get("health") or {}
+    m_bits, k = int(mf["m_bits"]), int(mf["k"])
+    rows = []
+    base = health.get("baseline")
+    if base:
+        rows.append(
+            (-1, None, m_bits, k, int(base["bits_set"]), float(base["fill_ratio"]),
+             float(base["expected_fpp"]),
+             bool(float(base["expected_fpp"]) >= fpp_rebuild_threshold))
+        )
+    for i, e in enumerate(health.get("trail", [])):
+        rows.append(
+            (i, e.get("batch_id"), m_bits, k, int(e["bits_set"]),
+             float(e["fill_ratio"]), float(e["expected_fpp"]),
+             bool(float(e["expected_fpp"]) >= fpp_rebuild_threshold))
+        )
+    return spark.createDataFrame(
+        rows,
+        "seq int, batch_id bigint, m_bits bigint, k int, bits_set bigint, "
+        "fill_ratio double, expected_fpp double, rebuild_flag boolean",
+    )
 
 
 def bloom_might_contain(

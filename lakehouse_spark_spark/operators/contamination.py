@@ -143,13 +143,37 @@ def write_decon_index(
 
 
 def load_decon_index(spark, path: str) -> DeconIndex:
+    """Tombstoned benchmarks (:func:`delete_from_decon_index` — a
+    retired or license-retracted eval set) are anti-joined out here —
+    the single filter point both probes inherit: their n-grams stop
+    counting toward any disposition immediately. No ledger → no join."""
+    from lakehouse_spark_spark.sources.sinks import load_tombstones
+
     with open(_decon_manifest(path)) as fh:
         mf = _json.load(fh)
+    shingles = spark.read.parquet(f"{path}/shingles")
+    tomb = load_tombstones(spark, path)
+    if tomb is not None:
+        shingles = shingles.join(tomb.select("__eval_id"), "__eval_id", "left_anti")
     return DeconIndex(
         path=path,
-        shingles=spark.read.parquet(f"{path}/shingles"),
+        shingles=shingles,
         n=int(mf["n"]),
     )
+
+
+def delete_from_decon_index(spark, path: str, eval_ids, batch_id: int | None = None) -> bool:
+    """Takedown for the decontamination family (r14): record benchmark
+    ids in the index's tombstone ledger (sources/sinks.add_tombstones —
+    the shared exactly-once protocol). Logically immediate
+    (:func:`load_decon_index` anti-joins the ledger); physically purged
+    when tools/maintain.py compacts the shingle table. A re-added
+    benchmark enters under a NEW eval id (update_decon_index), so it is
+    counted again while the dead id stays suppressed.
+    Single-writer contract."""
+    from lakehouse_spark_spark.sources.sinks import add_tombstones, ids_to_frame
+
+    return add_tombstones(ids_to_frame(spark, eval_ids, "__eval_id"), path, batch_id)
 
 
 def update_decon_index(

@@ -1292,6 +1292,8 @@ def multimodal_dedup_disposition(
     video_every_n: int = 4,
     block_pairs: bool | None = None,
     max_bucket: int | None = None,
+    approx_count: int | None = None,
+    video_approx_frame_count: int | None = None,
     min_modalities: int = 1,
     verify: bool = False,
     image_verify_dhash_max_hamming: int = 8,
@@ -1343,7 +1345,21 @@ def multimodal_dedup_disposition(
     twins still caught, while ``min_modalities=2`` would kill the
     false merges AND every planted twin (each duplicates exactly one
     modality). Video already has its own verify (the frame vote);
-    text near-dup callers wanting one use verify_pairs_jaccard."""
+    text near-dup callers wanting one use verify_pairs_jaccard.
+
+    ``approx_count`` (r14): the ASSET count, if the caller knows it
+    cheaply (parquet footer rows — sources/sinks.parquet_footer_rows —
+    or catalog stats). Auto block-mode selection then never runs a
+    plan-time ``count()`` against the text/image/audio fingerprint
+    frames — which would materialize each modality's DECODE pass just
+    to pick a join shape (the r13 thread-pool fix treated the
+    serialization symptom; this removes the count). Fingerprint counts
+    are <= the asset count, so the estimate only errs toward the pair
+    join near the crossover — both modes are output-identical (pinned
+    by tests). Video's fingerprint population is FRAMES, not assets —
+    pass ``video_approx_frame_count`` (assets x expected sampled
+    frames) separately, else video alone keeps the counting fallback
+    (overlapped by the builder threads)."""
     from lakehouse_spark_spark.operators.graph import connected_components
     from lakehouse_spark_spark.operators.neardup import simhash, simhash_candidates
 
@@ -1360,6 +1376,7 @@ def multimodal_dedup_disposition(
             fp, id_col, max_hamming=text_max_hamming,
             blocks=_pair_safe(text_blocks, text_max_hamming),
             block_pairs=block_pairs, max_bucket=max_bucket,
+            approx_count=approx_count,
         )
         return e.select("id_a", "id_b", F.lit("text").alias("modality"))
 
@@ -1369,6 +1386,7 @@ def multimodal_dedup_disposition(
             med, max_hamming=image_max_hamming,
             blocks=_pair_safe(image_blocks, image_max_hamming),
             block_pairs=block_pairs, max_bucket=max_bucket,
+            approx_count=approx_count,
             verify_dhash_max_hamming=(image_verify_dhash_max_hamming if verify else None),
         )
         return e.select("id_a", "id_b", F.lit("image").alias("modality"))
@@ -1379,6 +1397,7 @@ def multimodal_dedup_disposition(
             med, max_hamming=audio_max_hamming,
             blocks=_pair_safe(audio_blocks, audio_max_hamming),
             block_pairs=block_pairs, max_bucket=max_bucket,
+            approx_count=approx_count,
             verify_alt_max_hamming=(audio_verify_alt_max_hamming if verify else None),
         )
         return e.select("id_a", "id_b", F.lit("audio").alias("modality"))
@@ -1392,6 +1411,7 @@ def multimodal_dedup_disposition(
             blocks=_pair_safe(video_blocks, video_max_hamming),
             min_matched_frames=video_min_matched_frames,
             block_pairs=block_pairs, max_bucket=max_bucket,
+            approx_count=video_approx_frame_count,
         )
         return e.select("id_a", "id_b", F.lit("video").alias("modality"))
 

@@ -243,6 +243,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # explode). Auto mode (block_pairs=None) switches at this count.
 BLOCK_PAIRS_CROSSOVER = 1_000_000
 
+# Hot-set broadcast ceiling (r14; r13 ADVICE): the hot-bucket guard's
+# anti-join side is bounded by n_fp * keys_per_fp / max_bucket rows —
+# tiny at gated scale, but at the 10^9-fingerprint scale the knob
+# targets it can reach tens of millions of (block, value) keys, past
+# driver broadcast comfort. When a fingerprint count is available
+# (approx_count, the auto-mode count, or a persisted index's footer
+# rows) the hint is SIZE-AWARE: broadcast below this many bound keys,
+# unhinted above it (AQE picks the strategy from the real aggregated
+# size at runtime). 4M keys x ~24 B/row ≈ 100 MB. With no count
+# available the one-shot join keeps the broadcast hint — its hot set is
+# tiny by construction at any scale auto mode wouldn't have counted.
+HOT_BROADCAST_CAP_KEYS = 4_000_000
+
+
+def _hot_hint(hot: DataFrame, n_fp: int | None, keys_per_fp: int, max_bucket: int):
+    bound = None if n_fp is None else (n_fp * keys_per_fp) // max(1, max_bucket)
+    return F.broadcast(hot) if bound is None or bound <= HOT_BROADCAST_CAP_KEYS else hot
+
 
 def fingerprint_block_rows(
     df: DataFrame, id_col: str, fp_col: str, blocks: int, keep_fp: bool = False
@@ -367,8 +385,16 @@ def simhash_candidates(
     output is bounded by n·blocks·max_bucket + rescue rows."""
     if materialize:
         sim = sim.localCheckpoint(eager=False)
+    n_fp = approx_count
     if block_pairs is None:
-        n_fp = approx_count if approx_count is not None else sim.count()
+        # NOTE (r13 ADVICE): with materialize=False and no approx_count
+        # this count() replays the ENTIRE upstream plan (for media
+        # wrappers, a full decode pass) once before the join — pass
+        # approx_count (any cheap upstream estimate: parquet footer
+        # rows, an asset-table count, a manifest) or keep materialize
+        # on so the count reads the checkpoint the join needs anyway.
+        if n_fp is None:
+            n_fp = sim.count()
         block_pairs = max_hamming <= blocks - 2 and n_fp > BLOCK_PAIRS_CROSSOVER
     elif block_pairs and blocks - 2 < max_hamming <= blocks - 1:
         import warnings
@@ -392,15 +418,21 @@ def simhash_candidates(
         # contribute one row per key by construction, but distinct is
         # the future-proof contract the minhash probe cap settled on),
         # drop buckets above the cap from BOTH join sides at once. The
-        # hot set is tiny by construction (≤ n·blocks/max_bucket keys),
-        # so it broadcasts.
+        # hot set is bounded by n·keys_per_fp/max_bucket rows; the
+        # broadcast hint is size-aware when a count is available
+        # (HOT_BROADCAST_CAP_KEYS — r13 ADVICE: an unconditional
+        # broadcast grows with the corpus at the 10^9 scale the knob
+        # targets).
         hot = (
             exploded.groupBy(*join_on)
             .agg(F.count_distinct(id_col).alias("__df"))
             .filter(F.col("__df") > max_bucket)
             .select(*join_on)
         )
-        exploded = exploded.join(F.broadcast(hot), join_on, "left_anti")
+        keys_per_fp = blocks * (blocks - 1) // 2 if block_pairs else blocks
+        exploded = exploded.join(
+            _hot_hint(hot, n_fp, keys_per_fp, max_bucket), join_on, "left_anti"
+        )
     a = exploded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), *join_on)
     b = exploded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), *join_on)
     pairs = a.join(b, join_on).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sim_a", "sim_b")
@@ -568,6 +600,7 @@ class NeardupIndex(NamedTuple):
     n: int                 # shingle width
     num_hashes: int
     n_bands: int
+    approx_band_rows: int | None = None  # footer-derived band-table count (free)
 
 
 def _nd_manifest_path(path: str) -> str:
@@ -635,15 +668,49 @@ def write_neardup_index(
 
 
 def load_neardup_index(spark: SparkSession, path: str) -> NeardupIndex:
+    """Tombstoned docs (:func:`delete_from_neardup_index`) are
+    anti-joined out of BOTH tables here — the single filter point every
+    probe (band join, hot-bucket census, exact-signature rescue,
+    signature re-attach) inherits. No ledger on disk → no join.
+    ``approx_band_rows`` comes from the band table's parquet footers
+    (driver-side metadata, no Spark job) — the free size signal the
+    probe's hot-set broadcast decision uses (r14)."""
+    from lakehouse_spark_spark.sources.sinks import load_tombstones, parquet_footer_rows
+
     with open(_nd_manifest_path(path)) as fh:
         mf = json.load(fh)
+    band_dir = _nd_resolve_dir(path, mf, "bands")
+    sigs = spark.read.parquet(_nd_resolve_dir(path, mf, "signatures"))
+    bands = spark.read.parquet(band_dir)
+    tomb = load_tombstones(spark, path)
+    if tomb is not None:
+        tomb = tomb.select("__id")
+        sigs = sigs.join(tomb, "__id", "left_anti")
+        bands = bands.join(tomb, "__id", "left_anti")
     return NeardupIndex(
-        signatures=spark.read.parquet(_nd_resolve_dir(path, mf, "signatures")),
-        bands=spark.read.parquet(_nd_resolve_dir(path, mf, "bands")),
+        signatures=sigs,
+        bands=bands,
         n=int(mf["n"]),
         num_hashes=int(mf["num_hashes"]),
         n_bands=int(mf["bands"]),
+        approx_band_rows=parquet_footer_rows(band_dir),
     )
+
+
+def delete_from_neardup_index(spark: SparkSession, path: str, ids, batch_id: int | None = None) -> bool:
+    """Takedown/opt-out for the persisted near-dup family (r14): record
+    the doc ids in the index's tombstone ledger
+    (sources/sinks.add_tombstones — the shared exactly-once protocol).
+    ``ids``: a DataFrame (its only/id column) or an iterable of ints.
+    Logically immediate (:func:`load_neardup_index` anti-joins the
+    ledger, so no probe, rescue, or hot-bucket census ever sees the doc
+    again); physically purged at the next :func:`compact_neardup_index`.
+    Re-uploads of the deleted content get a NEW id (the ingest id
+    contract), so they are admitted as novel — and then indexed, so
+    their own future dups are caught. Single-writer contract."""
+    from lakehouse_spark_spark.sources.sinks import add_tombstones, ids_to_frame
+
+    return add_tombstones(ids_to_frame(spark, ids, "__id"), path, batch_id)
 
 
 def update_neardup_index(
@@ -718,11 +785,16 @@ def compact_neardup_index(spark: SparkSession, path: str, target_file_mb: int = 
     before the flip: old index fully readable, orphan dirs GC'd by the
     next compaction. Superseded dirs are retained ONE cycle for
     in-flight readers. Returns the new (signature, band) file counts.
-    Single-writer contract, like updates."""
+    Single-writer contract, like updates. Tombstoned docs (r14) are
+    physically PURGED by the rewrite (the ledger itself is retained —
+    a not-yet-watermarked fold replay could re-append purged rows)."""
     import math
+
+    from lakehouse_spark_spark.sources.sinks import load_tombstones
 
     with open(_nd_manifest_path(path)) as fh:
         mf = json.load(fh)
+    tomb = load_tombstones(spark, path)
     new_dirs: dict[str, str] = {}
     counts: list[int] = []
     for family in ("signatures", "bands"):
@@ -734,7 +806,10 @@ def compact_neardup_index(spark: SparkSession, path: str, target_file_mb: int = 
         n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
         cur_v = int(cur.rsplit("_v", 1)[-1]) if "_v" in cur else 0
         next_dir = f"{family}_v{cur_v + 1}"
-        spark.read.parquet(src).distinct().repartition(n_files).write.mode(
+        rewritten = spark.read.parquet(src).distinct()
+        if tomb is not None:
+            rewritten = rewritten.join(tomb.select("__id"), "__id", "left_anti")
+        rewritten.repartition(n_files).write.mode(
             "overwrite"
         ).parquet(os.path.join(path, next_dir))
         new_dirs[family] = next_dir
@@ -751,6 +826,56 @@ def compact_neardup_index(spark: SparkSession, path: str, target_file_mb: int = 
             retain_dir=os.path.basename(_nd_resolve_dir(path, mf, family)),
         )
     return (counts[0], counts[1])
+
+
+def neardup_probe_skew_stats(
+    index: NeardupIndex,
+    max_bucket: int,
+    *,
+    signatures: DataFrame,
+    id_col: str = "__id",
+) -> dict:
+    """Eager measurement of the hot-bucket guard's effect for ONE probe
+    batch against the persisted band index (r14 — the media probe's
+    skew observability, transposed; see
+    operators/mediaindex.media_probe_skew_stats): hot buckets skipped,
+    corpus band rows they held, batch band rows that landed in them,
+    and exact-signature rescue pairs. ``signatures`` is the batch's
+    (id, signature) frame — the ingest loop already has it (sign-once).
+    Record via operators/mediaindex.record_probe_skew, read via
+    media_index_skew_health (manifest-generic)."""
+    sigs = signatures.select(F.col(id_col).alias("__id"), "signature")
+    census = (
+        index.bands.groupBy("band", "band_hash")
+        .agg(F.count_distinct("__id").alias("__df"), F.count(F.lit(1)).alias("__rows"))
+        .filter(F.col("__df") > max_bucket)
+    )
+    hot = census.select("band", "band_hash").localCheckpoint(eager=True)
+    agg = census.agg(
+        F.count(F.lit(1)).alias("hot"), F.sum("__rows").alias("skipped")
+    ).collect()[0]
+    b_bands = band_rows(sigs, "__id", index.n_bands, index.num_hashes)
+    batch_in_hot = b_bands.join(hot, ["band", "band_hash"], "semi").count()
+    rescue = (
+        sigs.select("__id", F.xxhash64("signature").alias("__sh"))
+        .join(
+            index.signatures.dropDuplicates(["__id"]).select(
+                F.col("__id").alias("__cid"), F.xxhash64("signature").alias("__sh")
+            ),
+            "__sh",
+        )
+        .filter(F.col("__id") != F.col("__cid"))
+        .select("__id")
+        .distinct()
+        .count()
+    )
+    return {
+        "max_bucket": int(max_bucket),
+        "hot_buckets": int(agg["hot"] or 0),
+        "skipped_corpus_rows": int(agg["skipped"] or 0),
+        "batch_rows_in_hot": int(batch_in_hot),
+        "rescue_pairs": int(rescue),
+    }
 
 
 def neardup_candidates_against_index(
@@ -826,7 +951,15 @@ def neardup_candidates_against_index(
             .filter(F.col("__df") > max_bucket)
             .select("band", "band_hash")
         )
-        c_bands = c_bands.join(hot, ["band", "band_hash"], "left_anti")
+        # size-aware broadcast (r14): hot keys are bounded by
+        # band_rows/max_bucket; the band-table row count comes free
+        # from the index's parquet footers, so the hint costs no job
+        # and drops past HOT_BROADCAST_CAP_KEYS (AQE decides there)
+        c_bands = c_bands.join(
+            _hot_hint(hot, index.approx_band_rows, 1, max_bucket),
+            ["band", "band_hash"],
+            "left_anti",
+        )
     pairs = (
         b_bands.join(c_bands, ["band", "band_hash"])
         .filter(F.col("new_id") != F.col("corpus_id"))

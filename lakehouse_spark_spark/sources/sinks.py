@@ -56,7 +56,14 @@ def write_single_csv(df: DataFrame, out_path: str) -> None:
     shutil.rmtree(tmp)
 
 
-def compact_parquet(spark, path: str, target_file_mb: int = 256, distinct: bool = False) -> int:
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    distinct: bool = False,
+    exclude: "DataFrame | None" = None,
+    exclude_on: list[str] | None = None,
+) -> int:
     """Small-files compaction: rewrite a parquet directory into
     ceil(bytes / target) files. The lakehouse maintenance op every
     streaming/incremental sink eventually needs — thousands of KB-scale
@@ -70,7 +77,12 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256, distinct: bool 
     against data loss, not reader isolation.) ``distinct=True`` also
     drops exact-duplicate rows during the rewrite — the repair pass for
     append-mode sinks whose writer replayed a batch (e.g. the bloom
-    dedup index's hash set).
+    dedup index's hash set). ``exclude`` (with ``exclude_on`` join
+    keys) anti-joins rows OUT during the rewrite — the physical-purge
+    hook the tombstone protocol routes deletions through (r14): a
+    compaction is the one moment the whole table is rewritten anyway,
+    so purging tombstoned rows here costs one extra anti-join, not an
+    extra pass.
 
     REFUSES an :func:`append_once_parquet` ledger (``batch_id=`` dirs /
     floor manifest): the flat rewrite would erase the per-epoch
@@ -96,6 +108,8 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256, distinct: bool 
     df = spark.read.parquet(path)
     if distinct:
         df = df.distinct()
+    if exclude is not None:
+        df = df.join(exclude, exclude_on or exclude.columns, "left_anti")
     tmp = path.rstrip("/") + "__compact"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     _swap_dirs(tmp, path)
@@ -298,12 +312,18 @@ def compact_ledger_parquet(
         )
         df = df.withColumn("orig_batch_id", orig.cast("long"))
         merged = True
-    if merge_history and floor is not None:
+    if merge_history:
+        # negative partitions (the adopted-legacy -1, a prior merge's
+        # -2) collapse UNCONDITIONALLY — they are committed by
+        # construction, floor or no floor. Without this, a ledger whose
+        # only partition is batch_id=-1 (no non-negative epochs yet)
+        # would stamp history_merged while leaving -1 unmerged — the
+        # manifest claiming a layout the dirs don't have (r13 ADVICE).
+        cond = F.col("batch_id") < 0
+        if floor is not None:
+            cond = cond | (F.col("batch_id") <= floor)
         df = df.withColumn(
-            "batch_id",
-            F.when(
-                (F.col("batch_id") <= floor) | (F.col("batch_id") < 0), F.lit(-2)
-            ).otherwise(F.col("batch_id")),
+            "batch_id", F.when(cond, F.lit(-2)).otherwise(F.col("batch_id"))
         )
     tmp = base_dir.rstrip("/") + "__compact"
     df.repartition(n_files, "batch_id").write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
@@ -418,3 +438,139 @@ def append_once_parquet(df: DataFrame, base_dir: str, batch_id: int) -> bool:
     df.write.mode("overwrite").parquet(staging)
     os.rename(staging, final)
     return True
+
+
+# --- tombstone ledger: the deletion/retraction protocol ----------------
+# Shared by the five persisted-index families (r14; the r13 verdict's
+# task 1): a training-data pipeline legally must handle takedowns and
+# opt-outs, and an append-only index has no way to express one. The
+# tombstone ledger is the smallest durable shape that does:
+#
+# - a ``tombstones/`` ledger inside the family's base dir, written with
+#   the SAME exactly-once protocol as every other ledger
+#   (:func:`append_once_parquet` — per-epoch partition dirs, atomic
+#   rename commit, floor manifest after compaction), holding one row
+#   per deleted id;
+# - every family's ``load_*_index`` anti-joins its tables against the
+#   ledger, so every probe, rescue join, and rebuild sees the
+#   post-delete index (one filter point per family instead of one per
+#   probe — a probe added later can't forget it). No tombstones on
+#   disk → no join in the plan, zero cost for non-deleting users;
+# - physical purge rides the family's COMPACTION (the one moment the
+#   table is rewritten anyway — ``compact_parquet(exclude=...)`` /
+#   the versioned-dir rewrites), so a takedown is logically immediate
+#   and physically durable at the next maintenance pass;
+# - the ledger itself is RETAINED after purge (ids only — KB-scale):
+#   a not-yet-watermarked fold replay could otherwise re-append rows
+#   whose delete landed between the fold and its replay. The Bloom
+#   family's rebuild-from-hashes is the one operation that may clear
+#   it (its filter bits are re-derived from the purged hash set, so
+#   nothing on disk can resurrect the rows).
+#
+# Deletion is keyed on the family's ID column. Re-upload semantics:
+# id-keyed families (near-dup, media, ANN, decon) give re-uploads a
+# NEW id, so they are admitted as novel while the dead id stays
+# suppressed forever. The Bloom family is keyed on the CONTENT hash —
+# its fold lifts a hash's tombstone when the content is legitimately
+# re-admitted (see operators/bloom.update_dedup_index), otherwise a
+# re-admitted document could never again suppress its own future dups.
+
+_TOMBSTONE_DIRNAME = "tombstones"
+
+
+def tombstone_dir(base_dir: str) -> str:
+    return os.path.join(base_dir, _TOMBSTONE_DIRNAME)
+
+
+def add_tombstones(ids: DataFrame, base_dir: str, batch_id: int | None = None) -> bool:
+    """Record deletions for the persisted family at ``base_dir``:
+    append ``ids`` (a one-column frame of the family's id values) to
+    the ``tombstones/`` ledger. ``batch_id`` gives replayable callers
+    (a takedown STREAM) the standard exactly-once epoch semantics;
+    ``None`` (ad-hoc takedowns — the common case) auto-assigns the
+    next free epoch above both the existing partition dirs and the
+    compaction floor. Single-writer contract, like every ledger.
+    Returns False when a replayed epoch was already committed."""
+    import os
+
+    tdir = tombstone_dir(base_dir)
+    if batch_id is None:
+        existing = []
+        if os.path.isdir(tdir):
+            existing = [
+                int(n.split("=", 1)[1])
+                for n in os.listdir(tdir)
+                if n.startswith("batch_id=")
+            ]
+        floor = _ledger_floor(tdir) if os.path.isdir(tdir) else None
+        batch_id = max(
+            [i for i in existing if i >= 0] + ([floor] if floor is not None else []),
+            default=-1,
+        ) + 1
+    return append_once_parquet(ids, tdir, batch_id)
+
+
+def load_tombstones(spark, base_dir: str) -> "DataFrame | None":
+    """The distinct tombstoned ids for a family base dir, or ``None``
+    when no tombstone ledger exists (the fast path — callers skip the
+    anti-join entirely, keeping non-deleting plans byte-identical to
+    pre-tombstone ones). Ledger bookkeeping columns (the ``batch_id``
+    partition column, ``orig_batch_id`` provenance after a history
+    merge) are dropped — consumers join on the id column alone."""
+    import os
+
+    tdir = tombstone_dir(base_dir)
+    if not os.path.isdir(tdir):
+        return None
+    # partition dirs are the data; a floor manifest alone (every epoch
+    # lifted — see bloom's re-admission path) means no active tombstones
+    if not any(n.startswith("batch_id=") for n in os.listdir(tdir)):
+        return None
+    df = spark.read.parquet(tdir)
+    drop = [c for c in ("batch_id", "orig_batch_id") if c in df.columns]
+    return df.drop(*drop).distinct()
+
+
+def parquet_footer_rows(path: str) -> int | None:
+    """Total row count of a parquet directory from file FOOTERS alone —
+    driver-side pyarrow metadata reads, no Spark job, no data pages
+    touched. The free ``approx_count`` source the persisted probes use
+    instead of a plan-time ``count()`` (r14): an index's row count is
+    sitting in its footers already. Returns None when the directory has
+    no readable parquet files (callers fall back to their documented
+    default)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    total = 0
+    seen = False
+    for dp, _, fs in os.walk(path):
+        for f in fs:
+            if not f.endswith(".parquet") or f.startswith("."):
+                continue
+            try:
+                total += pq.read_metadata(os.path.join(dp, f)).num_rows
+                seen = True
+            except Exception:
+                return None
+    return total if seen else None
+
+
+def ids_to_frame(
+    spark, ids, out_col: str, id_col: str | None = None, dtype: str = "long"
+) -> DataFrame:
+    """Normalize a caller's deletion request into the one-column frame
+    the tombstone ledger stores: accepts a DataFrame (``id_col``, or
+    its only column) or a plain iterable of values (takedown requests
+    usually arrive as a handful of ids, not a frame)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(ids, DataFrame):
+        col = id_col or (ids.columns[0] if len(ids.columns) == 1 else None)
+        if col is None:
+            raise ValueError(
+                f"ids_to_frame: pass id_col= to pick among columns {ids.columns}"
+            )
+        return ids.select(F.col(col).cast(dtype).alias(out_col)).distinct()
+    return spark.createDataFrame([(v,) for v in ids], f"{out_col} {dtype}").distinct()

@@ -100,6 +100,7 @@ def curated_ingest_foreach_batch(
     neardup_index_path: str | None = None,
     neardup_threshold: float = 0.8,
     neardup_max_bucket: int | None = None,
+    neardup_record_skew: bool | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The composed streaming ingest a training-data pipeline actually
     runs: per micro-batch, Gopher word-rule QUALITY GATES (pure per-doc
@@ -179,6 +180,28 @@ def curated_ingest_foreach_batch(
             sigs = minhash_signatures(
                 kept, id_col, text_col, n=nd_idx.n, num_hashes=nd_idx.num_hashes
             ).localCheckpoint(eager=True)
+            do_skew = (
+                neardup_max_bucket is not None
+                if neardup_record_skew is None
+                else neardup_record_skew
+            )
+            if do_skew and neardup_max_bucket is not None:
+                # skew observability (r14): record what the hot-bucket
+                # guard skipped into the band index's manifest trail —
+                # recording is manifest-generic, shared with the media
+                # family (media_index_skew_health reads it back)
+                from lakehouse_spark_spark.operators.mediaindex import record_probe_skew
+                from lakehouse_spark_spark.operators.neardup import (
+                    neardup_probe_skew_stats,
+                )
+
+                record_probe_skew(
+                    neardup_index_path,
+                    neardup_probe_skew_stats(
+                        nd_idx, neardup_max_bucket, signatures=sigs, id_col=id_col
+                    ),
+                    batch_id=batch_id,
+                )
             near = (
                 neardup_candidates_against_index(
                     kept, nd_idx, id_col, text_col, signatures=sigs,
@@ -231,6 +254,7 @@ def media_ingest_foreach_batch(
     *,
     max_hamming: int = 6,
     max_bucket: int | None = None,
+    record_skew: bool | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming MEDIA-fingerprint ingest with near-dup against the
     persisted Hamming-block index (operators/mediaindex) — the fourth
@@ -250,6 +274,15 @@ def media_ingest_foreach_batch(
     3. fold the novel fingerprints into the index
        (update_media_fp_index, batch_id-watermarked).
 
+    ``record_skew`` (r14 — default: on whenever ``max_bucket`` is set)
+    measures what the hot-bucket guard skipped for this batch
+    (media_probe_skew_stats — three bounded aggregates) and appends it
+    to the index manifest's skew trail (record_probe_skew), surfaced by
+    media_index_skew_health — the observability that keeps the
+    max_bucket knob tunable with data instead of faith. Pure
+    observability: a replayed epoch re-records (entries carry the
+    batch_id, so duplicates are visible), answers never depend on it.
+
     Delivery matches the module contract: ledger commit BEFORE the
     fold (fold-first would make a replayed batch all-dups of itself —
     except the probe's id-exclusion prevents exactly that, but a
@@ -262,8 +295,12 @@ def media_ingest_foreach_batch(
     from lakehouse_spark_spark.operators.mediaindex import (
         load_media_fp_index,
         media_candidates_against_index,
+        media_probe_skew_stats,
+        record_probe_skew,
         update_media_fp_index,
     )
+
+    do_skew = max_bucket is not None if record_skew is None else record_skew
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -272,6 +309,12 @@ def media_ingest_foreach_batch(
         idx = load_media_fp_index(spark, index_path)
         from pyspark.sql import functions as F
 
+        if do_skew and max_bucket is not None:
+            record_probe_skew(
+                index_path,
+                media_probe_skew_stats(batch_df, idx, id_col, fp_col, max_bucket),
+                batch_id=batch_id,
+            )
         dup_ids = (
             media_candidates_against_index(
                 batch_df, idx, id_col, fp_col,
@@ -305,6 +348,7 @@ def video_ingest_foreach_batch(
     min_matched_frames: int = 3,
     frame_key_stride: int = 1_000_000,
     max_bucket: int | None = None,
+    record_skew: bool | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming VIDEO ingest: clips arrive as (id, media) rows; each
     micro-batch is sampled + decoded + pHashed ONCE
@@ -315,15 +359,35 @@ def video_ingest_foreach_batch(
     watermark. The clip-level twin of :func:`media_ingest_foreach_batch`
     — same delivery contract (ledger before fold; replayed epochs are
     ledger skips + fold no-ops; within-batch clip dups both keep, the
-    compaction half)."""
+    compaction half).
+
+    QUARANTINE CONTRACT (pinned, matching
+    :func:`media_ingest_foreach_batch`'s explicit null-fingerprint
+    filter): a clip whose sampled frames are ALL undecodable yields no
+    frame fingerprints, so it is neither flagged as a dup nor admitted
+    to the kept ledger — single-modality loops drop assets with zero
+    signal, because "novel" is unverifiable for them and folding
+    nothing would admit them unindexed (every later copy would also
+    sail through). The asset-level loop
+    (:func:`multimodal_ingest_foreach_batch`) deliberately differs: an
+    asset keeps if ANY supplied modality clears, since one failed
+    decode doesn't void the others' signal.
+
+    ``record_skew`` (r14 — default: on whenever ``max_bucket`` is set)
+    records the frame-level hot-bucket skew measurement into the index
+    manifest, exactly like the stills loop."""
     from pyspark.sql import functions as F
 
     from lakehouse_spark_spark.operators.mediaindex import (
         load_media_fp_index,
+        media_probe_skew_stats,
+        record_probe_skew,
         update_media_fp_index,
         video_candidates_against_index,
     )
     from lakehouse_spark_spark.operators.multimodal import video_frame_fingerprints
+
+    do_skew = max_bucket is not None if record_skew is None else record_skew
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -339,6 +403,12 @@ def video_ingest_foreach_batch(
         frame_fps = video_frame_fingerprints(
             media, every_n=every_n, frame_key_stride=frame_key_stride
         ).localCheckpoint(eager=True)
+        if do_skew and max_bucket is not None:
+            record_probe_skew(
+                index_path,
+                media_probe_skew_stats(frame_fps, idx, "doc_id", "fp", max_bucket),
+                batch_id=batch_id,
+            )
         dup_clips = (
             video_candidates_against_index(
                 None, idx, every_n=every_n, max_hamming=max_hamming,
@@ -387,6 +457,7 @@ def multimodal_ingest_foreach_batch(
     video_every_n: int = 4,
     frame_key_stride: int = 1_000_000,
     max_bucket: int | None = None,
+    record_skew: bool | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The ARRIVAL-TIME form of the cross-modal dedup disposition
     (operators/multimodal.multimodal_dedup_disposition): assets arrive
@@ -421,10 +492,17 @@ def multimodal_ingest_foreach_batch(
     copy still matches the cross-flagged twin that DID fold. Whole-
     component clustering of within-batch pairs remains the one-shot
     disposition's job (run it over the ledger periodically — the
-    compaction half)."""
+    compaction half).
+
+    ``record_skew`` (r14 — default: on whenever ``max_bucket`` is set)
+    records each probed modality's hot-bucket skew measurement into ITS
+    index manifest (media_probe_skew_stats / record_probe_skew), read
+    back per index by media_index_skew_health."""
     from lakehouse_spark_spark.operators.mediaindex import (
         load_media_fp_index,
         media_candidates_against_index,
+        media_probe_skew_stats,
+        record_probe_skew,
         update_media_fp_index,
         video_candidates_against_index,
     )
@@ -435,11 +513,21 @@ def multimodal_ingest_foreach_batch(
     )
     from lakehouse_spark_spark.operators.neardup import simhash
 
+    do_skew_default = max_bucket is not None if record_skew is None else record_skew
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         from pyspark.sql import functions as F
+
+        def _skew(path, idx, fps, fps_id):
+            if do_skew_default and max_bucket is not None:
+                record_probe_skew(
+                    path,
+                    media_probe_skew_stats(fps, idx, fps_id, "fp", max_bucket),
+                    batch_id=batch_id,
+                )
 
         ids = batch_df.select(F.col(id_col)).distinct()
         dup_frames = []
@@ -450,6 +538,7 @@ def multimodal_ingest_foreach_batch(
             fps = simhash(
                 batch_df.select(F.col(id_col), F.col(text_col)), id_col, text_col
             ).withColumnRenamed("simhash", "fp").localCheckpoint(eager=True)
+            _skew(text_index_path, idx, fps, id_col)
             cand = media_candidates_against_index(
                 fps, idx, id_col, "fp", max_hamming=text_max_hamming, max_bucket=max_bucket
             )
@@ -464,6 +553,7 @@ def multimodal_ingest_foreach_batch(
                 .select(F.col("doc_id").alias(id_col), F.col("phash").alias("fp"), "dhash")
                 .localCheckpoint(eager=True)
             )
+            _skew(image_index_path, idx, fps, id_col)
             verify = (
                 ("dhash", image_verify_dhash_max_hamming)
                 if image_verify_dhash_max_hamming is not None and "dhash" in idx.aux_fp_cols
@@ -484,6 +574,7 @@ def multimodal_ingest_foreach_batch(
                 .select(F.col("doc_id").alias(id_col), F.col("afp").alias("fp"), "afp_alt")
                 .localCheckpoint(eager=True)
             )
+            _skew(audio_index_path, idx, fps, id_col)
             verify = (
                 ("afp_alt", audio_verify_alt_max_hamming)
                 if audio_verify_alt_max_hamming is not None and "afp_alt" in idx.aux_fp_cols
@@ -501,6 +592,7 @@ def multimodal_ingest_foreach_batch(
             fps = video_frame_fingerprints(
                 med, every_n=video_every_n, frame_key_stride=frame_key_stride
             ).localCheckpoint(eager=True)
+            _skew(video_index_path, idx, fps, "doc_id")
             cand = video_candidates_against_index(
                 None, idx, every_n=video_every_n, max_hamming=video_max_hamming,
                 min_matched_frames=video_min_matched_frames,

@@ -1,0 +1,449 @@
+"""Deletion/retraction (takedown) across the five persisted index
+families (r14; the r13 verdict's task 1): a tombstone ledger per index
+base dir, consulted by every load (and therefore every probe), purged
+physically at compaction, with Bloom — whose filter bits cannot be
+unset — getting rebuild-from-hashes as the durable remedy (plus its
+saturation health trail, task 2). The contract under test, per family:
+
+- delete asset X → NO probe ever returns X again (logically immediate);
+- a re-upload of X's content is admitted as novel;
+- replay/redrain contracts intact (exactly-once ledgers, watermarks);
+- compaction physically removes the rows (and probe output is
+  unchanged before vs after the purge);
+- indexes with no tombstone ledger build byte-identical plans (the
+  anti-join only exists when a ledger does).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from lakehouse_spark_spark.operators.bloom import (
+    dedup_against_corpus_bloom,
+    dedup_index_health,
+    delete_from_dedup_index,
+    load_dedup_index,
+    maybe_rebuild_dedup_index,
+    rebuild_dedup_index,
+    update_dedup_index,
+    write_dedup_index,
+)
+from lakehouse_spark_spark.sources.sinks import (
+    add_tombstones,
+    load_tombstones,
+    tombstone_dir,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _docs(spark, items):
+    return spark.createDataFrame(items, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_delete_suppresses_and_readmits(spark, tmp_path):
+    path = str(tmp_path / "bloom_idx")
+    corpus = _docs(spark, [(i, f"corpus text t{i:05d} unique") for i in range(30)])
+    write_dedup_index(corpus, "text", path, m_bits=1 << 14, k=5)
+
+    # a re-upload of doc 7's content is a dup before the delete
+    batch = _docs(spark, [(100, "corpus text t00007 unique"), (101, "novel n1")])
+    disp = dedup_against_corpus_bloom(
+        batch, None, "doc_id", "text", index=load_dedup_index(spark, path)
+    )
+    before = {r["doc_id"]: r["dup_of_corpus"] for r in disp.collect()}
+    assert before == {100: True, 101: False}
+
+    # takedown doc 7's content → the same upload is now admitted
+    delete_from_dedup_index(path, _docs(spark, [(7, "corpus text t00007 unique")]), text_col="text")
+    disp2 = dedup_against_corpus_bloom(
+        batch, None, "doc_id", "text", index=load_dedup_index(spark, path)
+    )
+    after = {r["doc_id"]: r["dup_of_corpus"] for r in disp2.collect()}
+    assert after == {100: False, 101: False}
+
+
+def test_bloom_fold_lifts_tombstone_so_future_dups_catch(spark, tmp_path):
+    path = str(tmp_path / "bloom_lift")
+    corpus = _docs(spark, [(i, f"seed s{i:05d}") for i in range(10)])
+    write_dedup_index(corpus, "text", path, m_bits=1 << 14, k=5)
+    delete_from_dedup_index(path, _docs(spark, [(3, "seed s00003")]), text_col="text")
+    assert load_tombstones(spark, path) is not None
+
+    # re-admission: fold the content back in (what an ingest loop does
+    # with its kept hashes) → the tombstone is lifted
+    from lakehouse_spark_spark.operators.dedup import content_hash
+
+    readd = _docs(spark, [(200, "seed s00003")]).select(
+        content_hash("text").alias("content_hash")
+    )
+    update_dedup_index(path, readd, batch_id=1)
+    assert load_tombstones(spark, path) is None  # fully lifted
+
+    # a FUTURE copy of the re-admitted content is caught again
+    disp = dedup_against_corpus_bloom(
+        _docs(spark, [(300, "seed s00003")]), None, "doc_id", "text",
+        index=load_dedup_index(spark, path),
+    )
+    assert disp.collect()[0]["dup_of_corpus"] is True
+
+
+def test_bloom_lift_bumps_floor_against_replayed_tombstone_epoch(spark, tmp_path):
+    path = str(tmp_path / "bloom_floor")
+    corpus = _docs(spark, [(i, f"fl f{i:05d}") for i in range(6)])
+    write_dedup_index(corpus, "text", path, m_bits=1 << 14, k=5)
+    delete_from_dedup_index(
+        path, _docs(spark, [(2, "fl f00002")]), text_col="text", batch_id=0
+    )
+    from lakehouse_spark_spark.operators.dedup import content_hash
+
+    readd = _docs(spark, [(50, "fl f00002")]).select(content_hash("text").alias("content_hash"))
+    update_dedup_index(path, readd, batch_id=1)
+    # a replay of tombstone epoch 0 must be a committed no-op (floor),
+    # not a resurrection of the lifted hash
+    again = delete_from_dedup_index(
+        path, _docs(spark, [(2, "fl f00002")]), text_col="text", batch_id=0
+    )
+    assert again is False
+    assert load_tombstones(spark, path) is None
+
+
+def test_bloom_compact_purges_but_keeps_ledger_and_answers(spark, tmp_path):
+    from lakehouse_spark_spark.operators.bloom import compact_dedup_index
+
+    path = str(tmp_path / "bloom_purge")
+    corpus = _docs(spark, [(i, f"pu p{i:05d}") for i in range(20)])
+    write_dedup_index(corpus, "text", path, m_bits=1 << 14, k=5)
+    delete_from_dedup_index(
+        path, _docs(spark, [(1, "pu p00001"), (2, "pu p00002")]), text_col="text"
+    )
+    batch = _docs(spark, [(90, "pu p00001"), (91, "pu p00005"), (92, "fresh x")])
+    want = _rows(
+        dedup_against_corpus_bloom(
+            batch, None, "doc_id", "text", index=load_dedup_index(spark, path)
+        )
+    )
+    n_before = spark.read.parquet(f"{path}/hashes").count()
+    compact_dedup_index(spark, path)
+    assert spark.read.parquet(f"{path}/hashes").count() == n_before - 2  # purged
+    assert os.path.isdir(tombstone_dir(path))  # ledger retained
+    got = _rows(
+        dedup_against_corpus_bloom(
+            batch, None, "doc_id", "text", index=load_dedup_index(spark, path)
+        )
+    )
+    assert got == want
+
+
+def test_bloom_rebuild_materializes_deletion_and_clears_ledger(spark, tmp_path):
+    path = str(tmp_path / "bloom_rebuild")
+    corpus = _docs(spark, [(i, f"rb r{i:05d}") for i in range(25)])
+    write_dedup_index(corpus, "text", path, m_bits=1 << 14, k=5)
+    delete_from_dedup_index(path, _docs(spark, [(4, "rb r00004")]), text_col="text")
+    idx = rebuild_dedup_index(spark, path)
+    assert not os.path.isdir(tombstone_dir(path))  # ledger cleared
+    assert idx.hashes.count() == 24
+    # suppressed content is admitted as novel; everything else still dups
+    batch = _docs(spark, [(80, "rb r00004"), (81, "rb r00006")])
+    disp = {
+        r["doc_id"]: r["dup_of_corpus"]
+        for r in dedup_against_corpus_bloom(
+            batch, None, "doc_id", "text", index=idx
+        ).collect()
+    }
+    assert disp == {80: False, 81: True}
+    # watermark preserved: a replayed pre-rebuild epoch stays a no-op
+    mf = __import__("json").load(open(f"{path}/manifest.json"))
+    assert "health" in mf and mf["health"]["trail"] == []
+
+
+def test_bloom_saturation_health_flags_and_rebuild_clears(spark, tmp_path):
+    """Planted saturation: a deliberately tiny filter (m=512 bits) folds
+    batches until expected_fpp crosses the threshold; the health trail
+    flags, maybe_rebuild re-sizes m_bits from the hashes table, and the
+    measured fill drops back under."""
+    path = str(tmp_path / "bloom_sat")
+    corpus = _docs(spark, [(i, f"sat a{i:04d}") for i in range(40)])
+    write_dedup_index(corpus, "text", path, m_bits=512, k=4)
+    for b in range(3):
+        batch = _docs(
+            spark, [(1000 + 100 * b + j, f"sat b{b}x{j:04d}") for j in range(60)]
+        ).select(
+            F.xxhash64("text").cast("string").alias("content_hash")
+        )
+        update_dedup_index(path, batch, batch_id=b)
+    health = dedup_index_health(spark, path).collect()
+    assert len(health) == 4  # baseline + 3 folds
+    assert health[0]["seq"] == -1 and health[-1]["batch_id"] == 2
+    assert health[-1]["fill_ratio"] > health[0]["fill_ratio"]  # monotone fills
+    assert health[-1]["rebuild_flag"]  # 220 hashes into 512 bits saturates
+    rebuilt, idx = maybe_rebuild_dedup_index(spark, path)
+    assert rebuilt
+    health2 = dedup_index_health(spark, path).collect()
+    assert len(health2) == 1 and health2[0]["seq"] == -1
+    assert not health2[0]["rebuild_flag"]  # re-sized filter is healthy
+    assert health2[0]["m_bits"] > 512
+    # rebuild preserved the epoch watermark: replayed folds stay no-ops
+    n = idx.hashes.count()
+    update_dedup_index(
+        path,
+        _docs(spark, [(1, "sat b0x0000")]).select(F.xxhash64("text").cast("string").alias("content_hash")),
+        batch_id=2,
+    )
+    assert load_dedup_index(spark, path).hashes.count() == n
+
+
+def test_bloom_maybe_rebuild_is_noop_when_healthy(spark, tmp_path):
+    path = str(tmp_path / "bloom_healthy")
+    corpus = _docs(spark, [(i, f"ok o{i:04d}") for i in range(20)])
+    write_dedup_index(corpus, "text", path, m_bits=1 << 14, k=5)
+    rebuilt, _ = maybe_rebuild_dedup_index(spark, path)
+    assert not rebuilt
+
+
+# -------------------------------------------------------------- neardup
+
+
+def _nd_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, f"{base} variant {i} " + " ".join(f"t{i}w{j}" for j in range(8))) for i in range(12)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_neardup_index_delete_suppresses_and_purges(spark, tmp_path):
+    from lakehouse_spark_spark.operators.neardup import (
+        compact_neardup_index,
+        delete_from_neardup_index,
+        load_neardup_index,
+        neardup_candidates_against_index,
+        write_neardup_index,
+    )
+
+    path = str(tmp_path / "nd_idx")
+    corpus = _nd_corpus(spark)
+    write_neardup_index(corpus, "doc_id", "text", path, n=3, num_hashes=32, bands=8)
+    # the batch doc IS corpus doc 5's text → 1.0 candidate before delete
+    batch = corpus.filter("doc_id = 5").select(F.lit(500).alias("doc_id"), "text")
+    idx = load_neardup_index(spark, path)
+    before = neardup_candidates_against_index(batch, idx, "doc_id", "text", max_bucket=3)
+    assert any(r["corpus_id"] == 5 and r["est_jaccard"] == 1.0 for r in before.collect())
+
+    delete_from_neardup_index(spark, path, [5])
+    idx2 = load_neardup_index(spark, path)
+    after = neardup_candidates_against_index(batch, idx2, "doc_id", "text", max_bucket=3)
+    assert all(r["corpus_id"] != 5 for r in after.collect())  # rescue included
+    want = _rows(after)
+
+    sig_before = spark.read.parquet(
+        os.path.join(path, "signatures")
+    ).count()
+    compact_neardup_index(spark, path)
+    idx3 = load_neardup_index(spark, path)
+    assert idx3.signatures.count() == sig_before - 1  # physically purged
+    got = _rows(neardup_candidates_against_index(batch, idx3, "doc_id", "text", max_bucket=3))
+    assert got == want
+
+
+# ----------------------------------------------------------- mediaindex
+
+
+def _media_fps(spark, n=40):
+    rng = np.random.RandomState(11)
+    rows = [(i, int(rng.randint(0, 2**62))) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, fp bigint")
+
+
+def test_media_index_delete_suppresses_rescue_and_purges(spark, tmp_path):
+    from lakehouse_spark_spark.operators.mediaindex import (
+        compact_media_fp_index,
+        delete_from_media_fp_index,
+        load_media_fp_index,
+        media_candidates_against_index,
+        write_media_fp_index,
+    )
+
+    path = str(tmp_path / "mf_idx")
+    corpus = _media_fps(spark)
+    write_media_fp_index(corpus, "doc_id", "fp", path, blocks=8)
+    # batch doc 900 carries corpus doc 9's exact fingerprint
+    fp9 = corpus.filter("doc_id = 9").collect()[0]["fp"]
+    batch = spark.createDataFrame([(900, fp9)], "doc_id bigint, fp bigint")
+    idx = load_media_fp_index(spark, path)
+    before = media_candidates_against_index(batch, idx, "doc_id", "fp", max_hamming=6, max_bucket=5)
+    assert any(r["corpus_id"] == 9 and r["hamming"] == 0 for r in before.collect())
+
+    delete_from_media_fp_index(spark, path, ids=[9])
+    idx2 = load_media_fp_index(spark, path)
+    after = media_candidates_against_index(batch, idx2, "doc_id", "fp", max_hamming=6, max_bucket=5)
+    assert all(r["corpus_id"] != 9 for r in after.collect())
+    want = _rows(after)
+
+    n_before = spark.read.parquet(os.path.join(path, "fingerprints")).count()
+    compact_media_fp_index(spark, path)
+    idx3 = load_media_fp_index(spark, path)
+    assert idx3.fingerprints.count() == n_before - 1
+    got = _rows(media_candidates_against_index(batch, idx3, "doc_id", "fp", max_hamming=6, max_bucket=5))
+    assert got == want
+
+
+def test_media_index_video_clip_delete_by_composite_keys(spark, tmp_path):
+    from lakehouse_spark_spark.operators.mediaindex import (
+        delete_from_media_fp_index,
+        load_media_fp_index,
+        video_candidates_against_index,
+        write_media_fp_index,
+    )
+
+    stride = 1_000_000
+    rng = np.random.RandomState(3)
+    # two corpus clips (ids 1, 2) x 4 frames each, composite keys
+    rows = [
+        (c * stride + f, int(rng.randint(0, 2**62)))
+        for c in (1, 2)
+        for f in range(4)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, fp bigint")
+    path = str(tmp_path / "vid_idx")
+    write_media_fp_index(corpus, "doc_id", "fp", path, blocks=8, modality="video")
+    # the probe clip replays clip 1's frames under clip id 7
+    batch = spark.createDataFrame(
+        [(7 * stride + f, fp) for (k, fp) in rows if k // stride == 1 for f in [k % stride]],
+        "doc_id bigint, fp bigint",
+    )
+    idx = load_media_fp_index(spark, path)
+    before = video_candidates_against_index(
+        None, idx, max_hamming=6, min_matched_frames=3, frame_key_stride=stride,
+        frame_fps=batch,
+    )
+    assert any(r["corpus_id"] == 1 for r in before.collect())
+    delete_from_media_fp_index(spark, path, clip_ids=[1], frame_key_stride=stride)
+    idx2 = load_media_fp_index(spark, path)
+    after = video_candidates_against_index(
+        None, idx2, max_hamming=6, min_matched_frames=3, frame_key_stride=stride,
+        frame_fps=batch,
+    )
+    assert all(r["corpus_id"] != 1 for r in after.collect())
+
+
+# ------------------------------------------------------------------ ann
+
+
+def test_ann_index_delete_suppresses_and_purges(spark, tmp_path):
+    from lakehouse_spark_spark.operators.annindex import (
+        ann_index_topk,
+        compact_ann_index,
+        delete_from_ann_index,
+        load_ann_index,
+        write_ann_index,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(64)]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, vec array<double>")
+    path = str(tmp_path / "ann_idx")
+    write_ann_index(corpus, "doc_id", "vec", path, n_cells=4, m=2, k=4, panel_n=8)
+    q = spark.createDataFrame([(9000, rows[10][1])], "doc_id bigint, vec array<double>")
+    idx = load_ann_index(spark, path)
+    before = ann_index_topk(idx, q, "vec", k=3, n_probe=4)
+    assert any(r["neighbor_id"] == 10 for r in before.collect())
+
+    delete_from_ann_index(spark, path, [10])
+    idx2 = load_ann_index(spark, path)
+    after = ann_index_topk(idx2, q, "vec", k=3, n_probe=4)
+    assert all(r["neighbor_id"] != 10 for r in after.collect())
+    want = _rows(after)
+
+    compact_ann_index(spark, path)
+    idx3 = load_ann_index(spark, path)
+    raw = spark.read.parquet(idx3.cells_path)
+    assert raw.filter("doc_id = 10").count() == 0  # physically purged
+    got = _rows(ann_index_topk(idx3, q, "vec", k=3, n_probe=4))
+    assert got == want
+
+
+# ---------------------------------------------------------------- decon
+
+
+def test_decon_index_delete_suppresses_benchmark(spark, tmp_path):
+    from lakehouse_spark_spark.operators.contamination import (
+        contamination_hits_against_index,
+        delete_from_decon_index,
+        load_decon_index,
+        update_decon_index,
+        write_decon_index,
+    )
+
+    evals = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "dc_idx")
+    write_decon_index(evals, "doc_id", "text", path, n=4)
+    update_decon_index(
+        path,
+        spark.createDataFrame(
+            [(2, "one two three four five six seven eight nine")],
+            "doc_id bigint, text string",
+        ),
+        "doc_id", "text", batch_id=1,
+    )
+    train = spark.createDataFrame(
+        [(100, "contains alpha beta gamma delta splice"),
+         (101, "contains one two three four splice")],
+        "doc_id bigint, text string",
+    )
+    idx = load_decon_index(spark, path)
+    before = {r["doc_id"] for r in contamination_hits_against_index(train, idx, "doc_id", "text").collect()}
+    assert before == {100, 101}
+    delete_from_decon_index(spark, path, [1])  # benchmark 1 retired
+    idx2 = load_decon_index(spark, path)
+    after = {r["doc_id"] for r in contamination_hits_against_index(train, idx2, "doc_id", "text").collect()}
+    assert after == {101}
+
+
+# ------------------------------------------------------- shared protocol
+
+
+def test_add_tombstones_auto_epoch_and_exactly_once(spark, tmp_path):
+    base = str(tmp_path / "fam")
+    os.makedirs(base)
+    ids = spark.createDataFrame([(1,), (2,)], "__id bigint")
+    assert add_tombstones(ids, base) is True  # epoch 0
+    assert add_tombstones(ids, base) is True  # auto epoch 1 (new dir)
+    assert add_tombstones(ids, base, batch_id=1) is False  # replay skipped
+    tomb = load_tombstones(spark, base)
+    assert _rows(tomb) == [(1,), (2,)]  # distinct across epochs
+    assert load_tombstones(spark, str(tmp_path / "nope")) is None
+
+
+def test_maintain_runner_rebuilds_bloom_with_tombstones(spark, tmp_path):
+    from tools.maintain import maintain
+
+    base = str(tmp_path / "state")
+    path = os.path.join(base, "bloom_family")
+    corpus = _docs(spark, [(i, f"mt m{i:05d}") for i in range(15)])
+    write_dedup_index(corpus, "text", path, m_bits=1 << 14, k=5)
+    delete_from_dedup_index(path, _docs(spark, [(6, "mt m00006")]), text_col="text")
+    actions = maintain(spark, base, target_mb=64)
+    rec = next(a for a in actions if a["family"] == "bloom")
+    assert rec["rebuilt"] is True
+    assert not os.path.isdir(tombstone_dir(path))
+    idx = load_dedup_index(spark, path)
+    assert idx.hashes.count() == 14
+    disp = {
+        r["doc_id"]: r["dup_of_corpus"]
+        for r in dedup_against_corpus_bloom(
+            _docs(spark, [(70, "mt m00006"), (71, "mt m00007")]),
+            None, "doc_id", "text", index=idx,
+        ).collect()
+    }
+    assert disp == {70: False, 71: True}

@@ -9,8 +9,13 @@ on-disk metadata (no registry file to drift), and runs the family's
 maintenance in the safe order:
 
 - ``manifest.json`` with ``m_bits``            → Bloom dedup index:
-  compact_dedup_index (hash-set rewrite, distinct, versioned-filter GC
-  already handled by the family's own commits);
+  compact_dedup_index (hash-set rewrite, distinct, tombstone purge,
+  versioned-filter GC already handled by the family's own commits),
+  then — with ``--bloom-rebuild``, the default —
+  maybe_rebuild_dedup_index (manifest-read no-op unless the saturation
+  trail flags expected_fpp >= the threshold, or when active tombstones
+  exist: deletion is only fully materialized — bits re-derived, ledger
+  cleared — by the rebuild);
 - ``manifest.json`` with ``num_hashes``/``bands`` → MinHash-LSH
   near-dup index: compact_neardup_index (both tables, one atomic flip);
 - ``manifest.json`` with ``blocks``+``modality`` → media-fingerprint
@@ -79,7 +84,7 @@ def classify(path: str) -> str | None:
 
 def maintain(
     spark, base: str, target_mb: int = 256, ann_rebuild: bool = True, dry_run: bool = False,
-    merge_ledger_history: bool = False,
+    merge_ledger_history: bool = False, bloom_rebuild: bool = True,
 ) -> list[dict]:
     """Run (or plan, with dry_run) the full maintenance pass. Returns
     one action record per classified child."""
@@ -87,10 +92,18 @@ def maintain(
         compact_ann_index,
         maybe_rebuild_ann_index,
     )
-    from lakehouse_spark_spark.operators.bloom import compact_dedup_index
+    from lakehouse_spark_spark.operators.bloom import (
+        compact_dedup_index,
+        maybe_rebuild_dedup_index,
+        rebuild_dedup_index,
+    )
     from lakehouse_spark_spark.operators.mediaindex import compact_media_fp_index
     from lakehouse_spark_spark.operators.neardup import compact_neardup_index
-    from lakehouse_spark_spark.sources.sinks import compact_ledger_parquet, compact_parquet
+    from lakehouse_spark_spark.sources.sinks import (
+        compact_ledger_parquet,
+        compact_parquet,
+        load_tombstones,
+    )
 
     actions: list[dict] = []
     for name in sorted(os.listdir(base)):
@@ -104,6 +117,16 @@ def maintain(
         if not dry_run:
             if family == "bloom":
                 rec["hash_files"] = compact_dedup_index(spark, path, target_mb)
+                if bloom_rebuild:
+                    # active tombstones force the rebuild (bits cannot
+                    # be unset any other way — the deletion remedy);
+                    # otherwise it is the saturation policy's call
+                    if load_tombstones(spark, path) is not None:
+                        rebuild_dedup_index(spark, path)
+                        rec["rebuilt"] = True
+                    else:
+                        rebuilt, _ = maybe_rebuild_dedup_index(spark, path)
+                        rec["rebuilt"] = rebuilt
             elif family == "neardup":
                 sig, band = compact_neardup_index(spark, path, target_mb)
                 rec["signature_files"], rec["band_files"] = sig, band
@@ -116,8 +139,11 @@ def maintain(
                     rebuilt, _ = maybe_rebuild_ann_index(spark, path)
                     rec["rebuilt"] = rebuilt
             elif family == "decon":
+                tomb = load_tombstones(spark, path)
                 rec["shingle_files"] = compact_parquet(
-                    spark, os.path.join(path, "shingles"), target_mb, distinct=True
+                    spark, os.path.join(path, "shingles"), target_mb, distinct=True,
+                    exclude=tomb,
+                    exclude_on=["__eval_id"] if tomb is not None else None,
                 )
             elif family == "ledger":
                 rec["data_files"] = compact_ledger_parquet(
@@ -134,6 +160,11 @@ def main() -> None:
     ap.add_argument("--target-mb", type=int, default=256)
     ap.add_argument("--ann-rebuild", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument(
+        "--bloom-rebuild", action=argparse.BooleanOptionalAction, default=True,
+        help="rebuild-from-hashes when the saturation trail flags OR active "
+             "tombstones exist (the deletion remedy — filter bits cannot be unset)",
+    )
+    ap.add_argument(
         "--merge-ledger-history", action="store_true",
         help="collapse committed ledger epochs into one batch_id=-2 history "
              "partition (provenance kept in orig_batch_id) — the object-store "
@@ -149,6 +180,7 @@ def main() -> None:
     actions = maintain(
         spark, args.base, args.target_mb, args.ann_rebuild, args.dry_run,
         merge_ledger_history=args.merge_ledger_history,
+        bloom_rebuild=args.bloom_rebuild,
     )
     print(json.dumps({"base": args.base, "dry_run": args.dry_run, "actions": actions}))
 
