@@ -358,6 +358,10 @@ def main() -> None:
         "queries_detail": detail,
         "warm_median_total_sec": warm_median_total,
         "wall_sec_including_warm_reps": wall_with_warm,
+        # canary in the detail file too (r14): tools/bench_pair.py
+        # evaluates the pair-acceptance rule from detail files alone
+        "canary_sec": round(sum(canary.values()), 3),
+        "canary": canary,
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail_latest.json")

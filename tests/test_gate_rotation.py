@@ -41,11 +41,11 @@ def test_no_query_escapes_driver_verification():
     leftover = set(Q._REGISTRY) - prior - set(first50)
     assert leftover == set(), (
         f"queries with no driver check and outside the gate prefix "
-        f"(extend _GATE_ROTATION_R13 in the same commit): {sorted(leftover)}"
+        f"(extend _GATE_ROTATION_R14 in the same commit): {sorted(leftover)}"
     )
 
 
-def test_r13_gate_front_loads_oracle_bearing_entries():
+def test_r14_gate_front_loads_oracle_bearing_entries():
     """Oracle-bearing gate entries precede rows-only ones, so the
     driver records full hash checks for all of them even if it ever
     truncates below 50."""
@@ -56,65 +56,86 @@ def test_r13_gate_front_loads_oracle_bearing_entries():
     assert oracle_flags == sorted(oracle_flags, reverse=True), first50
 
 
-def test_r13_gate_covers_this_rounds_code_changes():
-    """Everything new or whose code changed in round 13 gets a driver
-    hash: the query born this round (the persisted media-fingerprint
-    ingest) and the rows-only queries riding the r13 reworks (the
-    shared Hamming-block join's hot-bucket cap + rescue star + auto
-    block mode; the disposition's pair-safe bump + verify stage; the
-    afp odd-multichannel quarantine)."""
+R14_NEW_OR_CHANGED = {
+    # born in r14
+    "index_takedown_lifecycle",
+    "media_index_skew_health",
+    "bloom_saturation_cycle",
+    # code touched in r14: tombstone anti-joins ride every persisted
+    # family's load path; the shared Hamming join + media wrappers
+    # gained the size-aware hot broadcast and approx_count plumbing;
+    # the ANN search tails re-apply the tombstone filter; the ingest
+    # loops record skew; the disposition passes footer-derived counts
+    "simhash_candidates",
+    "image_neardup_dhash",
+    "image_neardup_phash",
+    "audio_neardup_afp",
+    "video_neardup_phash",
+    "multimodal_dedup_disposition",
+    "media_neardup_persisted_ingest",
+    "neardup_persisted_ingest",
+    "bloom_incremental_dedup",
+    "bloom_persisted_ingest_run2",
+    "bloom_persisted_ingest_steady",
+    "decon_persisted_ingest",
+    "embedding_ivfpq_persisted_topk",
+    "embedding_ivfpq_distributed_topk",
+    "embedding_semdedup_persisted_ingest",
+    "embedding_semdedup_multiprobe",
+    "embedding_semantic_join_indexes",
+    "ann_index_rebuild_cycle",
+    "ann_index_health_diag",
+}
+
+
+def test_r14_gate_covers_this_rounds_code_changes():
+    """Everything new or whose code changed in round 14 gets a driver
+    hash: the three queries born this round (takedown lifecycle, skew
+    health, Bloom saturation cycle) and the rows-only/oracle queries
+    riding the r14 reworks (tombstones on every persisted load path,
+    size-aware hot broadcast, approx_count plumbing, skew recording)."""
     from lakehouse_spark_spark.plans import queries as Q
 
     first50 = set(list(Q.queries())[:50])
-    changed = {
-        "media_neardup_persisted_ingest",
-        "simhash_candidates",
-        "image_neardup_dhash",
-        "image_neardup_phash",
-        "audio_neardup_afp",
-        "video_neardup_phash",
-        "multimodal_dedup_disposition",
-    }
-    assert changed <= first50, sorted(changed - first50)
+    assert R14_NEW_OR_CHANGED <= first50, sorted(R14_NEW_OR_CHANGED - first50)
 
 
-def test_r13_gate_refreshes_the_stalest_coverage():
-    """The staleness contract for the r13 window: every slot that isn't
-    new/changed re-gates a query whose most recent driver hash is r7,
-    r8, or r9 — the oldest in the fleet after r12 drained the r7
-    oracle-bearing remnant and the r8 alphabetical prefix. A
+def test_r14_gate_refreshes_the_stalest_coverage():
+    """The staleness contract for the r14 window: every slot that isn't
+    new/changed re-gates a query whose most recent driver hash is r9 or
+    r10 — the oldest in the fleet after r13 drained the r8 remnant. A
     never-gated name in a stale slot fails loudly (it belongs in
     new_or_changed)."""
     import glob
 
     from lakehouse_spark_spark.plans import queries as Q
 
-    # r01..r12 only: the state the R13 list was cut FROM
+    # r01..r13 only: the state the R14 list was cut FROM
     last: dict[str, int] = {}
     for p in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9][0-9].json"))):
         rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
-        if rnd >= 13:
+        if rnd >= 14:
             continue
         for k in json.loads(pathlib.Path(p).read_text()):
             last[k] = max(last.get(k, 0), rnd)
-    new_or_changed = {
-        "media_neardup_persisted_ingest",
-        "simhash_candidates",
-        "image_neardup_dhash",
-        "image_neardup_phash",
-        "audio_neardup_afp",
-        "video_neardup_phash",
-        "multimodal_dedup_disposition",
-    }
-    stale_slots = [n for n in Q._GATE_ROTATION_R13 if n not in new_or_changed]
+    stale_slots = [n for n in Q._GATE_ROTATION_R14 if n not in R14_NEW_OR_CHANGED]
     never_gated = [n for n in stale_slots if n not in last]
     assert never_gated == [], (
         f"stale slots with no prior driver hash — move to new_or_changed "
         f"or fix the rotation: {never_gated}"
     )
-    assert all(last[n] in (7, 8, 9) for n in stale_slots), [
-        (n, last[n]) for n in stale_slots if last[n] not in (7, 8, 9)
+    assert all(last[n] in (9, 10) for n in stale_slots), [
+        (n, last[n]) for n in stale_slots if last[n] not in (9, 10)
     ]
+
+
+def test_r13_gate_recorded_exactly_its_rotation():
+    """Historical invariant: the committed CORRECTNESS_r13 artifact
+    covers exactly the round-13 rotation list."""
+    from lakehouse_spark_spark.plans import queries as Q
+
+    r13 = set(json.loads((REPO / "CORRECTNESS_r13.json").read_text()))
+    assert r13 == set(Q._GATE_ROTATION_R13)
 
 
 def test_r12_gate_recorded_exactly_its_rotation():
@@ -171,6 +192,7 @@ def test_rotation_lists_match_registry():
         Q._GATE_ROTATION_R11,
         Q._GATE_ROTATION_R12,
         Q._GATE_ROTATION_R13,
+        Q._GATE_ROTATION_R14,
     ):
         unknown = [n for n in rot if n not in Q._REGISTRY]
         assert unknown == [], f"rotation names not in registry: {unknown}"
@@ -181,6 +203,7 @@ def test_rotation_lists_match_registry():
     assert len(Q._GATE_ROTATION_R11) == 50
     assert len(Q._GATE_ROTATION_R12) == 50
     assert len(Q._GATE_ROTATION_R13) == 50
+    assert len(Q._GATE_ROTATION_R14) == 50
 
 
 def test_r11_gate_refreshes_the_stalest_coverage():

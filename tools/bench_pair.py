@@ -1,0 +1,107 @@
+"""Bench-pair acceptance under the r14 standing rule (the r13
+verdict's "What's wrong" #1, made mechanical):
+
+    python tools/bench_pair.py run1_detail.json run2_detail.json \
+        [--out merged_detail.json]
+
+The old criterion — back-to-back TOTALS within ±3% — is unsatisfiable
+on this host: the r13 close pair disagreed +21%, the r13 mid-session
+triple had no consecutive pair inside ±3% all day, and the r14 pre pair
+disagreed +11.6% while its MEDIAN per-query ratio was 1.010. The noise
+is one-sided and heavy-tailed (a handful of heavy queries catch a
+GC/boot excursion in one run; the bulk agrees to ~1%), so the rule is:
+
+- ACCEPTANCE: the median per-query warm-median ratio between the two
+  runs must be within ±3%. The median is robust to the few-query
+  excursions that moved the old sum; if the MEDIAN moves 3%, the host
+  (or the code) really changed and the pair is not a pair.
+- COMMITTED DETAIL: per-query MIN across the two runs. Noise is
+  one-sided additive (a query is never faster than the code allows, but
+  one bad GC makes it slower), so min-across-two is the boot-noise-
+  robust estimator of the code's cost. The merged detail records both
+  runs' values for audit.
+- CONTEXT: both runs' canary values and their ratio are echoed so the
+  round paragraph can quote host drift next to any cross-round delta.
+  (The r14 pre pair showed the canary can move OPPOSITE to a heavy-
+  tail excursion — it measures boot state, not per-query GC luck — so
+  it adjudicates ROUND-over-round drift, while min-merge handles
+  within-pair noise.)
+
+Output: one JSON line with the verdict + stats; ``--out`` additionally
+writes a merged detail file in the bench_detail_latest.json shape
+(warm_median_sec = per-query min; per-run values under ``pair``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+
+ACCEPT_MEDIAN_RATIO = 0.03
+
+
+def evaluate(d1: dict, d2: dict) -> tuple[dict, dict]:
+    q1 = {k: v["warm_median_sec"] for k, v in d1["queries_detail"].items()}
+    q2 = {k: v["warm_median_sec"] for k, v in d2["queries_detail"].items()}
+    common = sorted(set(q1) & set(q2))
+    ratios = [q2[k] / q1[k] for k in common if q1[k] > 0]
+    med = statistics.median(ratios)
+    t1, t2 = sum(q1[k] for k in common), sum(q2[k] for k in common)
+    merged_q = {k: round(min(q1[k], q2[k]), 3) for k in common}
+    c1, c2 = d1.get("canary_sec"), d2.get("canary_sec")
+    report = {
+        "metric": "bench_pair_acceptance",
+        "rule": "median per-query ratio within ±3%; committed detail = per-query min",
+        "n_queries": len(common),
+        "raw_total_1_sec": round(t1, 3),
+        "raw_total_2_sec": round(t2, 3),
+        "raw_total_delta_pct": round((t2 / t1 - 1) * 100, 2),
+        "median_query_ratio": round(med, 4),
+        "accepted": abs(med - 1.0) <= ACCEPT_MEDIAN_RATIO,
+        "min_merged_total_sec": round(sum(merged_q.values()), 3),
+        "canary_1_sec": c1,
+        "canary_2_sec": c2,
+        "canary_ratio": round(c2 / c1, 4) if c1 and c2 else None,
+    }
+    merged_detail = {
+        "metric": "headline_queries_detail",
+        "basis": "per_query_min_of_back_to_back_pair",
+        "queries_detail": {
+            k: {
+                "warm_median_sec": merged_q[k],
+                "pair": [q1[k], q2[k]],
+                # build/exec split from whichever run was faster
+                **{
+                    f: (d1 if q1[k] <= q2[k] else d2)["queries_detail"][k].get(f)
+                    for f in ("build_sec", "exec_sec", "first_run_sec")
+                },
+            }
+            for k in common
+        },
+        "warm_median_total_sec": report["min_merged_total_sec"],
+        "canary_sec": [c1, c2],
+        "sf": d1.get("sf"),
+        "pair_report": report,
+    }
+    return report, merged_detail
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("details", nargs=2, help="two bench detail JSONs, run order")
+    ap.add_argument("--out", help="write the min-merged detail JSON here")
+    args = ap.parse_args()
+    with open(args.details[0]) as fh:
+        d1 = json.load(fh)
+    with open(args.details[1]) as fh:
+        d2 = json.load(fh)
+    report, merged = evaluate(d1, d2)
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(merged, fh)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
