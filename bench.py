@@ -126,6 +126,14 @@ HEADLINE = [
     # batch 2 alone, the arrival-time cost the one-shot media lines
     # cannot show
     "media_neardup_persisted_ingest",
+    # round 14: the deletion/retraction story — fixture (five index
+    # builds + tombstone + purge) is cached outside the body; the warm
+    # line prices the five LIVE post-delete probes. Plus the two new
+    # health surfaces (manifest-trail readbacks over cached fixtures —
+    # cheap by design, gated for the contract not the cost).
+    "index_takedown_lifecycle",
+    "media_index_skew_health",
+    "bloom_saturation_cycle",
 ]
 
 
