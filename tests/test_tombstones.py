@@ -425,6 +425,51 @@ def test_add_tombstones_auto_epoch_and_exactly_once(spark, tmp_path):
     assert load_tombstones(spark, str(tmp_path / "nope")) is None
 
 
+def test_media_ingest_stream_delete_readmit_lifecycle(spark, tmp_path):
+    """The takedown lifecycle THROUGH the streaming loop: epoch 0 folds
+    novel assets; a takedown lands between epochs; epoch 1's re-upload
+    of the deleted content (new id — the ingest id contract) is
+    admitted as novel and folded; epoch 2's further copy is caught as a
+    dup of the RE-UPLOAD. Redraining all epochs afterward leaves the
+    kept ledger byte-identical (exactly-once) and the fold watermarks
+    no-op — deletion does not disturb the replay contracts."""
+    from lakehouse_spark_spark.operators.mediaindex import (
+        delete_from_media_fp_index,
+        load_media_fp_index,
+    )
+    from lakehouse_spark_spark.streaming.ingest import media_ingest_foreach_batch
+
+    path, kept = str(tmp_path / "st_idx"), str(tmp_path / "st_kept")
+    from lakehouse_spark_spark.operators.mediaindex import write_media_fp_index
+
+    write_media_fp_index(
+        _media_fps(spark, 20), "doc_id", "fp", path, blocks=8
+    )
+    fn = media_ingest_foreach_batch(path, "doc_id", "fp", kept, max_hamming=6)
+    special = 0x123456789AB
+    b0 = spark.createDataFrame([(500, special), (501, 77777)], "doc_id bigint, fp bigint")
+    fn(b0, 0)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(kept).collect()) == [500, 501]
+
+    delete_from_media_fp_index(spark, path, ids=[500])
+    b1 = spark.createDataFrame([(600, special)], "doc_id bigint, fp bigint")  # re-upload
+    fn(b1, 1)
+    kept_ids = sorted(r["doc_id"] for r in spark.read.parquet(kept).collect())
+    assert kept_ids == [500, 501, 600]  # admitted as novel (500 is tombstoned)
+
+    b2 = spark.createDataFrame([(700, special)], "doc_id bigint, fp bigint")  # future copy
+    fn(b2, 2)
+    kept_ids2 = sorted(r["doc_id"] for r in spark.read.parquet(kept).collect())
+    assert kept_ids2 == [500, 501, 600]  # caught as dup of the re-upload (600)
+
+    # redrain every epoch: ledger byte-identical, index row count stable
+    n_fp = load_media_fp_index(spark, path).fingerprints.count()
+    for i, b in enumerate((b0, b1, b2)):
+        fn(b, i)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(kept).collect()) == kept_ids2
+    assert load_media_fp_index(spark, path).fingerprints.count() == n_fp
+
+
 def test_maintain_runner_rebuilds_bloom_with_tombstones(spark, tmp_path):
     from tools.maintain import maintain
 
