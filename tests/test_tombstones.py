@@ -413,6 +413,107 @@ def test_decon_index_delete_suppresses_benchmark(spark, tmp_path):
 # ------------------------------------------------------- shared protocol
 
 
+def test_maintain_pass_purges_media_tombstones_probe_stable(spark, tmp_path):
+    """The out-of-band maintenance pass physically purges an id-keyed
+    family's tombstoned rows (its compaction does the anti-join) and
+    the post-delete probe is byte-identical before/after — deletion is
+    a load-time fact, the purge only makes it durable."""
+    from tools.maintain import maintain
+
+    from lakehouse_spark_spark.operators.mediaindex import (
+        delete_from_media_fp_index,
+        load_media_fp_index,
+        media_candidates_against_index,
+    )
+    from lakehouse_spark_spark.operators.mediaindex import write_media_fp_index
+
+    base = str(tmp_path / "state")
+    path = os.path.join(base, "media_family")
+    corpus = _media_fps(spark, 30)
+    write_media_fp_index(corpus, "doc_id", "fp", path, blocks=8)
+    fp3 = corpus.filter("doc_id = 3").collect()[0]["fp"]
+    batch = spark.createDataFrame([(903, fp3)], "doc_id bigint, fp bigint")
+    delete_from_media_fp_index(spark, path, ids=[3])
+    want = _rows(
+        media_candidates_against_index(
+            batch, load_media_fp_index(spark, path), "doc_id", "fp",
+            max_hamming=6, max_bucket=5,
+        )
+    )
+    n_raw = spark.read.parquet(os.path.join(path, "fingerprints")).count()
+    actions = maintain(spark, base, target_mb=64)
+    assert [a["family"] for a in actions] == ["mediaindex"]
+    idx = load_media_fp_index(spark, path)
+    import json as _json
+
+    mf = _json.load(open(os.path.join(path, "manifest.json")))
+    raw_after = spark.read.parquet(os.path.join(path, mf["fingerprints_dir"])).count()
+    assert raw_after == n_raw - 1  # physically purged by the pass
+    got = _rows(
+        media_candidates_against_index(batch, idx, "doc_id", "fp", max_hamming=6, max_bucket=5)
+    )
+    assert got == want
+    assert os.path.isdir(tombstone_dir(path))  # id-keyed ledger retained
+
+
+def test_ann_rebuild_after_delete_keeps_vector_out(spark, tmp_path):
+    """A rebuild re-trains from the tombstone-FILTERED corpus: the
+    deleted vector is absent from the re-encoded cells and from every
+    post-rebuild search, and the ledger survives the rebuild (only the
+    Bloom family may clear it)."""
+    from lakehouse_spark_spark.operators.annindex import (
+        ann_index_topk,
+        delete_from_ann_index,
+        load_ann_index,
+        rebuild_ann_index,
+        write_ann_index,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(6)]) for i in range(48)]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, vec array<double>")
+    path = str(tmp_path / "ann_rb")
+    write_ann_index(corpus, "doc_id", "vec", path, n_cells=4, m=2, k=4, panel_n=8)
+    delete_from_ann_index(spark, path, [7])
+    rebuilt = rebuild_ann_index(spark, path, n_cells=4)
+    raw = spark.read.parquet(rebuilt.cells_path)
+    assert raw.filter("doc_id = 7").count() == 0  # gone from the re-encode
+    q = spark.createDataFrame([(9000, rows[7][1])], "doc_id bigint, vec array<double>")
+    got = ann_index_topk(load_ann_index(spark, path), q, "vec", k=3, n_probe=4)
+    assert all(r["neighbor_id"] != 7 for r in got.collect())
+    assert os.path.isdir(tombstone_dir(path))
+
+
+def test_bloom_health_empty_for_pre_r14_manifest(spark, tmp_path):
+    """A manifest written before the health trail existed returns zero
+    health rows (no fake baselines) and maybe_rebuild is a no-op."""
+    import json as _json
+
+    from lakehouse_spark_spark.operators.bloom import (
+        bloom_build,
+        dedup_index_health,
+        maybe_rebuild_dedup_index,
+    )
+    from lakehouse_spark_spark.sources.sinks import write_manifest_atomic
+
+    path = str(tmp_path / "legacy")
+    docs = _docs(spark, [(i, f"lg {i}") for i in range(5)])
+    hashes = docs.select(F.xxhash64("text").cast("string").alias("content_hash"))
+    hashes.write.mode("overwrite").parquet(f"{path}/hashes")
+    bloom_build(hashes, "content_hash", 1 << 12, 4).write.mode("overwrite").parquet(
+        f"{path}/filter_v1"
+    )
+    # pre-r14 manifest shape: no health record
+    write_manifest_atomic(
+        path,
+        {"format": 2, "filter_dir": "filter_v1", "m_bits": 1 << 12, "k": 4,
+         "last_batch_id": None},
+    )
+    assert dedup_index_health(spark, path).count() == 0
+    rebuilt, _ = maybe_rebuild_dedup_index(spark, path)
+    assert not rebuilt
+
+
 def test_add_tombstones_auto_epoch_and_exactly_once(spark, tmp_path):
     base = str(tmp_path / "fam")
     os.makedirs(base)
