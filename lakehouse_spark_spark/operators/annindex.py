@@ -604,6 +604,12 @@ def compact_ann_index(spark: SparkSession, path: str, target_file_mb: int = 256)
     # retain the dir the rewrite actually read (== cur, except in the
     # legacy crash state where the data lives at cells__old)
     _gc_cells_versions(path, next_dir, retain_dir=os.path.basename(cells_path))
+    if tomb is not None:
+        # audit evidence (r15): the deletions this rewrite carried are
+        # now physically durable — stamp the purge watermark
+        from lakehouse_spark_spark.sources.sinks import record_tombstone_purge
+
+        record_tombstone_purge(path)
     return sum(
         1
         for dp, _, fs in os.walk(os.path.join(path, next_dir))

@@ -219,15 +219,26 @@ def _gc_filter_versions(path: str, keep_dir: str, retain_dir: str | None = None)
     gc_versioned_dirs(path, "filter", keep_dir, retain_dir, extra_legacy=("filter__tmp",))
 
 
-def _filter_fill_stats(filter_frame: DataFrame, m_bits: int, k: int) -> dict:
-    """Saturation measurement of a (word, bits) filter frame: one
-    ``bit_count`` aggregate over the <= m/64 rows the caller just wrote
-    (a KB-to-MB-scale scan — never the corpus). ``expected_fpp`` is the
-    standard (bits_set/m)^k estimate: the probability all k probes of a
-    NOVEL value land on set bits — i.e. the rate at which saturation
-    silently drops novel documents as dups."""
-    row = filter_frame.select(F.sum(F.bit_count("bits")).alias("__b")).collect()[0]
-    bits_set = int(row["__b"] or 0)
+def _write_filter_with_stats(
+    filter_frame: DataFrame, dest: str, m_bits: int, k: int
+) -> dict:
+    """Write a (word, bits) filter parquet AND measure its saturation
+    in the SAME Spark job: ``df.observe`` piggybacks the ``bit_count``
+    aggregate onto the write action, so the stats describe exactly the
+    rows written with zero extra jobs (r15 — the r14 version re-read
+    the parquet it had just written, one extra scan+job per build/fold
+    and the measured cause of that round's bloom bench upticks).
+    ``expected_fpp`` is the standard (bits_set/m)^k estimate: the
+    probability all k probes of a NOVEL value land on set bits — i.e.
+    the rate at which saturation silently drops novel documents as
+    dups."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    filter_frame.select("word", "bits").observe(
+        obs, F.sum(F.bit_count("bits")).alias("__b")
+    ).write.mode("overwrite").parquet(dest)
+    bits_set = int(obs.get["__b"] or 0)
     fill = bits_set / float(m_bits)
     return {
         "bits_set": bits_set,
@@ -248,15 +259,11 @@ def bloom_write(bloom: DataFrame, path: str, m_bits: int, k: int) -> None:
     local-FS-only assumption).
 
     The manifest also records the build-time saturation baseline
-    (``health`` — fill ratio + expected FPP measured from the written
-    filter; see :data:`BLOOM_REBUILD_FPP`), which
+    (``health`` — fill ratio + expected FPP observed on the write job
+    itself; see :data:`BLOOM_REBUILD_FPP`), which
     :func:`update_dedup_index` extends per fold and
     :func:`dedup_index_health` reads."""
-    bloom.select("word", "bits").write.mode("overwrite").parquet(f"{path}/filter_v1")
-    spark = bloom.sparkSession
-    baseline = _filter_fill_stats(
-        spark.read.parquet(f"{path}/filter_v1"), int(m_bits), int(k)
-    )
+    baseline = _write_filter_with_stats(bloom, f"{path}/filter_v1", int(m_bits), int(k))
     _write_manifest(
         path,
         {"format": 2, "filter_dir": "filter_v1", "m_bits": int(m_bits), "k": int(k),
@@ -354,27 +361,59 @@ def delete_from_dedup_index(
     This family is keyed on CONTENT: a later legitimate re-admission of
     the same content lifts its tombstone at fold time
     (:func:`update_dedup_index`) so the re-admitted copy can suppress
-    its own future dups again. Single-writer contract."""
+    its own future dups again. Single-writer contract.
+
+    Each tombstone row carries ``min_lift_epoch`` — the first fold
+    epoch allowed to lift it (r15 ADVICE): the ingest watermark at
+    delete time is ``last_batch_id``, so the one epoch that can still
+    REPLAY pre-delete data is ``last_batch_id + 1`` (streams fold
+    epochs in order, one in flight); a replayed fold at or below that
+    epoch re-presents the deleted hash without any re-admission having
+    happened, and lifting on it would resurrect the deletion. A
+    genuine re-admission racing the delete into exactly epoch
+    ``last_batch_id + 1`` is deferred, not lost: the hash stays
+    tombstoned until its NEXT copy folds at a later epoch (the
+    content-keyed self-heal)."""
     from lakehouse_spark_spark.sources.sinks import add_tombstones
 
+    mf = _read_manifest(path)
+    last = None if mf is None else mf.get("last_batch_id")
+    min_lift = (int(last) + 2) if last is not None else 1
     if text_col is not None:
         hashes = docs.select(content_hash(text_col).alias("content_hash"))
     else:
         hashes = docs.select(F.col(hash_col).alias("content_hash"))
-    hashes = hashes.filter(F.col("content_hash").isNotNull()).distinct()
+    hashes = (
+        hashes.filter(F.col("content_hash").isNotNull())
+        .distinct()
+        .withColumn("min_lift_epoch", F.lit(min_lift).cast("long"))
+    )
     return add_tombstones(hashes, path, batch_id)
 
 
-def _lift_tombstones(spark: SparkSession, path: str, readmitted: DataFrame) -> None:
+def _lift_tombstones(
+    spark: SparkSession, path: str, readmitted: DataFrame, batch_id: int | None = None
+) -> bool:
     """Remove re-admitted content hashes from the tombstone ledger —
     the Bloom family's content-keyed deletion quirk (id-keyed families
-    never lift). The ledger is rewritten minus the lifted hashes,
+    never lift). The ledger is rewritten minus the lifted ROWS,
     preserving the ``batch_id`` partition layout, and the floor bumps
     to the highest existing epoch so a replay of any pre-lift tombstone
     epoch is a committed no-op — without the bump, a replayed epoch
     whose partition dir the lift rewrote away could re-append the
     lifted hashes and silently re-suppress re-admitted content.
-    Single-writer (runs inside the fold)."""
+
+    Epoch guard (r15 ADVICE): a tombstone row is liftable by fold
+    epoch ``batch_id`` only when ``batch_id >= min_lift_epoch`` (the
+    delete-time watermark + 2, stamped by
+    :func:`delete_from_dedup_index`) — a CRASHED pre-delete epoch
+    replaying after the delete re-presents the hash without any
+    re-admission, and an unguarded lift silently resurrected it.
+    ``batch_id=None`` (an ad-hoc, non-replayable fold) lifts
+    unconditionally — there is no epoch to replay. Rows without the
+    column (pre-r15 ledgers) lift as before. Returns False when
+    nothing was liftable (no rewrite). Single-writer (runs inside the
+    fold)."""
     import json as _json
 
     from lakehouse_spark_spark.sources.sinks import (
@@ -385,6 +424,21 @@ def _lift_tombstones(spark: SparkSession, path: str, readmitted: DataFrame) -> N
     )
 
     tdir = tombstone_dir(path)
+    tomb = spark.read.parquet(tdir)
+    liftable = F.lit(True)
+    if batch_id is not None and "min_lift_epoch" in tomb.columns:
+        liftable = F.coalesce(F.col("min_lift_epoch"), F.lit(0)) <= F.lit(int(batch_id))
+    marked = tomb.join(
+        readmitted.select("content_hash").withColumn("__readmit", F.lit(True)),
+        "content_hash",
+        "left",
+    )
+    lifted = marked.filter(F.coalesce(F.col("__readmit"), F.lit(False)) & liftable)
+    if lifted.isEmpty():
+        return False
+    remaining = marked.filter(
+        ~(F.coalesce(F.col("__readmit"), F.lit(False)) & liftable)
+    ).drop("__readmit")
     epochs = [
         int(n.split("=", 1)[1])
         for n in os.listdir(tdir)
@@ -395,14 +449,22 @@ def _lift_tombstones(spark: SparkSession, path: str, readmitted: DataFrame) -> N
         [e for e in epochs if e >= 0] + ([old_floor] if old_floor is not None else []),
         default=None,
     )
-    remaining = spark.read.parquet(tdir).join(readmitted, "content_hash", "left_anti")
     drop = [c for c in ("orig_batch_id",) if c in remaining.columns]
     tmp = tdir.rstrip("/") + "__lift"
     remaining.drop(*drop).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     if floor is not None:
         with open(os.path.join(tmp, _LEDGER_MANIFEST), "w") as fh:
             _json.dump({"floor_batch_id": floor}, fh)
+    # the purge-state sidecar (r15 audit surface) survives the rewrite
+    from lakehouse_spark_spark.sources.sinks import _PURGE_STATE_FILENAME
+
+    ps = os.path.join(tdir, _PURGE_STATE_FILENAME)
+    if os.path.exists(ps):
+        import shutil as _shutil
+
+        _shutil.copy2(ps, os.path.join(tmp, _PURGE_STATE_FILENAME))
     _swap_dirs(tmp, tdir)
+    return True
 
 
 def update_dedup_index(
@@ -481,16 +543,19 @@ def update_dedup_index(
     merged = bloom_merge(cur_filter, bloom_build(new_rows, "content_hash", m_bits, k))
     cur_v = int(mf["filter_dir"].rsplit("_v", 1)[-1]) if "_v" in mf["filter_dir"] else 0
     next_dir = f"filter_v{cur_v + 1}"
-    merged.write.mode("overwrite").parquet(os.path.join(path, next_dir))
-    # saturation health (r14): measure the filter this fold just wrote
-    # (one bit_count aggregate over <= m/64 rows) and ride the SAME
-    # manifest write as the pointer flip — a crash loses neither or
-    # both, and a replayed epoch (no-op above) never double-records
-    stats = _filter_fill_stats(
-        spark.read.parquet(os.path.join(path, next_dir)), m_bits, k
-    )
+    # saturation health (r14): the fill stats ride the write job itself
+    # (df.observe — no re-read, r15) and the SAME manifest write as the
+    # pointer flip — a crash loses neither or both
+    stats = _write_filter_with_stats(merged, os.path.join(path, next_dir), m_bits, k)
     health = dict(mf.get("health") or {})
     trail = list(health.get("trail", []))[-(_BLOOM_HEALTH_TRAIL_MAX - 1):]
+    if batch_id is not None:
+        # a fold replayed after a crash between the pointer flip and
+        # the watermark advance would otherwise append a second entry
+        # for the same epoch (r15 ADVICE — the trail is deduped by
+        # batch_id, unlike the skew trail's documented at-least-once
+        # duplicates)
+        trail = [e for e in trail if e.get("batch_id") != int(batch_id)]
     trail.append({**stats, "batch_id": None if batch_id is None else int(batch_id)})
     mf2 = {**mf, "filter_dir": next_dir, "health": {**health, "trail": trail}}
     _write_manifest(path, mf2)
@@ -502,13 +567,16 @@ def update_dedup_index(
     # load-time anti-join would hide the re-admitted copy forever and
     # every future dup of it would sail through. Runs strictly BEFORE
     # the watermark advance: a crash after the advance would never
-    # replay the lift. The semi-join is one tiny job, guarded by the
-    # ledger's existence (zero cost for non-deleting indexes).
+    # replay the lift. Epoch-guarded (r15): a replayed pre-delete
+    # epoch is NOT a re-admission and must not lift (min_lift_epoch —
+    # see _lift_tombstones). The liftability check is one tiny job,
+    # guarded by the ledger's existence (zero cost for non-deleting
+    # indexes).
     from lakehouse_spark_spark.sources.sinks import load_tombstones
 
     tomb = load_tombstones(spark, path)
-    if tomb is not None and not tomb.join(new_rows, "content_hash", "semi").isEmpty():
-        _lift_tombstones(spark, path, new_rows)
+    if tomb is not None:
+        _lift_tombstones(spark, path, new_rows, batch_id=batch_id)
     new_rows.write.mode("append").parquet(f"{path}/hashes")
     if batch_id is not None:
         _write_manifest(path, {**mf2, "last_batch_id": int(batch_id)})
@@ -533,17 +601,27 @@ def compact_dedup_index(spark: SparkSession, path: str, target_file_mb: int = 25
 
     Tombstoned hashes (r14) are physically PURGED by the rewrite
     (``exclude=`` anti-join — deletion was already logically complete
-    at load time; this makes it durable on disk). The ledger itself is
-    retained: the filter's bits are still set, and a not-yet-
-    watermarked fold replay could re-append a purged row —
-    :func:`rebuild_dedup_index` is the point where the ledger can go."""
-    from lakehouse_spark_spark.sources.sinks import compact_parquet, load_tombstones
+    at load time; this makes it durable on disk), and the purge is
+    RECORDED in the ledger's purge-state sidecar (r15 — the audit
+    surface's evidence that a deletion is physically done, not just
+    logical). The ledger itself is retained: the filter's bits are
+    still set, and a not-yet-watermarked fold replay could re-append a
+    purged row — :func:`rebuild_dedup_index` is the bits remedy."""
+    from lakehouse_spark_spark.sources.sinks import (
+        compact_parquet,
+        load_tombstones,
+        record_tombstone_purge,
+    )
 
     tomb = load_tombstones(spark, path)
-    return compact_parquet(
+    n = compact_parquet(
         spark, f"{path}/hashes", target_file_mb, distinct=True,
-        exclude=tomb, exclude_on=["content_hash"] if tomb is not None else None,
+        exclude=tomb.select("content_hash") if tomb is not None else None,
+        exclude_on=["content_hash"] if tomb is not None else None,
     )
+    if tomb is not None:
+        record_tombstone_purge(path)
+    return n
 
 
 def rebuild_dedup_index(
@@ -566,10 +644,19 @@ def rebuild_dedup_index(
     - DELETION (tombstoned hashes — bits can never be unset): the
       rebuild first compacts the hash table with the tombstone purge
       (:func:`compact_dedup_index`), derives the fresh filter from the
-      PURGED set, and then — uniquely among the families — clears the
-      tombstone ledger: every deletion is now fully materialized (rows
-      purged, bits re-derived without them) and nothing on disk can
-      resurrect the rows (the watermark still no-ops replayed epochs).
+      PURGED set, and records ``rebuilt_through_epoch`` in the ledger's
+      purge-state sidecar: every deletion recorded up to that epoch is
+      now fully materialized (rows purged, bits re-derived without
+      them). The ledger itself is RETAINED (r15 ADVICE — clearing it
+      opened a replay-resurrection window: a fold epoch that ran
+      pre-delete but crashed before its watermark advance replays
+      AFTER the rebuild, re-appends the purged hash, and with no
+      tombstone left nothing suppresses it; the retained ledger's
+      anti-join plus the epoch-guarded lift in :func:`_lift_tombstones`
+      keep the replayed hash suppressed). The purge-state watermark is
+      what stops maintenance from rebuilding in a loop
+      (tools/maintain.py rebuilds only when tombstone epochs newer
+      than ``rebuilt_through_epoch`` exist).
 
     ``m_bits`` defaults to the smallest power of two giving
     ``bits_per_element`` bits per surviving hash (~0.5%% expected FPP
@@ -602,9 +689,8 @@ def rebuild_dedup_index(
     cur = mf["filter_dir"]
     cur_v = int(cur.rsplit("_v", 1)[-1]) if "_v" in cur else 0
     next_dir = f"filter_v{cur_v + 1}"
-    fresh.write.mode("overwrite").parquet(os.path.join(path, next_dir))
-    baseline = _filter_fill_stats(
-        spark.read.parquet(os.path.join(path, next_dir)), int(m_bits), int(k)
+    baseline = _write_filter_with_stats(
+        fresh, os.path.join(path, next_dir), int(m_bits), int(k)
     )
     _write_manifest(
         path,
@@ -612,14 +698,17 @@ def rebuild_dedup_index(
          "health": {"baseline": baseline, "trail": []}},
     )
     _gc_filter_versions(path, next_dir, retain_dir=cur)
-    # deletions are now fully materialized — the ledger has nothing
-    # left to guard (see docstring); clearing it returns load-time
-    # plans to the join-free fast path
-    import shutil
+    # deletions recorded so far are now fully materialized: stamp the
+    # rebuilt-through watermark so maintenance knows this (the ledger
+    # is RETAINED against the crashed-fold replay window — docstring)
+    from lakehouse_spark_spark.sources.sinks import (
+        record_tombstone_purge,
+        tombstone_max_epoch,
+    )
 
-    from lakehouse_spark_spark.sources.sinks import tombstone_dir
-
-    shutil.rmtree(tombstone_dir(path), ignore_errors=True)
+    mx = tombstone_max_epoch(path)
+    if mx is not None:
+        record_tombstone_purge(path, rebuilt_through_epoch=mx)
     return load_dedup_index(spark, path)
 
 

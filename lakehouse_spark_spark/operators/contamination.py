@@ -176,6 +176,31 @@ def delete_from_decon_index(spark, path: str, eval_ids, batch_id: int | None = N
     return add_tombstones(ids_to_frame(spark, eval_ids, "__eval_id"), path, batch_id)
 
 
+def compact_decon_index(spark, path: str, target_file_mb: int = 256) -> int:
+    """The decon family's maintenance pass in one place (r15 — it was
+    previously spelled inline by tools/maintain.py and the lifecycle
+    query): rewrite the shingle table distinct (duplicates from a
+    replayed half-append are correctness-neutral bloat) MINUS any
+    tombstoned benchmarks, and record the purge watermark in the
+    ledger's audit sidecar. Returns the new file count. Single-writer
+    contract, like every family compaction."""
+    from lakehouse_spark_spark.sources.sinks import (
+        compact_parquet,
+        load_tombstones,
+        record_tombstone_purge,
+    )
+
+    tomb = load_tombstones(spark, path)
+    n = compact_parquet(
+        spark, _os.path.join(path, "shingles"), target_file_mb, distinct=True,
+        exclude=tomb.select("__eval_id") if tomb is not None else None,
+        exclude_on=["__eval_id"] if tomb is not None else None,
+    )
+    if tomb is not None:
+        record_tombstone_purge(path)
+    return n
+
+
 def update_decon_index(
     path: str,
     new_eval: DataFrame,

@@ -825,6 +825,12 @@ def compact_neardup_index(spark: SparkSession, path: str, target_file_mb: int = 
             path, family, new_dirs[family],
             retain_dir=os.path.basename(_nd_resolve_dir(path, mf, family)),
         )
+    if tomb is not None:
+        # audit evidence (r15): the deletions this rewrite carried are
+        # now physically durable — stamp the purge watermark
+        from lakehouse_spark_spark.sources.sinks import record_tombstone_purge
+
+        record_tombstone_purge(path)
     return (counts[0], counts[1])
 
 

@@ -638,6 +638,91 @@ def curation_v5_ship(
     return docs.sparkSession.read.parquet(f"{out_dir}/accounting")
 
 
+def shipped_retraction_view(
+    shipped: DataFrame, retracted_ids: DataFrame | None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Stamp a shipped-corpus frame with ``retracted`` — the corpus-
+    membership half of the takedown protocol (r15; the r14 verdict's
+    lead item: a tombstoned asset must leave the SHIPPED accounting,
+    not just the indexes). ``retracted_ids`` is whatever the takedown
+    recorded — typically ``sinks.load_tombstones`` of the owning index
+    family (its id column is renamed onto ``id_col`` if needed), or
+    None for the no-takedowns fast path (a constant-false stamp, no
+    join in the plan). Downstream consumers either filter
+    ``NOT retracted`` (the serving view) or group by it (the
+    compliance accounting — :func:`shipped_retraction_accounting`)."""
+    if retracted_ids is None:
+        return shipped.withColumn("retracted", F.lit(False))
+    src = retracted_ids.columns[0] if id_col not in retracted_ids.columns else id_col
+    marks = (
+        retracted_ids.select(F.col(src).alias(id_col))
+        .distinct()
+        .withColumn("retracted", F.lit(True))
+    )
+    return shipped.join(marks, id_col, "left").withColumn(
+        "retracted", F.coalesce("retracted", F.lit(False))
+    )
+
+
+def shipped_retraction_accounting(
+    shipped: DataFrame,
+    retracted_ids: DataFrame | None,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-shard accounting that DISTINGUISHES retracted rows — the
+    evidence a legal takedown needs from the shipped corpus: how many
+    docs/tokens each shard still serves vs how many are retracted and
+    awaiting (or past) physical purge. One group-by over the shipped
+    frame:
+
+        (shard, n_docs, n_docs_retracted, total_tokens,
+         tokens_retracted, tokens_live)
+
+    ``n_docs``/``total_tokens`` keep the AS-SHIPPED meaning (they
+    reconcile against the original ship accounting even after the
+    view filters); the ``*_retracted``/``*_live`` split is the new
+    compliance dimension."""
+    stamped = shipped_retraction_view(shipped, retracted_ids, id_col)
+    ret = F.col("retracted")
+    return stamped.groupBy(F.col(shard_col).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ret.cast("long")).alias("n_docs_retracted"),
+        F.sum(tokens_col).alias("total_tokens"),
+        F.sum(F.when(ret, F.col(tokens_col)).otherwise(F.lit(0))).alias("tokens_retracted"),
+        F.sum(F.when(~ret, F.col(tokens_col)).otherwise(F.lit(0))).alias("tokens_live"),
+    )
+
+
+def retract_from_shipped(
+    spark, out_dir: str, retracted_ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """PHYSICALLY remove taken-down docs from a shipped corpus
+    (r15): rewrite ``out_dir``/shards minus the retracted ids,
+    preserving the shard partitioning (downstream loaders keep their
+    partition pruning), published via the standard rename-aside swap
+    (no data-loss window). The as-written ``accounting`` dir is left
+    intact — it is the historical record of what WAS shipped; the live
+    compliance surface is :func:`shipped_retraction_accounting` /
+    the ``NOT retracted`` serving view, both of which are correct
+    before AND after this rewrite (post-purge the anti-join simply
+    finds nothing). Returns the number of rows removed. Single-writer
+    contract, like every compaction."""
+    from lakehouse_spark_spark.sources.sinks import _swap_dirs
+
+    shards = f"{out_dir}/shards"
+    src = retracted_ids.columns[0] if id_col not in retracted_ids.columns else id_col
+    keys = retracted_ids.select(F.col(src).alias(id_col)).distinct()
+    df = spark.read.parquet(shards)
+    before = df.count()
+    kept = df.join(keys, id_col, "left_anti")
+    tmp = shards.rstrip("/") + "__retract"
+    kept.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    _swap_dirs(tmp, shards)
+    return before - spark.read.parquet(shards).count()
+
+
 def _main() -> None:
     """CLI: run the composed corpus pipeline (quality gate -> exact
     dedup -> near-dup -> disposition + report) over a documents parquet

@@ -1137,8 +1137,89 @@ _GATE_ROTATION_R14 = [
 ]
 
 
+# Round-15 rotation: gate debt stays zero. Window = the two queries
+# born this round (the takedown compliance audit and the retraction-
+# aware shipped accounting) + re-gates of everything the r15 reworks
+# execute (the takedown lifecycle rewritten: kept-ledger leg +
+# threaded probes + purge-state recording; the bloom fill stats moved
+# onto the write job via df.observe, riding both persisted-ingest
+# entries and the saturation cycle; the media streaming loop records
+# the kept-ledger owner sidecar, riding the skew-health query) +
+# maximal staleness refresh: the ENTIRE 41-key r10-gated remnant — the
+# oldest driver hashes in the fleet — plus the alphabetical prefix of
+# the r11-gated oracle pool (2). Oracle-bearing entries first per the
+# standing front-load invariant; invariant
+# (tests/test_gate_rotation.py): any query added to the registry after
+# this list was cut MUST be added here in the same commit.
+_GATE_ROTATION_R15 = [
+    # -- staleness re-gate: the r10 remnant, oracle-bearing (39) --
+    "curation_v5_shipped_accounting",
+    "customer_order_statuses",
+    "daily_event_anomaly",
+    "doc_tokens_outer_explode",
+    "doc_unigram_logprob",
+    "doc_unigram_logprob_headtail",
+    "documents_jsonl_robust_scan",
+    "embedding_stats_by_label",
+    "event_type_audience_overlap",
+    "event_type_bag_ops",
+    "events_cube",
+    "events_gapfill_ffill",
+    "events_grouping_sets",
+    "events_key_skew_report",
+    "events_metrics_unpivot",
+    "forecast_revenue_change",
+    "important_part_value",
+    "incremental_revenue_refresh",
+    "latest_event_per_user_maxby",
+    "monthly_cohort_retention",
+    "nation_customer_supplier_full",
+    "nation_market_share",
+    "order_price_histogram",
+    "order_quartiles_by_segment",
+    "orders_column_profile",
+    "orders_integrity_checksum",
+    "orders_variant_extract",
+    "orders_year_status_pivot",
+    "sequence_packing",
+    "sequence_packing_stats",
+    "source_dedup_leakage",
+    "source_token_entropy",
+    "span_trimmed_corpus",
+    "stratified_sample_documents",
+    "temperature_mixture_plan",
+    "tfidf_cosine_pairs_blocked",
+    "token_budget_sample_docs",
+    "training_corpus_disposition",
+    "weighted_doc_sample",
+    # -- born in r15, oracle-bearing: the retraction-aware shipped
+    #    accounting (the production shipped_retraction_accounting
+    #    surface under a deterministic pseudo-takedown rule) --
+    "curation_v5_retraction_accounting",
+    # -- oracle-bearing re-gates: code touched in r15 (bloom fill
+    #    stats observed on the write job — no parquet re-read) --
+    "bloom_persisted_ingest_run2",
+    "bloom_persisted_ingest_steady",
+    # -- staleness re-gate: start of the r11-gated oracle pool --
+    "active_buyers_intersect",
+    "bm25_doc_search",
+    # -- rows-only staleness re-gates: the r10 remnant's rows-only tail --
+    "embedding_pq_topk",
+    "minhash_lsh_candidates",
+    # -- rows-only: born in r15 (compliance audit) + re-gates of code
+    #    touched in r15 (lifecycle rewritten with the kept-ledger leg +
+    #    threaded probes; saturation cycle rides the observed fill
+    #    stats + retained-ledger rebuild; skew health rides the media
+    #    loop's owner-sidecar write) --
+    "takedown_audit",
+    "index_takedown_lifecycle",
+    "bloom_saturation_cycle",
+    "media_index_skew_health",
+]
+
+
 def _ordered_names() -> list[str]:
-    rot = [n for n in _GATE_ROTATION_R14 if n in _REGISTRY]
+    rot = [n for n in _GATE_ROTATION_R15 if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(rot)]
     return rot + rest
 
@@ -3004,28 +3085,33 @@ def media_neardup_persisted_ingest_q(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ==========================================================================
-# Takedown/retraction lifecycle across the five persisted families
-# (round 14, r13 verdict task 1): a training-data pipeline legally must
-# handle deletions, and until r14 nothing could ever be deleted. The
-# fixture (built once per process) writes all five index families from
-# the documents/embeddings tables, measures each family's match count
-# for a probe carrying a victim asset's content, tombstones the victim
-# (delete_from_*_index, exactly-once epoch 0), and compacts (physical
-# purge — purged row counts recorded at fixture time). The QUERY BODY
-# re-runs the post-delete probes LIVE against the persisted state —
-# the driver is verifying, every round this is gated, that no family's
-# probe ever returns the deleted asset again. rows-only: a stateful
-# delete/probe/purge cycle over five index formats is not expressible
-# as one SQL query; tests/test_tombstones.py pins the full contract
-# (suppression incl. rescue paths, re-admission as novel, replay
-# no-ops, purge-preserves-answers) per family.
+# Takedown/retraction lifecycle across the five persisted families AND
+# the kept corpus-membership ledger (round 14; extended round 15 — the
+# r14 verdict's lead item was that takedown stopped at the index
+# boundary while the streaming kept ledger still enumerated the
+# victim). The fixture (built once per process) writes all five index
+# families from the documents/embeddings tables — the MEDIA family's
+# victim arrives through the streaming ingest loop, so the kept ledger
+# (the corpus-membership record) lists it — measures each surface's
+# victim-match count, tombstones the victim (delete_from_*_index,
+# exactly-once epoch 0), and compacts (physical purge, including
+# purge_kept_ledger — purged row counts recorded at fixture time). The
+# QUERY BODY re-runs the post-delete probes LIVE against the persisted
+# state, OVERLAPPED on a driver thread pool (the six probes are
+# independent index reads; sequential scheduling made this the bench's
+# #2 heaviest line in r14): the driver is verifying, every gated
+# round, that no family's probe NOR the canonical kept-ledger read
+# (sinks.read_kept_ledger) ever returns the deleted asset again.
+# rows-only: a stateful delete/probe/purge cycle over five index
+# formats + a streaming ledger is not expressible as one SQL query;
+# tests/test_tombstones.py pins the full contract per family.
 # ==========================================================================
-@register(
-    "index_takedown_lifecycle",
-    oracle=None,  # stateful delete/probe/purge cycle across five index formats
-    doc="tombstone a victim asset in all five persisted families: live post-delete probes return 0 matches; purge counts from the compaction pass",
-)
-def index_takedown_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _takedown_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per process) the shared takedown fixture and return
+    its paths + victim probe frames. Shared by index_takedown_lifecycle
+    and takedown_audit — one delete/purge history, two gated readbacks
+    (the lifecycle proves suppression; the audit proves the compliance
+    ledger arithmetic over the same events)."""
     import os
 
     from lakehouse_spark_spark.operators import annindex as AI
@@ -3033,12 +3119,13 @@ def index_takedown_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators import contamination as CT
     from lakehouse_spark_spark.operators import mediaindex as MI
     from lakehouse_spark_spark.operators import neardup as ND
-    from lakehouse_spark_spark.operators.dedup import content_hash
+    from lakehouse_spark_spark.streaming.ingest import media_ingest_foreach_batch
 
     base = _bloom_fixture_dir(f"takedown:{sf_dir}", fresh=False)
     ready = os.path.join(base, "__fixture_ready")
-    p_bloom, p_nd, p_mi, p_ann, p_dc = (
-        os.path.join(base, d) for d in ("bloom", "neardup", "media", "ann", "decon")
+    p_bloom, p_nd, p_mi, p_ann, p_dc, p_kept = (
+        os.path.join(base, d)
+        for d in ("bloom", "neardup", "media", "ann", "decon", "media_kept")
     )
     docs = (
         _t(spark, sf_dir, "documents")
@@ -3069,8 +3156,9 @@ def index_takedown_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = docs.select(
         "doc_id", F.xxhash64("text").bitwiseAND(F.lit((1 << 62) - 1)).alias("fp")
     )
-    v_fp_batch = fps.filter(F.col("doc_id") == v_id).select(
-        (F.col("doc_id") + 90_000_000).alias("doc_id"), "fp"
+    v_fp = int(fps.filter(F.col("doc_id") == v_id).collect()[0]["fp"])
+    v_fp_batch = spark.createDataFrame(
+        [(90_000_000 + v_id, v_fp)], "doc_id bigint, fp bigint"
     )
     vecs = (
         _t(spark, sf_dir, "embeddings")
@@ -3083,48 +3171,39 @@ def index_takedown_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(90_000_002, [float(x) for x in v_vec["embedding"]])],
         "vec_id bigint, embedding array<float>",
     )
-
-    def probes() -> list[tuple]:
-        """LIVE post-state match counts per family — the thing the
-        driver re-verifies every gated round. Read-only."""
-        bloom_hits = (
-            B.dedup_against_corpus_bloom(
-                text_batch, None, "doc_id", "text", index=B.load_dedup_index(spark, p_bloom)
-            ).filter("dup_of_corpus").count()
-        )
-        nd_hits = (
-            ND.neardup_candidates_against_index(
-                text_batch, ND.load_neardup_index(spark, p_nd), "doc_id", "text",
-                max_bucket=50,
-            ).filter(F.col("corpus_id") == v_id).count()
-        )
-        mi_hits = (
-            MI.media_candidates_against_index(
-                v_fp_batch, MI.load_media_fp_index(spark, p_mi), "doc_id", "fp",
-                max_hamming=6, max_bucket=50,
-            ).filter(F.col("corpus_id") == v_id).count()
-        )
-        ann_hits = (
-            AI.ann_index_topk(AI.load_ann_index(spark, p_ann), vec_batch, "embedding", k=3, n_probe=4)
-            .filter(F.col("neighbor_id") == int(v_vec["vec_id"])).count()
-        )
-        dc_hits = (
-            CT.contamination_hits_against_index(
-                bench_batch, CT.load_decon_index(spark, p_dc), "doc_id", "text"
-            ).count()
-        )
-        return [
-            ("bloom", bloom_hits), ("neardup", nd_hits), ("media", mi_hits),
-            ("ann", ann_hits), ("decon", dc_hits),
-        ]
+    ctx = {
+        "base": base,
+        "paths": {"ann": p_ann, "bloom": p_bloom, "decon": p_dc, "media": p_mi,
+                  "neardup": p_nd},
+        "kept": p_kept,
+        "v_id": v_id,
+        "v_vec_id": int(v_vec["vec_id"]),
+        "text_batch": text_batch,
+        "bench_batch": bench_batch,
+        "v_fp_batch": v_fp_batch,
+        "vec_batch": vec_batch,
+    }
 
     if not os.path.exists(ready):
         B.write_dedup_index(docs, "text", p_bloom, m_bits=1 << 16, k=5)
         ND.write_neardup_index(docs, "doc_id", "text", p_nd, n=3, num_hashes=32, bands=8)
-        MI.write_media_fp_index(fps, "doc_id", "fp", p_mi, blocks=8)
+        # the MEDIA index starts WITHOUT the victim: the victim ARRIVES
+        # through the streaming loop, so the exactly-once kept ledger —
+        # the corpus-membership record a takedown must also reach —
+        # lists it (r15); a filler asset rides along so the ledger has
+        # survivors after the retraction
+        MI.write_media_fp_index(
+            fps.filter(F.col("doc_id") != v_id), "doc_id", "fp", p_mi, blocks=8
+        )
         AI.write_ann_index(vecs, "vec_id", "embedding", p_ann, n_cells=4, m=4, k=8, panel_n=8)
         CT.write_decon_index(bench, "doc_id", "text", p_dc, n=3)
-        pre = dict(probes())
+        stream_b0 = spark.createDataFrame(
+            [(v_id, v_fp), (60_000_000, 0x2D2D2D2D2D)], "doc_id bigint, fp bigint"
+        )
+        media_ingest_foreach_batch(p_mi, "doc_id", "fp", p_kept, max_hamming=6)(
+            stream_b0, 0
+        )
+        pre = dict(_takedown_probes(spark, ctx))
         # tombstone the victim everywhere (exactly-once epoch 0 — a
         # fixture rebuild replays as a committed no-op)
         B.delete_from_dedup_index(
@@ -3139,12 +3218,12 @@ def index_takedown_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # physical purge at compaction, counted per family from the
         # RAW on-disk tables (the loaded frames are tombstone-filtered,
         # so their counts would not move at purge time — the raw delta
-        # is the evidence the rows are physically gone)
+        # is the evidence the rows are physically gone). Every compact
+        # also stamps the purge watermark the audit surface reads.
         import json as _json
 
         from lakehouse_spark_spark.sources.sinks import (
-            compact_parquet,
-            load_tombstones,
+            purge_kept_ledger,
             resolve_versioned_dir,
         )
 
@@ -3169,25 +3248,156 @@ def index_takedown_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n0 = _raw(p_ann, "cells")
         AI.compact_ann_index(spark, p_ann)
         purged["ann"] = n0 - _raw(p_ann, "cells")
-        tomb = load_tombstones(spark, p_dc)
         n0 = _n(os.path.join(p_dc, "shingles"))
-        compact_parquet(spark, os.path.join(p_dc, "shingles"), distinct=True,
-                        exclude=tomb, exclude_on=["__eval_id"])
+        CT.compact_decon_index(spark, p_dc)
         purged["decon"] = n0 - _n(os.path.join(p_dc, "shingles"))
+        # the kept ledger's physical retraction rides its compaction
+        # (the owner sidecar routes the owning index's tombstones in)
+        n0 = _n(p_kept)
+        purge_kept_ledger(spark, p_kept)
+        purged["media_kept_ledger"] = n0 - _n(p_kept)
+        fams = ["ann", "bloom", "decon", "media", "media_kept_ledger", "neardup"]
         spark.createDataFrame(
-            [(f, int(pre[f]), int(purged[f])) for f, _ in probes()],
+            [(f, int(pre[f]), int(purged[f])) for f in fams],
             "family string, matches_pre bigint, purged_rows bigint",
         ).write.mode("overwrite").parquet(os.path.join(base, "stats"))
         open(ready, "w").close()
-    stats = spark.read.parquet(os.path.join(base, "stats"))
+    return ctx
+
+
+def _takedown_probes(spark: SparkSession, ctx: dict) -> list[tuple]:
+    """LIVE victim-match counts per takedown surface — the thing the
+    driver re-verifies every gated round. Read-only. The six probes
+    are independent index/ledger reads, so they run OVERLAPPED on
+    driver threads (the r13 disposition pattern — separate driver
+    threads schedule their Spark jobs concurrently; r15, ~2x wall-time
+    cut on the bench's #2 heaviest line)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lakehouse_spark_spark.operators import annindex as AI
+    from lakehouse_spark_spark.operators import bloom as B
+    from lakehouse_spark_spark.operators import contamination as CT
+    from lakehouse_spark_spark.operators import mediaindex as MI
+    from lakehouse_spark_spark.operators import neardup as ND
+    from lakehouse_spark_spark.sources.sinks import read_kept_ledger
+
+    p = ctx["paths"]
+    v_id = ctx["v_id"]
+
+    def bloom_hits() -> int:
+        return (
+            B.dedup_against_corpus_bloom(
+                ctx["text_batch"], None, "doc_id", "text",
+                index=B.load_dedup_index(spark, p["bloom"]),
+            ).filter("dup_of_corpus").count()
+        )
+
+    def nd_hits() -> int:
+        return (
+            ND.neardup_candidates_against_index(
+                ctx["text_batch"], ND.load_neardup_index(spark, p["neardup"]),
+                "doc_id", "text", max_bucket=50,
+            ).filter(F.col("corpus_id") == v_id).count()
+        )
+
+    def mi_hits() -> int:
+        return (
+            MI.media_candidates_against_index(
+                ctx["v_fp_batch"], MI.load_media_fp_index(spark, p["media"]),
+                "doc_id", "fp", max_hamming=6, max_bucket=50,
+            ).filter(F.col("corpus_id") == v_id).count()
+        )
+
+    def ann_hits() -> int:
+        return (
+            AI.ann_index_topk(
+                AI.load_ann_index(spark, p["ann"]), ctx["vec_batch"], "embedding",
+                k=3, n_probe=4,
+            ).filter(F.col("neighbor_id") == ctx["v_vec_id"]).count()
+        )
+
+    def dc_hits() -> int:
+        return (
+            CT.contamination_hits_against_index(
+                ctx["bench_batch"], CT.load_decon_index(spark, p["decon"]), "doc_id", "text"
+            ).count()
+        )
+
+    def ledger_hits() -> int:
+        # the CANONICAL corpus-membership read (r15): the raw parquet
+        # still lists the victim until the purge, but the one reader
+        # consumers go through anti-joins the owning family's
+        # tombstones — takedown reaches membership, not just probes
+        return (
+            read_kept_ledger(spark, ctx["kept"])
+            .filter(F.col("doc_id") == v_id)
+            .count()
+        )
+
+    tasks = [
+        ("ann", ann_hits), ("bloom", bloom_hits), ("decon", dc_hits),
+        ("media", mi_hits), ("media_kept_ledger", ledger_hits), ("neardup", nd_hits),
+    ]
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        futs = [(name, pool.submit(fn)) for name, fn in tasks]
+        return [(name, int(f.result())) for name, f in futs]
+
+
+@register(
+    "index_takedown_lifecycle",
+    oracle=None,  # stateful delete/probe/purge cycle across five index formats + a streaming ledger
+    doc="tombstone a victim asset in all five persisted families + the streaming kept ledger: live post-delete probes and the canonical membership read return 0 matches; purge counts from the compaction pass",
+)
+def index_takedown_lifecycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    ctx = _takedown_fixture(spark, sf_dir)
+    stats = spark.read.parquet(os.path.join(ctx["base"], "stats"))
     live = spark.createDataFrame(
-        [(f, int(n)) for f, n in probes()], "family string, matches_post_delete bigint"
+        [(f, int(n)) for f, n in _takedown_probes(spark, ctx)],
+        "family string, matches_post_delete bigint",
     )
     return (
         stats.join(live, "family")
         .select("family", "matches_pre", "matches_post_delete", "purged_rows")
         .orderBy("family")
     )
+
+
+# ==========================================================================
+# Takedown compliance audit (round 15, r14 verdict Missing #3): the
+# tombstone ledgers record WHAT was deleted; a compliance review needs
+# WHEN and WHETHER the physical purge caught up. This query reads each
+# family's tombstone ledger epochs + the purge-state sidecar every
+# compaction stamps (sinks.record_tombstone_purge) over the SAME
+# takedown fixture the lifecycle query drives — ledger arithmetic over
+# real delete/purge events, re-verified LIVE every gated round.
+# rows-only: driver-side manifest/ledger readback;
+# tests/test_tombstones.py pins the epoch/purge arithmetic.
+# ==========================================================================
+@register(
+    "takedown_audit",
+    oracle=None,  # manifest/ledger readback of delete + purge watermarks
+    doc="compliance evidence per persisted family: active tombstones, ledger epoch range, physical-purge watermark, fully_purged verdict",
+)
+def takedown_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.sources.sinks import tombstone_ledger_stats
+
+    ctx = _takedown_fixture(spark, sf_dir)
+    rows = []
+    for fam in sorted(ctx["paths"]):
+        s = tombstone_ledger_stats(spark, ctx["paths"][fam])
+        rows.append(
+            (fam, s["active_tombstones"], s["ledger_epoch_dirs"], s["max_epoch"],
+             s["floor_epoch"], s["purged_through_epoch"], s["rebuilt_through_epoch"],
+             s["fully_purged"])
+        )
+    return spark.createDataFrame(
+        rows,
+        "family string, active_tombstones bigint, ledger_epoch_dirs int, "
+        "max_epoch bigint, floor_epoch bigint, purged_through_epoch bigint, "
+        "rebuilt_through_epoch bigint, fully_purged boolean",
+    ).orderBy("family")
 
 
 # ==========================================================================
@@ -8479,6 +8689,63 @@ def curation_v5_shipped_accounting_q(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum("n_tokens").alias("total_tokens"),
         F.expr("CAST((sum(n_tokens) + 255) DIV 256 AS BIGINT)").alias("n_sequences"),
         F.sum(F.col("straddles").cast("long")).alias("n_straddles"),
+    )
+
+
+# ==========================================================================
+# Retraction-aware shipped accounting (round 15, the r14 verdict's
+# lead item, part 3): a takedown must reach the SHIPPED corpus's
+# accounting, not just the indexes. This is the oracle-exact twin of
+# the production surface (plans/corpus.shipped_retraction_accounting —
+# the very function a real pipeline feeds with
+# sinks.load_tombstones(owning family)): the v3 chain's kept_train
+# split is packed (chunk twin, as in curation_v5_shipped_accounting)
+# and a DETERMINISTIC pseudo-takedown set (doc_id % 97 == 0 — the
+# oracle must reproduce it, so it is a rule, not a live ledger) flows
+# through the retraction stamp. Per shard: as-shipped totals
+# (reconciling against the original accounting) + the retracted/live
+# compliance split. The LIVE-ledger wiring of the same function is
+# proven by the takedown lifecycle + tests/test_retraction.py.
+# ==========================================================================
+@register(
+    "curation_v5_retraction_accounting",
+    oracle=_CURATION_V3_CTES
+    + """,
+    kept AS (SELECT doc_id, source, kept_tokens FROM final
+             WHERE disposition = 'kept_train')
+    SELECT source AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_retracted,
+           CAST(SUM(kept_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN kept_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_retracted,
+           CAST(SUM(CASE WHEN doc_id % 97 <> 0 THEN kept_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_live
+    FROM kept GROUP BY source
+    """,
+    doc="shipped-corpus accounting with the takedown split: per-shard as-shipped totals + retracted vs live docs/tokens (the compliance view a legal takedown needs)",
+)
+def curation_v5_retraction_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark_spark.operators.packing import pack_sequences
+    from lakehouse_spark_spark.plans.corpus import (
+        curation_v3_docs,
+        shipped_retraction_accounting,
+    )
+
+    disp = curation_v3_docs(_t(spark, sf_dir, "documents"))
+    kept = disp.filter(F.col("disposition") == "kept_train").select(
+        "doc_id", "source", "kept_tokens"
+    )
+    packed = pack_sequences(kept, "doc_id", "kept_tokens", 256, "source")
+    retracted = kept.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    return shipped_retraction_accounting(packed, retracted).select(
+        "shard",
+        "n_docs",
+        "n_docs_retracted",
+        "total_tokens",
+        "tokens_retracted",
+        "tokens_live",
     )
 
 

@@ -248,7 +248,8 @@ def _ledger_floor(base_dir: str) -> int | None:
 
 
 def compact_ledger_parquet(
-    spark, base_dir: str, target_file_mb: int = 256, merge_history: bool = False
+    spark, base_dir: str, target_file_mb: int = 256, merge_history: bool = False,
+    exclude: "DataFrame | None" = None, exclude_on: list[str] | None = None,
 ) -> int:
     """Ledger-aware compaction — the maintenance job an
     :func:`append_once_parquet` ledger can actually use (the flat
@@ -280,7 +281,18 @@ def compact_ledger_parquet(
     stream whose per-epoch dir count ever dominates: one history dir of
     size-targeted files + a handful of live epoch dirs, with exact
     provenance intact and the exactly-once contract unchanged (floor
-    covers merged epochs; dirs cover live ones)."""
+    covers merged epochs; dirs cover live ones).
+
+    ``exclude`` (with ``exclude_on`` join keys) anti-joins rows OUT
+    during the rewrite — the KEPT-LEDGER physical-purge hook (r15): a
+    takedown must leave the corpus-membership ledgers too, not just
+    the indexes, and the compaction is the one moment the whole ledger
+    is rewritten anyway. The per-epoch partition layout survives (an
+    epoch whose every row is excluded keeps an EMPTY dir is not
+    guaranteed — the replay exists-check is covered by the floor
+    manifest, which this function always writes at the current max
+    epoch, so a fully-purged epoch still replays as a committed
+    no-op)."""
     import json
     import math
     import os
@@ -301,6 +313,8 @@ def compact_ledger_parquet(
     size = sum(os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(base_dir) for f in fs)
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(base_dir)  # batch_id inferred as partition column
+    if exclude is not None:
+        df = df.join(exclude, exclude_on or exclude.columns, "left_anti")
     merged = bool(prior.get("history_merged", False))
     if merge_history or merged:
         # provenance column: keep existing values (already-merged rows),
@@ -329,6 +343,16 @@ def compact_ledger_parquet(
     df.repartition(n_files, "batch_id").write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     with open(os.path.join(tmp, _LEDGER_MANIFEST), "w") as fh:
         json.dump({**prior, "floor_batch_id": floor, "history_merged": merged}, fh)
+    # sidecars must survive the rewrite (r15): losing the kept-ledger
+    # owner record would silently turn the canonical tombstone-filtered
+    # read back into a plain one until the next epoch re-records it;
+    # losing the purge-state record would erase the audit trail
+    import shutil as _shutil
+
+    for sidecar in (_KEPT_OWNER_FILENAME, _PURGE_STATE_FILENAME):
+        p = os.path.join(base_dir, sidecar)
+        if os.path.exists(p):
+            _shutil.copy2(p, os.path.join(tmp, sidecar))
     _swap_dirs(tmp, base_dir)
     return sum(
         1 for dp, _, fs in os.walk(base_dir) for f in fs if f.startswith("part-") and f.endswith(".parquet")
@@ -516,7 +540,8 @@ def load_tombstones(spark, base_dir: str) -> "DataFrame | None":
     anti-join entirely, keeping non-deleting plans byte-identical to
     pre-tombstone ones). Ledger bookkeeping columns (the ``batch_id``
     partition column, ``orig_batch_id`` provenance after a history
-    merge) are dropped — consumers join on the id column alone."""
+    merge, the bloom family's ``min_lift_epoch`` replay guard) are
+    dropped — consumers join on the id column alone."""
     import os
 
     tdir = tombstone_dir(base_dir)
@@ -527,7 +552,7 @@ def load_tombstones(spark, base_dir: str) -> "DataFrame | None":
     if not any(n.startswith("batch_id=") for n in os.listdir(tdir)):
         return None
     df = spark.read.parquet(tdir)
-    drop = [c for c in ("batch_id", "orig_batch_id") if c in df.columns]
+    drop = [c for c in ("batch_id", "orig_batch_id", "min_lift_epoch") if c in df.columns]
     return df.drop(*drop).distinct()
 
 
@@ -558,12 +583,20 @@ def parquet_footer_rows(path: str) -> int | None:
 
 
 def ids_to_frame(
-    spark, ids, out_col: str, id_col: str | None = None, dtype: str = "long"
+    spark, ids, out_col: str, id_col: str | None = None, dtype: str | None = None
 ) -> DataFrame:
     """Normalize a caller's deletion request into the one-column frame
     the tombstone ledger stores: accepts a DataFrame (``id_col``, or
     its only column) or a plain iterable of values (takedown requests
-    usually arrive as a handful of ids, not a frame)."""
+    usually arrive as a handful of ids, not a frame).
+
+    Type safety (r15 ADVICE): a DataFrame's id column keeps ITS OWN
+    type by default — the old unconditional cast-to-long turned a
+    string-keyed index's tombstones into all-NULL rows, and NULLs
+    never match an anti-join, so the takedown silently no-opped. When
+    ``dtype`` IS requested, a cast that nulls a non-null id raises
+    instead of recording a ledger that can never match. Iterable input
+    infers string vs long from the values."""
     from pyspark.sql import functions as F
 
     if isinstance(ids, DataFrame):
@@ -572,5 +605,225 @@ def ids_to_frame(
             raise ValueError(
                 f"ids_to_frame: pass id_col= to pick among columns {ids.columns}"
             )
-        return ids.select(F.col(col).cast(dtype).alias(out_col)).distinct()
-    return spark.createDataFrame([(v,) for v in ids], f"{out_col} {dtype}").distinct()
+        out = ids.select(F.col(col).alias(out_col)).distinct()
+        if dtype is not None:
+            # try_cast: ANSI mode would otherwise THROW mid-job on the
+            # first malformed value — the point here is a clear error
+            # naming the takedown consequence
+            bad = out.filter(
+                F.col(out_col).isNotNull() & F.col(out_col).try_cast(dtype).isNull()
+            )
+            if not bad.isEmpty():
+                raise ValueError(
+                    f"ids_to_frame: casting {col!r} to {dtype} nulls real id "
+                    "values — the resulting tombstones would never match; pass "
+                    "the ids in the column's own type"
+                )
+            out = out.select(F.col(out_col).cast(dtype).alias(out_col))
+        return out
+    vals = list(ids)
+    if dtype is None:
+        dtype = "string" if any(isinstance(v, str) for v in vals) else "long"
+    return spark.createDataFrame([(v,) for v in vals], f"{out_col} {dtype}").distinct()
+
+
+def tombstone_max_epoch(base_dir: str) -> int | None:
+    """Highest tombstone epoch recorded for a family base dir — the max
+    over the ledger's live ``batch_id=`` dirs and its compaction floor.
+    None when no tombstone ledger exists (or it is empty)."""
+    tdir = tombstone_dir(base_dir)
+    if not os.path.isdir(tdir):
+        return None
+    epochs = [
+        int(n.split("=", 1)[1]) for n in os.listdir(tdir) if n.startswith("batch_id=")
+    ]
+    floor = _ledger_floor(tdir)
+    return max(
+        [e for e in epochs if e >= 0] + ([floor] if floor is not None else []),
+        default=None,
+    )
+
+
+_PURGE_STATE_FILENAME = ".purge_state.json"
+
+
+def record_tombstone_purge(base_dir: str, **extra) -> None:
+    """Compliance bookkeeping for a physical purge (r15; the r14
+    verdict's Missing #3): after a family's compaction anti-joined its
+    tombstoned rows out of the data tables, record HOW FAR the purge
+    reached — ``purged_through_epoch`` = the highest tombstone epoch
+    whose deletions are now durable on disk. Written as an atomic
+    whole-file sidecar inside the tombstone ledger dir, so the audit
+    surface (:func:`tombstone_ledger_stats`) can answer the question a
+    legal team actually asks: "is the deletion merely logical, or
+    physically gone — and since when?" ``extra`` lets a family record
+    its own remedies (the Bloom rebuild writes
+    ``rebuilt_through_epoch`` — bits re-derived without the deleted
+    hashes). Keys accumulate across writes (a compaction after a
+    rebuild must not erase the rebuild watermark)."""
+    tdir = tombstone_dir(base_dir)
+    if not os.path.isdir(tdir):
+        return
+    prior = tombstone_purge_state(base_dir) or {}
+    mx = tombstone_max_epoch(base_dir)
+    state = {**prior, **extra}
+    if mx is not None:
+        state["purged_through_epoch"] = mx
+    write_manifest_atomic(tdir, state, filename=_PURGE_STATE_FILENAME)
+
+
+def tombstone_purge_state(base_dir: str) -> dict | None:
+    """The recorded purge watermarks for a family's tombstone ledger,
+    or None when nothing was ever purged (or no ledger exists)."""
+    import json
+
+    p = os.path.join(tombstone_dir(base_dir), _PURGE_STATE_FILENAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def tombstone_ledger_stats(spark, base_dir: str) -> dict:
+    """One audit record for a family base dir — the compliance-evidence
+    readback (r15): how many ids are actively tombstoned, the ledger's
+    epoch range, and whether/when the physical purge caught up.
+    ``fully_purged`` is the deliverable: every recorded deletion is
+    durable on disk (purge watermark at or past the newest tombstone
+    epoch). A family with no ledger reports zeros — nothing was ever
+    deleted. Cost: driver-side listings + one KB-scale ledger count."""
+    tdir = tombstone_dir(base_dir)
+    state = tombstone_purge_state(base_dir) or {}
+    mx = tombstone_max_epoch(base_dir)
+    tomb = load_tombstones(spark, base_dir)
+    active = 0 if tomb is None else tomb.count()
+    epochs = 0
+    if os.path.isdir(tdir):
+        epochs = sum(1 for n in os.listdir(tdir) if n.startswith("batch_id="))
+    purged_through = state.get("purged_through_epoch")
+    return {
+        "active_tombstones": int(active),
+        "ledger_epoch_dirs": int(epochs),
+        "max_epoch": None if mx is None else int(mx),
+        "floor_epoch": _ledger_floor(tdir) if os.path.isdir(tdir) else None,
+        "purged_through_epoch": None if purged_through is None else int(purged_through),
+        "rebuilt_through_epoch": (
+            None if state.get("rebuilt_through_epoch") is None
+            else int(state["rebuilt_through_epoch"])
+        ),
+        "fully_purged": bool(
+            mx is None or (purged_through is not None and int(purged_through) >= mx)
+        ),
+    }
+
+
+# --- kept-ledger ownership: takedown reaches corpus membership --------
+# (r15; the r14 verdict's lead item): the streaming loops' kept ledgers
+# ARE the corpus-membership record — a takedown that only silences
+# future index probes leaves the victim enumerated there. Each loop
+# records WHICH index family owns its kept ledger (an atomic JSON
+# sidecar next to the ledger), and every kept-ledger read goes through
+# :func:`read_kept_ledger` — ONE filter point that anti-joins the
+# owning family's tombstones (the load_*_index pattern, applied to the
+# ledger). Physical purge rides :func:`purge_kept_ledger` (the ledger
+# compaction with ``exclude=``). No tombstones → no join; a ledger
+# with no owner sidecar reads as plain parquet (pre-r15 ledgers).
+
+_KEPT_OWNER_FILENAME = ".kept_owner.json"
+
+
+def record_kept_ledger_owner(kept_out: str, owners: list[dict]) -> None:
+    """Declare the index families whose tombstones govern a kept
+    ledger. ``owners``: one dict per family —
+    ``{"index_path": ..., "ledger_col": <ledger id column>,
+    "tombstone_col": <the family's tombstone column>}``, plus
+    ``"stride"`` for a video frame index whose tombstones are
+    composite ``clip*stride + frame`` keys (mapped to clip ids for the
+    clip-keyed ledger). Atomic whole-file write; idempotent — the
+    loops re-record every epoch (cheap, and a moved/recreated ledger
+    heals itself)."""
+    os.makedirs(kept_out, exist_ok=True)
+    write_manifest_atomic(kept_out, {"owners": owners}, filename=_KEPT_OWNER_FILENAME)
+
+
+def kept_ledger_owners(kept_out: str) -> list[dict]:
+    """The recorded owner families for a kept ledger ([] when none —
+    a pre-r15 ledger or a non-streaming table)."""
+    import json
+
+    p = os.path.join(kept_out, _KEPT_OWNER_FILENAME)
+    if not os.path.exists(p):
+        return []
+    with open(p) as fh:
+        return list(json.load(fh).get("owners", []))
+
+
+def _owner_exclusion_keys(spark, owner: dict) -> "DataFrame | None":
+    """The ledger-keyed exclusion frame for one owner family: its
+    tombstone ids, renamed (and for a video frame index, collapsed
+    ``key DIV stride``) to the kept ledger's id column. None when the
+    family has no active tombstones."""
+    from pyspark.sql import functions as F
+
+    tomb = load_tombstones(spark, owner["index_path"])
+    if tomb is None:
+        return None
+    key = tomb.select(F.col(owner["tombstone_col"]).alias("__k"))
+    stride = owner.get("stride")
+    if stride:
+        key = key.select(F.expr(f"__k DIV {int(stride)}").alias("__k"))
+    return key.select(F.col("__k").alias(owner["ledger_col"])).distinct()
+
+
+def read_kept_ledger(spark, kept_out: str, owners: list[dict] | None = None) -> DataFrame:
+    """THE canonical reader for a streaming loop's kept ledger: the raw
+    parquet minus every owning family's tombstoned assets — so a
+    takedown leaves the corpus-membership record, not just the index
+    (r15; the r14 gap where ``kept_ids`` still listed the victim).
+    Owners resolve from the ledger's sidecar unless passed explicitly.
+    Plans with no active tombstones are byte-identical to a plain
+    read."""
+    df = spark.read.parquet(kept_out)
+    for owner in owners if owners is not None else kept_ledger_owners(kept_out):
+        keys = _owner_exclusion_keys(spark, owner)
+        if keys is not None:
+            df = df.join(keys, owner["ledger_col"], "left_anti")
+    return df
+
+
+def purge_kept_ledger(
+    spark, kept_out: str, target_file_mb: int = 256,
+    owners: list[dict] | None = None, merge_history: bool = False,
+) -> int:
+    """Physically rewrite a kept ledger WITHOUT its owning families'
+    tombstoned rows — the durable half of corpus-membership retraction,
+    riding the ledger compaction (:func:`compact_ledger_parquet` with
+    ``exclude=``; the per-epoch replay contract survives via the floor
+    manifest). Returns the new data-file count. Single-writer contract:
+    run between micro-batch drains, like every ledger compaction."""
+    from functools import reduce
+
+    owners = owners if owners is not None else kept_ledger_owners(kept_out)
+    frames = {}
+    for owner in owners:
+        keys = _owner_exclusion_keys(spark, owner)
+        if keys is not None:
+            frames.setdefault(owner["ledger_col"], []).append(keys)
+    if not frames:
+        return compact_ledger_parquet(
+            spark, kept_out, target_file_mb, merge_history=merge_history
+        )
+    # owners sharing a key column fold into ONE exclusion frame; a
+    # ledger governed by families keyed on DIFFERENT columns (the
+    # curated loop: bloom on content_hash, near-dup on the doc id)
+    # runs one compaction per key column — takedowns are rare and the
+    # ledgers slim, so the extra rewrite beats complicating the
+    # single-exclude compaction contract
+    n = 0
+    for col, fs in frames.items():
+        n = compact_ledger_parquet(
+            spark, kept_out, target_file_mb, merge_history=merge_history,
+            exclude=reduce(lambda a, b: a.unionByName(b), fs).distinct(),
+            exclude_on=[col],
+        )
+    return n

@@ -51,7 +51,10 @@ from lakehouse_spark_spark.operators.bloom import (
     load_dedup_index,
     update_dedup_index,
 )
-from lakehouse_spark_spark.sources.sinks import append_once_parquet
+from lakehouse_spark_spark.sources.sinks import (
+    append_once_parquet,
+    record_kept_ledger_owner,
+)
 
 
 def bloom_ingest_foreach_batch(
@@ -81,6 +84,15 @@ def bloom_ingest_foreach_batch(
         # files the lazy plan would otherwise re-read
         kept = (
             disp.filter("keep").select(id_col, "content_hash").localCheckpoint(eager=True)
+        )
+        # ownership record (r15): the kept ledger is corpus membership —
+        # a takedown tombstoned in the index must also leave it, so the
+        # canonical read (sinks.read_kept_ledger) anti-joins the owning
+        # family's tombstones. Re-recorded per epoch (atomic, KB-scale).
+        record_kept_ledger_owner(
+            kept_out,
+            [{"index_path": index_path, "ledger_col": "content_hash",
+              "tombstone_col": "content_hash"}],
         )
         append_once_parquet(kept, kept_out, batch_id)
         update_dedup_index(index_path, kept.select("content_hash"), batch_id=batch_id)
@@ -213,6 +225,16 @@ def curated_ingest_foreach_batch(
             )
             kept = kept.join(near, id_col, "left_anti").localCheckpoint(eager=True)
             nd_sigs = sigs.join(kept.select(id_col), id_col)
+        # ownership record (r15): this ledger is governed by BOTH its
+        # index families — a bloom takedown keys on the content hash, a
+        # near-dup takedown on the doc id; the canonical read
+        # (sinks.read_kept_ledger) anti-joins each family's tombstones
+        owners = [{"index_path": index_path, "ledger_col": "content_hash",
+                   "tombstone_col": "content_hash"}]
+        if neardup_index_path is not None:
+            owners.append({"index_path": neardup_index_path, "ledger_col": id_col,
+                           "tombstone_col": "__id"})
+        record_kept_ledger_owner(kept_out, owners)
         append_once_parquet(kept.select(id_col, "content_hash", "n_words"), kept_out, batch_id)
         # fold ORDER: near-dup index strictly BEFORE the Bloom index.
         # The Bloom index is what decides keep/drop on a replay, so it
@@ -331,6 +353,12 @@ def media_ingest_foreach_batch(
             .select(id_col, fp_col)
             .localCheckpoint(eager=True)
         )
+        # ownership record (r15): a media takedown tombstoned in the
+        # index must also leave this corpus-membership ledger
+        record_kept_ledger_owner(
+            kept_out,
+            [{"index_path": index_path, "ledger_col": id_col, "tombstone_col": "__id"}],
+        )
         append_once_parquet(kept, kept_out, batch_id)
         update_media_fp_index(index_path, kept, id_col, fp_col, batch_id=batch_id)
 
@@ -424,6 +452,14 @@ def video_ingest_foreach_batch(
             .distinct()
             .join(dup_clips, "__clip", "left_anti")
             .localCheckpoint(eager=True)
+        )
+        # ownership record (r15): the frame index's tombstones are
+        # composite clip*stride+frame keys — the canonical ledger read
+        # collapses them to clip ids via the recorded stride
+        record_kept_ledger_owner(
+            kept_out,
+            [{"index_path": index_path, "ledger_col": id_col,
+              "tombstone_col": "__id", "stride": frame_key_stride}],
         )
         append_once_parquet(kept_clips.select(F.col("__clip").alias(id_col)), kept_out, batch_id)
         kept_frames = frame_fps.join(
@@ -608,6 +644,26 @@ def multimodal_ingest_foreach_batch(
         for d in dup_frames[1:]:
             dups = dups.unionByName(d)
         kept = ids.join(dups.distinct(), id_col, "left_anti").localCheckpoint(eager=True)
+        # ownership record (r15): the asset ledger is governed by every
+        # supplied modality's index — a takedown in ANY of them must
+        # leave the membership record (the video frame index maps its
+        # composite keys back to asset ids via the stride)
+        owners = []
+        for p, c in (
+            (text_index_path, text_col),
+            (image_index_path, image_col),
+            (audio_index_path, audio_col),
+        ):
+            if p is not None and c is not None:
+                owners.append(
+                    {"index_path": p, "ledger_col": id_col, "tombstone_col": "__id"}
+                )
+        if video_index_path is not None and video_col is not None:
+            owners.append(
+                {"index_path": video_index_path, "ledger_col": id_col,
+                 "tombstone_col": "__id", "stride": frame_key_stride}
+            )
+        record_kept_ledger_owner(kept_out, owners)
         append_once_parquet(kept, kept_out, batch_id)
         for path, fps, kind in folds:
             if kind == "asset":  # asset-keyed fps (text/image/audio)
@@ -705,6 +761,13 @@ def ann_ingest_foreach_batch(
         )
         kept_ids = disp.filter("NOT dup").select(id_col, "max_corpus_cos")
         kept = enc.join(kept_ids, id_col).localCheckpoint(eager=True)
+        # ownership record (r15): an ANN takedown tombstoned in the
+        # index must also leave this corpus-membership ledger (the ANN
+        # family's tombstone column IS its manifest id_col)
+        record_kept_ledger_owner(
+            kept_out,
+            [{"index_path": index_path, "ledger_col": id_col, "tombstone_col": id_col}],
+        )
         append_once_parquet(kept.select(id_col, "cell", "max_corpus_cos"), kept_out, batch_id)
         update_ann_index(
             index_path, kept, vec_col, batch_id=batch_id, encoded=kept,

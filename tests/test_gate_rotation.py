@@ -41,11 +41,11 @@ def test_no_query_escapes_driver_verification():
     leftover = set(Q._REGISTRY) - prior - set(first50)
     assert leftover == set(), (
         f"queries with no driver check and outside the gate prefix "
-        f"(extend _GATE_ROTATION_R14 in the same commit): {sorted(leftover)}"
+        f"(extend _GATE_ROTATION_R15 in the same commit): {sorted(leftover)}"
     )
 
 
-def test_r14_gate_front_loads_oracle_bearing_entries():
+def test_r15_gate_front_loads_oracle_bearing_entries():
     """Oracle-bearing gate entries precede rows-only ones, so the
     driver records full hash checks for all of them even if it ever
     truncates below 50."""
@@ -88,16 +88,16 @@ R14_NEW_OR_CHANGED = {
 }
 
 
-def test_r14_gate_covers_this_rounds_code_changes():
-    """Everything new or whose code changed in round 14 gets a driver
-    hash: the three queries born this round (takedown lifecycle, skew
-    health, Bloom saturation cycle) and the rows-only/oracle queries
-    riding the r14 reworks (tombstones on every persisted load path,
-    size-aware hot broadcast, approx_count plumbing, skew recording)."""
+def test_r14_gate_covered_that_rounds_code_changes():
+    """Historical invariant (the r14 gate was the live prefix then):
+    everything new or code-changed in round 14 sat inside the r14
+    rotation list, and the committed CORRECTNESS_r14 artifact therefore
+    carries a driver hash for each."""
     from lakehouse_spark_spark.plans import queries as Q
 
-    first50 = set(list(Q.queries())[:50])
-    assert R14_NEW_OR_CHANGED <= first50, sorted(R14_NEW_OR_CHANGED - first50)
+    assert R14_NEW_OR_CHANGED <= set(Q._GATE_ROTATION_R14), sorted(
+        R14_NEW_OR_CHANGED - set(Q._GATE_ROTATION_R14)
+    )
 
 
 def test_r14_gate_refreshes_the_stalest_coverage():
@@ -127,6 +127,80 @@ def test_r14_gate_refreshes_the_stalest_coverage():
     assert all(last[n] in (9, 10) for n in stale_slots), [
         (n, last[n]) for n in stale_slots if last[n] not in (9, 10)
     ]
+
+
+R15_NEW_OR_CHANGED = {
+    # born in r15
+    "takedown_audit",
+    "curation_v5_retraction_accounting",
+    # code touched in r15: the takedown lifecycle rewritten (kept-
+    # ledger retraction leg, threaded probes, purge-state recording);
+    # bloom fill stats observed on the write job (both persisted-ingest
+    # entries + the saturation cycle ride write/update/rebuild); the
+    # media streaming loop records the kept-ledger owner sidecar
+    # (rides the skew-health query's guarded ingest epochs)
+    "index_takedown_lifecycle",
+    "bloom_persisted_ingest_run2",
+    "bloom_persisted_ingest_steady",
+    "bloom_saturation_cycle",
+    "media_index_skew_health",
+}
+
+
+def test_r15_gate_covers_this_rounds_code_changes():
+    """Everything new or whose executed path changed in round 15 gets a
+    driver hash: the two queries born this round (compliance audit,
+    retraction accounting) and the queries riding the r15 reworks
+    (lifecycle rewrite, observed bloom fill stats, kept-ledger owner
+    sidecar in the media loop)."""
+    from lakehouse_spark_spark.plans import queries as Q
+
+    first50 = set(list(Q.queries())[:50])
+    assert R15_NEW_OR_CHANGED <= first50, sorted(R15_NEW_OR_CHANGED - first50)
+
+
+def test_r15_gate_refreshes_the_stalest_coverage():
+    """The staleness contract for the r15 window: every slot that isn't
+    new/changed re-gates a query whose most recent driver hash is r10
+    or r11 — the oldest in the fleet after r14 drained the r9 remnant
+    (the whole 41-key r10 pool is covered, plus the start of r11's). A
+    never-gated name in a stale slot fails loudly (it belongs in
+    new_or_changed)."""
+    import glob
+
+    from lakehouse_spark_spark.plans import queries as Q
+
+    # r01..r14 only: the state the R15 list was cut FROM
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9][0-9].json"))):
+        rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        if rnd >= 15:
+            continue
+        for k in json.loads(pathlib.Path(p).read_text()):
+            last[k] = max(last.get(k, 0), rnd)
+    stale_slots = [n for n in Q._GATE_ROTATION_R15 if n not in R15_NEW_OR_CHANGED]
+    never_gated = [n for n in stale_slots if n not in last]
+    assert never_gated == [], (
+        f"stale slots with no prior driver hash — move to new_or_changed "
+        f"or fix the rotation: {never_gated}"
+    )
+    assert all(last[n] in (10, 11) for n in stale_slots), [
+        (n, last[n]) for n in stale_slots if last[n] not in (10, 11)
+    ]
+    # the r10 pool is drained COMPLETELY this round (the verdict's ask)
+    r10_pool = {k for k, r in last.items() if r == 10 and k in Q._REGISTRY}
+    assert r10_pool <= set(Q._GATE_ROTATION_R15), sorted(
+        r10_pool - set(Q._GATE_ROTATION_R15)
+    )
+
+
+def test_r14_gate_recorded_exactly_its_rotation():
+    """Historical invariant: the committed CORRECTNESS_r14 artifact
+    covers exactly the round-14 rotation list."""
+    from lakehouse_spark_spark.plans import queries as Q
+
+    r14 = set(json.loads((REPO / "CORRECTNESS_r14.json").read_text()))
+    assert r14 == set(Q._GATE_ROTATION_R14)
 
 
 def test_r13_gate_recorded_exactly_its_rotation():
@@ -193,6 +267,7 @@ def test_rotation_lists_match_registry():
         Q._GATE_ROTATION_R12,
         Q._GATE_ROTATION_R13,
         Q._GATE_ROTATION_R14,
+        Q._GATE_ROTATION_R15,
     ):
         unknown = [n for n in rot if n not in Q._REGISTRY]
         assert unknown == [], f"rotation names not in registry: {unknown}"
@@ -204,6 +279,7 @@ def test_rotation_lists_match_registry():
     assert len(Q._GATE_ROTATION_R12) == 50
     assert len(Q._GATE_ROTATION_R13) == 50
     assert len(Q._GATE_ROTATION_R14) == 50
+    assert len(Q._GATE_ROTATION_R15) == 50
 
 
 def test_r11_gate_refreshes_the_stalest_coverage():
