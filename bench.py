@@ -134,6 +134,13 @@ HEADLINE = [
     "index_takedown_lifecycle",
     "media_index_skew_health",
     "bloom_saturation_cycle",
+    # round 15: takedown reaches corpus membership — the compliance
+    # audit (manifest/ledger readback over the cached takedown fixture)
+    # and the retraction-aware shipped accounting (a full v3-chain run
+    # + packing + the retraction split; priced like the other curation
+    # chain lines).
+    "takedown_audit",
+    "curation_v5_retraction_accounting",
 ]
 
 

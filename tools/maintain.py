@@ -9,13 +9,14 @@ on-disk metadata (no registry file to drift), and runs the family's
 maintenance in the safe order:
 
 - ``manifest.json`` with ``m_bits``            → Bloom dedup index:
-  compact_dedup_index (hash-set rewrite, distinct, tombstone purge,
-  versioned-filter GC already handled by the family's own commits),
-  then — with ``--bloom-rebuild``, the default —
-  maybe_rebuild_dedup_index (manifest-read no-op unless the saturation
-  trail flags expected_fpp >= the threshold, or when active tombstones
-  exist: deletion is only fully materialized — bits re-derived, ledger
-  cleared — by the rebuild);
+  tombstone epochs newer than the recorded ``rebuilt_through_epoch``
+  force rebuild_dedup_index (bits cannot be unset any other way; the
+  rebuild owns its compaction, and the ledger is RETAINED against the
+  crashed-fold replay window — r15); otherwise compact_dedup_index
+  (hash-set rewrite, distinct, tombstone purge) then — with
+  ``--bloom-rebuild``, the default — maybe_rebuild_dedup_index
+  (manifest-read no-op unless the saturation trail flags
+  expected_fpp >= the threshold);
 - ``manifest.json`` with ``num_hashes``/``bands`` → MinHash-LSH
   near-dup index: compact_neardup_index (both tables, one atomic flip);
 - ``manifest.json`` with ``blocks``+``modality`` → media-fingerprint
@@ -32,7 +33,19 @@ maintenance in the safe order:
 - ``batch_id=`` partition dirs / a ledger floor manifest → an
   append_once_parquet LEDGER: compact_ledger_parquet (partition-
   preserving, floor-manifest-writing — NEVER the flat compactor, which
-  refuses ledgers for exactly this reason).
+  refuses ledgers for exactly this reason). A KEPT ledger carrying an
+  owner sidecar (r15) purges its owning families' tombstoned rows in
+  the same rewrite (purge_kept_ledger) — the corpus-membership half of
+  a takedown rides the maintenance pass.
+
+A one-call cross-family takedown lives here too:
+
+    python tools/maintain.py takedown --base DIR --doc-id N \
+        [--text T | --content-hash H] [--vec-id V] [--eval-id E]
+
+(see :func:`takedown` — resolves every family holding the asset via
+the same classifier and tombstones them all; owned kept ledgers are
+reported as governed).
 
 Everything else is skipped and reported. Output: one JSON line per
 action on stderr, a summary JSON on stdout.
