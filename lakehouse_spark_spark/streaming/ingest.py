@@ -20,6 +20,13 @@ groups all NULL hashes together and keeps one per union. Pipelines
 that care should drop/quarantine null-text docs upstream (the curation
 gates already do).
 
+Retraction (r15): every loop records its kept ledger's OWNING index
+families in an atomic sidecar (sinks.record_kept_ledger_owner), so a
+takedown tombstoned in an index also leaves the corpus-membership
+record — consumers read ledgers through sinks.read_kept_ledger (the
+canonical anti-joined view) and the physical purge rides the ledger
+compaction (sinks.purge_kept_ledger, auto-run by tools/maintain.py).
+
 Delivery: exactly-once on the kept ledger AND effectively-once on the
 index. The kept rows are committed BEFORE the index update through
 ``sources.sinks.append_once_parquet`` — each epoch's rows land in
