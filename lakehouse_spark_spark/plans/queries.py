@@ -8734,8 +8734,13 @@ def curation_v5_retraction_accounting_q(spark: SparkSession, sf_dir: str) -> Dat
     )
 
     disp = curation_v3_docs(_t(spark, sf_dir, "documents"))
-    kept = disp.filter(F.col("disposition") == "kept_train").select(
-        "doc_id", "source", "kept_tokens"
+    # lineage-truncated: `kept` fans out to the packing AND the
+    # retraction rule — unpinned, each consumer replicates the whole
+    # v3 chain plan (the registry shuffle-cap lint caught exactly this)
+    kept = (
+        disp.filter(F.col("disposition") == "kept_train")
+        .select("doc_id", "source", "kept_tokens")
+        .localCheckpoint(eager=False)
     )
     packed = pack_sequences(kept, "doc_id", "kept_tokens", 256, "source")
     retracted = kept.filter(F.col("doc_id") % 97 == 0).select("doc_id")
