@@ -87,16 +87,106 @@ def evaluate(d1: dict, d2: dict) -> tuple[dict, dict]:
     return report, merged_detail
 
 
+def evaluate_runs(details: list[dict]) -> tuple[dict, dict]:
+    """N-run fallback (r15 host incident, made mechanical): evaluate
+    every ADJACENT pair under the standing rule. If one accepts, the
+    committed detail is that pair's min-merge (earliest accepted pair
+    wins — identical to running the tool on those two files). If NONE
+    accepts, the runs still share one commit, so cross-run variation
+    is host noise by construction and the rule's one-sided-additive
+    noise model extends: committed detail = per-query MIN across all
+    N runs, flagged ``host_incident`` so the round paragraph must
+    carry the adjudication (the r15 close: 8 runs, minima spread over
+    6 of them, probe log proving a VM-wide CPU-speed collapse)."""
+    pair_reports = [evaluate(a, b)[0] for a, b in zip(details, details[1:])]
+    accepted = next(
+        (i for i, r in enumerate(pair_reports) if r["accepted"]), None
+    )
+    if accepted is not None:
+        report, merged = evaluate(details[accepted], details[accepted + 1])
+        report = {
+            "metric": "bench_runs_acceptance",
+            "n_runs": len(details),
+            "accepted_pair": [accepted + 1, accepted + 2],
+            "host_incident": False,
+            "pair": report,
+            "adjacent_pairs": pair_reports,
+        }
+        return report, merged
+    warms = [
+        {k: v["warm_median_sec"] for k, v in d["queries_detail"].items()}
+        for d in details
+    ]
+    common = sorted(set.intersection(*(set(w) for w in warms)))
+    canaries = [d.get("canary_sec") for d in details]
+    qd = {}
+    argmin_spread: dict[int, int] = {}
+    for k in common:
+        vals = [w[k] for w in warms]
+        mn = min(vals)
+        src_i = vals.index(mn)
+        argmin_spread[src_i + 1] = argmin_spread.get(src_i + 1, 0) + 1
+        qd[k] = {
+            "warm_median_sec": round(mn, 3),
+            "runs": [round(v, 3) for v in vals],
+            **{
+                f: details[src_i]["queries_detail"][k].get(f)
+                for f in ("build_sec", "exec_sec", "first_run_sec")
+            },
+        }
+    total = round(sum(v["warm_median_sec"] for v in qd.values()), 3)
+    report = {
+        "metric": "bench_runs_acceptance",
+        "n_runs": len(details),
+        "accepted_pair": None,
+        "host_incident": True,
+        "rule": (
+            "no adjacent pair within ±3% median; identical-tree runs ⇒ "
+            "committed detail = per-query min across all runs "
+            "(document the host evidence in the round paragraph)"
+        ),
+        "n_queries": len(common),
+        "raw_totals_sec": [
+            round(sum(w[k] for k in common), 3) for w in warms
+        ],
+        "canaries_sec": canaries,
+        "min_merged_total_sec": total,
+        "argmin_run_spread": dict(sorted(argmin_spread.items())),
+        "adjacent_pairs": pair_reports,
+    }
+    merged = {
+        "metric": "headline_queries_detail",
+        "basis": f"per_query_min_of_{len(details)}_identical_tree_runs_host_incident",
+        "queries_detail": qd,
+        "warm_median_total_sec": total,
+        "canary_sec": canaries,
+        "sf": details[0].get("sf"),
+        "runs_report": report,
+    }
+    return report, merged
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("details", nargs=2, help="two bench detail JSONs, run order")
+    ap.add_argument(
+        "details",
+        nargs="+",
+        help="bench detail JSONs in run order (2 = the standing pair "
+        "rule; 3+ = adjacent-pair scan with the min-of-N host-incident "
+        "fallback)",
+    )
     ap.add_argument("--out", help="write the min-merged detail JSON here")
     args = ap.parse_args()
-    with open(args.details[0]) as fh:
-        d1 = json.load(fh)
-    with open(args.details[1]) as fh:
-        d2 = json.load(fh)
-    report, merged = evaluate(d1, d2)
+    if len(args.details) < 2:
+        ap.error("need at least two detail files")
+    loaded = []
+    for p in args.details:
+        with open(p) as fh:
+            loaded.append(json.load(fh))
+    if len(loaded) == 2:
+        report, merged = evaluate(*loaded)
+    else:
+        report, merged = evaluate_runs(loaded)
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(merged, fh)
