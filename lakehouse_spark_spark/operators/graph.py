@@ -69,24 +69,39 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    comp_type = labels.schema["component"].dataType
 
     from pyspark.sql import Observation
 
-    for _ in range(max_iter):
-        neigh_min = (
-            sym.join(labels, sym["u"] == labels["node"])
-            .select(F.col("v").alias("node"), F.col("component").alias("nmin"))
+    for it in range(max_iter):
+        # messages: each node's neighbours' current labels. Round 1's
+        # labels are the identity map, so joining `labels` there is a
+        # no-op — emit (v, u) straight off the edge list instead (the
+        # join and its two exchanges saved on the round that also pays
+        # for materializing the upstream edge pipeline).
+        if it == 0:
+            msgs = sym.select(F.col("v").alias("node"), F.col("u").alias("cand"))
+        else:
+            msgs = sym.join(labels, sym["u"] == labels["node"]).select(
+                F.col("v").alias("node"), F.col("component").alias("cand")
+            )
+        # relax, FUSED (r15): the r14 shape ran groupBy-min over the
+        # messages and then LEFT-JOINED the result back onto labels
+        # (least/coalesce) — shuffling the label frame a second time
+        # every round. Union the nodes' own labels into the message
+        # stream and take ONE groupBy-min: identical fixpoint
+        # arithmetic (min over {own} ∪ {neighbours}), one exchange and
+        # one join fewer per round. The __old side-channel (non-null on
+        # exactly one row per node — the node's own; aggregates skip
+        # nulls) feeds the Observation convergence count below with no
+        # extra join/action, as before.
+        relaxed = (
+            labels.select(
+                "node", F.col("component").alias("cand"), F.col("component").alias("__old")
+            )
+            .unionByName(msgs.withColumn("__old", F.lit(None).cast(comp_type)))
             .groupBy("node")
-            .agg(F.min("nmin").alias("nmin"))
-        )
-        # thread the pre-round label through as __old so the
-        # convergence check needs NO extra join/action: an Observation
-        # on the round's eager checkpoint counts changed labels during
-        # the materialization job itself (one action per round total).
-        relaxed = labels.join(neigh_min, "node", "left").select(
-            "node",
-            F.col("component").alias("__old"),
-            F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
+            .agg(F.min("cand").alias("component"), F.max("__old").alias("__old"))
         )
         # pointer jump: follow the label's own label one hop
         parents = relaxed.select(F.col("node").alias("pnode"), F.col("component").alias("pcomp"))
@@ -212,18 +227,26 @@ def pagerank(
     contrib_units = F.expr(
         f"({2 * num} * rank_units + {den} * out_degree) div ({2 * den} * out_degree)"
     )
+    # NO per-round checkpoint (r15): the iteration count is FIXED and
+    # small, so the chained plan stays bounded (iterations × 3 operators
+    # deep) — unlike the convergence-probed CC loop there is nothing to
+    # truncate. Under AQE each lazy localCheckpoint here used to run
+    # all-but-the-final stage of its round as separate driver-submitted
+    # jobs at BUILD time plus an RDD row-copy per round; dropping them
+    # executes the whole recurrence as one adaptive query at action
+    # time — total wall equal within host noise at sf0.1 (isolated A/B
+    # ~4.3-4.6 s both shapes), but 5 driver job submissions + 5 row
+    # copies fewer per call, output bit-identical (oracle-checked).
+    # The `nodes` / `edges_deg` pins above stay: they are the
+    # loop-invariant frames every round re-reads.
     for _ in range(iterations):
         contribs = edges_deg.join(ranks.withColumnRenamed("node", src), src).select(
             F.col(dst).alias("node"), contrib_units.alias("contrib")
         )
         summed = contribs.groupBy("node").agg(F.sum("contrib").alias("in_rank"))
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                (F.lit(base_units) + F.coalesce(F.col("in_rank"), F.lit(0))).cast("bigint").alias("rank_units"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (F.lit(base_units) + F.coalesce(F.col("in_rank"), F.lit(0))).cast("bigint").alias("rank_units"),
         )
     # exact decimal reconstruction: units/10^scale has <= `scale` decimals,
     # and Spark's decimal-division result scale (>= scale here) preserves it

@@ -453,6 +453,20 @@ def train_pq_codebooks(
 
     sample = corpus.select(vec_col).limit(max_train_rows).toPandas()[vec_col]
     X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    return _pq_codebooks_np(X, m=m, k=k, iters=iters)
+
+
+def _pq_codebooks_np(X, m: int = 8, k: int = 16, iters: int = 10) -> list[list[list[float]]]:
+    """The numpy Lloyd body of :func:`train_pq_codebooks`, callable
+    directly on a sample matrix already in driver memory —
+    :func:`train_ivfpq` has the residual matrix in hand and used to
+    round-trip it through createDataFrame → limit → toPandas just to
+    reach this loop (one whole Spark job per training call for data
+    that never left the driver). Bit-identical output for the same X
+    (row order is preserved by the createDataFrame/limit path, so the
+    two entries train the same books)."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -722,10 +736,12 @@ def train_ivfpq(
     X = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
     assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     resid = X - C[assign]
-    res_df = corpus.sparkSession.createDataFrame(
-        [(r.tolist(),) for r in resid], f"{vec_col} array<double>"
-    )
-    books = train_pq_codebooks(res_df, vec_col, m=m, k=k, max_train_rows=max_train_rows, iters=iters)
+    # r15: the residual matrix is already on the driver — train the
+    # codebooks directly (_pq_codebooks_np) instead of round-tripping
+    # it through createDataFrame → limit → toPandas (one Spark job per
+    # training call for driver-local data). Same X row order, so the
+    # books are bit-identical to the r14 path.
+    books = _pq_codebooks_np(resid, m=m, k=k, iters=iters)
     return cents, books
 
 

@@ -297,6 +297,20 @@ def blocklist_flags(
     (lowercase + whitespace collapse) — a mixed-case or multi-space
     entry would otherwise silently never match (ADVICE r3)."""
 
+    c = blocklist_cols(text_col, blocked_terms, blocked_phrases)
+    return df.select(F.col(id_col), *[c[k].alias(k) for k in c])
+
+
+def blocklist_cols(
+    text_col: Column | str, blocked_terms: list[str], blocked_phrases: list[str] | None = None
+) -> dict[str, Column]:
+    """Column-expression form of :func:`blocklist_flags`: the same
+    flags as an ordered name→Column dict over any frame holding
+    ``text_col``. Lets a composed pipeline FUSE the blocklist gate into
+    one projection with the other per-row gates instead of computing it
+    on a separate frame and joining by id (each such join is a full
+    shuffle of the corpus — the fused form is zero-shuffle scan work)."""
+
     def _nrm(s: str) -> str:
         return " ".join(s.lower().split())
 
@@ -309,12 +323,11 @@ def blocklist_flags(
     phrase_hit = F.lit(False)
     for p in blocked_phrases:
         phrase_hit = phrase_hit | nrm.contains(p)
-    return df.select(
-        F.col(id_col),
-        n_terms.cast("long").alias("n_blocked_terms"),
-        phrase_hit.alias("has_blocked_phrase"),
-        ((n_terms > 0) | phrase_hit).alias("blocked"),
-    )
+    return {
+        "n_blocked_terms": n_terms.cast("long"),
+        "has_blocked_phrase": phrase_hit,
+        "blocked": (n_terms > 0) | phrase_hit,
+    }
 
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
@@ -350,10 +363,22 @@ def gopher_line_flags(
     Scale: pure per-row projections over the line array — zero
     shuffles, scan speed, like the rest of this module.
     """
+    c = gopher_line_cols(text_col, max_bullet_frac, max_ellipsis_frac)
+    return df.select(F.col(id_col), *[c[k].alias(k) for k in c])
+
+
+def gopher_line_cols(
+    text_col: Column | str,
+    max_bullet_frac: tuple[int, int] = (9, 10),
+    max_ellipsis_frac: tuple[int, int] = (3, 10),
+) -> dict[str, Column]:
+    """Column-expression form of :func:`gopher_line_flags` (same
+    fuse-into-one-projection rationale as :func:`blocklist_cols`)."""
     bp, bq = max_bullet_frac
     ep, eq = max_ellipsis_frac
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
 
@@ -374,15 +399,14 @@ def gopher_line_flags(
     n_ellipsis = F.size(F.filter(lines, _ends_ellipsis)).cast("long")
     bullet_ok = F.lit(bq) * n_bullet <= F.lit(bp) * n_lines
     ellipsis_ok = F.lit(eq) * n_ellipsis <= F.lit(ep) * n_lines
-    return df.select(
-        F.col(id_col),
-        n_lines.alias("n_lines"),
-        n_bullet.alias("n_bullet_lines"),
-        n_ellipsis.alias("n_ellipsis_lines"),
-        bullet_ok.alias("bullet_ok"),
-        ellipsis_ok.alias("ellipsis_ok"),
-        (bullet_ok & ellipsis_ok).alias("keep"),
-    )
+    return {
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet,
+        "n_ellipsis_lines": n_ellipsis,
+        "bullet_ok": bullet_ok,
+        "ellipsis_ok": ellipsis_ok,
+        "keep": bullet_ok & ellipsis_ok,
+    }
 
 
 def gopher_quality_flags(
@@ -413,6 +437,18 @@ def gopher_quality_flags(
     module. Emits the integer evidence columns too, so downstream
     thresholds can be re-derived without re-scanning.
     """
+    c = gopher_quality_cols(text_col, min_words, max_words, stopword_min)
+    return df.select(F.col(id_col), *[c[k].alias(k) for k in c])
+
+
+def gopher_quality_cols(
+    text_col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopword_min: int = 2,
+) -> dict[str, Column]:
+    """Column-expression form of :func:`gopher_quality_flags` (same
+    fuse-into-one-projection rationale as :func:`blocklist_cols`)."""
     nrm = norm_text(text_col)
     ws = tokens(text_col)
     n = F.size(ws)
@@ -434,19 +470,16 @@ def gopher_quality_flags(
     symbol_ratio_ok = F.lit(10) * n_symbols < n_l
     alpha_ok = F.lit(5) * n_alpha > F.lit(4) * n_l
     stopword_ok = stop_hits >= stopword_min
-    return df.select(
-        F.col(id_col),
-        n_l.alias("n_words"),
-        sum_len.alias("sum_word_len"),
-        n_alpha.alias("n_alpha_words"),
-        n_symbols.alias("n_symbols"),
-        stop_hits.alias("stopword_hits"),
-        word_count_ok.alias("word_count_ok"),
-        mean_word_len_ok.alias("mean_word_len_ok"),
-        symbol_ratio_ok.alias("symbol_ratio_ok"),
-        alpha_ok.alias("alpha_ok"),
-        stopword_ok.alias("stopword_ok"),
-        (word_count_ok & mean_word_len_ok & symbol_ratio_ok & alpha_ok & stopword_ok).alias(
-            "keep"
-        ),
-    )
+    return {
+        "n_words": n_l,
+        "sum_word_len": sum_len,
+        "n_alpha_words": n_alpha,
+        "n_symbols": n_symbols,
+        "stopword_hits": stop_hits,
+        "word_count_ok": word_count_ok,
+        "mean_word_len_ok": mean_word_len_ok,
+        "symbol_ratio_ok": symbol_ratio_ok,
+        "alpha_ok": alpha_ok,
+        "stopword_ok": stopword_ok,
+        "keep": word_count_ok & mean_word_len_ok & symbol_ratio_ok & alpha_ok & stopword_ok,
+    }

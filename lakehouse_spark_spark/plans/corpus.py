@@ -217,9 +217,9 @@ def curation_v3_docs(
     from lakehouse_spark_spark.operators.graph import connected_components
     from lakehouse_spark_spark.operators.spandedup import duplicated_span_stats
     from lakehouse_spark_spark.operators.text import (
-        blocklist_flags,
-        gopher_line_flags,
-        gopher_quality_flags,
+        blocklist_cols,
+        gopher_line_cols,
+        gopher_quality_cols,
     )
 
     if pin not in ("local", "parquet"):
@@ -243,38 +243,87 @@ def curation_v3_docs(
 
     base = docs.select("doc_id", "lang", "source", "text")
 
-    # --- stage 1-4: per-doc gates (word rules, line rules, lang, blocklist)
-    word = gopher_quality_flags(
-        base, "doc_id", "text",
-        min_words=min_words, max_words=max_words, stopword_min=stopword_min,
-    ).select("doc_id", F.col("n_words").alias("n_tokens"), F.col("keep").alias("word_ok"))
-    lined = base.select(
-        "doc_id",
+    # --- stage 1-4: per-doc gates (word rules, line rules, lang,
+    # blocklist) — ALL row-local text projections, so they fuse into ONE
+    # select over the scan (the *_cols expression builders). The r14
+    # shape computed each gate on its own frame and equi-joined the
+    # three back by doc_id: three full shuffles of the corpus (text
+    # riding along in every exchange) for values that never needed to
+    # leave their row. Fused: zero gate shuffles at any corpus size.
+    word = gopher_quality_cols(
+        "text", min_words=min_words, max_words=max_words, stopword_min=stopword_min
+    )
+    line = gopher_line_cols(
         F.replace(
             F.replace(F.col("text"), F.lit(" table "), F.lit("\n- ")),
             F.lit(" query "), F.lit("...\n"),
-        ).alias("lt"),
+        )
     )
-    line = gopher_line_flags(lined, "doc_id", "lt").select(
-        "doc_id", F.col("keep").alias("line_ok")
-    )
-    blk = blocklist_flags(
-        base, "doc_id", "text", list(blocked_terms), list(blocked_phrases)
-    ).select("doc_id", "blocked")
+    blk = blocklist_cols("text", list(blocked_terms), list(blocked_phrases))
     # pinned: `flags` feeds BOTH the survivor chain (s1→…→budget) and
     # the final disposition join — without the checkpoint every
-    # downstream branch re-executes the three gate joins from the scan.
+    # downstream branch re-executes the gate projections from the scan.
     # Same stage-boundary persist the CLI pipeline does with parquet;
     # the frame is one slim row per doc.
     flags = _pin(
-        base.join(word, "doc_id")
-        .join(line, "doc_id")
-        .join(blk, "doc_id")
-        .withColumn("lang_ok", F.col("lang").isin(*allowed_langs)),
+        base.select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            word["n_words"].alias("n_tokens"),
+            word["keep"].alias("word_ok"),
+            line["keep"].alias("line_ok"),
+            blk["blocked"].alias("blocked"),
+            F.col("lang").isin(*allowed_langs).alias("lang_ok"),
+        ),
         "flags",
     )
     gate_ok = F.col("word_ok") & F.col("line_ok") & F.col("lang_ok") & ~F.col("blocked")
     s1 = flags.filter(gate_ok).select("doc_id", "source", "text", "n_tokens")
+
+    # --- v4 classifier training, SUBMITTED EARLY on a driver thread
+    # (guide §2.6 overlap): the distillation trainer depends only on
+    # the pinned `flags` frame, while the main thread goes on to run
+    # the dedup → pair → connected-components rounds eagerly. Running
+    # the bounded-sample training collect concurrently back-fills
+    # executor cores during the CC loop's stage tails instead of
+    # serializing ~1-2 s of sample jobs after them. The model is
+    # awaited at stage 7b, where scoring needs it; results are
+    # identical (training reads only `flags`, which both threads see
+    # as the same checkpointed frame).
+    clf_future = clf_pool = None
+    if learned_filter:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from lakehouse_spark_spark.operators.classifier import (
+            hashed_features,
+            train_logreg_distill,
+        )
+
+        sample = flags.orderBy(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+                "bigint"
+            )
+        ).limit(clf_sample_n)
+        clf_labels = sample.select(
+            "doc_id",
+            (F.col("word_ok") & F.col("line_ok")).cast("int").alias("label"),
+        )
+        clf_raw = hashed_features(sample, "doc_id", "text", dim=clf_dim, with_stats=True)
+        clf_pool = ThreadPoolExecutor(max_workers=1)
+        clf_future = clf_pool.submit(
+            train_logreg_distill,
+            clf_raw,
+            clf_labels,
+            "doc_id",
+            "label",
+            dim=clf_dim + 2,
+            bow_dim=clf_dim,
+            epochs=clf_epochs,
+            lr=clf_lr,
+            collect_cap=clf_sample_n,
+        )
 
     # --- stage 5: exact dedup (16-byte hash groupBy, keep min doc_id)
     hashed = s1.withColumn("h", content_hash("text"))
@@ -340,36 +389,16 @@ def curation_v3_docs(
     # cost is corpus-size-independent (collect_cap fast path); scoring
     # is one linear pass with a (clf_dim+2)-float broadcast model.
     if learned_filter:
-        from lakehouse_spark_spark.operators.classifier import (
-            hashed_features,
-            score_documents,
-            train_logreg_distill,
-        )
+        from lakehouse_spark_spark.operators.classifier import score_documents
 
-        sample = flags.orderBy(
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
-                "bigint"
-            )
-        ).limit(clf_sample_n)
-        clf_labels = sample.select(
-            "doc_id",
-            (F.col("word_ok") & F.col("line_ok")).cast("int").alias("label"),
-        )
-        clf_raw = hashed_features(sample, "doc_id", "text", dim=clf_dim, with_stats=True)
-        # fused trainer: standardizer fit + label + feature collect in
-        # one Spark action over the (pinned) sample lineage; epochs run
-        # in numpy (sample is hard-capped at clf_sample_n)
-        clf_w, clf_b, clf_std = train_logreg_distill(
-            clf_raw,
-            clf_labels,
-            "doc_id",
-            "label",
-            dim=clf_dim + 2,
-            bow_dim=clf_dim,
-            epochs=clf_epochs,
-            lr=clf_lr,
-            collect_cap=clf_sample_n,
-        )
+        # await the model trained concurrently with stages 5-7 (the
+        # fused trainer ran standardizer fit + label + feature collect
+        # in one Spark action over the pinned sample lineage; epochs in
+        # numpy, hard-capped at clf_sample_n)
+        try:
+            clf_w, clf_b, clf_std = clf_future.result()
+        finally:
+            clf_pool.shutdown()
         # pinned: the scored frame is consumed three times (the cutoff
         # agg, the drop filter via train_side, and the disposition
         # join) — without the stage boundary each consumer replicates
@@ -417,9 +446,16 @@ def curation_v3_docs(
             .filter(F.col("__lf").isNull())
             .drop("__lf")
         )
-    cont = contamination_hits(
-        train_side.select("doc_id", "text"), eval_docs, "doc_id", "text", n=decon_n
-    ).select("doc_id", F.lit(True).alias("__cont"))
+    # pinned: the hits frame feeds s4 (whose lineage is replayed by BOTH
+    # the budget window and the `tot` agg) and the disposition join —
+    # unpinned, the train-side re-shingling (a full pass over the
+    # survivor text) runs three times per query instead of once.
+    cont = _pin(
+        contamination_hits(
+            train_side.select("doc_id", "text"), eval_docs, "doc_id", "text", n=decon_n
+        ).select("doc_id", F.lit(True).alias("__cont")),
+        "cont_hits",
+    )
     s4 = train_side.join(cont, "doc_id", "left").filter(F.col("__cont").isNull()).drop("__cont")
 
     # --- stage 9: per-source token budget (UniMax-style uniform cap):

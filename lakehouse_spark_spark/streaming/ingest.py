@@ -150,26 +150,31 @@ def curated_ingest_foreach_batch(
     full crash-window argument; both folds are batch_id-watermarked
     no-ops once committed).
     """
-    from lakehouse_spark_spark.operators.text import gopher_quality_flags
+    from lakehouse_spark_spark.operators.text import gopher_quality_cols
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        flags = gopher_quality_flags(
-            batch_df,
-            id_col,
+        # gate fused into one projection (r15): the word rules are
+        # row-local, so stamping n_words + filtering keep needs no
+        # self-join — the r14 shape joined the flags frame back onto
+        # the batch by id, a full shuffle of every micro-batch for
+        # values that never left their row.
+        gq = gopher_quality_cols(
             text_col,
             min_words=min_words,
             max_words=max_words,
             stopword_min=stopword_min,
-        ).select(id_col, "n_words", "keep")
+        )
         # eager pin: `gated` feeds the isEmpty probe, the dedup hash
         # projection, AND the n_words join back — unpinned, each action
-        # re-executes the gate projection + self-join (same fan-out
-        # shape the module's other checkpoints exist for)
-        gated = batch_df.join(flags.filter("keep").drop("keep"), id_col).localCheckpoint(
-            eager=True
+        # re-executes the gate projection (same fan-out shape the
+        # module's other checkpoints exist for)
+        gated = (
+            batch_df.withColumn("n_words", gq["n_words"])
+            .filter(gq["keep"])
+            .localCheckpoint(eager=True)
         )
         if gated.isEmpty():
             return
