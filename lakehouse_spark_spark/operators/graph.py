@@ -48,6 +48,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     minimum node id reachable from it: ``(node, component)``.
@@ -56,12 +57,25 @@ def connected_components(
     iteration order or partitioning. ``max_iter`` bounds the loop; with
     pointer jumping, 25 rounds covers any component diameter up to
     ~2^25 — raise only for pathological chain graphs.
+
+    ``dedup_edges=False`` skips the ``distinct()`` on the symmetric
+    edge list — one full shuffle+aggregate of the edge table saved per
+    call. Edge MULTIPLICITY never changes the result (duplicate edges
+    only duplicate messages, and the per-node groupBy-min absorbs
+    them; the convergence count is computed per node after the
+    groupBy), so this is purely a performance knob: pass False when
+    the input is already pair-distinct (every pair generator in this
+    engine emits (a<b)-canonical deduped pairs), keep the default True
+    for edge lists with meaningful duplication, where shrinking the
+    per-round join input is worth the one-time shuffle.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if dedup_edges:
+        sym = sym.distinct()
     # cache the (static) symmetric edge list across rounds
-    sym = sym.distinct().localCheckpoint(eager=False)
+    sym = sym.localCheckpoint(eager=False)
 
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -239,15 +253,35 @@ def pagerank(
     # copies fewer per call, output bit-identical (oracle-checked).
     # The `nodes` / `edges_deg` pins above stay: they are the
     # loop-invariant frames every round re-reads.
-    for _ in range(iterations):
-        contribs = edges_deg.join(ranks.withColumnRenamed("node", src), src).select(
-            F.col(dst).alias("node"), contrib_units.alias("contrib")
+    # Per-round shape (r15 opt round): the recurrence needs the FULL
+    # node->rank map only at the END — inside the loop, ranks are only
+    # ever read at edge sources, so the per-round `nodes ⟕ summed`
+    # reconstruction join is deferred out of the loop entirely.
+    # Round 1 reads the identity rank (all nodes at `unit`) — a literal
+    # column, no join at all (the CC round-1 trick); round k>1 stamps
+    # rank(src) = base + coalesce(in_rank, 0) via one LEFT join of the
+    # edge table against the previous round's aggregate (a src absent
+    # from `summed` has no in-edges, exactly the base-rank case). One
+    # join per round instead of two, same bit-identical integer
+    # recurrence at any graph size.
+    if iterations <= 0:
+        return nodes.select(
+            "node", F.lit(1).cast("bigint").cast(dec).alias("rank")
         )
+    summed = None
+    rank_col = (F.lit(base_units) + F.coalesce(F.col("in_rank"), F.lit(0))).cast("bigint")
+    for it in range(iterations):
+        if it == 0:
+            cur = edges_deg.withColumn("rank_units", F.lit(unit).cast("bigint"))
+        else:
+            cur = edges_deg.join(summed.withColumnRenamed("node", src), src, "left").withColumn(
+                "rank_units", rank_col
+            )
+        contribs = cur.select(F.col(dst).alias("node"), contrib_units.alias("contrib"))
         summed = contribs.groupBy("node").agg(F.sum("contrib").alias("in_rank"))
-        ranks = nodes.join(summed, "node", "left").select(
-            "node",
-            (F.lit(base_units) + F.coalesce(F.col("in_rank"), F.lit(0))).cast("bigint").alias("rank_units"),
-        )
+    ranks = nodes.join(summed, "node", "left").select(
+        "node", rank_col.alias("rank_units")
+    )
     # exact decimal reconstruction: units/10^scale has <= `scale` decimals,
     # and Spark's decimal-division result scale (>= scale here) preserves it
     return ranks.select(
@@ -324,11 +358,13 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
-    verts = (
-        tri.select(F.col("u").alias("doc_id"))
-        .unionAll(tri.select(F.col("v").alias("doc_id")))
-        .unionAll(tri.select(F.col("w").alias("doc_id")))
-    )
+    # one explode, not a 3-way unionAll of per-endpoint selects: the
+    # union form embedded the whole wedge+closing join pyramid once PER
+    # BRANCH (three copies in the physical plan — column pruning makes
+    # the branches non-identical, so exchange reuse cannot collapse
+    # them), executing the O(m^1.5) join three times. explode emits the
+    # same (doc_id) multiset from ONE copy of the join.
+    verts = tri.select(F.explode(F.array("u", "v", "w")).alias("doc_id"))
     return (
         verts.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("tri_count"))

@@ -89,7 +89,7 @@ def prepare_corpus(
         # transitive closure: one representative (min id) per dup cluster
         from lakehouse_spark_spark.operators.graph import connected_components
 
-        comp = connected_components(pairs, src="doc_a", dst="doc_b")
+        comp = connected_components(pairs, src="doc_a", dst="doc_b", dedup_edges=False)
         near_dropped = comp.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias("doc_id")
         )
@@ -355,7 +355,7 @@ def curation_v3_docs(
         pairs = ngram_jaccard_pairs(
             s2, "doc_id", "text", n=3, threshold=jaccard_threshold
         ).select("doc_a", "doc_b")
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b", dedup_edges=False)
     near_dropped = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id"), F.lit(True).alias("__nd")
     )

@@ -5088,7 +5088,7 @@ def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.graph import components_with_singletons, connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    comp = connected_components(_jaccard_edges(spark, sf_dir), src="doc_a", dst="doc_b")
+    comp = connected_components(_jaccard_edges(spark, sf_dir), src="doc_a", dst="doc_b", dedup_edges=False)
     return components_with_singletons(docs, comp, "doc_id")
 
 
@@ -5104,7 +5104,7 @@ def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark_spark.operators.graph import connected_components
 
-    comp = connected_components(_jaccard_edges(spark, sf_dir), src="doc_a", dst="doc_b")
+    comp = connected_components(_jaccard_edges(spark, sf_dir), src="doc_a", dst="doc_b", dedup_edges=False)
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_docs"), (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"))
@@ -8227,7 +8227,7 @@ def cluster_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     comp = components_with_singletons(
-        docs, connected_components(_jaccard_edges(spark, sf_dir), src="doc_a", dst="doc_b"), "doc_id"
+        docs, connected_components(_jaccard_edges(spark, sf_dir), src="doc_a", dst="doc_b", dedup_edges=False), "doc_id"
     )
     toklen = docs.select("doc_id", n_tokens("text").cast("long").alias("n_tokens"))
     w = Window.partitionBy("component").orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
@@ -9105,7 +9105,7 @@ def entity_resolution_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = levenshtein_prefix_pairs_q(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b", dedup_edges=False)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     full = components_with_singletons(docs, comp, "doc_id").select(
         "doc_id", F.col("component").alias("entity_id")

@@ -144,3 +144,28 @@ class TestTriangleCounts:
         assert out[1] == (3, 3) and out[2] == (3, 3) and out[3] == (3, 3)
         # nobody else participates
         assert set(out) == {0, 1, 2, 3}
+
+
+def test_cc_dedup_edges_false_identical_even_with_duplicate_edges(spark):
+    """r15 optimization knob: dedup_edges=False skips the sym distinct
+    (one shuffle saved per call). Edge MULTIPLICITY must never change
+    the fixpoint — asserted on random graphs with deliberately
+    duplicated and both-orientation edges."""
+    rng = random.Random(15)
+    for trial in range(3):
+        n = 40
+        base = [(rng.randrange(n), rng.randrange(n)) for _ in range(35)]
+        base = [(a, b) for a, b in base if a != b]
+        # duplicate some edges, flip some orientations
+        noisy = base + base[::3] + [(b, a) for a, b in base[::4]]
+        df_noisy = spark.createDataFrame(noisy, "src long, dst long")
+        df_base = spark.createDataFrame(base, "src long, dst long")
+        got_nodedup = {
+            r["node"]: r["component"]
+            for r in connected_components(df_noisy, dedup_edges=False).collect()
+        }
+        got_dedup = {
+            r["node"]: r["component"]
+            for r in connected_components(df_base, dedup_edges=True).collect()
+        }
+        assert got_nodedup == got_dedup == _union_find(base), f"trial {trial}"

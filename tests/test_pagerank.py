@@ -58,3 +58,14 @@ def test_pagerank_rank_mass_sane(spark):
     # a cycle is symmetric: every node converges to exactly 1
     for r in rows:
         assert float(r["rank"]) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_zero_iterations_returns_init_rank(spark):
+    """r15 loop restructure: the full node->rank reconstruction moved
+    out of the loop; iterations=0 must still return every node at the
+    N-normalized init rank 1."""
+    from lakehouse_spark_spark.operators.graph import pagerank
+
+    e = _edges(spark, [(1, 2), (3, 2)])
+    got = {r["node"]: float(r["rank"]) for r in pagerank(e, iterations=0).collect()}
+    assert got == {1: 1.0, 2: 1.0, 3: 1.0}
