@@ -286,6 +286,24 @@ def _run_canary(spark, reg) -> dict[str, float]:
     return out
 
 
+def _py_probe() -> float:
+    """Python-side host canary (r16, r15 verdict item 4): a fixed-work
+    pure-Python loop (2e7 squares) timed on the driver. The JVM canary
+    above is blind to degraded PYTHON CPU — the dominant noise source of
+    the r15 round (mapInPandas decode/probe paths drifted ±1.4-2.5×
+    while the JVM canary improved). Recorded next to canary_sec so a
+    round-over-round delta on Arrow/Python-priced queries can be
+    adjudicated from the committed artifact alone. Reference points:
+    ~1.10-1.25 s healthy, 1.94-2.03 s in the documented degraded state
+    (OPTIMIZATION_r15.md 'Measurement integrity'). Additions-only: the
+    probe runs outside every timed region and touches no Spark state."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     from lakehouse_spark_spark.plans.queries import registry
     from lakehouse_spark_spark.session import get_session
@@ -294,6 +312,7 @@ def main() -> None:
     reg = registry()
     names = [n for n in HEADLINE if n in reg]
     _warm(spark)
+    py_probe = _py_probe()
     canary = _run_canary(spark, reg)
 
     # Round-10 basis (r9 verdict "What's wrong" #1: the single-pass
@@ -377,6 +396,9 @@ def main() -> None:
         # evaluates the pair-acceptance rule from detail files alone
         "canary_sec": round(sum(canary.values()), 3),
         "canary": canary,
+        # fixed-work pure-Python probe (r16): the Python-CPU host state,
+        # invisible to the JVM canary — see _py_probe
+        "py_probe_sec": py_probe,
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail_latest.json")
@@ -406,6 +428,10 @@ def main() -> None:
                 # to any headline delta before attributing it to code
                 "canary_sec": round(sum(canary.values()), 3),
                 "canary": canary,
+                # fixed-work pure-Python host probe (r16, additions-
+                # only): quote it next to canary_sec before attributing
+                # any Arrow/Python-priced query drift to code
+                "py_probe_sec": py_probe,
                 # same workload as the reference's 37.8s run log
                 # (BASELINE.md): full medallion pipeline on its dirty
                 # CSVs including all 6 single-file CSV sinks.

@@ -20,6 +20,10 @@ Algorithm: iterative min-label propagation with pointer jumping.
 - convergence: stop when no label changed (an `Any changed?` aggregate
   per round — a distributed action, not a data collect; the loop is
   driver-side CONTROL only, all data movement is joins/groupBys).
+  (A check-every-2nd-round schedule was implemented and A/B-measured
+  in r16: a wash on 2-round graphs, a consistent LOSS on longer ones —
+  the deferred round's persist + deeper adaptive plan costs more than
+  the saved action. Rejected; the per-round check stays.)
 - every round ends in ``localCheckpoint`` to truncate lineage (the
   standard Spark idiom for iterative algorithms; at scale this is a
   checkpoint to the cluster store).
@@ -76,52 +80,64 @@ def connected_components(
         sym = sym.distinct()
     # cache the (static) symmetric edge list across rounds
     sym = sym.localCheckpoint(eager=False)
+    comp_type = sym.schema["u"].dataType
 
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
-    comp_type = labels.schema["component"].dataType
+    if max_iter <= 0:
+        return (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )
 
     from pyspark.sql import Observation
 
+    # r16: no separate identity label frame. Round 1's relax over the
+    # identity map is min(own id, min neighbour id) — computable as
+    # least(node, min(cand)) AFTER the groupBy, straight off the edge
+    # list (every node of the symmetric list appears on the v side, so
+    # the groupBy covers the whole node universe). The r15 shape built
+    # labels = sym.distinct() + localCheckpoint first: one extra
+    # exchange plus a build-time checkpoint materialization whose only
+    # consumer was the round-1 union side.
+    labels = None
     for it in range(max_iter):
-        # messages: each node's neighbours' current labels. Round 1's
-        # labels are the identity map, so joining `labels` there is a
-        # no-op — emit (v, u) straight off the edge list instead (the
-        # join and its two exchanges saved on the round that also pays
-        # for materializing the upstream edge pipeline).
+        # messages: each node's neighbours' current labels; round 1
+        # reads them straight off the edge list (identity labels).
+        # relax, FUSED (r15): one unionByName + groupBy-min over
+        # {own label} ∪ {neighbour labels} — identical fixpoint
+        # arithmetic to groupBy-min + join-back, one exchange and one
+        # join fewer per round. The __old side-channel (non-null on
+        # exactly one row per node — the node's own; aggregates skip
+        # nulls; the identity `node` itself in round 1) feeds the
+        # Observation convergence count with no extra join/action.
         if it == 0:
-            msgs = sym.select(F.col("v").alias("node"), F.col("u").alias("cand"))
+            relaxed = (
+                sym.select(F.col("v").alias("node"), F.col("u").alias("cand"))
+                .groupBy("node")
+                .agg(F.min("cand").alias("__mc"))
+                .select(
+                    "node",
+                    F.least(F.col("node"), F.col("__mc")).alias("component"),
+                    F.col("node").alias("__old"),
+                )
+            )
         else:
             msgs = sym.join(labels, sym["u"] == labels["node"]).select(
                 F.col("v").alias("node"), F.col("component").alias("cand")
             )
-        # relax, FUSED (r15): the r14 shape ran groupBy-min over the
-        # messages and then LEFT-JOINED the result back onto labels
-        # (least/coalesce) — shuffling the label frame a second time
-        # every round. Union the nodes' own labels into the message
-        # stream and take ONE groupBy-min: identical fixpoint
-        # arithmetic (min over {own} ∪ {neighbours}), one exchange and
-        # one join fewer per round. The __old side-channel (non-null on
-        # exactly one row per node — the node's own; aggregates skip
-        # nulls) feeds the Observation convergence count below with no
-        # extra join/action, as before.
-        relaxed = (
-            labels.select(
-                "node", F.col("component").alias("cand"), F.col("component").alias("__old")
+            relaxed = (
+                labels.select(
+                    "node", F.col("component").alias("cand"), F.col("component").alias("__old")
+                )
+                .unionByName(msgs.withColumn("__old", F.lit(None).cast(comp_type)))
+                .groupBy("node")
+                .agg(F.min("cand").alias("component"), F.max("__old").alias("__old"))
             )
-            .unionByName(msgs.withColumn("__old", F.lit(None).cast(comp_type)))
-            .groupBy("node")
-            .agg(F.min("cand").alias("component"), F.max("__old").alias("__old"))
-        )
         # pointer jump: follow the label's own label one hop
         parents = relaxed.select(F.col("node").alias("pnode"), F.col("component").alias("pcomp"))
         obs = Observation()
         new_comp = F.least(F.col("component"), F.coalesce(F.col("pcomp"), F.col("component")))
-        jumped = (
+        labels = (
             relaxed.join(parents, relaxed["component"] == parents["pnode"], "left")
             .select(
                 "node",
@@ -134,7 +150,6 @@ def connected_components(
             .select("node", "component")
             .localCheckpoint()  # eager: materialize the round, truncate lineage
         )
-        labels = jumped
         if (obs.get["changed"] or 0) == 0:
             break
     return labels
@@ -207,10 +222,15 @@ def pagerank(
     geometrically at rate d, so k iterations bound the error at d^k
     without paying a distributed action per round.
 
-    Scale: each iteration is one groupBy(dst) shuffle of (dst, contrib)
-    pairs plus a join against the (small) per-node degree table;
-    lineage is truncated per round (localCheckpoint) exactly like
-    connected_components above.
+    Scale: out_degree is stamped onto the (checkpointed) edge table
+    ONCE before the loop; each iteration is then one LEFT join of that
+    edges_deg frame against the previous round's per-node aggregate
+    (rank(src) = base + coalesce(in_rank, 0) — round 1 reads the
+    literal init rank with no join at all) plus one groupBy(dst)
+    shuffle of (dst, contrib) pairs; the full node→rank map is
+    reconstructed once AFTER the last round. The iteration count is
+    fixed and small, so the chained plan stays bounded and no per-round
+    checkpoint is needed (unlike the convergence-probed CC loop).
     """
     from fractions import Fraction
 
@@ -237,7 +257,6 @@ def pagerank(
         .select(F.col(src), F.col(dst), F.col("out_degree"))
         .localCheckpoint(eager=False)
     )
-    ranks = nodes.select("node", F.lit(unit).cast("bigint").alias("rank_units"))
     contrib_units = F.expr(
         f"({2 * num} * rank_units + {den} * out_degree) div ({2 * den} * out_degree)"
     )

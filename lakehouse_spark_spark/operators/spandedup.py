@@ -78,7 +78,17 @@ def duplicated_spans(
     """(id, __s, __e): maximal merged duplicated spans per document
     (1-based inclusive token positions) — the shared core of the stats
     and trimming operators."""
-    sh = doc_shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
+    # slim the pinned frame to what the span pipeline reads (r16, §2.3):
+    # n_tokens rides the explode for doc_shingles' public contract, but
+    # neither the corpus-wide count nor the occurrence join uses it —
+    # checkpointing it would materialize a dead long per shingle row
+    # (25% of the operator's biggest frame at any scale). A checkpoint
+    # defeats column pruning, so the projection must happen BEFORE it.
+    sh = (
+        doc_shingles(df, id_col, text_col, k)
+        .select(F.col(id_col), "start_pos", "shingle_h")
+        .localCheckpoint(eager=False)
+    )
     dup = (
         sh.groupBy("shingle_h")
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -8985,25 +8985,40 @@ def _er_candidate_pairs(d: DataFrame, cap: int = _ER_BLOCK_CAP) -> DataFrame:
     functionally dependent on doc_id, so shipping it through the ×37
     gram fan-out and the 4-tuple distinct multiplied shuffle bytes ~5×
     for nothing; instead both prefixes are equi-joined back from the
-    (tiny-per-pair) base frame AFTER the pairs are deduped."""
+    (tiny-per-pair) base frame AFTER the pairs are deduped.
+
+    r16 (§2.3, the carried r15 item): the (lang, source, gram) block
+    key is hashed to ONE xxhash64 long right after the explode — the
+    cap groupBy and the per-block self-join then exchange (doc_id, blk)
+    two-long rows instead of (doc_id + three strings), the same
+    narrow-the-key move as the hashed-shingle inverted index. Collision
+    semantics: a 64-bit collision between two distinct block keys would
+    merge their posting lists (the cap sees the joint count; the join
+    pairs across the two blocks, and any false pair still faces the
+    caller's exact distance filter). Deterministic, so oracle-stable:
+    the strict value comparison at every test SF proves the candidate
+    set unchanged there; at corpus scale a collision is a recall
+    perturbation of the same order as the canopy heuristic itself."""
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("pfx") - 3, F.lit(1))),
             lambda i: F.substring(F.col("pfx"), i, F.lit(4)),
         )
     )
-    gr = d.select("doc_id", "lang", "source", F.explode(grams).alias("gram"))
+    gr = d.select("doc_id", "lang", "source", F.explode(grams).alias("gram")).select(
+        "doc_id", F.xxhash64("lang", "source", "gram").alias("blk")
+    )
     ok = (
-        gr.groupBy("lang", "source", "gram")
+        gr.groupBy("blk")
         .agg(F.count(F.lit(1)).alias("__bs"))
         .filter(F.col("__bs") <= cap)
         .drop("__bs")
     )
-    grk = gr.join(ok, ["lang", "source", "gram"])
-    a = grk.select(F.col("doc_id").alias("id_a"), "lang", "source", "gram")
-    b = grk.select(F.col("doc_id").alias("id_b"), "lang", "source", "gram")
+    grk = gr.join(ok, "blk")
+    a = grk.select(F.col("doc_id").alias("id_a"), "blk")
+    b = grk.select(F.col("doc_id").alias("id_b"), "blk")
     pairs = (
-        a.join(b, ["lang", "source", "gram"])
+        a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -29,9 +29,25 @@ def get_session(app_name: str = "lakehouse_spark_spark", cpus: str | int | None 
         .master(f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r16 note: size-respecting coalescing (parallelismFirst=false +
+        # advisory 64m, the r15 verdict's item 5) was implemented and
+        # A/B-measured: ngram_jaccard_capped warm exec +30-45%
+        # (bytes-based coalescing serializes its compute-dense pair
+        # join, whose shuffle is MB-scale but whose per-row work is the
+        # real cost) and no measurable win anywhere else — the tiny-
+        # stage task fan-out the scaling block shows lives in the
+        # 32-partition INITIAL maps (checkpointed RDDs, parallelized
+        # scans), which AQE coalescing cannot touch. Rejected; details
+        # in OPTIMIZATION_r16.md.
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r16 (§4): evaluate UDTFs over Arrow batches instead of pickled
+        # rows — the one remaining pickled-row Python path in the 216
+        # registry plans (doc_sentences_udtf). eval() is still called
+        # per row; only the serialization changes, and the UDTF returns
+        # honestly-typed (string, int) rows, so output is identical.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         # managed (incl. bucketed) tables land outside the repo
@@ -48,4 +64,8 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     # native type for — read as raw nanosecond longs (loaders.load_table
     # derives a microsecond timestamp + keeps the exact ns long).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # r16 (§4, runtime-settable, semantics-free): Arrow UDTF evaluation
+    # on the driver's own session too, so the plan the driver executes
+    # matches the benched one (see get_session).
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     return spark

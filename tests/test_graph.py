@@ -169,3 +169,45 @@ def test_cc_dedup_edges_false_identical_even_with_duplicate_edges(spark):
             for r in connected_components(df_base, dedup_edges=True).collect()
         }
         assert got_nodedup == got_dedup == _union_find(base), f"trial {trial}"
+
+def test_cc_convergence_schedule_independence(spark):
+    """r16: the CC loop's labelling must be identical under ANY
+    convergence-check schedule and at any max_iter truncation (the
+    relax+jump recurrence is schedule-independent; the init-free
+    round 1 must cover the whole node universe) — asserted on graphs
+    converging after an ODD and an EVEN number of rounds, a
+    zero-change-in-round-1 graph (self-loops only), and max_iter
+    truncations. Regression cover for the r16 init-frame elimination
+    and for the (implemented, measured, REJECTED) check-every-2nd-
+    round schedule.
+    """
+    # star: relax converges in 1 round, observed at round 2
+    star = [(10, 11), (10, 12), (10, 13)]
+    got = _cc(spark, star)
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10}
+
+    # chain of diameter 9: pointer jumping needs >2 rounds
+    chain = [(i, i + 1) for i in range(9)]
+    assert set(_cc(spark, chain).values()) == {0}
+
+    # self-loops only: round 1 changes nothing at all
+    loops = [(7, 7), (8, 8)]
+    got = _cc(spark, loops)
+    assert got == {7: 7, 8: 8}
+
+    # max_iter truncation: k rounds of the new schedule produce the
+    # same labels as k rounds of the old per-round-checked loop (the
+    # relax+jump recurrence is schedule-independent). After 1 round of
+    # min-label+jump on the 0..9 chain, node 9 cannot yet have label 0.
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got1 = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=1).collect()
+    }
+    assert got1[1] == 0 and got1[9] > 0
+    got2 = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=2).collect()
+    }
+    # monotone: labels only decrease round over round
+    assert all(got2[n] <= got1[n] for n in got1)

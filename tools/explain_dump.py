@@ -2,12 +2,13 @@
 
     python tools/explain_dump.py SUFFIX QUERY [QUERY ...]
 
-Writes plans/r15/<query>_<SUFFIX>.txt for each query (the optimization-
-round evidence files: SUFFIX = "before" on the pre-change tree,
-"after" on the optimized tree). Queries whose builders run eager work
-(checkpoint loops, training collects) execute that work here — the
-dump is the plan of the RETURNED frame, the same object the bench's
-noop write executes.
+Writes plans/$SPARK_GRAFT_PLANROUND/<query>_<SUFFIX>.txt (round dir
+defaults to r16) for each query (the optimization-round evidence
+files: SUFFIX = "before" on the pre-change tree, "after" on the
+optimized tree). Queries whose builders run eager work (checkpoint
+loops, training collects) execute that work here — the dump is the
+plan of the RETURNED frame, the same object the bench's noop write
+executes.
 """
 
 from __future__ import annotations
@@ -20,7 +21,11 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANROUND", "r16"),
+)
 
 
 def main() -> None:
